@@ -1,0 +1,90 @@
+#!/usr/bin/env python3
+"""Local pre-check of SparkEntry oracles: mimics the driver's compare.
+
+Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir> [query ...]
+
+For each query dir under verifyOutDir: read the Spark parquet result,
+run the corresponding oracle SQL in DuckDB over the sfDir tables,
+sort columns by name, sort rows, and compare values cell-by-cell
+(exact for ints/strings, tight tolerance report for floats).
+"""
+import sys, json, glob, os
+import duckdb
+import pyarrow.parquet as pq
+import pandas as pd
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+def norm(df):
+    df = df[sorted(df.columns)]
+    df = df.sort_values(by=list(df.columns), ignore_index=True)
+    return df
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    only = set(sys.argv[3:])
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
+    n_pass = n_fail = 0
+    for name, sql in sorted(oracle.items()):
+        if only and name not in only:
+            continue
+        qdir = os.path.join(out_dir, name)
+        files = glob.glob(os.path.join(qdir, "*.parquet"))
+        if not files:
+            print(f"[FAIL] {name}: no spark result parquet")
+            n_fail += 1
+            continue
+        try:
+            spark_df = pd.concat([pq.read_table(f).to_pandas() for f in files])
+            duck_df = con.execute(sql).df()
+        except Exception as e:
+            print(f"[FAIL] {name}: {type(e).__name__}: {e}")
+            n_fail += 1
+            continue
+        s, d = norm(spark_df), norm(duck_df)
+        if list(s.columns) != list(d.columns):
+            print(f"[FAIL] {name}: columns spark={list(s.columns)} duck={list(d.columns)}")
+            n_fail += 1
+            continue
+        if len(s) != len(d):
+            print(f"[FAIL] {name}: rows spark={len(s)} duck={len(d)}")
+            n_fail += 1
+            continue
+        ok = True
+        for c in s.columns:
+            sv, dv = s[c], d[c]
+            try:
+                if sv.dtype.kind == 'f' or dv.dtype.kind == 'f':
+                    import numpy as np
+                    a = sv.astype(float).to_numpy()
+                    b = dv.astype(float).to_numpy()
+                    if not ((a == b) | (pd.isna(a) & pd.isna(b))).all():
+                        mx = float(abs(pd.Series(a) - pd.Series(b)).max())
+                        print(f"[WARN] {name}.{c}: float mismatch (max abs diff {mx:.3e})"
+                              + (" — NOT bitwise equal, hash compare may fail" if mx > 0 else ""))
+                        if mx > 0:
+                            ok = False
+                else:
+                    same = (sv.astype(str).to_numpy() == dv.astype(str).to_numpy()).all()
+                    if not same:
+                        bad = (sv.astype(str).to_numpy() != dv.astype(str).to_numpy())
+                        i = int(bad.argmax())
+                        print(f"[FAIL] {name}.{c}: value mismatch at row {i}: spark={sv.iloc[i]!r} duck={dv.iloc[i]!r}")
+                        ok = False
+            except Exception as e:
+                print(f"[FAIL] {name}.{c}: compare error {e}")
+                ok = False
+        if ok:
+            print(f"[PASS] {name} ({len(s)} rows, {len(s.columns)} cols)")
+            n_pass += 1
+        else:
+            n_fail += 1
+    print(f"== {n_pass} pass / {n_fail} fail ==")
+    sys.exit(1 if n_fail else 0)
+
+main()
