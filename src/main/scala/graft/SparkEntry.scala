@@ -17,29 +17,36 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     queries("q1_agg")(spark, "/root/testdata/sf0.001")
 
+  /** Full operator registry: relational + DcaFrame structural ops +
+    * (as they land) LLM-pipeline extensions.
+    */
+  private def registry: Map[String, graft.queries.QueryDef] =
+    graft.queries.Relational.defs ++ graft.queries.DcaQueries.defs ++ Map(
+      // TPC-H Q1-style full-scan aggregation: map-side partial agg, 2-col
+      // groupBy — shuffles only the tiny partial-agg state at 100 TB.
+      "q1_agg" -> graft.queries.QueryDef(
+        (s, dir) => {
+          t(s, dir, "lineitem")
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(
+              sum(round(col("l_quantity") * 100).cast("long")).as("sum_qty_c"),
+              sum(round(col("l_extendedprice") * 100).cast("long")).as("sum_price_c"),
+              count(lit(1)).as("n_rows"))
+            .orderBy("l_returnflag", "l_linestatus")
+        },
+        Some("""SELECT l_returnflag, l_linestatus,
+          |  CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_c,
+          |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_c,
+          |  count(*) AS n_rows
+          |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+    )
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // TPC-H Q1-style full-scan aggregation: map-side partial agg, 2-col
-    // groupBy — shuffles only the tiny partial-agg state at 100 TB.
-    "q1_agg" -> ((s, dir) => {
-      t(s, dir, "lineitem")
-        .groupBy("l_returnflag", "l_linestatus")
-        .agg(
-          sum(round(col("l_quantity") * 100).cast("long")).as("sum_qty_c"),
-          sum(round(col("l_extendedprice") * 100).cast("long")).as("sum_price_c"),
-          count(lit(1)).as("n_rows"))
-        .orderBy("l_returnflag", "l_linestatus")
-    })
-  )
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    registry.map { case (k, v) => k -> v.fn }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map(
-    "q1_agg" ->
-      """SELECT l_returnflag, l_linestatus,
-        |  CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_c,
-        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_c,
-        |  count(*) AS n_rows
-        |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
-  )
+  def oracleSql: Map[String, String] =
+    registry.collect { case (k, v) if v.oracle.isDefined => k -> v.oracle.get }
 }

@@ -1,0 +1,351 @@
+package graft.core
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructType}
+
+import Shape.Shape
+
+/** A batch of records with an N-dimensional, order-significant, dense
+  * index — the Spark-native analog of the reference's `DataclassArray`
+  * (`array_dataclass.py:164-214`).
+  *
+  * Design (SURVEY §7.1): the batch shape lives as driver-side metadata;
+  * the data carries materialized dense index columns
+  * `__idx0..__idxN: LongType`, because DataFrames are unordered.
+  * Reshape / flatten / slice / newaxis are pure index arithmetic —
+  * narrow transformations, no shuffle. Filter (boolean mask) is the one
+  * op that needs a global re-index; it uses a per-partition-offset
+  * zipWithIndex (two light jobs), never a single-partition window, so
+  * it survives 100-TB inputs (SURVEY §7.5.1).
+  *
+  * Static fields (constant across the batch, untouched by every op —
+  * `array_dataclass.py:192-198`) live in [[statics]].
+  */
+final case class DcaFrame(
+    df: DataFrame,
+    shape: Shape,
+    arrayCols: Vector[String],
+    statics: Map[String, Any] = Map.empty) {
+
+  def ndim: Int = shape.length
+  def size: Long = Shape.size(shape)
+  /** len(p): length of the first batch dim (`array_dataclass.py:404-410`). */
+  def length: Long = {
+    require(ndim > 0, "len() of unsized object (scalar shape)")
+    shape.head
+  }
+  /** bool(p): raises on empty (ambiguity guard, `array_dataclass.py:412-453`). */
+  def nonEmptyOrThrow(): Boolean = {
+    require(size != 0, "The truth value of an empty array is ambiguous")
+    true
+  }
+
+  def idxCols: Vector[String] = DcaFrame.idxColNames(ndim)
+  private def idx(i: Int): Column = col(s"__idx$i")
+
+  /** Linear (row-major) index expression over the current idx columns. */
+  def linearIndex: Column =
+    if (ndim == 0) lit(0L)
+    else {
+      val st = Shape.strides(shape)
+      (0 until ndim).map(i => idx(i) * lit(st(i))).reduce(_ + _)
+    }
+
+  /** Sorted driver-side materialization (small data / tests only). */
+  def collectOrdered(): Array[Row] = {
+    val ordered = df.orderBy(idxCols.map(col): _*)
+    ordered.select(arrayCols.map(col): _*).collect()
+  }
+
+  // ---------------------------------------------------------------------
+  // Shape algebra (S2-S5): pure index arithmetic, narrow, no shuffle.
+  // ---------------------------------------------------------------------
+
+  /** Re-factor the batch shape; `-1` infers one dim. Narrow — recomputes
+    * `__idx*` from the linear index (`array_dataclass.py:363-369`).
+    */
+  def reshape(to: Long*): DcaFrame = reshapeTo(to)
+
+  def reshapeTo(to: Seq[Long]): DcaFrame = {
+    val target = Shape.resolveReshape(shape, to)
+    if (target == shape) this
+    else {
+      val lin = linearIndex
+      val st = Shape.strides(target)
+      val newIdx = target.indices.map { i =>
+        val q = if (st(i) == 1L) lin % lit(target(i))
+                else if (i == 0) lin.divide(lit(st(i))).cast(LongType)
+                else (lin.divide(lit(st(i)))).cast(LongType) % lit(target(i))
+        q.cast(LongType).as(s"__nidx$i")
+      }
+      val kept = arrayCols.map(col)
+      val renamed = df.select(newIdx ++ kept: _*)
+      val fin = target.indices.foldLeft(renamed)((d, i) => d.withColumnRenamed(s"__nidx$i", s"__idx$i"))
+      copy(df = fin, shape = target)
+    }
+  }
+
+  /** flatten = reshape((-1,)) (`array_dataclass.py:371-373`). */
+  def flatten: DcaFrame = reshapeTo(Seq(-1L))
+
+  /** Expand the batch shape (dim-1/new-leading axes up), every payload
+    * row replicated — `crossJoin(range(n))` per expanded dim
+    * (`array_dataclass.py:375-380`).
+    */
+  def broadcastTo(target: Seq[Long]): DcaFrame = {
+    val t = target.toVector
+    require(t.length >= ndim, s"broadcast_to target rank ${t.length} < current $ndim")
+    val pad = t.length - ndim
+    val padded = Vector.fill[Long](pad)(1L) ++ shape
+    padded.zip(t).zipWithIndex.foreach { case ((o, n), i) =>
+      require(o == n || o == 1L, s"cannot broadcast dim $i: $o -> $n")
+    }
+    if (t == shape) this
+    else {
+      val spark = df.sparkSession
+      // old axis j (0-based in current shape) becomes target axis j+pad;
+      // rename back-to-front to avoid collisions
+      var cur = df
+      for (j <- (ndim - 1) to 0 by -1)
+        cur = cur.withColumnRenamed(s"__idx$j", s"__tidx${j + pad}")
+      for (i <- t.indices) {
+        val keepOld = i >= pad && padded(i) == t(i)
+        if (!keepOld) {
+          // old dim-1 constant column is replaced by the replicating range
+          if (i >= pad) cur = cur.drop(s"__tidx$i")
+          cur =
+            if (t(i) == 1L) cur.withColumn(s"__tidx$i", lit(0L))
+            else cur.crossJoin(broadcast(spark.range(t(i)).toDF(s"__tidx$i")))
+        }
+      }
+      val finalCols = t.indices.map(i => col(s"__tidx$i").cast(LongType).as(s"__idx$i")) ++
+        arrayCols.map(col)
+      copy(df = cur.select(finalCols: _*), shape = t)
+    }
+  }
+
+  // ---------------------------------------------------------------------
+  // Indexing (S6-S8)
+  // ---------------------------------------------------------------------
+
+  /** numpy basic indexing on the batch dims: int / slice / ellipsis /
+    * newaxis (`array_dataclass.py:382-390`, `:1006-1035`).
+    * Narrow: predicates + index remap; no shuffle.
+    */
+  def apply(items: Indexing.Ix*): DcaFrame = {
+    val resolved = Indexing.resolve(items, shape)
+    var cur = df
+    var axis = 0          // input axis being consumed
+    var outPos = 0        // output axis position
+    val outCols = Vector.newBuilder[(String, Column)]
+    resolved.foreach {
+      case (_, Indexing.Resolved.New) =>
+        outCols += ((s"__oidx$outPos", lit(0L)))
+        outPos += 1
+      case (_, Indexing.Resolved.Int(i)) =>
+        cur = cur.filter(col(s"__idx$axis") === lit(i))
+        axis += 1
+      case (_, Indexing.Resolved.Slice(start, step, newLen)) =>
+        val c = col(s"__idx$axis")
+        // offset along the slice direction; exact-integer-valued
+        val off = if (step > 0) c - lit(start) else lit(start) - c
+        val stepAbs = math.abs(step)
+        cur = cur.filter(off >= 0 && (off % lit(stepAbs) === 0) &&
+          off < lit(newLen * stepAbs))
+        outCols += ((s"__oidx$outPos", (off / lit(stepAbs)).cast(LongType)))
+        axis += 1
+        outPos += 1
+    }
+    val newShape = Indexing.resultShape(resolved)
+    val sel = outCols.result().map { case (n, c) => c.as(n) } ++ arrayCols.map(col)
+    val out = cur.select(sel: _*)
+    val fin = newShape.indices.foldLeft(out)((d, i) => d.withColumnRenamed(s"__oidx$i", s"__idx$i"))
+    copy(df = fin, shape = newShape)
+  }
+
+  /** Boolean-mask selection — THE canonical filter (S7,
+    * `array_dataclass.py:382-390`, `README.md:53`). The mask predicate
+    * is evaluated per row over the full batch; the result is 1-D with a
+    * dense re-index. Scale path: zipWithIndex (per-partition offsets),
+    * not a global window.
+    */
+  def mask(pred: Column): DcaFrame = {
+    val filtered = df.filter(pred)
+      .select(linearIndex.as("__lin") +: arrayCols.map(col): _*)
+    val out = DcaFrame.denseIndex(filtered, Seq(col("__lin"))).drop("__lin")
+    val n = out.count()
+    copy(df = out, shape = Vector(n))
+  }
+
+  /** Integer-array gather along axis 0 (S8): `p[int_arr]` — a
+    * broadcast semi-join against the (small) index list, preserving the
+    * gather order and allowing repeats.
+    */
+  def gather(indices: Seq[Long]): DcaFrame = {
+    require(ndim >= 1, "gather needs ndim >= 1")
+    indices.zipWithIndex.foreach { case (i, k) =>
+      require(i >= -shape.head && i < shape.head, s"gather index $i (pos $k) out of bounds for dim ${shape.head}") }
+    val spark = df.sparkSession
+    val resolvedIdx = indices.map(i => if (i < 0) i + shape.head else i)
+    import spark.implicits._
+    val idxDf = resolvedIdx.zipWithIndex.map { case (src, pos) => (src, pos.toLong) }
+      .toDF("__src", "__pos")
+    val joined = df.join(broadcast(idxDf), col("__idx0") === col("__src"))
+      .drop("__idx0", "__src")
+      .withColumnRenamed("__pos", "__idx0")
+    val newShape = indices.length.toLong +: shape.tail
+    copy(df = joined.select(idxCols.map(col) ++ arrayCols.map(col): _*), shape = newShape)
+  }
+
+  /** Per-first-dim decomposition (S9) — a driver-boundary op. */
+  def iterFirstDim(): Iterator[DcaFrame] = {
+    require(ndim > 0, "iteration over a 0-d array")
+    (0L until shape.head).iterator.map(i => apply(Indexing.Ix.I(i)))
+  }
+
+  // ---------------------------------------------------------------------
+  // Projection / update (S11-S13)
+  // ---------------------------------------------------------------------
+
+  /** Elementwise fn over every array column (S11 `map_field`,
+    * `array_dataclass.py:455-463`); pure projection, codegen-friendly.
+    */
+  def mapField(fn: Column => Column): DcaFrame =
+    copy(df = df.select(idxCols.map(col) ++ arrayCols.map(n => fn(col(n)).as(n)): _*))
+
+  /** Functional field update (S13 `replace`, `array_dataclass.py:467-494`). */
+  def replaceField(name: String, value: Column): DcaFrame = {
+    require(arrayCols.contains(name), s"unknown field $name")
+    copy(df = df.select(idxCols.map(col) ++ arrayCols.map(n => (if (n == name) value else col(n)).as(n)): _*))
+  }
+
+  /** Replace a static field (never touches the data). */
+  def replaceStatic(name: String, value: Any): DcaFrame =
+    copy(statics = statics + (name -> value))
+
+  // ---------------------------------------------------------------------
+  // Vectorize alignment (V2): join the other frame on the shared batch
+  // index after broadcasting both to the joint shape.
+  // ---------------------------------------------------------------------
+
+  /** Align `other` against this frame per the reference's vectorize
+    * broadcast rules (`vectorization.py:246-300`): front-aligned dims
+    * equal-or-1, arg may carry extra trailing dims. Returns the aligned
+    * frame pair broadcast to the joint batch shape; caller then joins
+    * on `__idx*` (equi-join; the dim-1 side was replicated via
+    * broadcast crossJoin, i.e. a broadcast NLJ in Spark terms).
+    */
+  def alignForVectorize(other: DcaFrame): (DcaFrame, DcaFrame, Shape) = {
+    val (joint, extra) = Shape.vectorizeBatch(shape, other.shape)
+    val selfB = this.broadcastTo(joint)
+    val otherB = other.broadcastTo(joint ++ extra)
+    (selfB, otherB, joint)
+  }
+
+  /** Zip two same-shape frames on the batch index (inner equi-join on
+    * `__idx*`) — the executed form of V2 arg alignment. Column clashes
+    * from `other` get `suffix`.
+    */
+  def zipJoin(other: DcaFrame, suffix: String = "_r"): DcaFrame = {
+    require(other.shape == shape, s"zipJoin shapes differ: $shape vs ${other.shape}")
+    val rCols = other.arrayCols.map(n => if (arrayCols.contains(n)) n + suffix else n)
+    val rdf = other.arrayCols.zip(rCols).foldLeft(other.df) { case (d, (o, n)) =>
+      if (o == n) d else d.withColumnRenamed(o, n)
+    }
+    val joined = df.join(rdf, idxCols)
+    copy(df = joined, arrayCols = arrayCols ++ rCols, statics = statics ++ other.statics)
+  }
+}
+
+object DcaFrame {
+  def idxColNames(ndim: Int): Vector[String] = (0 until ndim).map(i => s"__idx$i").toVector
+
+  /** Construct from an (already ordered-by sortCols) DataFrame, adding a
+    * dense 1-D index. Ordering is established by a range-repartition +
+    * partition-local sort, then indices are assigned with per-partition
+    * offsets (zipWithIndex): two light jobs, no single-partition stage —
+    * scales to arbitrarily large inputs.
+    */
+  def fromDF(df: DataFrame, sortCols: Seq[Column], arrayCols: Seq[String] = Nil,
+             statics: Map[String, Any] = Map.empty): DcaFrame = {
+    val cols = if (arrayCols.nonEmpty) arrayCols.toVector else df.columns.toVector
+    val indexed = denseIndex(df.select(cols.map(col): _*), sortCols)
+    val n = indexed.count()
+    DcaFrame(indexed.select((col("__idx0") +: cols.map(col)): _*), Vector(n), cols, statics)
+  }
+
+  /** Local construction (tests / small data): rows in given order. */
+  def fromLocal(spark: SparkSession, rows: Seq[Row], schema: StructType,
+                shape: Shape = null): DcaFrame = {
+    val withIdx = rows.zipWithIndex.map { case (r, i) => Row.fromSeq(i.toLong +: r.toSeq) }
+    val st = new StructType((new StructType().add("__idx0", LongType) ++ schema).toArray)
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(withIdx, math.max(1, withIdx.size / 1000 + 1)), st)
+    val base = DcaFrame(df, Vector(rows.size.toLong), schema.fieldNames.toVector)
+    if (shape == null) base else base.reshapeTo(shape)
+  }
+
+  /** Dense 0..n-1 index via range-partitioned sort + per-partition
+    * offsets. The scalable replacement for `row_number()` over a global
+    * window (SURVEY §7.5.1).
+    */
+  private[core] def denseIndex(df: DataFrame, sortCols: Seq[Column]): DataFrame = {
+    val spark = df.sparkSession
+    val sorted =
+      if (sortCols.isEmpty) df
+      else df.repartitionByRange(sortCols: _*).sortWithinPartitions(sortCols: _*)
+    val schema = sorted.schema
+    val rdd = sorted.rdd.zipWithIndex().map { case (r, i) => Row.fromSeq(i +: r.toSeq) }
+    spark.createDataFrame(rdd, new StructType((new StructType().add("__idx0", LongType) ++ schema).toArray))
+  }
+
+  /** Stack k same-shape frames along a NEW axis (M1, `ops.py:90-106`):
+    * `unionByName` of the inputs, each tagged with its position on the
+    * new axis — narrow, no shuffle. Static fields come from the first
+    * element (matching the reference).
+    */
+  def stack(frames: Seq[DcaFrame], axis: Int = 0): DcaFrame = {
+    require(frames.nonEmpty, "stack of empty sequence")
+    val s0 = frames.head.shape
+    require(frames.forall(_.shape == s0), s"stack shape mismatch: ${frames.map(_.shape)}")
+    require(frames.forall(_.arrayCols == frames.head.arrayCols),
+      "stack field mismatch (schema equality check, ops.py:63-71)")
+    val ax = Shape.toAbsoluteAxisInsert(axis, s0.length)
+    val ndimNew = s0.length + 1
+    val tagged = frames.zipWithIndex.map { case (f, k) =>
+      // old axis j -> new axis (j < ax ? j : j+1); new axis ax = k
+      var d = f.df
+      for (j <- (s0.length - 1) to 0 by -1)
+        d = d.withColumnRenamed(s"__idx$j", s"__nidx${if (j < ax) j else j + 1}")
+      d.withColumn(s"__nidx$ax", lit(k.toLong))
+    }
+    val unioned = tagged.reduce(_ unionByName _)
+    val newShape = (s0.take(ax) :+ frames.size.toLong) ++ s0.drop(ax)
+    val fin = (0 until ndimNew).foldLeft(unioned)((d, i) => d.withColumnRenamed(s"__nidx$i", s"__idx$i"))
+    DcaFrame(
+      fin.select(idxColNames(ndimNew).map(col) ++ frames.head.arrayCols.map(col): _*),
+      newShape, frames.head.arrayCols, frames.head.statics)
+  }
+
+  /** Concatenate along an EXISTING axis (M2, `ops.py:109-121`):
+    * `unionByName` with a cumulative offset on that axis — narrow.
+    */
+  def concat(frames: Seq[DcaFrame], axis: Int = 0): DcaFrame = {
+    require(frames.nonEmpty, "concat of empty sequence")
+    val h = frames.head
+    val ax = Shape.toAbsoluteAxis(axis, h.shape.length)
+    frames.foreach { f =>
+      require(f.shape.length == h.shape.length &&
+        f.shape.zipWithIndex.forall { case (d, i) => i == ax || d == h.shape(i) },
+        s"concat shape mismatch on non-concat axis: ${frames.map(_.shape)}")
+      require(f.arrayCols == h.arrayCols, "concat field mismatch")
+    }
+    val offsets = frames.map(_.shape(ax)).scanLeft(0L)(_ + _)
+    val shifted = frames.zip(offsets).map { case (f, off) =>
+      if (off == 0L) f.df
+      else f.df.withColumn(s"__idx$ax", col(s"__idx$ax") + lit(off))
+    }
+    val newShape = h.shape.updated(ax, frames.map(_.shape(ax)).sum)
+    DcaFrame(shifted.reduce(_ unionByName _), newShape, h.arrayCols, h.statics)
+  }
+}

@@ -1,0 +1,172 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.{DcaFrame, Indexing}
+import Indexing.Ix
+import QueryDef.{table, cents}
+
+/** The reference's structural/batch operators (SURVEY §2.2-2.4) driven
+  * through [[graft.core.DcaFrame]] against the lineitem table, each with
+  * a DuckDB oracle that recomputes the same index arithmetic with
+  * `row_number()`.
+  *
+  * The lineitem batch is ordered by the unique key
+  * (l_orderkey, l_linenumber); `__idx*` are the materialized batch-index
+  * columns (dense, order-significant — SURVEY §1.1 row identity).
+  */
+object DcaQueries {
+
+  /** lineitem as a 1-D DcaFrame with payload (keys + qty cents). */
+  private def liFrame(s: SparkSession, dir: String): DcaFrame = {
+    val df = table(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
+        cents(col("l_quantity")).as("qty_c"))
+    DcaFrame.fromDF(df, Seq(col("l_orderkey"), col("l_linenumber")))
+  }
+
+  private def out(f: DcaFrame): DataFrame =
+    f.df.select((f.idxCols ++ f.arrayCols).map(col): _*).orderBy(f.idxCols.map(col): _*)
+
+  private val baseCte =
+    """WITH base AS (
+      |  SELECT row_number() OVER (ORDER BY l_orderkey, l_linenumber) - 1 AS rn,
+      |    l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+      |    CAST(round(l_quantity*100) AS BIGINT) AS qty_c
+      |  FROM lineitem
+      |)""".stripMargin
+
+  val defs: Map[String, QueryDef] = Map(
+
+    // S2: reshape = pure index arithmetic (narrow, no shuffle)
+    "dca_s2_reshape" -> QueryDef(
+      (s, dir) => out(liFrame(s, dir)(Ix.S(None, Some(6000))).reshape(1500, 4)),
+      Some(baseCte +
+        """
+          |SELECT rn // 4 AS __idx0, rn % 4 AS __idx1, l_orderkey, l_linenumber, qty_c
+          |FROM base WHERE rn < 6000 ORDER BY 1, 2""".stripMargin)),
+
+    // S6: strided slice p[10:5000:7]
+    "dca_s6_slice" -> QueryDef(
+      (s, dir) => out(liFrame(s, dir)(Ix.S(Some(10), Some(5000), 7))),
+      Some(baseCte +
+        """
+          |SELECT (rn - 10) // 7 AS __idx0, l_orderkey, l_linenumber, qty_c
+          |FROM base WHERE rn >= 10 AND rn < 5000 AND (rn - 10) % 7 = 0 ORDER BY 1""".stripMargin)),
+
+    // S6: negative-stride slice p[100:10:-3]
+    "dca_s6_negstride" -> QueryDef(
+      (s, dir) => out(liFrame(s, dir)(Ix.S(Some(100), Some(10), -3))),
+      Some(baseCte +
+        """
+          |SELECT (100 - rn) // 3 AS __idx0, l_orderkey, l_linenumber, qty_c
+          |FROM base WHERE rn <= 100 AND rn > 10 AND (100 - rn) % 3 = 0 ORDER BY 1""".stripMargin)),
+
+    // S7: boolean mask + dense re-index (THE canonical filter)
+    "dca_s7_mask" -> QueryDef(
+      (s, dir) => out(liFrame(s, dir).mask(col("qty_c") >= 4800)),
+      Some(baseCte +
+        """
+          |SELECT row_number() OVER (ORDER BY rn) - 1 AS __idx0, l_orderkey, l_linenumber, qty_c
+          |FROM base WHERE qty_c >= 4800 ORDER BY 1""".stripMargin)),
+
+    // S8: integer-array gather (order-preserving, repeats allowed)
+    "dca_s8_gather" -> QueryDef(
+      (s, dir) => out(liFrame(s, dir).gather(Seq(4999L, 0L, 4999L, 17L, 3000L))),
+      Some(baseCte + """,
+          |  g(pos, src) AS (VALUES (0, 4999), (1, 0), (2, 4999), (3, 17), (4, 3000))
+          |SELECT CAST(g.pos AS BIGINT) AS __idx0, b.l_orderkey, b.l_linenumber, b.qty_c
+          |FROM g JOIN base b ON b.rn = g.src ORDER BY 1""".stripMargin)),
+
+    // M1: stack along a NEW axis (union + axis tag, narrow)
+    "dca_m1_stack" -> QueryDef(
+      (s, dir) => {
+        def flagFrame(flag: String): DcaFrame = {
+          val df = table(s, dir, "lineitem").filter(col("l_returnflag") === flag)
+            .select(col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
+              cents(col("l_quantity")).as("qty_c"))
+          DcaFrame.fromDF(df, Seq(col("l_orderkey"), col("l_linenumber")))
+        }
+        val a = flagFrame("A")(Ix.S(None, Some(1000)))
+        val r = flagFrame("R")(Ix.S(None, Some(1000)))
+        out(DcaFrame.stack(Seq(a, r)))
+      },
+      Some("""WITH a AS (SELECT row_number() OVER (ORDER BY l_orderkey, l_linenumber) - 1 AS rn,
+             |    l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+             |    CAST(round(l_quantity*100) AS BIGINT) AS qty_c
+             |  FROM lineitem WHERE l_returnflag = 'A'),
+             |     b AS (SELECT row_number() OVER (ORDER BY l_orderkey, l_linenumber) - 1 AS rn,
+             |    l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+             |    CAST(round(l_quantity*100) AS BIGINT) AS qty_c
+             |  FROM lineitem WHERE l_returnflag = 'R')
+             |SELECT CAST(0 AS BIGINT) AS __idx0, rn AS __idx1, l_orderkey, l_linenumber, qty_c
+             |  FROM a WHERE rn < 1000
+             |UNION ALL
+             |SELECT CAST(1 AS BIGINT), rn, l_orderkey, l_linenumber, qty_c
+             |  FROM b WHERE rn < 1000
+             |ORDER BY 1, 2""".stripMargin)),
+
+    // M2: concat along the EXISTING axis (union + offset re-index)
+    "dca_m2_concat" -> QueryDef(
+      (s, dir) => {
+        val f = liFrame(s, dir)
+        val a = f(Ix.S(None, Some(500)))
+        val b = f(Ix.S(Some(500), Some(1200)))
+        val c = f(Ix.S(Some(1200), Some(1500)))
+        out(DcaFrame.concat(Seq(a, b, c)))
+      },
+      Some(baseCte +
+        """
+          |SELECT rn AS __idx0, l_orderkey, l_linenumber, qty_c
+          |FROM base WHERE rn < 1500 ORDER BY 1""".stripMargin)),
+
+    // S5: broadcast_to — replicate along a new leading axis
+    "dca_s5_broadcast" -> QueryDef(
+      (s, dir) => {
+        val df = table(s, dir, "nation").select(col("n_nationkey").cast("long").as("n_nationkey"), col("n_name"))
+        val f = DcaFrame.fromDF(df, Seq(col("n_nationkey"))).broadcastTo(Seq(3, 25))
+        out(f)
+      },
+      Some("""WITH base AS (SELECT row_number() OVER (ORDER BY n_nationkey) - 1 AS rn,
+             |    CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name FROM nation),
+             |     k(i) AS (VALUES (0), (1), (2))
+             |SELECT CAST(k.i AS BIGINT) AS __idx0, base.rn AS __idx1, n_nationkey, n_name
+             |FROM k CROSS JOIN base ORDER BY 1, 2""".stripMargin)),
+
+    // S11: map_field — elementwise projection over every array column
+    "dca_s11_mapfield" -> QueryDef(
+      (s, dir) => {
+        val df = table(s, dir, "lineitem")
+          .select(cents(col("l_quantity")).as("qty_c"), cents(col("l_extendedprice")).as("price_c"),
+            col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"))
+        val f = DcaFrame.fromDF(df.select("l_orderkey", "l_linenumber", "qty_c", "price_c"),
+          Seq(col("l_orderkey"), col("l_linenumber")),
+          arrayCols = Seq("qty_c", "price_c"))
+        out(f(Ix.S(None, Some(2000))).mapField(c => c * 2 + 1))
+      },
+      Some("""WITH base AS (
+             |  SELECT row_number() OVER (ORDER BY l_orderkey, l_linenumber) - 1 AS rn,
+             |    CAST(round(l_quantity*100) AS BIGINT) AS qty_c,
+             |    CAST(round(l_extendedprice*100) AS BIGINT) AS price_c
+             |  FROM lineitem)
+             |SELECT rn AS __idx0, qty_c * 2 + 1 AS qty_c, price_c * 2 + 1 AS price_c
+             |FROM base WHERE rn < 2000 ORDER BY 1""".stripMargin)),
+
+    // V2: vectorize arg alignment — zip two aligned frames on the batch
+    // index (equi-join on __idx*); the shifted slice makes it a lead().
+    "dca_v2_zip" -> QueryDef(
+      (s, dir) => {
+        val f = liFrame(s, dir)
+        val cur = f(Ix.S(None, Some(2000)))
+        val nxt = f(Ix.S(Some(1), Some(2001)))
+        out(cur.zipJoin(nxt))
+      },
+      Some(baseCte +
+        """
+          |SELECT b1.rn AS __idx0, b1.l_orderkey, b1.l_linenumber, b1.qty_c,
+          |  b2.l_orderkey AS l_orderkey_r, b2.l_linenumber AS l_linenumber_r, b2.qty_c AS qty_c_r
+          |FROM base b1 JOIN base b2 ON b2.rn = b1.rn + 1
+          |WHERE b1.rn < 2000 ORDER BY 1""".stripMargin))
+  )
+}

@@ -1,0 +1,265 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import QueryDef.{table, cents}
+
+/** Classic relational operator suite (SURVEY §2.6) over the TPC-H-ish
+  * testdata, expressed Spark-first. Every query:
+  *   - keeps filters/projections declarative (pushed to the parquet scan),
+  *   - broadcasts dimension tables explicitly,
+  *   - orders by a unique key so the result is deterministic,
+  *   - emits money/quantities as exact cents (BIGINT) for hash-stable
+  *     comparison against the DuckDB oracle.
+  */
+object Relational {
+
+  val defs: Map[String, QueryDef] = Map(
+
+    // ---- projection + filter pushdown -------------------------------
+    "q2_filter_pushdown" -> QueryDef(
+      (s, dir) => {
+        table(s, dir, "lineitem")
+          .filter(col("l_shipdate") >= lit("1996-01-01") &&
+            col("l_shipdate") < lit("1997-01-01") && col("l_quantity") <= 5)
+          .select(col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
+            cents(col("l_extendedprice")).as("price_c"))
+          .orderBy("l_orderkey", "l_linenumber")
+      },
+      Some("""SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+             |  CAST(round(l_extendedprice*100) AS BIGINT) AS price_c
+             |FROM lineitem
+             |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+             |  AND l_quantity <= 5
+             |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
+    // ---- broadcast-hash join + agg + top-k --------------------------
+    "q3_join_topk" -> QueryDef(
+      (s, dir) => {
+        val o = table(s, dir, "orders")
+        val c = table(s, dir, "customer")
+        o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+          .groupBy(col("c_custkey"), col("c_name"))
+          .agg(sum(cents(col("o_totalprice"))).as("spend_c"),
+            count(lit(1)).as("n_orders"))
+          .select(col("c_custkey"), col("c_name"), col("spend_c"), col("n_orders"))
+          .orderBy(desc("spend_c"), asc("c_custkey"))
+          .limit(10)
+      },
+      Some("""SELECT c_custkey, c_name,
+             |  CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS spend_c,
+             |  count(*) AS n_orders
+             |FROM orders JOIN customer ON o_custkey = c_custkey
+             |GROUP BY 1, 2 ORDER BY spend_c DESC, c_custkey LIMIT 10""".stripMargin)),
+
+    // ---- multi-way broadcast join chain -----------------------------
+    "q4_join_chain" -> QueryDef(
+      (s, dir) => {
+        val c = table(s, dir, "customer")
+        val n = table(s, dir, "nation")
+        val r = table(s, dir, "region")
+        c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+          .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+          .groupBy(col("r_name"))
+          .agg(count(lit(1)).as("n_cust"), sum(cents(col("c_acctbal"))).as("acctbal_c"))
+          .orderBy("r_name")
+      },
+      Some("""SELECT r_name, count(*) AS n_cust,
+             |  CAST(sum(CAST(round(c_acctbal*100) AS BIGINT)) AS BIGINT) AS acctbal_c
+             |FROM customer JOIN nation ON c_nationkey = n_nationkey
+             |  JOIN region ON n_regionkey = r_regionkey
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ---- window functions: ranking + running frame ------------------
+    "q5_window" -> QueryDef(
+      (s, dir) => {
+        val w = Window.partitionBy("l_suppkey")
+          .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        table(s, dir, "lineitem")
+          .withColumn("rn", row_number().over(w))
+          .withColumn("running_qty_c",
+            sum(cents(col("l_quantity"))).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+          .filter(col("rn") <= 5)
+          .select(col("l_suppkey"), col("rn").cast("long").as("rn"),
+            col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
+            col("running_qty_c"))
+          .orderBy("l_suppkey", "rn")
+      },
+      Some("""SELECT l_suppkey, CAST(rn AS BIGINT) AS rn, l_orderkey,
+             |  CAST(l_linenumber AS BIGINT) AS l_linenumber, running_qty_c
+             |FROM (
+             |  SELECT l_suppkey, l_orderkey, l_linenumber,
+             |    row_number() OVER w AS rn,
+             |    CAST(sum(CAST(round(l_quantity*100) AS BIGINT))
+             |      OVER (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+             |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_qty_c
+             |  FROM lineitem
+             |  WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber)
+             |) WHERE rn <= 5 ORDER BY l_suppkey, rn""".stripMargin)),
+
+    // ---- top-k (TakeOrderedAndProject, no full sort) ----------------
+    "q6_topk" -> QueryDef(
+      (s, dir) => {
+        table(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
+            cents(col("l_extendedprice")).as("price_c"))
+          .orderBy(desc("price_c"), asc("l_orderkey"), asc("l_linenumber"))
+          .limit(20)
+      },
+      Some("""SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+             |  CAST(round(l_extendedprice*100) AS BIGINT) AS price_c
+             |FROM lineitem ORDER BY price_c DESC, l_orderkey, l_linenumber LIMIT 20""".stripMargin)),
+
+    // ---- distinct ---------------------------------------------------
+    "q7_distinct" -> QueryDef(
+      (s, dir) => table(s, dir, "lineitem")
+        .select("l_returnflag", "l_linestatus").distinct()
+        .orderBy("l_returnflag", "l_linestatus"),
+      Some("""SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem ORDER BY 1, 2""")),
+
+    // ---- semi join (EXISTS) -----------------------------------------
+    "q8_semi_join" -> QueryDef(
+      (s, dir) => {
+        val o = table(s, dir, "orders")
+        val hot = table(s, dir, "lineitem").filter(col("l_quantity") > 49)
+        o.join(hot, o("o_orderkey") === hot("l_orderkey"), "left_semi")
+          .select("o_orderkey", "o_orderstatus").orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_orderstatus FROM orders
+             |WHERE EXISTS (SELECT 1 FROM lineitem
+             |              WHERE l_orderkey = o_orderkey AND l_quantity > 49)
+             |ORDER BY o_orderkey""".stripMargin)),
+
+    // ---- anti join (NOT EXISTS) -------------------------------------
+    "q9_anti_join" -> QueryDef(
+      (s, dir) => {
+        val o = table(s, dir, "orders")
+        val li = table(s, dir, "lineitem")
+        o.join(li, o("o_orderkey") === li("l_orderkey"), "left_anti")
+          .select("o_orderkey", "o_orderstatus").orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_orderstatus FROM orders
+             |WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
+             |ORDER BY o_orderkey""".stripMargin)),
+
+    // ---- rollup (hierarchical grouping sets) ------------------------
+    "q10_rollup" -> QueryDef(
+      (s, dir) => table(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), sum(cents(col("l_quantity"))).as("qty_c"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+          col("n"), col("qty_c"))
+        .orderBy("flag", "status"),
+      Some("""SELECT COALESCE(l_returnflag, 'ALL') AS flag,
+             |  COALESCE(l_linestatus, 'ALL') AS status, count(*) AS n,
+             |  CAST(sum(CAST(round(l_quantity*100) AS BIGINT)) AS BIGINT) AS qty_c
+             |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+             |ORDER BY flag, status""".stripMargin)),
+
+    // ---- cube over derived column -----------------------------------
+    "q11_cube" -> QueryDef(
+      (s, dir) => table(s, dir, "lineitem")
+        .withColumn("ship_year", year(col("l_shipdate")).cast("long"))
+        .cube(col("l_returnflag"), col("ship_year"))
+        .agg(count(lit(1)).as("n"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+          coalesce(col("ship_year"), lit(-1L)).as("ship_year"), col("n"))
+        .orderBy("flag", "ship_year"),
+      Some("""SELECT COALESCE(l_returnflag, 'ALL') AS flag,
+             |  COALESCE(CAST(year(l_shipdate) AS BIGINT), -1) AS ship_year, count(*) AS n
+             |FROM lineitem GROUP BY CUBE (l_returnflag, CAST(year(l_shipdate) AS BIGINT))
+             |ORDER BY flag, ship_year""".stripMargin)),
+
+    // ---- distinct aggregation --------------------------------------
+    "q12_count_distinct" -> QueryDef(
+      (s, dir) => table(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_suppkey")).as("n_supp"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
+             |  count(DISTINCT l_suppkey) AS n_supp, count(*) AS n
+             |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ---- having -----------------------------------------------------
+    "q13_having" -> QueryDef(
+      (s, dir) => table(s, dir, "lineitem")
+        .groupBy("l_suppkey")
+        .agg(sum(cents(col("l_quantity"))).as("qty_c"))
+        .filter(col("qty_c") > 100000)
+        .orderBy("l_suppkey"),
+      Some("""SELECT l_suppkey,
+             |  CAST(sum(CAST(round(l_quantity*100) AS BIGINT)) AS BIGINT) AS qty_c
+             |FROM lineitem GROUP BY 1
+             |HAVING sum(CAST(round(l_quantity*100) AS BIGINT)) > 100000
+             |ORDER BY 1""".stripMargin)),
+
+    // ---- scalar functions (string / date / math) --------------------
+    "q14_scalar_fns" -> QueryDef(
+      (s, dir) => table(s, dir, "part")
+        .select(col("p_partkey"),
+          upper(substring(col("p_name"), 1, 5)).as("name5"),
+          length(col("p_name")).cast("long").as("name_len"),
+          concat(col("p_brand"), lit(":"), col("p_type")).as("brand_type"),
+          (col("p_size") % 7).cast("long").as("size_mod"),
+          cents(col("p_retailprice")).as("price_c"),
+          greatest(col("p_size").cast("long"), lit(25L)).as("size_floor25"))
+        .orderBy("p_partkey"),
+      Some("""SELECT p_partkey, upper(substr(p_name, 1, 5)) AS name5,
+             |  CAST(length(p_name) AS BIGINT) AS name_len,
+             |  p_brand || ':' || p_type AS brand_type,
+             |  CAST(p_size % 7 AS BIGINT) AS size_mod,
+             |  CAST(round(p_retailprice*100) AS BIGINT) AS price_c,
+             |  greatest(CAST(p_size AS BIGINT), 25) AS size_floor25
+             |FROM part ORDER BY p_partkey""".stripMargin)),
+
+    // ---- set operations: intersect / except -------------------------
+    "q15_setops" -> QueryDef(
+      (s, dir) => {
+        val li = table(s, dir, "lineitem")
+        val hiQty = li.filter(col("l_quantity") > 45).select("l_partkey").distinct()
+        val hiPrice = li.filter(col("l_extendedprice") > 80000).select("l_partkey").distinct()
+        hiQty.intersect(hiPrice).withColumn("op", lit("both"))
+          .union(hiQty.except(hiPrice).withColumn("op", lit("qty_only")))
+          .orderBy("op", "l_partkey")
+      },
+      Some("""WITH hq AS (SELECT DISTINCT l_partkey FROM lineitem WHERE l_quantity > 45),
+             |     hp AS (SELECT DISTINCT l_partkey FROM lineitem WHERE l_extendedprice > 80000)
+             |SELECT l_partkey, 'both' AS op FROM (SELECT * FROM hq INTERSECT SELECT * FROM hp)
+             |UNION ALL
+             |SELECT l_partkey, 'qty_only' AS op FROM (SELECT * FROM hq EXCEPT SELECT * FROM hp)
+             |ORDER BY op, l_partkey""".stripMargin)),
+
+    // ---- tumbling event-time window aggregation ---------------------
+    // events.ts is parquet TIMESTAMP(NANOS) which Spark has no native
+    // type for: read it as raw nanos (legacy long mode) and window with
+    // exact integer arithmetic — also what you'd do at 100 TB to keep
+    // the bucket computation codegen'd and cast-free.
+    "q16_event_window" -> QueryDef(
+      (s, dir) => eventsRaw(s, dir)
+        .withColumn("bucket", expr("ts div 3600000000000"))
+        .groupBy(col("bucket"), col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("value_c"))
+        .select(date_format(timestamp_seconds(col("bucket") * 3600), "yyyy-MM-dd HH:mm").as("wstart"),
+          col("event_type"), col("n"), col("value_c"))
+        .orderBy("wstart", "event_type"),
+      Some("""SELECT strftime(make_timestamp((epoch_ns(ts) // 3600000000000) * 3600000000),
+             |    '%Y-%m-%d %H:%M') AS wstart,
+             |  event_type, count(*) AS n,
+             |  CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS value_c
+             |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+  )
+
+  /** events with `ts` as raw epoch-nanos LongType (Spark 4 cannot read
+    * parquet TIMESTAMP(NANOS) natively). Exact integer arithmetic on
+    * nanos avoids any double-precision loss (ns epochs exceed 2^53).
+    */
+  def eventsRaw(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    table(s, dir, "events")
+  }
+}

@@ -1,0 +1,158 @@
+package graft.core
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** DcaFrame behavior vs a driver-side Scala model — mirrors the
+  * reference's fixture matrix over shapes ()/(3,2)/(3,2,1,1)
+  * (`array_dataclass_test.py:289-390`), on the Point fixture
+  * (x,y scalars per batch element).
+  */
+class DcaFrameSpec extends SparkTestBase {
+  import Indexing.Ix
+
+  private val pointSchema = StructType(Seq(
+    StructField("x", DoubleType), StructField("y", DoubleType)))
+
+  /** Point batch with x = 0..n-1, y = 10*x, in order. */
+  private def points(n: Int): DcaFrame =
+    DcaFrame.fromLocal(spark,
+      (0 until n).map(i => Row(i.toDouble, i * 10.0)), pointSchema)
+
+  private def xs(f: DcaFrame): Seq[Double] =
+    f.collectOrdered().map(_.getDouble(0)).toSeq
+
+  /** Full (idx..., x) tuples ordered by index. */
+  private def idxAndX(f: DcaFrame): Seq[(Seq[Long], Double)] =
+    f.df.orderBy(f.idxCols.map(col): _*).collect().toSeq
+      .map(r => (f.idxCols.map(c => r.getLong(r.fieldIndex(c))), r.getDouble(r.fieldIndex("x"))))
+
+  test("fromLocal + shape metadata + len") {
+    val p = points(6)
+    assert(p.shape == Vector(6L) && p.size == 6L && p.length == 6L)
+    assert(xs(p) == (0 until 6).map(_.toDouble))
+  }
+
+  test("reshape is index arithmetic preserving row-major order") {
+    val p = points(6).reshape(3, 2)
+    assert(p.shape == Vector(3L, 2L))
+    // element (i,j) must be x = i*2 + j
+    assert(idxAndX(p) == (for (i <- 0L until 3L; j <- 0L until 2L)
+      yield (Seq(i, j), (i * 2 + j).toDouble)))
+    // round trip through a different factorization
+    assert(xs(p.reshape(2, 3).flatten) == (0 until 6).map(_.toDouble))
+    intercept[IllegalArgumentException](points(6).reshape(4, 2))
+  }
+
+  test("broadcastTo replicates dim-1 and new leading axes") {
+    val p = points(3).reshape(1, 3).broadcastTo(Seq(2, 3))
+    assert(p.shape == Vector(2L, 3L))
+    assert(idxAndX(p) == (for (i <- 0L until 2L; j <- 0L until 3L)
+      yield (Seq(i, j), j.toDouble)))
+    val q = points(2).broadcastTo(Seq(3, 2)) // new leading axis
+    assert(q.shape == Vector(3L, 2L) && q.size == 6L)
+    intercept[IllegalArgumentException](points(3).broadcastTo(Seq(4)))
+  }
+
+  test("basic indexing: int, slice, stride, negative step, newaxis, ellipsis") {
+    val p = points(6)
+    assert(xs(p(Ix.I(2))) == Seq(2.0) && p(Ix.I(2)).shape == Vector())
+    assert(xs(p(Ix.S(Some(1), Some(4)))) == Seq(1.0, 2.0, 3.0))
+    assert(xs(p(Ix.S(None, None, 2))) == Seq(0.0, 2.0, 4.0))
+    assert(xs(p(Ix.S(None, None, -1))) == Seq(5.0, 4.0, 3.0, 2.0, 1.0, 0.0))
+    assert(xs(p(Ix.S(Some(-2), None))) == Seq(4.0, 5.0))
+    val pn = p(Ix.NewAxis, Ix.All)
+    assert(pn.shape == Vector(1L, 6L))
+    val p2 = points(6).reshape(3, 2)
+    assert(xs(p2(Ix.Ellipsis, Ix.I(1))) == Seq(1.0, 3.0, 5.0)) // p[..., 1]
+    assert(p2(Ix.I(0)).shape == Vector(2L))
+    // p[...] identity (array_dataclass_test.py:307)
+    assert(xs(p2(Ix.Ellipsis)) == xs(p2))
+  }
+
+  test("boolean mask filters and densely re-indexes (S7)") {
+    val p = points(10)
+    val m = p.mask(col("x") % 2 === 1)
+    assert(m.shape == Vector(5L))
+    assert(idxAndX(m) == Seq(0L, 1L, 2L, 3L, 4L).zip(Seq(1.0, 3.0, 5.0, 7.0, 9.0)).map { case (i, v) => (Seq(i), v) })
+  }
+
+  test("integer-array gather preserves order and repeats (S8)") {
+    val p = points(5)
+    val g = p.gather(Seq(3, 0, 3, -1))
+    assert(g.shape == Vector(4L))
+    assert(xs(g) == Seq(3.0, 0.0, 3.0, 4.0))
+    intercept[IllegalArgumentException](p.gather(Seq(9)))
+  }
+
+  test("stack creates a new axis; axis arg normalized (M1)") {
+    val a = points(3)
+    val b = points(3).mapField(c => c + lit(100.0))
+    val s = DcaFrame.stack(Seq(a, b))
+    assert(s.shape == Vector(2L, 3L))
+    assert(idxAndX(s).map(_._2) == Seq(0.0, 1.0, 2.0, 100.0, 101.0, 102.0))
+    val s1 = DcaFrame.stack(Seq(a, b), axis = -1)
+    assert(s1.shape == Vector(3L, 2L))
+    assert(idxAndX(s1).map(_._2) == Seq(0.0, 100.0, 1.0, 101.0, 2.0, 102.0))
+    intercept[IllegalArgumentException](DcaFrame.stack(Seq(a, points(4))))
+  }
+
+  test("concat along existing axis with offset re-index (M2)") {
+    val a = points(2)
+    val b = points(3).mapField(c => c + lit(50.0))
+    val c0 = DcaFrame.concat(Seq(a, b))
+    assert(c0.shape == Vector(5L))
+    assert(xs(c0) == Seq(0.0, 1.0, 50.0, 51.0, 52.0))
+  }
+
+  test("mapField / replaceField are projections (S11, S13)") {
+    val p = points(3).mapField(c => c * 2)
+    assert(xs(p) == Seq(0.0, 2.0, 4.0))
+    val r = points(3).replaceField("y", lit(0.0))
+    assert(r.collectOrdered().map(_.getDouble(1)).toSeq == Seq(0.0, 0.0, 0.0))
+    intercept[IllegalArgumentException](points(3).replaceField("zzz", lit(0)))
+  }
+
+  test("vectorize alignment: dim-1 broadcast joins (V2)") {
+    val self = points(4)                              // shape (4)
+    val arg = points(3).reshape(1, 3)                 // shape (1,3) -> joint (4) fails rank
+    // (b,) @ (1,*x) -> (b,*x): arg (1,3) against self (4): front dim 1 vs 4 -> joint (4), extra (3)
+    val (sb, ab, joint) = self.alignForVectorize(arg)
+    assert(joint == Vector(4L) && sb.shape == Vector(4L) && ab.shape == Vector(4L, 3L))
+    // zipJoin on equal shapes
+    val z = points(3).zipJoin(points(3).mapField(_ * 10))
+    assert(z.arrayCols == Vector("x", "y", "x_r", "y_r"))
+    val rows = z.df.orderBy("__idx0").select("x", "x_r").collect().toSeq
+    assert(rows.map(r => (r.getDouble(0), r.getDouble(1))) == Seq((0.0, 0.0), (1.0, 10.0), (2.0, 20.0)))
+  }
+
+  test("empty-batch truthiness guard (S10)") {
+    val p = points(3).mask(col("x") > 100)
+    assert(p.shape == Vector(0L))
+    intercept[IllegalArgumentException](p.nonEmptyOrThrow())
+  }
+}
+
+class DcaSchemaSpec extends SparkTestBase {
+  import org.apache.spark.sql.Row
+
+  test("conform casts scalars and enforces fixed inner dims") {
+    val schema = DcaSchema(Vector(
+      DcaSchema.field("pos", FloatType, "*batch 3"),
+      DcaSchema.field("w", DoubleType)))
+    assert(schema.structType == StructType(Seq(
+      StructField("pos", ArrayType(FloatType)), StructField("w", DoubleType))))
+    import spark.implicits._
+    val good = Seq((Seq(1f, 2f, 3f), 1), (Seq(4f, 5f, 6f), 2)).toDF("pos", "w")
+    val out = schema.conform(good)
+    assert(out.schema("w").dataType == DoubleType)
+    assert(out.count() == 2)
+    val bad = Seq((Seq(1f, 2f), 1)).toDF("pos", "w")
+    intercept[Exception](schema.conform(bad).collect())
+  }
+
+  test("shape-string parse errors surface at declaration") {
+    intercept[IllegalArgumentException](DcaSchema.field("p", FloatType, "3 4"))
+  }
+}
