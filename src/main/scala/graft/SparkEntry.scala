@@ -21,7 +21,10 @@ object SparkEntry {
     * (as they land) LLM-pipeline extensions.
     */
   private def registry: Map[String, graft.queries.QueryDef] =
-    graft.queries.Relational.defs ++ graft.queries.DcaQueries.defs ++ Map(
+    graft.queries.Relational.defs ++ graft.queries.DcaQueries.defs ++
+      graft.queries.EventQueries.defs ++ graft.queries.TextQueries.defs ++
+      graft.queries.DedupQueries.defs ++ graft.queries.SimilarityQueries.defs ++
+      graft.queries.MultimodalQueries.defs ++ Map(
       // TPC-H Q1-style full-scan aggregation: map-side partial agg, 2-col
       // groupBy — shuffles only the tiny partial-agg state at 100 TB.
       "q1_agg" -> graft.queries.QueryDef(

@@ -1,0 +1,188 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines: exact,
+  * MinHash+LSH near-dup, SimHash near-dup. All distributed-first:
+  * shuffles are on short keys (hashes / band buckets), never on full
+  * document text; candidate generation is LSH (linear), with the exact
+  * verification join only over candidates.
+  */
+object Dedup {
+
+  /** Exact dedup: group by content hash, keep the smallest id.
+    * At scale: the shuffle key is the 64-bit content hash, not the
+    * document body; collisions across different texts are impossible to
+    * matter here because the aggregation key includes nothing else and
+    * survivors are re-derived by id.
+    */
+  def exactSurvivors(docs: DataFrame, textCol: String, idCol: String): DataFrame =
+    docs.select(xxhash64(col(textCol)).as("__h"), col(idCol))
+      .groupBy("__h").agg(min(idCol).as(idCol))
+      .select(idCol)
+
+  // ---- MinHash + LSH ----------------------------------------------------
+
+  /** Prime modulus for the permutation hashes: fits 32 bits so
+    * a*h+b stays within Long.
+    */
+  private val P = 2147483647L
+  /** Deterministic permutation parameters (public LCG constants). */
+  private def aParam(i: Int): Long = 1L + 2L * ((1103515245L * i + 12345L) % (P / 4))
+  private def bParam(i: Int): Long = (6364136223846793005L * i + 1442695040888963407L) % P match {
+    case x if x < 0 => x + P
+    case x => x
+  }
+
+  /** Per-(doc, shingle) rows with the base hash folded into [0, P).
+    * Hash each shingle string EXACTLY ONCE — the array-lambda
+    * formulation re-evaluated xxhash64 under every permutation (k×
+    * work) because Catalyst does not CSE across lambda bodies.
+    */
+  private def shingleHashes(docs: DataFrame, idCol: String, shinglesCol: String): DataFrame =
+    docs.select(col(idCol).as("__id"), explode(col(shinglesCol)).as("__s"))
+      .select(col("__id"), pmod(xxhash64(col("__s")), lit(P)).as("__h"))
+
+  /** MinHash signatures as k flat columns `__m0..__m{k-1}`: explode →
+    * hash once → single hash-aggregate with k codegen'd min()s. One
+    * shuffle on the doc id; columnar the whole way — the plan that
+    * survives 100 TB (the shingle table is the only wide thing and it
+    * is never shuffled by text).
+    */
+  def signatureCols(docs: DataFrame, idCol: String, shinglesCol: String, k: Int): DataFrame = {
+    val hashed = shingleHashes(docs, idCol, shinglesCol)
+    val aggs = (0 until k).map { i =>
+      min(pmod(lit(aParam(i)) * col("__h") + lit(bParam(i)), lit(P))).as(s"__m$i")
+    }
+    hashed.groupBy("__id").agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH candidate pairs from signatures: split into `bands` bands of
+    * `rows` values, hash each band, bucket-join within (band, hash).
+    *
+    * For threshold t, miss probability per true pair is
+    * (1 - t^rows)^bands — with rows=2, bands=64 a j=0.4 pair is missed
+    * w.p. ~1.4e-5. Candidates are verified exactly downstream, so FPs
+    * are free (just extra verify work) and recall is the only tunable.
+    *
+    * @param docs (id, shingles) — shingles as array<string>
+    */
+  def lshCandidates(docs: DataFrame, idCol: String, shinglesCol: String,
+                    bands: Int, rows: Int): DataFrame = {
+    val k = bands * rows
+    val sig = signatureCols(docs, idCol, shinglesCol, k)
+    val bandStructs = (0 until bands).map { j =>
+      val bandCols = (0 until rows).map(r => col(s"__m${j * rows + r}"))
+      struct(lit(j).as("band"), hash(bandCols: _*).as("bh"))
+    }
+    val buckets = sig.select(col("__id"), explode(array(bandStructs: _*)).as("b"))
+      .select(col("__id"), col("b.band"), col("b.bh"))
+    // pair up within buckets: self-join on (band, bh) — the shuffle key
+    // is the short bucket id, and the join explodes only within buckets
+    val l = buckets.as("l")
+    val r = buckets.as("r")
+    l.join(r, col("l.band") === col("r.band") && col("l.bh") === col("r.bh") &&
+        col("l.__id") < col("r.__id"))
+      .select(col("l.__id").as("doc_a"), col("r.__id").as("doc_b"))
+      .distinct()
+  }
+
+  /** Exact jaccard verification of candidate pairs against the shingle
+    * table, with a rational (float-free) threshold test:
+    * inter/union >= num/den  ⇔  den*inter >= num*union.
+    * Returns (doc_a, doc_b, jacc_pct) for qualifying pairs.
+    */
+  def verifyJaccard(candidates: DataFrame, docs: DataFrame, idCol: String,
+                    shinglesCol: String, num: Int, den: Int): DataFrame = {
+    val sa = docs.select(col(idCol).as("doc_a"), col(shinglesCol).as("__sa"))
+    val sb = docs.select(col(idCol).as("doc_b"), col(shinglesCol).as("__sb"))
+    candidates.join(sa, "doc_a").join(sb, "doc_b")
+      .withColumn("__inter", size(array_intersect(col("__sa"), col("__sb"))).cast("long"))
+      .withColumn("__union",
+        size(col("__sa")).cast("long") + size(col("__sb")) - col("__inter"))
+      .filter(col("__inter") * den >= col("__union") * num)
+      .select(col("doc_a"), col("doc_b"),
+        floor(lit(100.0) * col("__inter") / col("__union")).cast("long").as("jacc_pct"))
+  }
+
+  /** Full MinHash-LSH near-dup pipeline: shingle → sign → band →
+    * bucket-join → exact-verify.
+    */
+  def nearDupPairs(docs: DataFrame, textCol: String, idCol: String,
+                   shingleN: Int = 3, bands: Int = 64, rows: Int = 2,
+                   thresholdNum: Int = 2, thresholdDen: Int = 5): DataFrame = {
+    val shingled = docs.select(col(idCol), TextOps.shingles(col(textCol), shingleN).as("__sh"))
+    val cands = lshCandidates(shingled, idCol, "__sh", bands, rows)
+    verifyJaccard(cands, shingled, idCol, "__sh", thresholdNum, thresholdDen)
+  }
+
+  // ---- SimHash ----------------------------------------------------------
+
+  /** 64-bit SimHash over shingle hashes, materialized as a 64-char
+    * '0'/'1' string (bit j of each shingle's xxhash64 votes +1/-1;
+    * sign of the sum is bit j). String form keeps it engine-portable
+    * and makes hamming distance a cheap zip_with.
+    *
+    * Array-column form (small inputs / per-row use). The pipeline path
+    * ([[simhashPairs]]) uses the explode+aggregate plan instead — same
+    * math, hash computed once, codegen'd bit counting.
+    */
+  def simhashBits(shinglesCol: Column): Column = {
+    val hashes = transform(shinglesCol, s => xxhash64(s))
+    concat_ws("", (0 until 64).map { j =>
+      val vote = aggregate(hashes, lit(0L),
+        (acc, h) => acc + when(bitSetLit(h, j), 1L).otherwise(-1L))
+      when(vote > 0, "1").otherwise("0")
+    }: _*)
+  }
+
+  /** Test literal bit j (0..63) of long h. */
+  private def bitSetLit(h: Column, j: Int): Column =
+    if (j == 63) h < 0 else h.bitwiseAND(lit(1L << j)) =!= 0
+
+  /** SimHash per doc via explode → hash once → 64 codegen'd sums. */
+  def simhashCols(docs: DataFrame, idCol: String, shinglesCol: String): DataFrame = {
+    val hashed = docs.select(col(idCol).as("__id"), explode(col(shinglesCol)).as("__s"))
+      .select(col("__id"), xxhash64(col("__s")).as("__h"))
+    val aggs = (0 until 64).map { j =>
+      sum(when(bitSetLit(col("__h"), j), 1L).otherwise(-1L)).as(s"__v$j")
+    }
+    hashed.groupBy("__id").agg(aggs.head, aggs.tail: _*)
+      .select(col("__id"), concat((0 until 64).map(j =>
+        when(col(s"__v$j") > 0, "1").otherwise("0")): _*).as("__sim"))
+  }
+
+  /** Hamming distance between two equal-length bit strings. */
+  def hammingDist(a: Column, b: Column): Column =
+    size(filter(zip_with(split(a, ""), split(b, ""), (x, y) => x =!= y),
+      (x => x))).cast("long")
+
+  /** SimHash near-dup pairs: bucket by bit chunks — with
+    * `maxHamming + 1` chunks, a pair within the hamming budget shares
+    * at least one exact chunk (pigeonhole), so banding recall is 1.0;
+    * exact hamming verification then drops false candidates.
+    */
+  def simhashPairs(docs: DataFrame, textCol: String, idCol: String,
+                   shingleN: Int = 3, maxHamming: Int = 3): DataFrame = {
+    val nChunks = maxHamming + 1
+    val width = (64 + nChunks - 1) / nChunks
+    val sh = simhashCols(
+      docs.select(col(idCol), TextOps.shingles(col(textCol), shingleN).as("__sh")),
+      idCol, "__sh")
+    val chunks = sh.select(col("__id"), col("__sim"),
+      explode(transform(sequence(lit(0), lit(nChunks - 1)), j =>
+        struct(j.as("chunk"), col("__sim").substr(j * width + 1, lit(width)).as("bits")))).as("c"))
+      .select(col("__id"), col("__sim"), col("c.chunk"), col("c.bits"))
+    val l = chunks.as("l")
+    val r = chunks.as("r")
+    l.join(r, col("l.chunk") === col("r.chunk") && col("l.bits") === col("r.bits") &&
+        col("l.__id") < col("r.__id"))
+      .select(col("l.__id").as("doc_a"), col("r.__id").as("doc_b"),
+        col("l.__sim").as("__sima"), col("r.__sim").as("__simb"))
+      .distinct()
+      .withColumn("hamming", hammingDist(col("__sima"), col("__simb")))
+      .filter(col("hamming") <= maxHamming)
+      .select("doc_a", "doc_b", "hamming")
+  }
+}

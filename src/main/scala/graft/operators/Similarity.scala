@@ -1,0 +1,103 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Two paths, mirroring what a 100 TB pipeline needs:
+  *   - [[bruteForceTopK]]: exact cosine top-k — the correctness
+  *     baseline; broadcast the (small) query set, scan the corpus once.
+  *   - [[lshTopK]]: sign-random-projection LSH bucketing — the scale
+  *     path: corpus hashed once, candidates only within matching
+  *     buckets (multi-probe via bands), exact re-rank on candidates.
+  *
+  * Arithmetic notes: floats are cast to double BEFORE multiplication and
+  * the dot product is a left-to-right `aggregate` fold, so results are
+  * bit-reproducible across engines (the DuckDB oracle mirrors the fold).
+  */
+object Similarity {
+
+  /** Left-fold dot product of two array<float> columns in double. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact top-k neighbors for each query vector.
+    *
+    * @param corpus  (id, vec) — the full embedding table
+    * @param queries (qid, qvec) — SMALL; broadcast
+    * @return (qid, rank, id, cos_micro) — rank 1..k by cosine desc,
+    *         ties broken by id; cosine as floor(1e6 * cos) BIGINT
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                     idCol: String = "vec_id", vecCol: String = "embedding",
+                     qidCol: String = "qid", qvecCol: String = "qvec"): DataFrame = {
+    val scored = corpus.crossJoin(broadcast(queries))
+      .filter(col(idCol) =!= col(qidCol))
+      .withColumn("__cos", cosine(col(vecCol), col(qvecCol)))
+    val w = Window.partitionBy(qidCol).orderBy(col("__cos").desc, col(idCol).asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(qidCol), col("rank").cast("long").as("rank"), col(idCol),
+        floor(col("__cos") * 1e6).cast("long").as("cos_micro"))
+  }
+
+  /** Deterministic pseudo-random hyperplane weight for (dim i, plane j):
+    * a fixed integer mix folded to [-0.5, 0.5). Public-constant mixing,
+    * reproducible everywhere, no RNG state.
+    */
+  private def weight(i: Int, j: Int): Double = {
+    var x = i.toLong * 1315423911L ^ j.toLong * 2654435761L
+    x ^= (x >>> 13); x *= 1274126177L; x ^= (x >>> 16)
+    ((((x % 100000L) + 100000L) % 100000L).toDouble / 100000.0) - 0.5
+  }
+
+  /** `planes`-bit sign code of a vector under the fixed hyperplanes,
+    * as a bit string (engine-portable, substring-bandable).
+    */
+  def signCode(vec: Column, dims: Int, planes: Int): Column =
+    concat_ws("", (0 until planes).map { j =>
+      val proj = aggregate(
+        zip_with(vec, array((0 until dims).map(i => lit(weight(i, j))): _*),
+          (x, w) => x.cast("double") * w),
+        lit(0.0), (acc, v) => acc + v)
+      when(proj >= 0, "1").otherwise("0")
+    }: _*)
+
+  /** LSH ANN: band the sign code (bands of `rowsPerBand` bits); query
+    * and corpus rows sharing any band bucket become candidates; exact
+    * cosine re-rank keeps top-k. Recall < 1 by construction; raise
+    * `planes`/lower `rowsPerBand` to trade cost for recall.
+    */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, dims: Int,
+              planes: Int = 16, rowsPerBand: Int = 4,
+              idCol: String = "vec_id", vecCol: String = "embedding",
+              qidCol: String = "qid", qvecCol: String = "qvec"): DataFrame = {
+    val bands = planes / rowsPerBand
+    def banded(df: DataFrame, id: String, vec: String, codeName: String) = {
+      val coded = df.withColumn(codeName, signCode(col(vec), dims, planes))
+      coded.select(col(id), col(vec),
+        explode(transform(sequence(lit(0), lit(bands - 1)), j =>
+          struct(j.as("band"), col(codeName).substr(j * rowsPerBand + 1, lit(rowsPerBand)).as("bits")))).as("b"))
+        .select(col(id), col(vec), col("b.band"), col("b.bits"))
+    }
+    val c = banded(corpus, idCol, vecCol, "__code")
+    val q = banded(queries, qidCol, qvecCol, "__qcode")
+    val cands = c.join(broadcast(q), Seq("band", "bits"))
+      .filter(col(idCol) =!= col(qidCol))
+      .select(col(qidCol), col(qvecCol), col(idCol), col(vecCol))
+      .distinct()
+    val scored = cands.withColumn("__cos", cosine(col(vecCol), col(qvecCol)))
+    val w = Window.partitionBy(qidCol).orderBy(col("__cos").desc, col(idCol).asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(qidCol), col("rank").cast("long").as("rank"), col(idCol),
+        floor(col("__cos") * 1e6).cast("long").as("cos_micro"))
+  }
+}

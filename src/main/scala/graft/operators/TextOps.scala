@@ -1,0 +1,92 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a large-scale training-data pipeline:
+  * tokenization, quality scoring, language ID, fingerprinting, shingles.
+  *
+  * All pure Column expressions (whole-stage codegen, no UDFs): at 100 TB
+  * these run inside the scan's codegen stage with nothing but a parquet
+  * read ahead of them.
+  */
+object TextOps {
+
+  /** Whitespace tokens. */
+  def words(text: Column): Column = split(text, " ")
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(words(text)).cast("long")
+
+  /** BPE-ish subword proxy: count of alnum runs (a regex-token count —
+    * a cheap, deterministic stand-in for a real BPE vocab).
+    */
+  def regexTokenCount(text: Column): Column =
+    size(filter(split(text, "[^a-zA-Z0-9]+"), c => length(c) > 0)).cast("long")
+
+  /** English stopwords used by quality scoring + language ID. */
+  val StopwordsEn: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is", "it")
+
+  /** Count of tokens that are in `vocab`. */
+  def vocabHits(text: Column, vocab: Seq[String]): Column =
+    size(filter(words(text), w => w.isInCollection(vocab))).cast("long")
+
+  /** Stopword ratio in exact per-mille (BIGINT: hash-stable). */
+  def stopwordPermille(text: Column): Column =
+    floor(lit(1000.0) * vocabHits(text, StopwordsEn) / tokenCount(text)).cast("long")
+
+  /** Mean word length in exact centi-chars. */
+  def meanWordLenCenti(text: Column): Column =
+    floor(lit(100.0) *
+      aggregate(words(text), lit(0L), (acc, w) => acc + length(w).cast("long")) /
+      tokenCount(text)).cast("long")
+
+  /** Composite quality heuristic: length / stopword / word-length
+    * signals, integer-encoded. A document "passes" when all components
+    * are in range (the usual C4-style filter shape).
+    */
+  def qualityPass(text: Column, nChars: Column): Column =
+    (nChars >= 100) && (nChars <= 20000) &&
+      (tokenCount(text) >= 20) && (stopwordPermille(text) >= 10)
+
+  /** N-gram language-ID heuristic: score fixed stopword profiles and
+    * take the argmax (deterministic tie-break by profile order). With
+    * only public wordlists this is the classic cheap langid.
+    */
+  val LangProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> StopwordsEn,
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "zu"),
+    "fr" -> Seq("le", "la", "de", "et", "est", "un", "une", "dans"))
+
+  def langId(text: Column): Column = {
+    val scores = LangProfiles.map { case (lang, vocab) => lang -> vocabHits(text, vocab) }
+    // argmax with first-wins tie-break
+    scores.tail.foldLeft((lit(scores.head._1), scores.head._2)) {
+      case ((bestLang, bestScore), (lang, score)) =>
+        (when(score > bestScore, lit(lang)).otherwise(bestLang),
+          when(score > bestScore, score).otherwise(bestScore))
+    }._1
+  }
+
+  /** Polynomial rolling-hash document fingerprint over characters:
+    * acc = (acc * 31 + codepoint) mod 1e9+7. Deterministic, exact-int,
+    * reproducible in any engine (the oracle recomputes it in SQL).
+    */
+  def fingerprint(text: Column): Column =
+    aggregate(split(text, ""), lit(0L),
+      (acc, c) => (acc * 31 + ascii(c)) % 1000000007L)
+
+  /** Word n-gram shingles (distinct), the input to MinHash/Jaccard.
+    * Documents shorter than n words get an empty shingle set (the
+    * sequence() guard: Spark generates a DESCENDING sequence when
+    * start > stop, which would index out of range).
+    */
+  def shingles(text: Column, n: Int): Column = {
+    val w = words(text)
+    when(size(w) >= n,
+      array_distinct(
+        transform(sequence(lit(0), size(w) - n),
+          i => concat_ws(" ", slice(w, i + 1, lit(n))))))
+      .otherwise(array().cast("array<string>"))
+  }
+}

@@ -1,0 +1,98 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.operators.AsOfJoin
+import QueryDef.{table, cents}
+
+/** Event-stream operators over the `events` table: as-of join and
+  * gap-based sessionization (the batch mirror of the streaming module's
+  * stateful sessionizer).
+  */
+object EventQueries {
+
+  /** events with microsecond-exact `ets` timestamp (ns truncated — see
+    * Relational.eventsRaw for why) shifted back 29 years to overlap the
+    * orders date range.
+    */
+  private def eventsShifted(s: SparkSession, dir: String): DataFrame =
+    Relational.eventsRaw(s, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        cents(col("value")).as("value_c"),
+        (timestamp_micros(expr("ts div 1000")) - expr("INTERVAL 29 YEARS")).as("ets"))
+
+  val defs: Map[String, QueryDef] = Map(
+
+    // Backward as-of join: each event picks the latest order (per
+    // customer) at-or-before its time. Right side pre-deduplicated to
+    // one row per (custkey, orderdate) for determinism.
+    "q17_asof_join" -> QueryDef(
+      (s, dir) => {
+        val ev = eventsShifted(s, dir)
+        val r = table(s, dir, "orders")
+          .groupBy(col("o_custkey"), col("o_orderdate"))
+          .agg(max("o_orderkey").as("o_orderkey"), sum(cents(col("o_totalprice"))).as("total_c"))
+        AsOfJoin.backward(ev, r,
+            leftKey = "user_id", rightKey = "o_custkey",
+            leftTime = "ets", rightTime = "o_orderdate",
+            valueCols = Seq("o_orderkey", "total_c"))
+          .select(col("event_id"), col("user_id"), col("o_orderkey"), col("total_c"),
+            date_format(col("asof_time"), "yyyy-MM-dd").as("asof_date"))
+          .orderBy("event_id")
+      },
+      Some("""WITH r AS (
+             |  SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey,
+             |    CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS total_c
+             |  FROM orders GROUP BY 1, 2),
+             |     l AS (
+             |  SELECT event_id, user_id,
+             |    make_timestamp(epoch_us(ts)) - INTERVAL 29 YEAR AS ets
+             |  FROM events)
+             |SELECT l.event_id, l.user_id, r.o_orderkey, r.total_c,
+             |  strftime(r.o_orderdate, '%Y-%m-%d') AS asof_date
+             |FROM l ASOF JOIN r ON l.user_id = r.o_custkey AND l.ets >= r.o_orderdate
+             |ORDER BY l.event_id""".stripMargin)),
+
+    // Gap-based sessionization (30-min inactivity): lag + running sum of
+    // session-start flags — one shuffle on user_id; the batch mirror of
+    // streaming flatMapGroupsWithState sessionization.
+    "q18_sessionize" -> QueryDef(
+      (s, dir) => {
+        val ev = Relational.eventsRaw(s, dir)
+          .select(col("event_id"), col("user_id"), cents(col("value")).as("value_c"),
+            expr("ts div 1000").as("t_us"))
+        val wOrd = Window.partitionBy("user_id").orderBy("t_us", "event_id")
+        val sess = ev
+          .withColumn("prev_t", lag("t_us", 1).over(wOrd))
+          .withColumn("new_sess",
+            when(col("prev_t").isNull || col("t_us") - col("prev_t") > 1800L * 1000000L, 1L)
+              .otherwise(0L))
+          .withColumn("session_id", sum("new_sess").over(
+            wOrd.rowsBetween(Window.unboundedPreceding, 0)))
+        sess.groupBy("user_id", "session_id")
+          .agg(count(lit(1)).as("n_events"), sum("value_c").as("value_c"),
+            min("t_us").as("start_us"), max("t_us").as("end_us"))
+          .select(col("user_id"), col("session_id"), col("n_events"), col("value_c"),
+            ((col("end_us") - col("start_us")) / lit(1000000L)).cast("long").as("dur_s"))
+          .orderBy("user_id", "session_id")
+      },
+      Some("""WITH ev AS (
+             |  SELECT event_id, user_id, CAST(round(value*100) AS BIGINT) AS value_c,
+             |    epoch_us(ts) AS t_us
+             |  FROM events),
+             |     flagged AS (
+             |  SELECT *, CASE WHEN lag(t_us) OVER w IS NULL
+             |      OR t_us - lag(t_us) OVER w > 1800 * 1000000 THEN 1 ELSE 0 END AS new_sess
+             |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY t_us, event_id)),
+             |     sess AS (
+             |  SELECT *, CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY t_us, event_id
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+             |  FROM flagged)
+             |SELECT user_id, session_id, count(*) AS n_events,
+             |  CAST(sum(value_c) AS BIGINT) AS value_c,
+             |  CAST((max(t_us) - min(t_us)) // 1000000 AS BIGINT) AS dur_s
+             |FROM sess GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+  )
+}

@@ -1,0 +1,91 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.TextOps
+import QueryDef.table
+
+/** Text-analysis operators over the `documents` table — token counting,
+  * quality scoring, language ID, fingerprinting. All pure codegen'd
+  * Column expressions (no UDFs), each with an exact-integer DuckDB
+  * oracle mirroring the same arithmetic.
+  */
+object TextQueries {
+
+  val defs: Map[String, QueryDef] = Map(
+
+    // whitespace + regex-run token counting
+    "t1_token_count" -> QueryDef(
+      (s, dir) => table(s, dir, "documents")
+        .select(col("doc_id"),
+          TextOps.tokenCount(col("text")).as("n_ws_tokens"),
+          TextOps.regexTokenCount(col("text")).as("n_alnum_tokens"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+             |  CAST(len(list_filter(string_split_regex(text, '[^a-zA-Z0-9]+'),
+             |    x -> len(x) > 0)) AS BIGINT) AS n_alnum_tokens
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // C4-style quality signals, integer-encoded
+    "t2_quality_score" -> QueryDef(
+      (s, dir) => table(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars"),
+          TextOps.tokenCount(col("text")).as("n_tokens"),
+          TextOps.stopwordPermille(col("text")).as("stop_permille"),
+          TextOps.meanWordLenCenti(col("text")).as("wlen_centi"),
+          when(TextOps.qualityPass(col("text"), col("n_chars")), 1L).otherwise(0L).as("pass"))
+        .orderBy("doc_id"),
+      Some("""WITH t AS (
+             |  SELECT doc_id, n_chars, string_split(text, ' ') AS w FROM documents)
+             |SELECT doc_id, n_chars,
+             |  CAST(len(w) AS BIGINT) AS n_tokens,
+             |  CAST(floor(1000.0 * len(list_filter(w, x -> x IN
+             |    ('the','a','of','and','to','in','is','it'))) / len(w)) AS BIGINT) AS stop_permille,
+             |  CAST(floor(100.0 * list_reduce(list_transform(w, x -> len(x)), (a,b) -> a+b)
+             |    / len(w)) AS BIGINT) AS wlen_centi,
+             |  CAST(CASE WHEN n_chars >= 100 AND n_chars <= 20000 AND len(w) >= 20
+             |    AND floor(1000.0 * len(list_filter(w, x -> x IN
+             |      ('the','a','of','and','to','in','is','it'))) / len(w)) >= 10
+             |    THEN 1 ELSE 0 END AS BIGINT) AS pass
+             |FROM t ORDER BY doc_id""".stripMargin)),
+
+    // stopword-profile language ID (argmax, first-wins ties)
+    "t3_langid" -> QueryDef(
+      (s, dir) => table(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          TextOps.langId(col("text")).as("pred_lang"))
+        .withColumn("is_match", when(col("lang") === col("pred_lang"), 1L).otherwise(0L))
+        .orderBy("doc_id"),
+      Some("""WITH t AS (
+             |  SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents),
+             |     sc AS (
+             |  SELECT doc_id, lang,
+             |    len(list_filter(w, x -> x IN ('the','a','of','and','to','in','is','it'))) AS s_en,
+             |    len(list_filter(w, x -> x IN ('der','die','das','und','ist','nicht','ein','zu'))) AS s_de,
+             |    len(list_filter(w, x -> x IN ('le','la','de','et','est','un','une','dans'))) AS s_fr
+             |  FROM t)
+             |SELECT doc_id, lang,
+             |  CASE WHEN s_fr > greatest(s_en, s_de) THEN 'fr'
+             |       WHEN s_de > s_en THEN 'de' ELSE 'en' END AS pred_lang,
+             |  CAST(CASE WHEN lang = (CASE WHEN s_fr > greatest(s_en, s_de) THEN 'fr'
+             |       WHEN s_de > s_en THEN 'de' ELSE 'en' END) THEN 1 ELSE 0 END AS BIGINT) AS is_match
+             |FROM sc ORDER BY doc_id""".stripMargin)),
+
+    // polynomial rolling-hash fingerprint (exact-int, engine-portable)
+    "t4_fingerprint" -> QueryDef(
+      (s, dir) => table(s, dir, "documents")
+        .select(col("doc_id"),
+          aggregate(
+            transform(sequence(lit(1), length(col("text"))),
+              i => ascii(col("text").substr(i, lit(1)))),
+            lit(0L), (acc, c) => (acc * 31 + c) % 1000000007L).as("fp"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             |  CAST(list_reduce(
+             |    list_prepend(CAST(0 AS BIGINT), list_transform(range(1, length(text) + 1),
+             |      i -> CAST(ascii(substr(text, CAST(i AS INTEGER), 1)) AS BIGINT))),
+             |    (acc, c) -> (acc * 31 + c) % 1000000007) AS BIGINT) AS fp
+             |FROM documents ORDER BY doc_id""".stripMargin))
+  )
+}

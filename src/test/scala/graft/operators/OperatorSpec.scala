@@ -1,0 +1,168 @@
+package graft.operators
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import graft.core.SparkTestBase
+
+/** Semantics tests for the operators whose queries have no SQL oracle
+  * (xxhash64 / approximate paths), plus as-of join edge cases.
+  */
+class DedupSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*) = rows.toSeq.toDF("doc_id", "text")
+
+  test("exactSurvivors keeps min id per identical text") {
+    val d = docs(1L -> "a b c", 2L -> "a b c", 3L -> "x y z", 5L -> "x y z", 4L -> "solo")
+    val out = Dedup.exactSurvivors(d, "text", "doc_id").as[Long].collect().sorted
+    assert(out.toSeq == Seq(1L, 3L, 4L))
+  }
+
+  private val base = "the quick brown fox jumps over the lazy dog and runs far away " * 5
+  private val nearDup = base.replace("lazy", "sleepy")   // tiny edit
+  private val unrelated = "completely different content with no overlap whatsoever at all " * 5
+
+  test("minhash LSH finds planted near-dups and skips unrelated docs") {
+    val d = docs(1L -> base, 2L -> nearDup, 3L -> unrelated)
+    val pairs = Dedup.nearDupPairs(d, "text", "doc_id")
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
+  test("simhash pairs near-dups within hamming budget") {
+    val d = docs(1L -> base, 2L -> nearDup, 3L -> unrelated)
+    val pairs = Dedup.simhashPairs(d, "text", "doc_id", maxHamming = 10)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("simhash bits: 64 chars, deterministic") {
+    val d = docs(1L -> base)
+    val bits = d.select(Dedup.simhashBits(TextOps.shingles(col("text"), 3))).as[String].head()
+    assert(bits.length == 64 && bits.forall(c => c == '0' || c == '1'))
+  }
+
+  test("hamming distance on bit strings") {
+    val d = Seq(("1100", "1001")).toDF("a", "b")
+    assert(d.select(Dedup.hammingDist(col("a"), col("b"))).as[Long].head() == 2L)
+  }
+}
+
+class SimilaritySpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val dims = 64
+  private def corpus() = {
+    // deterministic pseudo-vectors: 10 clusters of 20 vectors
+    val rows = (0 until 200).map { id =>
+      val cluster = id % 10
+      val v = (0 until dims).map { i =>
+        val centre = math.sin(cluster * 17.0 + i).toFloat
+        centre + 0.05f * math.sin(id * 31.0 + i * 7.0).toFloat
+      }
+      (id.toLong, v)
+    }
+    rows.toDF("vec_id", "embedding")
+  }
+
+  test("brute-force top-k ranks cluster-mates first") {
+    val c = corpus()
+    val q = c.filter(col("vec_id") === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val top = Similarity.bruteForceTopK(c, q, 5)
+      .select("vec_id").as[Long].collect()
+    // neighbors of vec 0 (cluster 0) must be cluster 0 members (id % 10 == 0)
+    assert(top.forall(_ % 10 == 0), s"got ${top.toSeq}")
+  }
+
+  test("LSH ANN achieves high recall vs brute force") {
+    val c = corpus()
+    val q = c.filter(col("vec_id").isin(0L, 1L, 2L))
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val exact = Similarity.bruteForceTopK(c, q, 10)
+      .select("qid", "vec_id").as[(Long, Long)].collect().toSet
+    val approx = Similarity.lshTopK(c, q, 10, dims)
+      .select("qid", "vec_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.6, s"recall $recall too low (${(exact & approx).size}/${exact.size})")
+  }
+}
+
+class MultimodalSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("decodeStub is deterministic and bounded") {
+    val m = Multimodal.decodeStub(7L, "hello world".getBytes("UTF-8"))
+    assert(m == Multimodal.decodeStub(7L, "hello world".getBytes("UTF-8")))
+    assert(m.nBytes == 11L && m.width >= 64 && m.width < 320 && m.channels == 3)
+  }
+
+  test("decodeAll processes blobs per-partition (mapInPandas analog)") {
+    val blobs = spark.createDataset(
+      Seq((1L, "abc".getBytes("UTF-8")), (2L, Array.empty[Byte]), (3L, "zz".getBytes("UTF-8"))))
+    val metas = Multimodal.decodeAll(spark, blobs).collect().sortBy(_.id)
+    assert(metas.map(_.nBytes).toSeq == Seq(3L, 0L, 2L))
+    assert(metas.forall(_.format == "fake/raw"))
+  }
+
+  test("frameOffsets yields at least one in-range frame") {
+    assert(Multimodal.frameOffsets(0L) == Seq(0L))
+    val offs = Multimodal.frameOffsets(2500L)
+    assert(offs.size == 3 && offs.forall(o => o >= 0 && o < 2500))
+  }
+}
+
+class AsOfJoinSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("backward as-of join picks latest right <= left time, per key") {
+    val left = Seq((1L, 10L, "e1"), (1L, 25L, "e2"), (2L, 10L, "e3"), (3L, 10L, "e4"))
+      .toDF("k", "t", "ev")
+    val right = Seq((1L, 5L, 100L), (1L, 20L, 200L), (1L, 30L, 300L), (2L, 10L, 400L))
+      .toDF("rk", "rt", "v")
+    val out = AsOfJoin.backward(left, right, "k", "rk", "t", "rt", Seq("v"))
+      .select("ev", "v").as[(String, Long)].collect().toMap
+    assert(out == Map("e1" -> 100L, "e2" -> 200L, "e3" -> 400L)) // e4: no match, inner drops
+  }
+
+  test("left as-of keeps unmatched rows with null") {
+    val left = Seq((3L, 10L, "e4")).toDF("k", "t", "ev")
+    val right = Seq((1L, 5L, 100L)).toDF("rk", "rt", "v")
+    val out = AsOfJoin.backward(left, right, "k", "rk", "t", "rt", Seq("v"), inner = false)
+    assert(out.count() == 1 && out.filter(col("v").isNull).count() == 1)
+  }
+}
+
+class TextOpsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("shingles: distinct n-grams; short docs empty") {
+    val d = Seq(("a b c d", 1), ("a b", 2)).toDF("text", "id")
+    val sh = d.orderBy("id").select(TextOps.shingles(col("text"), 3)).as[Seq[String]].collect()
+    assert(sh(0) == Seq("a b c", "b c d"))
+    assert(sh(1) == Seq.empty)
+  }
+
+  test("langId picks dominant profile with first-wins ties") {
+    val d = Seq(
+      ("the cat is in the house", "en"),
+      ("der hund ist nicht zu haus", "de"),
+      ("le chat est dans la maison", "fr"),
+      ("nothing matching here", "en")).toDF("text", "expect")
+    val out = d.select(col("expect"), TextOps.langId(col("text")).as("got"))
+      .as[(String, String)].collect()
+    out.foreach { case (e, g) => assert(e == g, s"expected $e got $g") }
+  }
+
+  test("fingerprint matches a local reference implementation") {
+    val s = "hash me"
+    val want = s.foldLeft(0L)((acc, c) => (acc * 31 + c.toInt) % 1000000007L)
+    val got = Seq(s).toDF("text")
+      .select(aggregate(
+        transform(sequence(lit(1), length(col("text"))),
+          i => ascii(col("text").substr(i, lit(1)))),
+        lit(0L), (acc, c) => (acc * 31 + c) % 1000000007L)).as[Long].head()
+    assert(got == want)
+  }
+}

@@ -1,0 +1,48 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import graft.core.SparkTestBase
+import EventStream.{Event, Session}
+
+class EventStreamSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val Min = 60L * 1000000L // one minute in µs
+
+  test("sessionize closes a session when the gap is exceeded") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val sessions = EventStream.sessionize(spark, input.toDS(), gapUs = 30 * Min)
+    val q = sessions.writeStream.format("memory").queryName("sess")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // one user: 3 events close together, then a 2h jump -> first
+      // session closes when the later event arrives. Base offset keeps
+      // event times strictly above the initial watermark (0).
+      val T0 = 86400L * 1000000L
+      input.addData(Event(1L, T0, 10L), Event(1L, T0 + 5 * Min, 20L), Event(1L, T0 + 10 * Min, 30L))
+      q.processAllAvailable()
+      input.addData(Event(1L, T0 + 130 * Min, 40L))
+      q.processAllAvailable()
+      val out = spark.table("sess").as[Session].collect()
+      assert(out.toSeq == Seq(Session(1L, T0, T0 + 10 * Min, 3L, 60L)))
+    } finally q.stop()
+  }
+
+  test("windowed counts aggregate per tumbling hour (update mode)") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val counts = EventStream.windowedCounts(input.toDF())
+    val q = counts.writeStream.format("memory").queryName("wc")
+      .outputMode(OutputMode.Update).start()
+    try {
+      val Hour = 60 * Min
+      input.addData(Event(1L, 5 * Min, 10L), Event(1L, 20 * Min, 10L), Event(1L, Hour + Min, 5L))
+      q.processAllAvailable()
+      val rows = spark.table("wc")
+        .selectExpr("userId", "n", "value_c").as[(Long, Long, Long)].collect().toSet
+      assert(rows == Set((1L, 2L, 20L), (1L, 1L, 5L)))
+    } finally q.stop()
+  }
+}
