@@ -89,6 +89,37 @@ final case class DcaFrame(
   /** flatten = reshape((-1,)) (`array_dataclass.py:371-373`). */
   def flatten: DcaFrame = reshapeTo(Seq(-1L))
 
+  /** einops-style reshape (S3, `array_dataclass.py:351-362`):
+    * `reshape("a (b c) -> b a c", "c" -> 2)`. Unlike tuple reshape this
+    * can PERMUTE axes; still pure index arithmetic — per-name indices
+    * recovered by div/mod from the left groups, recombined per the
+    * right groups. Narrow, no shuffle.
+    */
+  def reshapeEinops(pattern: String, axesLength: (String, Long)*): DcaFrame = {
+    val p = Einops.parse(pattern)
+    val (sizes, newShape) = Einops.resolve(p, shape, axesLength.toMap)
+    // per-name index expression from the left structure
+    val nameIdx: Map[String, Column] = p.left.zipWithIndex.flatMap { case (group, gi) =>
+      val dims = group.map(sizes)
+      val strides = dims.scanRight(1L)(_ * _).tail
+      group.zip(strides).zip(dims).map { case ((n, st), d) =>
+        val q = if (st == 1L) idx(gi) % lit(d)
+                else (idx(gi).divide(lit(st))).cast(LongType) % lit(d)
+        n -> q
+      }
+    }.toMap
+    // new group index = linearization of member indices
+    val newIdx = p.right.zipWithIndex.map { case (group, gi) =>
+      val dims = group.map(sizes)
+      val strides = dims.scanRight(1L)(_ * _).tail
+      group.zip(strides).map { case (n, st) => nameIdx(n) * lit(st) }
+        .reduce(_ + _).cast(LongType).as(s"__nidx$gi")
+    }
+    val out = df.select(newIdx ++ arrayCols.map(col): _*)
+    val fin = newShape.indices.foldLeft(out)((d, i) => d.withColumnRenamed(s"__nidx$i", s"__idx$i"))
+    copy(df = fin, shape = newShape)
+  }
+
   /** Expand the batch shape (dim-1/new-leading axes up), every payload
     * row replicated — `crossJoin(range(n))` per expanded dim
     * (`array_dataclass.py:375-380`).
@@ -213,6 +244,25 @@ final case class DcaFrame(
     */
   def mapField(fn: Column => Column): DcaFrame =
     copy(df = df.select(idxCols.map(col) ++ arrayCols.map(n => fn(col(n)).as(n)): _*))
+
+  /** `map_field` with structural recursion into nested dataclass
+    * columns (S12 `_map_field`, `array_dataclass.py:740-770`; "Nested"
+    * fixture): `fn` is applied to every LEAF (non-struct) field, struct
+    * columns are rebuilt field-by-field — still a single projection, no
+    * shuffle, and `withField`-free so the whole struct is rebuilt in
+    * one codegen'd expression.
+    */
+  def mapFieldNested(fn: Column => Column): DcaFrame = {
+    import org.apache.spark.sql.types.{StructType => ST}
+    def rec(c: Column, dt: org.apache.spark.sql.types.DataType): Column = dt match {
+      case st: ST =>
+        struct(st.fields.map(f => rec(c.getField(f.name), f.dataType).as(f.name)): _*)
+      case _ => fn(c)
+    }
+    val types = df.schema.fields.map(f => f.name -> f.dataType).toMap
+    copy(df = df.select(idxCols.map(col) ++
+      arrayCols.map(n => rec(col(n), types(n)).as(n)): _*))
+  }
 
   /** Functional field update (S13 `replace`, `array_dataclass.py:467-494`). */
   def replaceField(name: String, value: Column): DcaFrame = {

@@ -24,9 +24,19 @@ object Similarity {
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)
 
+  /** Same accumulation via the native codegen'd expression
+    * [[graft.functions.DotF32]] (register it first:
+    * `VectorExpressions.register(spark)`). Bit-identical result, no
+    * per-row intermediate array.
+    */
+  def dotNative(a: Column, b: Column): Column = call_function("dot_f32", a, b)
+
   def norm(a: Column): Column = sqrt(dot(a, a))
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  def cosineNative(a: Column, b: Column): Column =
+    dotNative(a, b) / (sqrt(dotNative(a, a)) * sqrt(dotNative(b, b)))
 
   /** Exact top-k neighbors for each query vector.
     *
@@ -37,10 +47,12 @@ object Similarity {
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
                      idCol: String = "vec_id", vecCol: String = "embedding",
-                     qidCol: String = "qid", qvecCol: String = "qvec"): DataFrame = {
+                     qidCol: String = "qid", qvecCol: String = "qvec",
+                     native: Boolean = false): DataFrame = {
+    val cos: (Column, Column) => Column = if (native) cosineNative else cosine
     val scored = corpus.crossJoin(broadcast(queries))
       .filter(col(idCol) =!= col(qidCol))
-      .withColumn("__cos", cosine(col(vecCol), col(qvecCol)))
+      .withColumn("__cos", cos(col(vecCol), col(qvecCol)))
     val w = Window.partitionBy(qidCol).orderBy(col("__cos").desc, col(idCol).asc)
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)

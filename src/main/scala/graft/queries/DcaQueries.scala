@@ -153,6 +153,64 @@ object DcaQueries {
              |SELECT rn AS __idx0, qty_c * 2 + 1 AS qty_c, price_c * 2 + 1 AS price_c
              |FROM base WHERE rn < 2000 ORDER BY 1""".stripMargin)),
 
+    // S3: einops reshape — "(h w) -> w h" transposes the (1500,4)
+    // factorization; pure index arithmetic even though axes permute
+    "dca_s3_einops" -> QueryDef(
+      (s, dir) => out(liFrame(s, dir)(Ix.S(None, Some(6000)))
+        .reshapeEinops("(h w) -> w h", "w" -> 4L)),
+      Some(baseCte +
+        """
+          |SELECT rn % 4 AS __idx0, rn // 4 AS __idx1, l_orderkey, l_linenumber, qty_c
+          |FROM base WHERE rn < 6000 ORDER BY 1, 2""".stripMargin)),
+
+    // S13: replace — functional field update as projection
+    "dca_s13_replace" -> QueryDef(
+      (s, dir) => out(liFrame(s, dir)(Ix.S(None, Some(1000)))
+        .replaceField("qty_c", col("qty_c") * 10 + 7)),
+      Some(baseCte +
+        """
+          |SELECT rn AS __idx0, l_orderkey, l_linenumber, qty_c * 10 + 7 AS qty_c
+          |FROM base WHERE rn < 1000 ORDER BY 1""".stripMargin)),
+
+    // V1+V2: vectorized method with a dim-1 broadcast arg — the arg
+    // frame has shape (1,), broadcast against self (2000,) per the
+    // reference's rules, then zipped on the batch index
+    "dca_v1_vectorize" -> QueryDef(
+      (s, dir) => {
+        val self = liFrame(s, dir)(Ix.S(None, Some(2000)))
+        val factorDf = table(s, dir, "region")
+          .agg(count(lit(1)).as("factor"))
+        val arg = DcaFrame.fromDF(factorDf, Seq(col("factor")))
+        val (selfB, argB, _) = self.alignForVectorize(arg)
+        out(selfB.zipJoin(argB)
+          .replaceField("qty_c", col("qty_c") * col("factor")))
+      },
+      Some(baseCte +
+        """
+          |SELECT rn AS __idx0, l_orderkey, l_linenumber,
+          |  qty_c * (SELECT count(*) FROM region) AS qty_c,
+          |  (SELECT count(*) FROM region) AS factor
+          |FROM base WHERE rn < 2000 ORDER BY 1""".stripMargin)),
+
+    // C1/C3: schema conform — declared inner shape (64) enforced per
+    // row, scalar cast policy applied
+    "dca_c1_conform" -> QueryDef(
+      (s, dir) => {
+        val schema = graft.core.DcaSchema(Vector(
+          graft.core.DcaSchema.field("vec_id", org.apache.spark.sql.types.LongType),
+          graft.core.DcaSchema.field("embedding", org.apache.spark.sql.types.FloatType, "*b 64"),
+          graft.core.DcaSchema.field("label", org.apache.spark.sql.types.LongType)))
+        schema.conform(table(s, dir, "embeddings"))
+          .select(col("vec_id"), size(col("embedding")).cast("long").as("emb_len"),
+            floor(element_at(col("embedding"), 1).cast("double") * 1e6).cast("long").as("e0_micro"),
+            col("label"))
+          .orderBy("vec_id")
+      },
+      Some("""SELECT vec_id, CAST(len(embedding) AS BIGINT) AS emb_len,
+             |  CAST(floor(CAST(embedding[1] AS DOUBLE) * 1e6) AS BIGINT) AS e0_micro,
+             |  CAST(label AS BIGINT) AS label
+             |FROM embeddings ORDER BY vec_id""".stripMargin)),
+
     // V2: vectorize arg alignment — zip two aligned frames on the batch
     // index (equi-join on __idx*); the shifted slice makes it a lead().
     "dca_v2_zip" -> QueryDef(

@@ -234,6 +234,36 @@ object Relational {
              |SELECT l_partkey, 'qty_only' AS op FROM (SELECT * FROM hq EXCEPT SELECT * FROM hp)
              |ORDER BY op, l_partkey""".stripMargin)),
 
+    // ---- explicit grouping sets -------------------------------------
+    "q19_grouping_sets" -> QueryDef(
+      (s, dir) => {
+        table(s, dir, "lineitem").createOrReplaceTempView("lineitem_v")
+        s.sql("""SELECT COALESCE(l_returnflag, 'ALL') AS flag,
+                |  COALESCE(l_linestatus, 'ALL') AS status, count(*) AS n
+                |FROM lineitem_v
+                |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus),
+                |  (l_returnflag, l_linestatus))
+                |ORDER BY flag, status""".stripMargin)
+      },
+      Some("""SELECT COALESCE(l_returnflag, 'ALL') AS flag,
+             |  COALESCE(l_linestatus, 'ALL') AS status, count(*) AS n
+             |FROM lineitem
+             |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus),
+             |  (l_returnflag, l_linestatus))
+             |ORDER BY flag, status""".stripMargin)),
+
+    // ---- exact median (interpolation exact at 0.5 over int cents) ---
+    "q20_median" -> QueryDef(
+      (s, dir) => table(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(expr("percentile(CAST(round(l_quantity*100) AS BIGINT), 0.5)").as("median_qty_c"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag,
+             |  quantile_cont(CAST(round(l_quantity*100) AS BIGINT), 0.5) AS median_qty_c,
+             |  count(*) AS n
+             |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // ---- tumbling event-time window aggregation ---------------------
     // events.ts is parquet TIMESTAMP(NANOS) which Spark has no native
     // type for: read it as raw nanos (legacy long mode) and window with

@@ -20,10 +20,13 @@ object SimilarityQueries {
 
     "sim1_cosine_topk" -> QueryDef(
       (s, dir) => {
+        graft.functions.VectorExpressions.register(s)
         val emb = table(s, dir, "embeddings")
         val queries = emb.filter(col("vec_id").isInCollection(QueryIds))
           .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
-        Similarity.bruteForceTopK(emb, queries, K)
+        // native codegen'd dot product; bit-identical to the HOF path
+        // (same accumulation order), so the DuckDB oracle is unchanged
+        Similarity.bruteForceTopK(emb, queries, K, native = true)
           .orderBy("qid", "rank")
       },
       Some(s"""WITH q AS (

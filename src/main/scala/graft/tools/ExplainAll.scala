@@ -1,0 +1,35 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Plan-hygiene audit: print the formatted physical plan of each query
+  * and grep-able one-line summaries (pushed filters, scan schema width,
+  * join strategies, codegen spans). Run:
+  *   sbt "runMain graft.tools.ExplainAll q2_filter_pushdown q3_join_topk"
+  * (no args = every query).
+  */
+object ExplainAll {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val names = if (args.nonEmpty) args.toSeq else graft.SparkEntry.queries.keys.toSeq.sorted
+    names.foreach { name =>
+      val df = graft.SparkEntry.queries(name)(spark, sfDir)
+      val plan = df.queryExecution.executedPlan.toString()
+      val scans = plan.linesIterator.filter(_.contains("FileScan")).map(_.trim.take(200)).toList
+      val joins = plan.linesIterator.filter(l =>
+        l.contains("Join") || l.contains("CartesianProduct")).map(_.trim.take(120)).toList
+      val exchanges = plan.linesIterator.count(_.trim.startsWith("+- Exchange") )
+      val wsc = plan.linesIterator.count(_.contains("WholeStageCodegen"))
+      println(s"== $name  (exchanges~$exchanges, codegenSpans=$wsc)")
+      scans.foreach(s => println(s"   scan: $s"))
+      joins.foreach(j => println(s"   join: $j"))
+    }
+    spark.stop()
+  }
+}

@@ -71,6 +71,22 @@ class DcaFrameSpec extends SparkTestBase {
     assert(xs(p2(Ix.Ellipsis)) == xs(p2))
   }
 
+  test("einops reshape: transpose and regroup (S3)") {
+    // (h w) -> w h : transpose of the (3,2) factorization
+    val p = points(6).reshapeEinops("(h w) -> w h", "w" -> 2)
+    assert(p.shape == Vector(2L, 3L))
+    // element (w,h) = x at linear h*2+w
+    assert(idxAndX(p) == (for (w <- 0L until 2L; h <- 0L until 3L)
+      yield (Seq(w, h), (h * 2 + w).toDouble)))
+    // identity regroup round-trip
+    val q = points(12).reshape(3, 4)
+      .reshapeEinops("a (b c) -> (a b) c", "b" -> 2)
+    assert(q.shape == Vector(6L, 2L))
+    assert(xs(q.flatten) == (0 until 12).map(_.toDouble)) // order preserved
+    intercept[IllegalArgumentException](points(6).reshapeEinops("(h w) -> w h")) // w unknown
+    intercept[IllegalArgumentException](points(6).reshapeEinops("a -> a b"))
+  }
+
   test("boolean mask filters and densely re-indexes (S7)") {
     val p = points(10)
     val m = p.mask(col("x") % 2 === 1)
@@ -112,6 +128,23 @@ class DcaFrameSpec extends SparkTestBase {
     val r = points(3).replaceField("y", lit(0.0))
     assert(r.collectOrdered().map(_.getDouble(1)).toSeq == Seq(0.0, 0.0, 0.0))
     intercept[IllegalArgumentException](points(3).replaceField("zzz", lit(0)))
+  }
+
+  test("mapFieldNested recurses into nested struct columns (S12)") {
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(0L, 1.0, Row(2.0, 3.0)), Row(1L, 4.0, Row(5.0, 6.0)))),
+      StructType(Seq(
+        StructField("__idx0", LongType),
+        StructField("x", DoubleType),
+        StructField("nested", StructType(Seq(
+          StructField("a", DoubleType), StructField("b", DoubleType)))))))
+    val f = DcaFrame(df, Vector(2L), Vector("x", "nested"))
+    val out = f.mapFieldNested(c => c * 10)
+    val rows = out.df.orderBy("__idx0")
+      .selectExpr("x", "nested.a", "nested.b").collect().toSeq
+      .map(r => (r.getDouble(0), r.getDouble(1), r.getDouble(2)))
+    assert(rows == Seq((10.0, 20.0, 30.0), (40.0, 50.0, 60.0)))
   }
 
   test("vectorize alignment: dim-1 broadcast joins (V2)") {

@@ -76,6 +76,24 @@ class SimilaritySpec extends SparkTestBase {
     assert(top.forall(_ % 10 == 0), s"got ${top.toSeq}")
   }
 
+  test("native dot_f32 expression is bit-identical to the HOF fold") {
+    graft.functions.VectorExpressions.register(spark)
+    val c = corpus()
+    val pairs = c.as("a").crossJoin(c.as("b"))
+      .filter(col("a.vec_id") < col("b.vec_id")).limit(500)
+    val diff = pairs.select(
+      (Similarity.dot(col("a.embedding"), col("b.embedding")) -
+        Similarity.dotNative(col("a.embedding"), col("b.embedding"))).as("d"))
+      .filter(col("d") =!= 0.0).count()
+    assert(diff == 0L)
+    // and usable straight from SQL
+    c.createOrReplaceTempView("emb_v")
+    val viaSql = spark.sql(
+      "SELECT dot_f32(embedding, embedding) FROM emb_v WHERE vec_id = 0")
+      .first().getDouble(0)
+    assert(viaSql > 0.0)
+  }
+
   test("LSH ANN achieves high recall vs brute force") {
     val c = corpus()
     val q = c.filter(col("vec_id").isin(0L, 1L, 2L))
