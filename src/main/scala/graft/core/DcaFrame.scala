@@ -275,6 +275,17 @@ final case class DcaFrame(
     copy(statics = statics + (name -> value))
 
   // ---------------------------------------------------------------------
+  // Interop (I-ops): parquet round trip. The materialized index columns
+  // ARE the serialized row identity/order (`array_dataclass.py:863-878`
+  // pickle analog); shape is re-derived on load from the dense-index
+  // invariant (per-axis max + 1).
+  // ---------------------------------------------------------------------
+
+  def saveParquet(path: String): Unit =
+    df.select((idxCols ++ arrayCols).map(col): _*)
+      .write.mode("overwrite").parquet(path)
+
+  // ---------------------------------------------------------------------
   // Vectorize alignment (V2): join the other frame on the shared batch
   // index after broadcasting both to the joint shape.
   // ---------------------------------------------------------------------
@@ -333,6 +344,26 @@ object DcaFrame {
     val df = spark.createDataFrame(spark.sparkContext.parallelize(withIdx, math.max(1, withIdx.size / 1000 + 1)), st)
     val base = DcaFrame(df, Vector(rows.size.toLong), schema.fieldNames.toVector)
     if (shape == null) base else base.reshapeTo(shape)
+  }
+
+  /** Load a frame saved with [[DcaFrame.saveParquet]]: shape comes from
+    * the dense-index invariant (max+1 per `__idx*` column; one agg job).
+    */
+  def loadParquet(spark: SparkSession, path: String): DcaFrame = {
+    val df = spark.read.parquet(path)
+    val idxNames = df.columns.filter(_.startsWith("__idx"))
+      .sortBy(_.stripPrefix("__idx").toInt).toVector
+    val payload = df.columns.filterNot(idxNames.contains).toVector
+    val shape: Shape =
+      if (idxNames.isEmpty) Vector.empty
+      else {
+        val maxes = df.agg(
+          max(col(idxNames.head)).as("m0"),
+          idxNames.tail.zipWithIndex.map { case (n, i) => max(col(n)).as(s"m${i + 1}") }: _*).head()
+        idxNames.indices.map(i =>
+          if (maxes.isNullAt(i)) 0L else maxes.getLong(i) + 1L).toVector
+      }
+    DcaFrame(df, shape, payload)
   }
 
   /** Dense 0..n-1 index via range-partitioned sort + per-partition

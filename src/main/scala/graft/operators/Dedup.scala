@@ -112,7 +112,11 @@ object Dedup {
   def nearDupPairs(docs: DataFrame, textCol: String, idCol: String,
                    shingleN: Int = 3, bands: Int = 64, rows: Int = 2,
                    thresholdNum: Int = 2, thresholdDen: Int = 5): DataFrame = {
+    // The shingle table feeds signature generation once and the verify
+    // join twice: stage it. Locally a memory/disk cache; at 100 TB the
+    // same role is played by writing the shingle table to parquet once.
     val shingled = docs.select(col(idCol), TextOps.shingles(col(textCol), shingleN).as("__sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cands = lshCandidates(shingled, idCol, "__sh", bands, rows)
     verifyJaccard(cands, shingled, idCol, "__sh", thresholdNum, thresholdDen)
   }

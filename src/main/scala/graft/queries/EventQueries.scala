@@ -25,6 +25,22 @@ object EventQueries {
 
   val defs: Map[String, QueryDef] = Map(
 
+    // semi-structured props extraction (regex on both engines — the
+    // DuckDB json extension is not guaranteed offline) + per-type agg
+    "q21_props_extract" -> QueryDef(
+      (s, dir) => Relational.eventsRaw(s, dir)
+        .select(col("event_type"),
+          regexp_extract(col("props"), "[0-9]+", 0).cast("long").as("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("k").as("k_sum"),
+          min("k").as("k_min"), max("k").as("k_max"))
+        .orderBy("event_type"),
+      Some("""SELECT event_type, count(*) AS n,
+             |  CAST(sum(CAST(regexp_extract(props, '[0-9]+') AS BIGINT)) AS BIGINT) AS k_sum,
+             |  CAST(min(CAST(regexp_extract(props, '[0-9]+') AS BIGINT)) AS BIGINT) AS k_min,
+             |  CAST(max(CAST(regexp_extract(props, '[0-9]+') AS BIGINT)) AS BIGINT) AS k_max
+             |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // Backward as-of join: each event picks the latest order (per
     // customer) at-or-before its time. Right side pre-deduplicated to
     // one row per (custkey, orderdate) for determinism.

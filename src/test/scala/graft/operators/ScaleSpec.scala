@@ -1,0 +1,72 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import graft.core.{DcaFrame, SparkTestBase}
+
+/** Scale-mechanics tests: salted skew join equivalence, bucketed
+  * (shuffle-free) joins, parquet round trip of DcaFrame identity.
+  */
+class SkewJoinSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("salted join returns exactly the plain join result under skew") {
+    // hot key 1 dominates the left side
+    val left = ((1 to 500).map(i => (1L, i)) ++ Seq((2L, 0), (3L, 0)))
+      .toDF("k", "payload")
+    val right = Seq((1L, "a"), (2L, "b"), (4L, "d")).toDF("k", "v")
+    val plain = left.join(right, "k").select("k", "payload", "v")
+      .as[(Long, Int, String)].collect().sorted.toSeq
+    val salted = SkewJoin.salted(left, right, "k", salts = 8)
+      .select("k", "payload", "v").as[(Long, Int, String)].collect().sorted.toSeq
+    assert(salted == plain && plain.size == 501)
+  }
+}
+
+class BucketingSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("bucketed tables join without a shuffle (co-located join)") {
+    val wh = Files.createTempDirectory("graft_wh").toFile.getAbsolutePath
+    val n = 1000
+    val fact = (0 until n).map(i => (i.toLong % 100, i.toLong)).toDF("k", "x")
+    val dim = (0L until 100L).map(i => (i, s"d$i")).toDF("k", "name")
+    spark.sql("DROP TABLE IF EXISTS fact_b")
+    spark.sql("DROP TABLE IF EXISTS dim_b")
+    fact.write.bucketBy(8, "k").sortBy("k").option("path", s"$wh/fact_b").saveAsTable("fact_b")
+    dim.write.bucketBy(8, "k").sortBy("k").option("path", s"$wh/dim_b").saveAsTable("dim_b")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      val joined = spark.table("fact_b").join(spark.table("dim_b"), "k")
+      assert(joined.count() == n)
+      val plan = joined.queryExecution.executedPlan.toString()
+      assert(plan.contains("SortMergeJoin"), s"expected SMJ in:\n$plan")
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join must not shuffle:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS fact_b")
+      spark.sql("DROP TABLE IF EXISTS dim_b")
+    }
+  }
+}
+
+class RoundTripSpec extends SparkTestBase {
+
+  test("DcaFrame parquet round trip preserves shape and order identity") {
+    val dir = Files.createTempDirectory("graft_rt").toFile.getAbsolutePath + "/frame"
+    val rows = (0 until 12).map(i => org.apache.spark.sql.Row(i.toDouble))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("x", org.apache.spark.sql.types.DoubleType)))
+    val f = DcaFrame.fromLocal(spark, rows, schema).reshape(3, 4)
+    f.saveParquet(dir)
+    val g = DcaFrame.loadParquet(spark, dir)
+    assert(g.shape == Vector(3L, 4L) && g.arrayCols == Vector("x"))
+    assert(g.collectOrdered().map(_.getDouble(0)).toSeq == (0 until 12).map(_.toDouble))
+    // and it still behaves: slice + mask after reload
+    val sliced = g(graft.core.Indexing.Ix.I(1))
+    assert(sliced.collectOrdered().map(_.getDouble(0)).toSeq == Seq(4.0, 5.0, 6.0, 7.0))
+  }
+}
