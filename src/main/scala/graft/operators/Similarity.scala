@@ -106,10 +106,22 @@ object Similarity {
       .select(col(qidCol), col(qvecCol), col(idCol), col(vecCol))
       .distinct()
     val scored = cands.withColumn("__cos", cosine(col(vecCol), col(qvecCol)))
-    val w = Window.partitionBy(qidCol).orderBy(col("__cos").desc, col(idCol).asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col(qidCol), col("rank").cast("long").as("rank"), col(idCol),
-        floor(col("__cos") * 1e6).cast("long").as("cos_micro"))
+    // re-rank with the single-pass bounded top-k aggregator (O(k) state
+    // per query) instead of a window sort over all candidates — at
+    // corpus scale the window's per-key sort is the bottleneck
+    import graft.functions.{ScoredId, TopKAgg}
+    val spark = scored.sparkSession
+    import spark.implicits._
+    scored.select(col(qidCol).cast("long"), col(idCol).cast("long"), col("__cos"))
+      .as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .mapValues { case (_, id, cos) => ScoredId(id, cos) }
+      .agg(new TopKAgg(k).toColumn.name("topk"))
+      .flatMap { case (qid, top) =>
+        top.zipWithIndex.map { case (s, r) =>
+          (qid, (r + 1).toLong, s.id, math.floor(s.score * 1e6).toLong)
+        }
+      }
+      .toDF(qidCol, "rank", idCol, "cos_micro")
   }
 }

@@ -107,6 +107,32 @@ class SimilaritySpec extends SparkTestBase {
   }
 }
 
+class TopKAggSpec extends SparkTestBase {
+  import spark.implicits._
+  import graft.functions.{ScoredId, TopKAgg}
+
+  test("typed top-k aggregator matches the window formulation") {
+    // 3 groups x 100 scored ids, deterministic scores with ties
+    val rows = for (g <- 0 until 3; i <- 0 until 100)
+      yield (g.toLong, ScoredId(i.toLong, (i % 10).toDouble))
+    val ds = rows.toDS()
+    val viaAgg = ds.groupByKey(_._1)
+      .mapValues(_._2)
+      .agg(new TopKAgg(5).toColumn.name("topk"))
+      .flatMap { case (g, top) => top.zipWithIndex.map { case (s, r) => (g, r + 1, s.id) } }
+      .collect().toSet
+    val viaWindow = {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.functions._
+      val df = ds.map(t => (t._1, t._2.id, t._2.score)).toDF("g", "id", "score")
+      val w = Window.partitionBy("g").orderBy(col("score").desc, col("id").asc)
+      df.withColumn("r", row_number().over(w)).filter(col("r") <= 5)
+        .select("g", "r", "id").as[(Long, Int, Long)].collect().toSet
+    }
+    assert(viaAgg == viaWindow && viaAgg.size == 15)
+  }
+}
+
 class MultimodalSpec extends SparkTestBase {
   import spark.implicits._
 
