@@ -117,8 +117,15 @@ object Dedup {
     // same role is played by writing the shingle table to parquet once.
     val shingled = docs.select(col(idCol), TextOps.shingles(col(textCol), shingleN).as("__sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cands = lshCandidates(shingled, idCol, "__sh", bands, rows)
-    verifyJaccard(cands, shingled, idCol, "__sh", thresholdNum, thresholdDen)
+    nearDupPairsFromShingles(shingled, idCol, "__sh", bands, rows, thresholdNum, thresholdDen)
+  }
+
+  /** Pipeline over a pre-staged (id, shingles) table. */
+  def nearDupPairsFromShingles(shingled: DataFrame, idCol: String, shinglesCol: String,
+                               bands: Int = 64, rows: Int = 2,
+                               thresholdNum: Int = 2, thresholdDen: Int = 5): DataFrame = {
+    val cands = lshCandidates(shingled, idCol, shinglesCol, bands, rows)
+    verifyJaccard(cands, shingled, idCol, shinglesCol, thresholdNum, thresholdDen)
   }
 
   // ---- SimHash ----------------------------------------------------------
@@ -168,11 +175,17 @@ object Dedup {
     * exact hamming verification then drops false candidates.
     */
   def simhashPairs(docs: DataFrame, textCol: String, idCol: String,
-                   shingleN: Int = 3, maxHamming: Int = 3): DataFrame = {
+                   shingleN: Int = 3, maxHamming: Int = 3): DataFrame =
+    simhashPairsFromShingles(
+      docs.select(col(idCol), TextOps.shingles(col(textCol), shingleN).as("__sh")),
+      idCol, "__sh", maxHamming)
+
+  /** Pipeline over a pre-staged (id, shingles) table. */
+  def simhashPairsFromShingles(shingled: DataFrame, idCol: String, shinglesCol: String,
+                               maxHamming: Int = 3): DataFrame = {
     val nChunks = maxHamming + 1
     val width = (64 + nChunks - 1) / nChunks
-    val sh = simhashCols(
-      docs.select(col(idCol), TextOps.shingles(col(textCol), shingleN).as("__sh")),
+    val sh = simhashCols(shingled.select(col(idCol), col(shinglesCol).as("__sh")),
       idCol, "__sh")
     val chunks = sh.select(col("__id"), col("__sim"),
       explode(transform(sequence(lit(0), lit(nChunks - 1)), j =>

@@ -18,13 +18,11 @@ import QueryDef.{table, cents}
   */
 object DcaQueries {
 
-  /** lineitem as a 1-D DcaFrame with payload (keys + qty cents). */
-  private def liFrame(s: SparkSession, dir: String): DcaFrame = {
-    val df = table(s, dir, "lineitem")
-      .select(col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
-        cents(col("l_quantity")).as("qty_c"))
-    DcaFrame.fromDF(df, Seq(col("l_orderkey"), col("l_linenumber")))
-  }
+  /** lineitem as a 1-D DcaFrame with payload (keys + qty cents);
+    * staged once per session (see [[Staged]]).
+    */
+  private def liFrame(s: SparkSession, dir: String): DcaFrame =
+    Staged.liFrame(s, dir)
 
   private def out(f: DcaFrame): DataFrame =
     f.df.select((f.idxCols ++ f.arrayCols).map(col): _*).orderBy(f.idxCols.map(col): _*)

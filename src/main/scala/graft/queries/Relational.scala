@@ -234,6 +234,41 @@ object Relational {
              |SELECT l_partkey, 'qty_only' AS op FROM (SELECT * FROM hq EXCEPT SELECT * FROM hp)
              |ORDER BY op, l_partkey""".stripMargin)),
 
+    // ---- range join (non-equi, broadcast NLJ on a tiny dim) ---------
+    // parts binned by size ranges. At scale with a LARGE range side you
+    // would expand ranges into buckets and equi-join on bucket id; with
+    // a small range dim the broadcast nested-loop is the right plan.
+    "q22_range_join" -> QueryDef(
+      (s, dir) => {
+        val bins = s.createDataFrame(Seq(
+          (0, 0, 16, "small"), (1, 17, 33, "medium"), (2, 34, 50, "large")))
+          .toDF("bin_id", "lo", "hi", "bin_name")
+        table(s, dir, "part")
+          .join(broadcast(bins), col("p_size") >= col("lo") && col("p_size") <= col("hi"))
+          .groupBy("bin_name")
+          .agg(count(lit(1)).as("n"), sum(cents(col("p_retailprice"))).as("price_c"))
+          .orderBy("bin_name")
+      },
+      Some("""WITH bins(bin_id, lo, hi, bin_name) AS (
+             |  VALUES (0, 0, 16, 'small'), (1, 17, 33, 'medium'), (2, 34, 50, 'large'))
+             |SELECT bin_name, count(*) AS n,
+             |  CAST(sum(CAST(round(p_retailprice*100) AS BIGINT)) AS BIGINT) AS price_c
+             |FROM part JOIN bins ON p_size >= lo AND p_size <= hi
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ---- theta join (inequality predicate) --------------------------
+    "q23_theta_join" -> QueryDef(
+      (s, dir) => {
+        val s1 = table(s, dir, "supplier").select(col("s_suppkey").as("k1"), col("s_acctbal").as("b1"))
+        val s2 = table(s, dir, "supplier").select(col("s_suppkey").as("k2"), col("s_acctbal").as("b2"))
+        s1.join(s2, col("b1") > col("b2"))
+          .groupBy("k1").agg(count(lit(1)).as("n_poorer"))
+          .orderBy("k1")
+      },
+      Some("""SELECT a.s_suppkey AS k1, count(*) AS n_poorer
+             |FROM supplier a JOIN supplier b ON a.s_acctbal > b.s_acctbal
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // ---- explicit grouping sets -------------------------------------
     "q19_grouping_sets" -> QueryDef(
       (s, dir) => {

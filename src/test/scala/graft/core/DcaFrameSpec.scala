@@ -188,4 +188,18 @@ class DcaSchemaSpec extends SparkTestBase {
   test("shape-string parse errors surface at declaration") {
     intercept[IllegalArgumentException](DcaSchema.field("p", FloatType, "3 4"))
   }
+
+  test("dynamic inner dims: '... 3 _' enforces the static dim, allows per-row dynamic") {
+    // PointDynamicShape fixture shape (array_dataclass_test.py:696-747)
+    val schema = DcaSchema(Vector(DcaSchema.field("y", IntegerType, "... 3 _")))
+    import spark.implicits._
+    // rows with 3 inner rows of VARYING length: valid
+    val good = Seq(
+      Tuple1(Seq(Seq(1, 2), Seq(3, 4), Seq(5, 6))),
+      Tuple1(Seq(Seq(1), Seq(2), Seq(3)))).toDF("y")
+    assert(schema.conform(good).count() == 2)
+    // first dim != 3: invalid
+    val bad = Seq(Tuple1(Seq(Seq(1, 2), Seq(3, 4)))).toDF("y")
+    intercept[Exception](schema.conform(bad).collect())
+  }
 }
