@@ -68,6 +68,11 @@ case class DotF32(left: Expression, right: Expression) extends BinaryExpression 
 }
 
 object VectorExpressions {
+  private[functions] val dotF32Builder: Seq[Expression] => Expression = exprs => {
+    require(exprs.length == 2, s"dot_f32 takes 2 args, got ${exprs.length}")
+    DotF32(exprs.head, exprs(1))
+  }
+
   /** Register `dot_f32` in the session's function registry so it is
     * usable from `expr(...)` and SQL. Idempotent.
     */
@@ -75,9 +80,20 @@ object VectorExpressions {
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("dot_f32"),
       new ExpressionInfo(classOf[DotF32].getName, "dot_f32"),
-      (exprs: Seq[Expression]) => {
-        require(exprs.length == 2, s"dot_f32 takes 2 args, got ${exprs.length}")
-        DotF32(exprs.head, exprs(1))
-      })
+      dotF32Builder)
   }
+}
+
+/** Session-extension wiring for deployments that build their session via
+  * `spark.sql.extensions=graft.functions.GraftExtensions` (e.g.
+  * spark-submit on a cluster): injects the graft native functions at
+  * session build, so every session — including SQL-only clients — sees
+  * them without calling [[VectorExpressions.register]].
+  */
+class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit =
+    e.injectFunction((
+      FunctionIdentifier("dot_f32"),
+      new ExpressionInfo(classOf[DotF32].getName, "dot_f32"),
+      VectorExpressions.dotF32Builder))
 }

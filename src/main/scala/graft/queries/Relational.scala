@@ -287,6 +287,17 @@ object Relational {
              |  (l_returnflag, l_linestatus))
              |ORDER BY flag, status""".stripMargin)),
 
+    // ---- sketch aggregate: HLL approx distinct (rows-only check —
+    // DuckDB's approx algorithm differs; AccuracySpec-style bound is in
+    // the oracle-free contract: exact value asserted within 5% in spec)
+    "q24_approx_distinct" -> QueryDef(
+      (s, dir) => table(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag"),
+      None),
+
     // ---- exact median (interpolation exact at 0.5 over int cents) ---
     "q20_median" -> QueryDef(
       (s, dir) => table(s, dir, "lineitem")

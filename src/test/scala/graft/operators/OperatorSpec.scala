@@ -107,6 +107,22 @@ class SimilaritySpec extends SparkTestBase {
   }
 }
 
+class ApproxAggSpec extends SparkTestBase {
+  import org.apache.spark.sql.functions._
+
+  test("approx_count_distinct lands within 5% of exact on testdata") {
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    val rows = li.groupBy("l_returnflag")
+      .agg(approx_count_distinct(col("l_partkey")).as("a"),
+        countDistinct(col("l_partkey")).as("e"))
+      .collect()
+    rows.foreach { r =>
+      val (a, e) = (r.getLong(1), r.getLong(2))
+      assert(math.abs(a - e).toDouble / e < 0.05, s"approx $a vs exact $e")
+    }
+  }
+}
+
 class TopKAggSpec extends SparkTestBase {
   import spark.implicits._
   import graft.functions.{ScoredId, TopKAgg}
