@@ -274,6 +274,30 @@ final case class DcaFrame(
   def replaceStatic(name: String, value: Any): DcaFrame =
     copy(statics = statics + (name -> value))
 
+  /** Arbitrary per-element Scala function over the payload (V1's
+    * general path — the analog of the reference's numpy loop,
+    * `vectorization.py:333-347`). LAST RESORT by the custom-operator
+    * preference order: it leaves whole-stage codegen (row-at-a-time
+    * through an opaque closure); prefer Column expressions
+    * ([[mapField]]/[[replaceField]]) whenever the body is expressible.
+    * Distribution semantics are unchanged — narrow, per-partition.
+    *
+    * @param fn        payload Row => payload values (idx cols are
+    *                  managed by the frame and not passed through fn)
+    * @param newSchema schema of fn's output payload
+    */
+  def mapRows(fn: Row => Seq[Any], newSchema: StructType): DcaFrame = {
+    val n = ndim
+    val spark = df.sparkSession
+    val outSchema = new StructType(
+      (df.schema.fields.take(n) ++ newSchema.fields).toArray)
+    val rdd = df.rdd.map { r =>
+      Row.fromSeq(r.toSeq.take(n) ++ fn(Row.fromSeq(r.toSeq.drop(n))))
+    }
+    copy(df = spark.createDataFrame(rdd, outSchema),
+      arrayCols = newSchema.fieldNames.toVector)
+  }
+
   // ---------------------------------------------------------------------
   // Interop (I-ops): parquet round trip. The materialized index columns
   // ARE the serialized row identity/order (`array_dataclass.py:863-878`

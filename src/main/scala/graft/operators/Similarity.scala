@@ -60,6 +60,53 @@ object Similarity {
         floor(col("__cos") * 1e6).cast("long").as("cos_micro"))
   }
 
+  /** IVF (inverted-file) ANN: partition the corpus into `nCells` cells
+    * by nearest centroid, probe only the `nProbe` cells nearest each
+    * query, exact re-rank within the probed cells.
+    *
+    * Centroids here are sampled deterministically from the corpus (the
+    * classic bootstrap; a k-means refinement would reuse the same
+    * assignment machinery). Scale shape: the cell assignment is one
+    * broadcast-join pass over the corpus (and would be persisted/
+    * bucketed BY cell in a real deployment so queries touch only
+    * nProbe/nCells of the data).
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              nCells: Int = 16, nProbe: Int = 4,
+              idCol: String = "vec_id", vecCol: String = "embedding",
+              qidCol: String = "qid", qvecCol: String = "qvec"): DataFrame = {
+    // deterministic centroid sample by id stride: no global sort of the
+    // corpus (TakeOrdered gathers only nCells rows)
+    val total = corpus.count()
+    val stride = math.max(1L, total / nCells)
+    val centroids = corpus.filter(pmod(col(idCol), lit(stride)) === 0)
+      .orderBy(idCol).limit(nCells)
+      .select(col(idCol).as("__cell"), col(vecCol).as("__cvec"))
+
+    val cells = corpus.crossJoin(broadcast(centroids))
+      .withColumn("__csim", cosine(col(vecCol), col("__cvec")))
+      .withColumn("__crank", row_number().over(
+        Window.partitionBy(idCol).orderBy(col("__csim").desc, col("__cell").asc)))
+      .filter(col("__crank") === 1)
+      .select(col(idCol), col(vecCol), col("__cell"))
+
+    val probes = queries.crossJoin(broadcast(centroids))
+      .withColumn("__csim", cosine(col(qvecCol), col("__cvec")))
+      .withColumn("__crank", row_number().over(
+        Window.partitionBy(qidCol).orderBy(col("__csim").desc, col("__cell").asc)))
+      .filter(col("__crank") <= nProbe)
+      .select(col(qidCol), col(qvecCol), col("__cell"))
+
+    val cands = cells.join(broadcast(probes), "__cell")
+      .filter(col(idCol) =!= col(qidCol))
+      .withColumn("__cos", cosine(col(vecCol), col(qvecCol)))
+    val rw = Window.partitionBy(qidCol).orderBy(col("__cos").desc, col(idCol).asc)
+    cands.withColumn("rank", row_number().over(rw))
+      .filter(col("rank") <= k)
+      .select(col(qidCol), col("rank").cast("long").as("rank"), col(idCol),
+        floor(col("__cos") * 1e6).cast("long").as("cos_micro"))
+  }
+
   /** Deterministic pseudo-random hyperplane weight for (dim i, plane j):
     * a fixed integer mix folded to [-0.5, 0.5). Public-constant mixing,
     * reproducible everywhere, no RNG state.

@@ -51,6 +51,19 @@ object SimilarityQueries {
              |QUALIFY rank <= $K
              |ORDER BY qid, rank""".stripMargin)),
 
+    // IVF ANN: nearest-centroid cells, nProbe probing, exact re-rank
+    // within probed cells. Approximate — rows-only check; recall vs
+    // brute force covered in SimilaritySpec.
+    "sim3_ivf_ann" -> QueryDef(
+      (s, dir) => {
+        val emb = table(s, dir, "embeddings")
+        val queries = emb.filter(col("vec_id").isInCollection(QueryIds))
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+        Similarity.ivfTopK(emb, queries, K, nCells = 16, nProbe = 6)
+          .orderBy("qid", "rank")
+      },
+      None),
+
     // LSH-bucketed ANN (sign-random-projection): the 100-TB path — the
     // corpus is hashed once and probed per band; approximate by design,
     // so no equality oracle (recall vs brute force covered in

@@ -30,6 +30,18 @@ object EventStream {
       .groupBy(window(col("ets"), window_), col("userId"))
       .agg(count(lit(1)).as("n"), sum("valueC").as("value_c"))
 
+  /** Streaming exact dedup: drop duplicate event ids arriving within
+    * the watermark window — the streaming face of the dedup operator
+    * family (state is bounded by the watermark; exactly the semantics a
+    * 100 TB ingest pipeline needs for at-least-once upstreams).
+    */
+  def streamingDedup(events: DataFrame, idCol: String,
+                     watermark: String = "30 minutes"): DataFrame =
+    events
+      .withColumn("ets", timestamp_micros(col("tsUs")))
+      .withWatermark("ets", watermark)
+      .dropDuplicatesWithinWatermark(idCol)
+
   /** Gap-based sessionization: a session CLOSES (and is emitted) when a
     * later event of the same user arrives more than `gapUs` after the
     * session's end, or when event-time timeout fires past the

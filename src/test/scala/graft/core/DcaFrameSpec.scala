@@ -160,6 +160,16 @@ class DcaFrameSpec extends SparkTestBase {
     assert(rows.map(r => (r.getDouble(0), r.getDouble(1))) == Seq((0.0, 0.0), (1.0, 10.0), (2.0, 20.0)))
   }
 
+  test("mapRows: arbitrary scalar fn over payload (V1 general path)") {
+    val p = points(4)
+    val out = p.mapRows(
+      r => Seq(r.getDouble(0) + r.getDouble(1), if (r.getDouble(0) > 1) "hi" else "lo"),
+      StructType(Seq(StructField("s", DoubleType), StructField("tag", StringType))))
+    assert(out.shape == Vector(4L) && out.arrayCols == Vector("s", "tag"))
+    val rows = out.df.orderBy("__idx0").collect().map(r => (r.getDouble(1), r.getString(2))).toSeq
+    assert(rows == Seq((0.0, "lo"), (11.0, "lo"), (22.0, "hi"), (33.0, "hi")))
+  }
+
   test("empty-batch truthiness guard (S10)") {
     val p = points(3).mask(col("x") > 100)
     assert(p.shape == Vector(0L))

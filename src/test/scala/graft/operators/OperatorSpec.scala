@@ -94,6 +94,18 @@ class SimilaritySpec extends SparkTestBase {
     assert(viaSql > 0.0)
   }
 
+  test("IVF ANN achieves high recall vs brute force") {
+    val c = corpus()
+    val q = c.filter(col("vec_id").isin(0L, 1L, 2L))
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val exact = Similarity.bruteForceTopK(c, q, 10)
+      .select("qid", "vec_id").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.ivfTopK(c, q, 10, nCells = 8, nProbe = 3)
+      .select("qid", "vec_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & ivf).size.toDouble / exact.size
+    assert(recall >= 0.6, s"IVF recall $recall too low")
+  }
+
   test("LSH ANN achieves high recall vs brute force") {
     val c = corpus()
     val q = c.filter(col("vec_id").isin(0L, 1L, 2L))

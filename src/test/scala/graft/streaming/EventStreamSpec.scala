@@ -30,6 +30,24 @@ class EventStreamSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming dedup drops duplicate ids within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Long, Long)] // (eventId, tsUs, valueC)
+    val deduped = EventStream.streamingDedup(
+      input.toDF().toDF("eventId", "tsUs", "valueC"), "eventId")
+    val q = deduped.writeStream.format("memory").queryName("dd")
+      .outputMode(OutputMode.Append).start()
+    try {
+      val T0 = 86400L * 1000000L
+      input.addData((1L, T0, 10L), (2L, T0 + Min, 20L), (1L, T0 + 2 * Min, 99L))
+      q.processAllAvailable()
+      input.addData((2L, T0 + 3 * Min, 99L), (3L, T0 + 4 * Min, 30L))
+      q.processAllAvailable()
+      val ids = spark.table("dd").selectExpr("eventId").as[Long].collect().sorted.toSeq
+      assert(ids == Seq(1L, 2L, 3L)) // duplicates of 1 and 2 dropped
+    } finally q.stop()
+  }
+
   test("windowed counts aggregate per tumbling hour (update mode)") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]
