@@ -135,7 +135,7 @@ object Similarity {
     * `planes`/lower `rowsPerBand` to trade cost for recall.
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, dims: Int,
-              planes: Int = 16, rowsPerBand: Int = 4,
+              planes: Int = 24, rowsPerBand: Int = 3,
               idCol: String = "vec_id", vecCol: String = "embedding",
               qidCol: String = "qid", qvecCol: String = "qvec"): DataFrame = {
     val bands = planes / rowsPerBand

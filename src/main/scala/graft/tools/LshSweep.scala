@@ -1,0 +1,38 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.operators.Similarity
+
+/** Recall/cost sweep for the sign-LSH ANN parameters against the
+  * brute-force baseline on the real embeddings table.
+  *   sbt "runMain graft.tools.LshSweep /root/testdata/sf0.01"
+  */
+object LshSweep {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val q = emb.filter(col("vec_id").isin(0L, 1L, 2L))
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val exact = Similarity.bruteForceTopK(emb, q, 10)
+      .select("qid", "vec_id").as[(Long, Long)].collect().toSet
+    val n = emb.count()
+
+    for ((planes, rows) <- Seq((16, 4), (24, 3), (32, 4), (24, 2), (48, 4))) {
+      val t0 = System.nanoTime()
+      val approx = Similarity.lshTopK(emb, q, 10, 64, planes, rows)
+        .select("qid", "vec_id").as[(Long, Long)].collect().toSet
+      val secs = (System.nanoTime() - t0) / 1e9
+      val recall = (exact & approx).size.toDouble / exact.size
+      println(f"[lsh] planes=$planes%-3d rows=$rows  recall=$recall%.2f  ${secs}%5.1fs (corpus $n)")
+    }
+    spark.stop()
+  }
+}
