@@ -10,6 +10,9 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // warm the JVM/codegen once so the first measured query is not
+    // billed for class loading (~4-5 s of one-time cost)
+    spark.range(1000).selectExpr("sum(id)").write.format("noop").mode("overwrite").save()
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       // noop sink: materializes EVERY output column (count() would let

@@ -67,20 +67,86 @@ case class DotF32(left: Expression, right: Expression) extends BinaryExpression 
   override def prettyName: String = "dot_f32"
 }
 
+/** Native codegen'd polynomial rolling hash over a string's characters:
+  * acc = (acc * 31 + codepoint) mod 1e9+7, left-to-right.
+  *
+  * Replaces the HOF formulation
+  * `aggregate(transform(sequence(1, length(s)), i -> ascii(substr(s,i,1))), ...)`
+  * whose per-character `substr` re-scans the string (O(n²) per row) and
+  * allocates an index array. This is a single O(n) pass over the bytes
+  * (== codepoints for ASCII; multi-byte UTF-8 falls back to codepoint
+  * iteration for identical semantics).
+  */
+case class PolyHash(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case org.apache.spark.sql.types.StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"poly_hash needs a string arg, got $other")
+    }
+
+  override protected def nullSafeEval(input: Any): Any =
+    PolyHash.hash(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.PolyHash.hash($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "poly_hash"
+}
+
+object PolyHash {
+  private final val Mod = 1000000007L
+
+  /** O(n) over bytes for pure-ASCII strings; codepoint loop otherwise. */
+  def hash(s: org.apache.spark.unsafe.types.UTF8String): Long = {
+    val bytes = s.getBytes
+    var ascii = true
+    var i = 0
+    while (i < bytes.length && ascii) { if (bytes(i) < 0) ascii = false; i += 1 }
+    var acc = 0L
+    if (ascii) {
+      i = 0
+      while (i < bytes.length) { acc = (acc * 31 + bytes(i)) % Mod; i += 1 }
+    } else {
+      val str = s.toString
+      i = 0
+      while (i < str.length) { acc = (acc * 31 + str.codePointAt(i)) % Mod; i += str.offsetByCodePoints(i, 1) - i }
+    }
+    acc
+  }
+}
+
 object VectorExpressions {
   private[functions] val dotF32Builder: Seq[Expression] => Expression = exprs => {
     require(exprs.length == 2, s"dot_f32 takes 2 args, got ${exprs.length}")
     DotF32(exprs.head, exprs(1))
   }
 
-  /** Register `dot_f32` in the session's function registry so it is
-    * usable from `expr(...)` and SQL. Idempotent.
+  private[functions] val polyHashBuilder: Seq[Expression] => Expression = exprs => {
+    require(exprs.length == 1, s"poly_hash takes 1 arg, got ${exprs.length}")
+    PolyHash(exprs.head)
+  }
+
+  /** Register the graft native functions in the session's function
+    * registry so they are usable from `expr(...)` and SQL. Idempotent.
     */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("dot_f32"),
       new ExpressionInfo(classOf[DotF32].getName, "dot_f32"),
       dotF32Builder)
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("poly_hash"),
+      new ExpressionInfo(classOf[PolyHash].getName, "poly_hash"),
+      polyHashBuilder)
   }
 }
 
@@ -91,9 +157,14 @@ object VectorExpressions {
   * them without calling [[VectorExpressions.register]].
   */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
-  override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit =
+  override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     e.injectFunction((
       FunctionIdentifier("dot_f32"),
       new ExpressionInfo(classOf[DotF32].getName, "dot_f32"),
       VectorExpressions.dotF32Builder))
+    e.injectFunction((
+      FunctionIdentifier("poly_hash"),
+      new ExpressionInfo(classOf[PolyHash].getName, "poly_hash"),
+      VectorExpressions.polyHashBuilder))
+  }
 }

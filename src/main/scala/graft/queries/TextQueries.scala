@@ -72,15 +72,16 @@ object TextQueries {
              |       WHEN s_de > s_en THEN 'de' ELSE 'en' END) THEN 1 ELSE 0 END AS BIGINT) AS is_match
              |FROM sc ORDER BY doc_id""".stripMargin)),
 
-    // polynomial rolling-hash fingerprint (exact-int, engine-portable)
+    // polynomial rolling-hash fingerprint (exact-int, engine-portable).
+    // Native codegen'd PolyHash: one O(n) byte pass per doc — the HOF
+    // form (per-char substr) rescans the string per character, O(n^2).
     "t4_fingerprint" -> QueryDef(
-      (s, dir) => table(s, dir, "documents")
-        .select(col("doc_id"),
-          aggregate(
-            transform(sequence(lit(1), length(col("text"))),
-              i => ascii(col("text").substr(i, lit(1)))),
-            lit(0L), (acc, c) => (acc * 31 + c) % 1000000007L).as("fp"))
-        .orderBy("doc_id"),
+      (s, dir) => {
+        graft.functions.VectorExpressions.register(s)
+        table(s, dir, "documents")
+          .select(col("doc_id"), call_function("poly_hash", col("text")).as("fp"))
+          .orderBy("doc_id")
+      },
       Some("""SELECT doc_id,
              |  CAST(list_reduce(
              |    list_prepend(CAST(0 AS BIGINT), list_transform(range(1, length(text) + 1),

@@ -13,10 +13,14 @@ object BenchSome {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // warm-up, then noop sink per query (count() would let Catalyst
+    // prune output expressions and under-measure — same as Bench)
+    spark.range(1000).selectExpr("sum(id)").write.format("noop").mode("overwrite").save()
     args.foreach { name =>
+      val df = graft.SparkEntry.queries(name)(spark, sfDir)
       val t0 = System.nanoTime()
-      val n = graft.SparkEntry.queries(name)(spark, sfDir).count()
-      println(f"[bench] $name%-20s ${(System.nanoTime() - t0) / 1e9}%8.2f s  ($n rows)")
+      df.write.format("noop").mode("overwrite").save()
+      println(f"[bench] $name%-20s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
     }
     spark.stop()
   }

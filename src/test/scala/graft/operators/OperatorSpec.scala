@@ -236,5 +236,12 @@ class TextOpsSpec extends SparkTestBase {
           i => ascii(col("text").substr(i, lit(1)))),
         lit(0L), (acc, c) => (acc * 31 + c) % 1000000007L)).as[Long].head()
     assert(got == want)
+    // and the native codegen'd poly_hash computes the identical value
+    graft.functions.VectorExpressions.register(spark)
+    val native = Seq(s, "", "another longer string with more text").toDF("text")
+      .select(call_function("poly_hash", col("text"))).as[Long].collect().toSeq
+    val model = Seq(s, "", "another longer string with more text")
+      .map(_.foldLeft(0L)((acc, c) => (acc * 31 + c.toInt) % 1000000007L))
+    assert(native == model)
   }
 }
