@@ -10,9 +10,16 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // warm the JVM/codegen once so the first measured query is not
-    // billed for class loading (~4-5 s of one-time cost)
-    spark.range(1000).selectExpr("sum(id)").write.format("noop").mode("overwrite").save()
+    // warm the JVM once so the first measured query is not billed for
+    // one-time init: codegen, parquet reader, broadcast + shuffle
+    // machinery (worth ~3-8 s on whichever query runs first otherwise)
+    locally {
+      import org.apache.spark.sql.functions.broadcast
+      val r = spark.read.parquet(s"$sfDir/region.parquet")
+      r.join(broadcast(r.limit(1)), r.columns.headOption.toSeq)
+        .groupBy(r.columns.head).count()
+        .write.format("noop").mode("overwrite").save()
+    }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       // noop sink: materializes EVERY output column (count() would let

@@ -287,6 +287,25 @@ object Relational {
              |  (l_returnflag, l_linestatus))
              |ORDER BY flag, status""".stripMargin)),
 
+    // ---- correlated scalar subquery (decorrelated by Catalyst into a
+    // join + agg — free per SURVEY §4.1) ------------------------------
+    "q25_scalar_subquery" -> QueryDef(
+      (s, dir) => {
+        table(s, dir, "orders").createOrReplaceTempView("orders_v")
+        s.sql("""SELECT o_orderkey, o_custkey,
+                |  CAST(round(o_totalprice * 100) AS BIGINT) AS price_c
+                |FROM orders_v o
+                |WHERE o_totalprice > 2 * (SELECT avg(o_totalprice) FROM orders_v i
+                |                          WHERE i.o_custkey = o.o_custkey)
+                |ORDER BY o_orderkey""".stripMargin)
+      },
+      Some("""SELECT o_orderkey, o_custkey,
+             |  CAST(round(o_totalprice * 100) AS BIGINT) AS price_c
+             |FROM orders o
+             |WHERE o_totalprice > 2 * (SELECT avg(o_totalprice) FROM orders i
+             |                          WHERE i.o_custkey = o.o_custkey)
+             |ORDER BY o_orderkey""".stripMargin)),
+
     // ---- sketch aggregate: HLL approx distinct (rows-only check —
     // DuckDB's approx algorithm differs; AccuracySpec-style bound is in
     // the oracle-free contract: exact value asserted within 5% in spec)
