@@ -35,14 +35,16 @@ object Dedup {
     case x => x
   }
 
-  /** Per-(doc, shingle) rows with the base hash folded into [0, P).
+  /** Per-(doc, shingle) rows with the RAW xxhash64 of each shingle.
     * Hash each shingle string EXACTLY ONCE — the array-lambda
     * formulation re-evaluated xxhash64 under every permutation (k×
-    * work) because Catalyst does not CSE across lambda bodies.
+    * work) because Catalyst does not CSE across lambda bodies. The
+    * same table feeds both MinHash and SimHash (stage/persist it when
+    * running both).
     */
-  private def shingleHashes(docs: DataFrame, idCol: String, shinglesCol: String): DataFrame =
+  def shingleHashTable(docs: DataFrame, idCol: String, shinglesCol: String): DataFrame =
     docs.select(col(idCol).as("__id"), explode(col(shinglesCol)).as("__s"))
-      .select(col("__id"), pmod(xxhash64(col("__s")), lit(P)).as("__h"))
+      .select(col("__id"), xxhash64(col("__s")).as("__h"))
 
   /** MinHash signatures as k flat columns `__m0..__m{k-1}`: explode →
     * hash once → single hash-aggregate with k codegen'd min()s. One
@@ -50,10 +52,14 @@ object Dedup {
     * survives 100 TB (the shingle table is the only wide thing and it
     * is never shuffled by text).
     */
-  def signatureCols(docs: DataFrame, idCol: String, shinglesCol: String, k: Int): DataFrame = {
-    val hashed = shingleHashes(docs, idCol, shinglesCol)
+  def signatureCols(docs: DataFrame, idCol: String, shinglesCol: String, k: Int): DataFrame =
+    signatureColsFromHashes(shingleHashTable(docs, idCol, shinglesCol), k)
+
+  /** Signatures from a pre-staged (__id, __h raw-hash) table. */
+  def signatureColsFromHashes(hashed: DataFrame, k: Int): DataFrame = {
+    val folded = pmod(col("__h"), lit(P))
     val aggs = (0 until k).map { i =>
-      min(pmod(lit(aParam(i)) * col("__h") + lit(bParam(i)), lit(P))).as(s"__m$i")
+      min(pmod(lit(aParam(i)) * folded + lit(bParam(i)), lit(P))).as(s"__m$i")
     }
     hashed.groupBy("__id").agg(aggs.head, aggs.tail: _*)
   }
@@ -69,9 +75,13 @@ object Dedup {
     * @param docs (id, shingles) — shingles as array<string>
     */
   def lshCandidates(docs: DataFrame, idCol: String, shinglesCol: String,
-                    bands: Int, rows: Int): DataFrame = {
+                    bands: Int, rows: Int): DataFrame =
+    lshCandidatesFromHashes(shingleHashTable(docs, idCol, shinglesCol), bands, rows)
+
+  /** Candidates from a pre-staged (__id, __h) shingle-hash table. */
+  def lshCandidatesFromHashes(hashed: DataFrame, bands: Int, rows: Int): DataFrame = {
     val k = bands * rows
-    val sig = signatureCols(docs, idCol, shinglesCol, k)
+    val sig = signatureColsFromHashes(hashed, k)
     val bandStructs = (0 until bands).map { j =>
       val bandCols = (0 until rows).map(r => col(s"__m${j * rows + r}"))
       struct(lit(j).as("band"), hash(bandCols: _*).as("bh"))
@@ -120,11 +130,16 @@ object Dedup {
     nearDupPairsFromShingles(shingled, idCol, "__sh", bands, rows, thresholdNum, thresholdDen)
   }
 
-  /** Pipeline over a pre-staged (id, shingles) table. */
+  /** Pipeline over a pre-staged (id, shingles) table; pass the staged
+    * shingle-HASH table too when SimHash shares the session (avoids
+    * re-exploding).
+    */
   def nearDupPairsFromShingles(shingled: DataFrame, idCol: String, shinglesCol: String,
                                bands: Int = 64, rows: Int = 2,
-                               thresholdNum: Int = 2, thresholdDen: Int = 5): DataFrame = {
-    val cands = lshCandidates(shingled, idCol, shinglesCol, bands, rows)
+                               thresholdNum: Int = 2, thresholdDen: Int = 5,
+                               hashed: Option[DataFrame] = None): DataFrame = {
+    val h = hashed.getOrElse(shingleHashTable(shingled, idCol, shinglesCol))
+    val cands = lshCandidatesFromHashes(h, bands, rows)
     verifyJaccard(cands, shingled, idCol, shinglesCol, thresholdNum, thresholdDen)
   }
 
@@ -153,9 +168,11 @@ object Dedup {
     if (j == 63) h < 0 else h.bitwiseAND(lit(1L << j)) =!= 0
 
   /** SimHash per doc via explode → hash once → 64 codegen'd sums. */
-  def simhashCols(docs: DataFrame, idCol: String, shinglesCol: String): DataFrame = {
-    val hashed = docs.select(col(idCol).as("__id"), explode(col(shinglesCol)).as("__s"))
-      .select(col("__id"), xxhash64(col("__s")).as("__h"))
+  def simhashCols(docs: DataFrame, idCol: String, shinglesCol: String): DataFrame =
+    simhashColsFromHashes(shingleHashTable(docs, idCol, shinglesCol))
+
+  /** SimHash from a pre-staged (__id, __h) shingle-hash table. */
+  def simhashColsFromHashes(hashed: DataFrame): DataFrame = {
     val aggs = (0 until 64).map { j =>
       sum(when(bitSetLit(col("__h"), j), 1L).otherwise(-1L)).as(s"__v$j")
     }
@@ -180,13 +197,16 @@ object Dedup {
       docs.select(col(idCol), TextOps.shingles(col(textCol), shingleN).as("__sh")),
       idCol, "__sh", maxHamming)
 
-  /** Pipeline over a pre-staged (id, shingles) table. */
+  /** Pipeline over a pre-staged (id, shingles) table; pass `hashed` to
+    * share the staged shingle-hash table with MinHash.
+    */
   def simhashPairsFromShingles(shingled: DataFrame, idCol: String, shinglesCol: String,
-                               maxHamming: Int = 3): DataFrame = {
+                               maxHamming: Int = 3,
+                               hashed: Option[DataFrame] = None): DataFrame = {
     val nChunks = maxHamming + 1
     val width = (64 + nChunks - 1) / nChunks
-    val sh = simhashCols(shingled.select(col(idCol), col(shinglesCol).as("__sh")),
-      idCol, "__sh")
+    val sh = hashed.map(simhashColsFromHashes).getOrElse(
+      simhashCols(shingled.select(col(idCol), col(shinglesCol).as("__sh")), idCol, "__sh"))
     val chunks = sh.select(col("__id"), col("__sim"),
       explode(transform(sequence(lit(0), lit(nChunks - 1)), j =>
         struct(j.as("chunk"), col("__sim").substr(j * width + 1, lit(width)).as("bits")))).as("c"))

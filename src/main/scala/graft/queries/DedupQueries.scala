@@ -30,7 +30,8 @@ object DedupQueries {
 
     // MinHash + LSH near-dup pairs, exact-verified at jaccard >= 0.4
     "d2_minhash_lsh" -> QueryDef(
-      (s, dir) => Dedup.nearDupPairsFromShingles(Staged.docShingles(s, dir), "doc_id", "__sh")
+      (s, dir) => Dedup.nearDupPairsFromShingles(Staged.docShingles(s, dir), "doc_id", "__sh",
+          hashed = Some(Staged.docShingleHashes(s, dir)))
         .orderBy("doc_a", "doc_b"),
       Some("""WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
              |sh AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS s
@@ -50,7 +51,8 @@ object DedupQueries {
     // driver records the weaker rows-only check; semantics are covered
     // by DedupSpec against planted near-dups.
     "d3_simhash" -> QueryDef(
-      (s, dir) => Dedup.simhashPairsFromShingles(Staged.docShingles(s, dir), "doc_id", "__sh")
+      (s, dir) => Dedup.simhashPairsFromShingles(Staged.docShingles(s, dir), "doc_id", "__sh",
+          hashed = Some(Staged.docShingleHashes(s, dir)))
         .orderBy("doc_a", "doc_b"),
       None)
   )

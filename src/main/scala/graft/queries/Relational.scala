@@ -287,6 +287,70 @@ object Relational {
              |  (l_returnflag, l_linestatus))
              |ORDER BY flag, status""".stripMargin)),
 
+    // ---- analytic window suite: lead/lag/first/ntile/percent_rank ---
+    "q26_window_suite" -> QueryDef(
+      (s, dir) => {
+        val w = Window.partitionBy("l_suppkey")
+          .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        table(s, dir, "lineitem")
+          .withColumn("qty_c", cents(col("l_quantity")))
+          .withColumn("rn", row_number().over(w))
+          .withColumn("prev_qty", coalesce(lag("qty_c", 1).over(w), lit(-1L)))
+          .withColumn("next_qty", coalesce(lead("qty_c", 1).over(w), lit(-1L)))
+          .withColumn("first_qty", first("qty_c").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)))
+          .withColumn("quartile", ntile(4).over(w).cast("long"))
+          .withColumn("pct_rank", percent_rank().over(w))
+          .filter(col("rn") <= 4)
+          .select(col("l_suppkey"), col("rn").cast("long").as("rn"), col("qty_c"),
+            col("prev_qty"), col("next_qty"), col("first_qty"), col("quartile"),
+            col("pct_rank"))
+          .orderBy("l_suppkey", "rn")
+      },
+      Some("""SELECT l_suppkey, CAST(rn AS BIGINT) AS rn, qty_c, prev_qty, next_qty,
+             |  first_qty, CAST(quartile AS BIGINT) AS quartile, pct_rank
+             |FROM (
+             |  SELECT l_suppkey,
+             |    CAST(round(l_quantity*100) AS BIGINT) AS qty_c,
+             |    row_number() OVER w AS rn,
+             |    COALESCE(lag(CAST(round(l_quantity*100) AS BIGINT), 1) OVER w, -1) AS prev_qty,
+             |    COALESCE(lead(CAST(round(l_quantity*100) AS BIGINT), 1) OVER w, -1) AS next_qty,
+             |    first_value(CAST(round(l_quantity*100) AS BIGINT)) OVER
+             |      (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+             |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_qty,
+             |    ntile(4) OVER w AS quartile,
+             |    percent_rank() OVER w AS pct_rank
+             |  FROM lineitem
+             |  WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber)
+             |) WHERE rn <= 4 ORDER BY l_suppkey, rn""".stripMargin)),
+
+    // ---- full outer join (null-producing; both sides filtered so both
+    // unmatched directions occur) -------------------------------------
+    "q27_full_outer" -> QueryDef(
+      (s, dir) => {
+        val c = table(s, dir, "customer").filter(col("c_acctbal") > 8000)
+          .select(col("c_custkey"), col("c_name"))
+        val o = table(s, dir, "orders").filter(col("o_totalprice") > 400000)
+          .groupBy("o_custkey").agg(count(lit(1)).as("n_big"),
+            sum(cents(col("o_totalprice"))).as("spend_c"))
+        c.join(o, c("c_custkey") === o("o_custkey"), "full_outer")
+          .select(
+            coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
+            coalesce(col("c_name"), lit("<no-cust-row>")).as("name"),
+            coalesce(col("n_big"), lit(0L)).as("n_big"),
+            coalesce(col("spend_c"), lit(0L)).as("spend_c"))
+          .orderBy("custkey")
+      },
+      Some("""WITH c AS (SELECT c_custkey, c_name FROM customer WHERE c_acctbal > 8000),
+             |     o AS (SELECT o_custkey, count(*) AS n_big,
+             |             CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS spend_c
+             |           FROM orders WHERE o_totalprice > 400000 GROUP BY 1)
+             |SELECT COALESCE(c_custkey, o_custkey) AS custkey,
+             |  COALESCE(c_name, '<no-cust-row>') AS name,
+             |  COALESCE(n_big, 0) AS n_big, COALESCE(spend_c, 0) AS spend_c
+             |FROM c FULL OUTER JOIN o ON c_custkey = o_custkey
+             |ORDER BY custkey""".stripMargin)),
+
     // ---- correlated scalar subquery (decorrelated by Catalyst into a
     // join + agg — free per SURVEY §4.1) ------------------------------
     "q25_scalar_subquery" -> QueryDef(

@@ -40,4 +40,13 @@ object Staged {
         .select(col("doc_id"), TextOps.shingles(col("text"), 3).as("__sh"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     })
+
+  /** exploded shingle-hash table (__id, __h) shared by MinHash AND
+    * SimHash — hash each shingle once per session, not once per sketch.
+    */
+  def docShingleHashes(s: SparkSession, dir: String): DataFrame =
+    dfs.getOrElseUpdate((System.identityHashCode(s).toString + ":hash", dir), {
+      graft.operators.Dedup.shingleHashTable(docShingles(s, dir), "doc_id", "__sh")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    })
 }
