@@ -287,6 +287,73 @@ object Relational {
              |  (l_returnflag, l_linestatus))
              |ORDER BY flag, status""".stripMargin)),
 
+    // ---- array scalar functions (exact-int encodings of float outputs)
+    "q28_array_fns" -> QueryDef(
+      (s, dir) => table(s, dir, "embeddings")
+        .select(col("vec_id"),
+          size(col("embedding")).cast("long").as("emb_len"),
+          floor(element_at(col("embedding"), 1).cast("double") * 1e6).cast("long").as("e0_micro"),
+          floor(element_at(reverse(col("embedding")), 1).cast("double") * 1e6).cast("long").as("elast_micro"),
+          floor(aggregate(slice(col("embedding"), 1, 8),
+            lit(0.0), (a, x) => a + x.cast("double")) * 1e6).cast("long").as("head8_sum_micro"),
+          floor(array_max(col("embedding")).cast("double") * 1e6).cast("long").as("max_micro"),
+          floor(array_min(col("embedding")).cast("double") * 1e6).cast("long").as("min_micro"))
+        .orderBy("vec_id"),
+      Some("""SELECT vec_id,
+             |  CAST(len(embedding) AS BIGINT) AS emb_len,
+             |  CAST(floor(CAST(embedding[1] AS DOUBLE) * 1e6) AS BIGINT) AS e0_micro,
+             |  CAST(floor(CAST(embedding[len(embedding)] AS DOUBLE) * 1e6) AS BIGINT) AS elast_micro,
+             |  CAST(floor(list_reduce(list_prepend(0.0, list_transform(embedding[1:8],
+             |      x -> CAST(x AS DOUBLE))), (a, b) -> a + b) * 1e6) AS BIGINT) AS head8_sum_micro,
+             |  CAST(floor(CAST(list_max(embedding) AS DOUBLE) * 1e6) AS BIGINT) AS max_micro,
+             |  CAST(floor(CAST(list_min(embedding) AS DOUBLE) * 1e6) AS BIGINT) AS min_micro
+             |FROM embeddings ORDER BY vec_id""".stripMargin)),
+
+    // ---- date/time scalar functions ---------------------------------
+    "q29_date_fns" -> QueryDef(
+      (s, dir) => {
+        val li = table(s, dir, "lineitem")
+        val o = table(s, dir, "orders")
+        li.join(o, li("l_orderkey") === o("o_orderkey"))
+          .filter(col("l_linenumber") === 1 && col("l_orderkey") < 500)
+          .select(col("l_orderkey"),
+            datediff(col("l_shipdate"), col("o_orderdate")).cast("long").as("ship_lag_days"),
+            month(col("l_shipdate")).cast("long").as("ship_month"),
+            quarter(col("l_shipdate")).cast("long").as("ship_quarter"),
+            (dayofweek(col("l_shipdate")) - 1).cast("long").as("ship_dow"), // 0=Sunday
+            date_format(last_day(col("l_shipdate")), "yyyy-MM-dd").as("month_end"))
+          .orderBy("l_orderkey")
+      },
+      Some("""SELECT l_orderkey,
+             |  CAST(datediff('day', o_orderdate, l_shipdate) AS BIGINT) AS ship_lag_days,
+             |  CAST(month(l_shipdate) AS BIGINT) AS ship_month,
+             |  CAST(quarter(l_shipdate) AS BIGINT) AS ship_quarter,
+             |  CAST(dayofweek(l_shipdate) AS BIGINT) AS ship_dow,
+             |  strftime(last_day(l_shipdate), '%Y-%m-%d') AS month_end
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |WHERE l_linenumber = 1 AND l_orderkey < 500
+             |ORDER BY l_orderkey""".stripMargin)),
+
+    // ---- string scalar functions (incl. levenshtein) ----------------
+    "q30_string_fns" -> QueryDef(
+      (s, dir) => table(s, dir, "part")
+        .select(col("p_partkey"),
+          levenshtein(col("p_brand"), col("p_type")).cast("long").as("lev"),
+          lpad(col("p_brand"), 12, "_").as("brand_pad"),
+          reverse(col("p_name")).as("name_rev"),
+          regexp_replace(col("p_name"), "[aeiou]", "*").as("name_novowel"),
+          instr(col("p_type"), " ").cast("long").as("first_space"),
+          expr("split_part(p_type, ' ', 1)").as("type_head"))
+        .orderBy("p_partkey"),
+      Some("""SELECT p_partkey,
+             |  CAST(levenshtein(p_brand, p_type) AS BIGINT) AS lev,
+             |  lpad(p_brand, 12, '_') AS brand_pad,
+             |  reverse(p_name) AS name_rev,
+             |  regexp_replace(p_name, '[aeiou]', '*', 'g') AS name_novowel,
+             |  CAST(strpos(p_type, ' ') AS BIGINT) AS first_space,
+             |  split_part(p_type, ' ', 1) AS type_head
+             |FROM part ORDER BY p_partkey""".stripMargin)),
+
     // ---- analytic window suite: lead/lag/first/ntile/percent_rank ---
     "q26_window_suite" -> QueryDef(
       (s, dir) => {
