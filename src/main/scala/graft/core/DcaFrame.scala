@@ -351,6 +351,10 @@ object DcaFrame {
     * partition-local sort, then indices are assigned with per-partition
     * offsets (zipWithIndex): two light jobs, no single-partition stage —
     * scales to arbitrarily large inputs.
+    *
+    * `sortCols` MUST be a unique key: ties would make the assigned row
+    * identity depend on partitioning, breaking the deterministic-order
+    * contract every downstream op relies on (SURVEY §1.1 row identity).
     */
   def fromDF(df: DataFrame, sortCols: Seq[Column], arrayCols: Seq[String] = Nil,
              statics: Map[String, Any] = Map.empty): DcaFrame = {

@@ -119,8 +119,13 @@ object Dedup {
   /** Full MinHash-LSH near-dup pipeline: shingle → sign → band →
     * bucket-join → exact-verify.
     */
+  /** Default bands=32 x rows=2 (k=64): a j=0.4 pair is missed w.p.
+    * (1-0.16)^32 ≈ 0.4%, a j=0.9 near-dup w.p. ~3e-12; signature cost
+    * is linear in k, so doubling bands only buys the last 0.4% at the
+    * borderline — raise bands when the threshold or corpus demands it.
+    */
   def nearDupPairs(docs: DataFrame, textCol: String, idCol: String,
-                   shingleN: Int = 3, bands: Int = 64, rows: Int = 2,
+                   shingleN: Int = 3, bands: Int = 32, rows: Int = 2,
                    thresholdNum: Int = 2, thresholdDen: Int = 5): DataFrame = {
     // The shingle table feeds signature generation once and the verify
     // join twice: stage it. Locally a memory/disk cache; at 100 TB the
@@ -135,7 +140,7 @@ object Dedup {
     * re-exploding).
     */
   def nearDupPairsFromShingles(shingled: DataFrame, idCol: String, shinglesCol: String,
-                               bands: Int = 64, rows: Int = 2,
+                               bands: Int = 32, rows: Int = 2,
                                thresholdNum: Int = 2, thresholdDen: Int = 5,
                                hashed: Option[DataFrame] = None): DataFrame = {
     val h = hashed.getOrElse(shingleHashTable(shingled, idCol, shinglesCol))
