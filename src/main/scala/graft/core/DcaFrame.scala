@@ -309,6 +309,16 @@ final case class DcaFrame(
     df.select((idxCols ++ arrayCols).map(col): _*)
       .write.mode("overwrite").parquet(path)
 
+  /** Storage-placement analog of the reference's `.to(device)` (I6,
+    * `array_dataclass.py:565-581`): placement is the cluster's job; the
+    * user-controllable knob is the storage level.
+    */
+  def persist(level: org.apache.spark.storage.StorageLevel =
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK): DcaFrame =
+    copy(df = df.persist(level))
+
+  def unpersist(): DcaFrame = copy(df = df.unpersist())
+
   // ---------------------------------------------------------------------
   // Vectorize alignment (V2): join the other frame on the shared batch
   // index after broadcasting both to the joint shape.

@@ -40,7 +40,7 @@ final case class DcaField(
       case _ :: rest =>
         if (rest.isEmpty) lit(true) else go(element_at(cc, 1), rest)
     }
-    go(c, inner.toList) && (if (nested.isEmpty) lit(true) else lit(true))
+    go(c, inner.toList)
   }
 }
 
