@@ -72,16 +72,17 @@ object Similarity {
     * nProbe/nCells of the data).
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-              nCells: Int = 16, nProbe: Int = 4,
+              nCells: Int = 16, nProbe: Int = 4, refineIters: Int = 0,
               idCol: String = "vec_id", vecCol: String = "embedding",
               qidCol: String = "qid", qvecCol: String = "qvec"): DataFrame = {
     // deterministic centroid sample by id stride: no global sort of the
     // corpus (TakeOrdered gathers only nCells rows)
     val total = corpus.count()
     val stride = math.max(1L, total / nCells)
-    val centroids = corpus.filter(pmod(col(idCol), lit(stride)) === 0)
+    val bootstrap = corpus.filter(pmod(col(idCol), lit(stride)) === 0)
       .orderBy(idCol).limit(nCells)
       .select(col(idCol).as("__cell"), col(vecCol).as("__cvec"))
+    val centroids = refineCentroids(corpus, bootstrap, refineIters, idCol, vecCol)
 
     val cells = corpus.crossJoin(broadcast(centroids))
       .withColumn("__csim", cosine(col(vecCol), col("__cvec")))
@@ -105,6 +106,38 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col(qidCol), col("rank").cast("long").as("rank"), col(idCol),
         floor(col("__cos") * 1e6).cast("long").as("cos_micro"))
+  }
+
+  /** Lloyd (k-means) refinement of IVF centroids: assign every vector
+    * to its nearest centroid, replace each centroid by its cell's mean.
+    * Fully distributed: the mean is a posexplode → (cell, dim) avg →
+    * array reassembly; per iteration one broadcast-assign pass plus one
+    * small shuffle keyed on (cell, dim). Cells that lose all members
+    * keep their previous centroid.
+    */
+  def refineCentroids(corpus: DataFrame, centroids0: DataFrame, iters: Int,
+                      idCol: String, vecCol: String): DataFrame = {
+    var cents = centroids0
+    for (_ <- 0 until iters) {
+      val assigned = corpus.crossJoin(broadcast(cents))
+        .withColumn("__csim", cosine(col(vecCol), col("__cvec")))
+        .withColumn("__crank", row_number().over(
+          Window.partitionBy(idCol).orderBy(col("__csim").desc, col("__cell").asc)))
+        .filter(col("__crank") === 1)
+        .select(col("__cell"), col(vecCol))
+      val means = assigned
+        .select(col("__cell"), posexplode(col(vecCol)).as(Seq("__pos", "__x")))
+        .groupBy("__cell", "__pos")
+        .agg(avg(col("__x").cast("double")).as("__m"))
+        .groupBy("__cell")
+        .agg(transform(
+          array_sort(collect_list(struct(col("__pos"), col("__m")))),
+          e => e.getField("__m").cast("float")).as("__newvec"))
+      // keep old centroid for cells with no members this round
+      cents = cents.join(means, Seq("__cell"), "left")
+        .select(col("__cell"), coalesce(col("__newvec"), col("__cvec")).as("__cvec"))
+    }
+    cents
   }
 
   /** Deterministic pseudo-random hyperplane weight for (dim i, plane j):

@@ -59,7 +59,7 @@ object SimilarityQueries {
         val emb = table(s, dir, "embeddings")
         val queries = emb.filter(col("vec_id").isInCollection(QueryIds))
           .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
-        Similarity.ivfTopK(emb, queries, K, nCells = 16, nProbe = 6)
+        Similarity.ivfTopK(emb, queries, K, nCells = 16, nProbe = 6, refineIters = 2)
           .orderBy("qid", "rank")
       },
       None),

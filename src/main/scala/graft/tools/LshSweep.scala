@@ -33,6 +33,15 @@ object LshSweep {
       val recall = (exact & approx).size.toDouble / exact.size
       println(f"[lsh] planes=$planes%-3d rows=$rows  recall=$recall%.2f  ${secs}%5.1fs (corpus $n)")
     }
+    for (refine <- Seq(0, 1, 2); nProbe <- Seq(4, 6)) {
+      val t0 = System.nanoTime()
+      val approx = Similarity.ivfTopK(emb, q, 10, nCells = 16, nProbe = nProbe,
+          refineIters = refine)
+        .select("qid", "vec_id").as[(Long, Long)].collect().toSet
+      val secs = (System.nanoTime() - t0) / 1e9
+      val recall = (exact & approx).size.toDouble / exact.size
+      println(f"[ivf] refine=$refine nProbe=$nProbe  recall=$recall%.2f  ${secs}%5.1fs")
+    }
     spark.stop()
   }
 }
