@@ -30,6 +30,28 @@ object EventStream {
       .groupBy(window(col("ets"), window_), col("userId"))
       .agg(count(lit(1)).as("n"), sum("valueC").as("value_c"))
 
+  /** Stream-stream interval join: each left event matches right events
+    * of the same user within the trailing `windowUs` interval
+    * (rts ∈ [lts - window, lts]). Both sides watermarked so Spark can
+    * bound the join state — the state-cleanup contract that makes
+    * stream-stream joins viable on an unbounded 100 TB/day stream.
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame, windowUs: Long,
+                   watermark: String = "30 minutes"): DataFrame = {
+    val l = left
+      .withColumnRenamed("userId", "l_user").withColumnRenamed("valueC", "l_value")
+      .withColumn("lts", timestamp_micros(col("tsUs"))).drop("tsUs")
+      .withWatermark("lts", watermark)
+    val r = right
+      .withColumnRenamed("userId", "r_user").withColumnRenamed("valueC", "r_value")
+      .withColumn("rts", timestamp_micros(col("tsUs"))).drop("tsUs")
+      .withWatermark("rts", watermark)
+    l.join(r,
+      col("l_user") === col("r_user") &&
+        col("rts") >= col("lts") - expr(s"INTERVAL ${windowUs / 1000000L} SECONDS") &&
+        col("rts") <= col("lts"))
+  }
+
   /** Streaming exact dedup: drop duplicate event ids arriving within
     * the watermark window — the streaming face of the dedup operator
     * family (state is bounded by the watermark; exactly the semantics a

@@ -30,6 +30,28 @@ class EventStreamSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("stream-stream interval join matches within the trailing window only") {
+    implicit val sqlCtx = spark.sqlContext
+    val actions = MemoryStream[(Long, Long, Long)]   // (userId, tsUs, valueC)
+    val purchases = MemoryStream[(Long, Long, Long)]
+    val joined = EventStream.intervalJoin(
+      actions.toDF().toDF("userId", "tsUs", "valueC"),
+      purchases.toDF().toDF("userId", "tsUs", "valueC"),
+      windowUs = 30 * Min)
+    val q = joined.writeStream.format("memory").queryName("ij")
+      .outputMode(OutputMode.Append).start()
+    try {
+      val T0 = 86400L * 1000000L
+      purchases.addData((1L, T0 - 60 * Min, 111L), (1L, T0 + 5 * Min, 222L), (2L, T0 + 6 * Min, 333L))
+      actions.addData((1L, T0 + 10 * Min, 1L))
+      q.processAllAvailable()
+      val matches = spark.table("ij").selectExpr("l_user", "r_value")
+        .as[(Long, Long)].collect().toSet
+      // only the same-user purchase inside [lts-30min, lts] matches
+      assert(matches == Set((1L, 222L)))
+    } finally q.stop()
+  }
+
   test("streaming dedup drops duplicate ids within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, Long, Long)] // (eventId, tsUs, valueC)
