@@ -199,6 +199,22 @@ class DcaSchemaSpec extends SparkTestBase {
     intercept[IllegalArgumentException](DcaSchema.field("p", FloatType, "3 4"))
   }
 
+  test("castDtype=false leaves source dtypes untouched") {
+    import spark.implicits._
+    val schema = DcaSchema(Vector(DcaSchema.field("w", DoubleType)), castDtype = false)
+    val df = Seq(1, 2).toDF("w") // IntegerType source
+    assert(schema.conform(df).schema("w").dataType == IntegerType)
+    assert(DcaSchema(Vector(DcaSchema.field("w", DoubleType)))
+      .conform(df).schema("w").dataType == DoubleType)
+  }
+
+  test("Staged cache keys by sf dir: mixed dirs in one session stay distinct") {
+    val a = graft.queries.Staged.liFrame(spark, "/root/testdata/sf0.001")
+    val b = graft.queries.Staged.liFrame(spark, "/root/testdata/sf0.01")
+    assert(a.shape.head == 6000L, s"sf0.001 got ${a.shape}")
+    assert(b.shape.head == 60000L, s"sf0.01 got ${b.shape}")
+  }
+
   test("dynamic inner dims: '... 3 _' enforces the static dim, allows per-row dynamic") {
     // PointDynamicShape fixture shape (array_dataclass_test.py:696-747)
     val schema = DcaSchema(Vector(DcaSchema.field("y", IntegerType, "... 3 _")))
