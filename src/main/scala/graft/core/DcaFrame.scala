@@ -71,16 +71,19 @@ final case class DcaFrame(
     val target = Shape.resolveReshape(shape, to)
     if (target == shape) this
     else {
-      val lin = linearIndex
+      // integral `div` (not Column./, which is double division and
+      // loses exactness above 2^53 — the 100-TB contract needs the
+      // full long range); __lin is materialized so expr() can name it
+      val withLin = df.withColumn("__lin", linearIndex)
       val st = Shape.strides(target)
       val newIdx = target.indices.map { i =>
-        val q = if (st(i) == 1L) lin % lit(target(i))
-                else if (i == 0) lin.divide(lit(st(i))).cast(LongType)
-                else (lin.divide(lit(st(i)))).cast(LongType) % lit(target(i))
+        val q = if (st(i) == 1L) col("__lin") % lit(target(i))
+                else if (i == 0) expr(s"__lin div ${st(i)}")
+                else expr(s"__lin div ${st(i)}") % lit(target(i))
         q.cast(LongType).as(s"__nidx$i")
       }
       val kept = arrayCols.map(col)
-      val renamed = df.select(newIdx ++ kept: _*)
+      val renamed = withLin.select(newIdx ++ kept: _*)
       val fin = target.indices.foldLeft(renamed)((d, i) => d.withColumnRenamed(s"__nidx$i", s"__idx$i"))
       copy(df = fin, shape = target)
     }
@@ -103,8 +106,9 @@ final case class DcaFrame(
       val dims = group.map(sizes)
       val strides = dims.scanRight(1L)(_ * _).tail
       group.zip(strides).zip(dims).map { case ((n, st), d) =>
+        // integral div for exactness over the full long range
         val q = if (st == 1L) idx(gi) % lit(d)
-                else (idx(gi).divide(lit(st))).cast(LongType) % lit(d)
+                else expr(s"__idx$gi div $st") % lit(d)
         n -> q
       }
     }.toMap
@@ -184,7 +188,9 @@ final case class DcaFrame(
         val stepAbs = math.abs(step)
         cur = cur.filter(off >= 0 && (off % lit(stepAbs) === 0) &&
           off < lit(newLen * stepAbs))
-        outCols += ((s"__oidx$outPos", (off / lit(stepAbs)).cast(LongType)))
+        // integral div (exact over the full long range)
+        val offSql = if (step > 0) s"(__idx$axis - $start)" else s"($start - __idx$axis)"
+        outCols += ((s"__oidx$outPos", expr(s"$offSql div $stepAbs").cast(LongType)))
         axis += 1
         outPos += 1
     }
@@ -415,7 +421,11 @@ object DcaFrame {
       else df.repartitionByRange(sortCols: _*).sortWithinPartitions(sortCols: _*)
     val schema = sorted.schema
     val rdd = sorted.rdd.zipWithIndex().map { case (r, i) => Row.fromSeq(i +: r.toSeq) }
+    // persist BEFORE the caller's shape-count: the sort+index pipeline
+    // is the expensive stage and would otherwise execute twice (once
+    // for the count, once for the first downstream action)
     spark.createDataFrame(rdd, new StructType((new StructType().add("__idx0", LongType) ++ schema).toArray))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
 
   /** Stack k same-shape frames along a NEW axis (M1, `ops.py:90-106`):

@@ -15,6 +15,10 @@ import org.apache.spark.sql.expressions.Window
   * at 100 TB (a theta/range join would rescan right per left row; AQE
   * cannot save it).
   *
+  * The right row's values travel as ONE struct, so the window fill is
+  * atomic: a right row with NULLs in some value columns can never be
+  * "torn" across two different right rows.
+  *
   * Ties: a right row at exactly the left time IS matched (tag orders
   * right before left). Multiple right rows per (key, time) must be
   * pre-deduplicated by the caller (deterministic output requires it).
@@ -41,32 +45,24 @@ object AsOfJoin {
     val leftCols = left.columns.toSeq
     require(valueCols.forall(!leftCols.contains(_)),
       s"valueCols ${valueCols.filter(leftCols.contains)} clash with left columns")
+    require(!leftCols.contains("asof_time"), "left must not already have an asof_time column")
 
     val l = left
       .withColumn("__k", col(leftKey)).withColumn("__t", col(leftTime))
       .withColumn("__tag", lit(1))
-    val lAligned = valueCols.foldLeft(l)((d, c) => d.withColumn(c, lit(null)))
+    val r = right.select(
+      col(rightKey).as("__k"), col(rightTime).as("__t"), lit(0).as("__tag"),
+      struct((col(rightTime).as("asof_time") +: valueCols.map(col)): _*).as("__rv"))
 
-    val rBase = right
-      .withColumn("__k", col(rightKey)).withColumn("__t", col(rightTime))
-      .withColumn("__tag", lit(0))
-      .withColumn("__rt", col(rightTime))
-    val rAligned = leftCols.foldLeft(rBase)((d, c) =>
-      if (c == "__k" || c == "__t") d
-      else d.withColumn(c, lit(null)))
-      .select(("__k" +: "__t" +: "__tag" +: "__rt" +: (leftCols.filterNot(Seq("__k","__t").contains) ++ valueCols)).distinct.map(col): _*)
-
-    val lFinal = lAligned.withColumn("__rt", lit(null).cast(rBase.schema("__rt").dataType))
-      .select(("__k" +: "__t" +: "__tag" +: "__rt" +: (leftCols.filterNot(Seq("__k","__t").contains) ++ valueCols)).distinct.map(col): _*)
-
-    val unioned = lFinal.unionByName(rAligned)
+    // allowMissingColumns: left lacks __rv, right lacks the left payload
+    val unioned = l.unionByName(r, allowMissingColumns = true)
     val w = Window.partitionBy("__k").orderBy(col("__t"), col("__tag"))
       .rowsBetween(Window.unboundedPreceding, 0)
-    val filled = (valueCols :+ "__rt").foldLeft(unioned)((d, c) =>
-      d.withColumn(c, last(col(c), ignoreNulls = true).over(w)))
-    val matchedOnly = if (inner) filled.filter(col("__rt").isNotNull) else filled
+    val filled = unioned.withColumn("__rv", last(col("__rv"), ignoreNulls = true).over(w))
+    val matchedOnly = if (inner) filled.filter(col("__rv").isNotNull) else filled
     matchedOnly.filter(col("__tag") === 1)
-      .withColumnRenamed("__rt", "asof_time")
-      .drop("__k", "__t", "__tag")
+      .select(leftCols.map(col) ++
+        (col("__rv.asof_time").as("asof_time") +:
+          valueCols.map(c => col(s"__rv.$c").as(c))): _*)
   }
 }

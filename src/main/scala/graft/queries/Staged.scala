@@ -18,35 +18,45 @@ import QueryDef.{table, cents}
   * recompute it per consumer).
   */
 object Staged {
-  private val frames = TrieMap.empty[(String, String), DcaFrame]
-  private val dfs = TrieMap.empty[(String, String), DataFrame]
+  // keyed WEAKLY by the session object: a stopped, collected session's
+  // entries vanish with it (identity-hash keys could collide or serve a
+  // dead session's frames to a new one)
+  private val perSession =
+    new java.util.WeakHashMap[SparkSession, TrieMap[String, Any]]()
+
+  private def cacheFor(s: SparkSession): TrieMap[String, Any] =
+    perSession.synchronized {
+      var m = perSession.get(s)
+      if (m == null) { m = TrieMap.empty[String, Any]; perSession.put(s, m) }
+      m
+    }
 
   /** lineitem as a 1-D DcaFrame ordered by (l_orderkey, l_linenumber),
-    * payload (keys + qty cents); persisted after first build.
+    * payload (keys + qty cents); persisted (inside fromDF) on first
+    * build.
     */
   def liFrame(s: SparkSession, dir: String): DcaFrame =
-    frames.getOrElseUpdate((System.identityHashCode(s).toString, dir), {
+    cacheFor(s).getOrElseUpdate(s"li:$dir", {
       val df = table(s, dir, "lineitem")
         .select(col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
           cents(col("l_quantity")).as("qty_c"))
-      val f = DcaFrame.fromDF(df, Seq(col("l_orderkey"), col("l_linenumber")))
-      f.copy(df = f.df.persist(StorageLevel.MEMORY_AND_DISK))
-    })
+      DcaFrame.fromDF(df, Seq(col("l_orderkey"), col("l_linenumber")))
+    }).asInstanceOf[DcaFrame]
 
   /** documents 3-gram shingle table (doc_id, __sh), persisted. */
   def docShingles(s: SparkSession, dir: String): DataFrame =
-    dfs.getOrElseUpdate((System.identityHashCode(s).toString, dir), {
+    cacheFor(s).getOrElseUpdate(s"sh:$dir", {
       table(s, dir, "documents")
         .select(col("doc_id"), TextOps.shingles(col("text"), 3).as("__sh"))
         .persist(StorageLevel.MEMORY_AND_DISK)
-    })
+    }).asInstanceOf[DataFrame]
 
   /** exploded shingle-hash table (__id, __h) shared by MinHash AND
     * SimHash — hash each shingle once per session, not once per sketch.
     */
   def docShingleHashes(s: SparkSession, dir: String): DataFrame =
-    dfs.getOrElseUpdate((System.identityHashCode(s).toString + ":hash", dir), {
+    cacheFor(s).getOrElseUpdate(s"shh:$dir", {
       graft.operators.Dedup.shingleHashTable(docShingles(s, dir), "doc_id", "__sh")
         .persist(StorageLevel.MEMORY_AND_DISK)
-    })
+    }).asInstanceOf[DataFrame]
 }

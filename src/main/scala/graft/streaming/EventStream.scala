@@ -48,7 +48,7 @@ object EventStream {
       .withWatermark("rts", watermark)
     l.join(r,
       col("l_user") === col("r_user") &&
-        col("rts") >= col("lts") - expr(s"INTERVAL ${windowUs / 1000000L} SECONDS") &&
+        col("rts") >= col("lts") - expr(s"INTERVAL $windowUs MICROSECONDS") &&
         col("rts") <= col("lts"))
   }
 
@@ -95,6 +95,13 @@ object EventStream {
                 case Some(s) if e.tsUs > s.endUs + gapUs =>
                   closed += Session(userId, s.startUs, s.endUs, s.n, s.valueC)
                   open = Some(OpenSession(e.tsUs, e.tsUs, 1L, e.valueC))
+                case Some(s) if e.tsUs < s.startUs - gapUs =>
+                  // late event more than a gap BEFORE the open session:
+                  // by gap semantics it belongs to an earlier session —
+                  // emit it as its own closed session (anything that
+                  // could have merged with it is older still and would
+                  // already be beyond the watermark), keep `open` as-is
+                  closed += Session(userId, e.tsUs, e.tsUs, 1L, e.valueC)
                 case Some(s) =>
                   open = Some(OpenSession(math.min(s.startUs, e.tsUs),
                     math.max(s.endUs, e.tsUs), s.n + 1, s.valueC + e.valueC))

@@ -76,6 +76,15 @@ class SimilaritySpec extends SparkTestBase {
     assert(top.forall(_ % 10 == 0), s"got ${top.toSeq}")
   }
 
+  test("dot_f32 returns NULL on length mismatch, matching the HOF path") {
+    graft.functions.VectorExpressions.register(spark)
+    val df = Seq((Seq(1f, 2f, 3f), Seq(1f, 2f))).toDF("a", "b")
+    val hof = df.select(Similarity.dot(col("a"), col("b"))).collect().head
+    val native = df.select(Similarity.dotNative(col("a"), col("b"))).collect().head
+    assert(hof.isNullAt(0) && native.isNullAt(0),
+      s"length-mismatch must be NULL on both paths: hof=$hof native=$native")
+  }
+
   test("native dot_f32 expression is bit-identical to the HOF fold") {
     graft.functions.VectorExpressions.register(spark)
     val c = corpus()
@@ -196,6 +205,18 @@ class AsOfJoinSpec extends SparkTestBase {
     val out = AsOfJoin.backward(left, right, "k", "rk", "t", "rt", Seq("v"))
       .select("ev", "v").as[(String, Long)].collect().toMap
     assert(out == Map("e1" -> 100L, "e2" -> 200L, "e3" -> 400L)) // e4: no match, inner drops
+  }
+
+  test("as-of fill is atomic: a right row with NULL values is never torn") {
+    // right at t=1 has (7, 5); right at t=5 has (9, NULL). A left row at
+    // t=6 must get (9, NULL) — not orderkey from one row and total from
+    // another.
+    val left = Seq((1L, 6L, "e1")).toDF("k", "t", "ev")
+    val right = Seq((1L, 1L, Some(7L), Some(5L)), (1L, 5L, Some(9L), None))
+      .toDF("rk", "rt", "ok", "total")
+    val out = AsOfJoin.backward(left, right, "k", "rk", "t", "rt", Seq("ok", "total"))
+      .select("ok", "total").collect().head
+    assert(out.getLong(0) == 9L && out.isNullAt(1), s"torn row: $out")
   }
 
   test("left as-of keeps unmatched rows with null") {

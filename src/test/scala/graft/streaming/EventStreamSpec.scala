@@ -30,6 +30,46 @@ class EventStreamSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("late event a gap BEFORE the open session becomes its own session") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val sessions = EventStream.sessionize(spark, input.toDS(), gapUs = 30 * Min,
+      watermarkDelay = "6 hours")
+    val q = sessions.writeStream.format("memory").queryName("late_sess")
+      .outputMode(OutputMode.Append).start()
+    try {
+      val T0 = 86400L * 1000000L
+      input.addData(Event(1L, T0 + 180 * Min, 10L)) // open session at +3h
+      q.processAllAvailable()
+      input.addData(Event(1L, T0, 99L)) // late, 3h before open start
+      q.processAllAvailable()
+      val out = spark.table("late_sess").as[Session].collect().toSeq
+      // the late event closes immediately as a singleton; the open
+      // session stays open (and untouched)
+      assert(out == Seq(Session(1L, T0, T0, 1L, 99L)), s"got $out")
+    } finally q.stop()
+  }
+
+  test("interval join honors sub-second windows (no truncation)") {
+    implicit val sqlCtx = spark.sqlContext
+    val actions = MemoryStream[(Long, Long, Long)]
+    val purchases = MemoryStream[(Long, Long, Long)]
+    val joined = EventStream.intervalJoin(
+      actions.toDF().toDF("userId", "tsUs", "valueC"),
+      purchases.toDF().toDF("userId", "tsUs", "valueC"),
+      windowUs = 500000L) // 0.5 s
+    val q = joined.writeStream.format("memory").queryName("subsec")
+      .outputMode(OutputMode.Append).start()
+    try {
+      val T0 = 86400L * 1000000L
+      purchases.addData((1L, T0 - 400000L, 1L), (1L, T0 - 900000L, 2L))
+      actions.addData((1L, T0, 0L))
+      q.processAllAvailable()
+      val vals = spark.table("subsec").selectExpr("r_value").as[Long].collect().toSet
+      assert(vals == Set(1L), s"0.4s-ago must match, 0.9s-ago must not: $vals")
+    } finally q.stop()
+  }
+
   test("stream-stream interval join matches within the trailing window only") {
     implicit val sqlCtx = spark.sqlContext
     val actions = MemoryStream[(Long, Long, Long)]   // (userId, tsUs, valueC)
