@@ -73,13 +73,16 @@ final case class DcaFrame(
     else {
       // integral `div` (not Column./, which is double division and
       // loses exactness above 2^53 — the 100-TB contract needs the
-      // full long range); __lin is materialized so expr() can name it
-      val withLin = df.withColumn("__lin", linearIndex)
+      // full long range); the linear index is materialized under a
+      // reserved name so expr() can reference it
+      require(!df.columns.contains("__graft_lin"),
+        "__graft_lin is a reserved column name")
+      val withLin = df.withColumn("__graft_lin", linearIndex)
       val st = Shape.strides(target)
       val newIdx = target.indices.map { i =>
-        val q = if (st(i) == 1L) col("__lin") % lit(target(i))
-                else if (i == 0) expr(s"__lin div ${st(i)}")
-                else expr(s"__lin div ${st(i)}") % lit(target(i))
+        val q = if (st(i) == 1L) col("__graft_lin") % lit(target(i))
+                else if (i == 0) expr(s"__graft_lin div ${st(i)}")
+                else expr(s"__graft_lin div ${st(i)}") % lit(target(i))
         q.cast(LongType).as(s"__nidx$i")
       }
       val kept = arrayCols.map(col)
@@ -209,8 +212,11 @@ final case class DcaFrame(
     */
   def mask(pred: Column): DcaFrame = {
     val filtered = df.filter(pred)
-      .select(linearIndex.as("__lin") +: arrayCols.map(col): _*)
-    val out = DcaFrame.denseIndex(filtered, Seq(col("__lin"))).drop("__lin")
+      .select(linearIndex.as("__graft_lin") +: arrayCols.map(col): _*)
+    // persist the final df before the shape-count (single execution of
+    // the sort+re-index; releasable via unpersist())
+    val out = DcaFrame.denseIndex(filtered, Seq(col("__graft_lin"))).drop("__graft_lin")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val n = out.count()
     copy(df = out, shape = Vector(n))
   }
@@ -375,9 +381,14 @@ object DcaFrame {
   def fromDF(df: DataFrame, sortCols: Seq[Column], arrayCols: Seq[String] = Nil,
              statics: Map[String, Any] = Map.empty): DcaFrame = {
     val cols = if (arrayCols.nonEmpty) arrayCols.toVector else df.columns.toVector
-    val indexed = denseIndex(df.select(cols.map(col): _*), sortCols)
-    val n = indexed.count()
-    DcaFrame(indexed.select((col("__idx0") +: cols.map(col)): _*), Vector(n), cols, statics)
+    // persist the FINAL frame df (not an upstream plan) before the
+    // shape-count: the sort+index pipeline runs once, and
+    // DcaFrame.unpersist() releases exactly this cached Dataset
+    val out = denseIndex(df.select(cols.map(col): _*), sortCols)
+      .select((col("__idx0") +: cols.map(col)): _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = out.count()
+    DcaFrame(out, Vector(n), cols, statics)
   }
 
   /** Local construction (tests / small data): rows in given order. */
@@ -421,11 +432,7 @@ object DcaFrame {
       else df.repartitionByRange(sortCols: _*).sortWithinPartitions(sortCols: _*)
     val schema = sorted.schema
     val rdd = sorted.rdd.zipWithIndex().map { case (r, i) => Row.fromSeq(i +: r.toSeq) }
-    // persist BEFORE the caller's shape-count: the sort+index pipeline
-    // is the expensive stage and would otherwise execute twice (once
-    // for the count, once for the first downstream action)
     spark.createDataFrame(rdd, new StructType((new StructType().add("__idx0", LongType) ++ schema).toArray))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
 
   /** Stack k same-shape frames along a NEW axis (M1, `ops.py:90-106`):

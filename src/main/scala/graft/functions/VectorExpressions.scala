@@ -35,10 +35,11 @@ case class DotF32(left: Expression, right: Expression) extends BinaryExpression 
 
   override def nullable: Boolean = true
 
-  /** NULL on length mismatch — identical to the HOF formulation
-    * (`aggregate(zip_with(a, b, ...))`), where zip_with null-pads the
-    * shorter array and the sum becomes NULL. A silent partial dot
-    * product would let a corrupt short vector score finitely.
+  /** NULL on length mismatch OR any NULL element — identical to the
+    * HOF formulation (`aggregate(zip_with(a, b, ...))`): zip_with
+    * null-pads the shorter array, and a NULL element poisons the sum.
+    * A silent partial dot product would let a corrupt vector score
+    * finitely.
     */
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
@@ -49,6 +50,7 @@ case class DotF32(left: Expression, right: Expression) extends BinaryExpression 
       var s = 0.0
       var i = 0
       while (i < n) {
+        if (x.isNullAt(i) || y.isNullAt(i)) return null
         s += x.getFloat(i).toDouble * y.getFloat(i).toDouble
         i += 1
       }
@@ -68,9 +70,10 @@ case class DotF32(left: Expression, right: Expression) extends BinaryExpression 
          |} else {
          |  double $s = 0.0;
          |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
          |    $s += (double) $a.getFloat($i) * (double) $b.getFloat($i);
          |  }
-         |  ${ev.value} = $s;
+         |  if (!${ev.isNull}) { ${ev.value} = $s; }
          |}
        """.stripMargin
     })

@@ -46,6 +46,8 @@ object AsOfJoin {
     require(valueCols.forall(!leftCols.contains(_)),
       s"valueCols ${valueCols.filter(leftCols.contains)} clash with left columns")
     require(!leftCols.contains("asof_time"), "left must not already have an asof_time column")
+    require(!valueCols.contains("asof_time"), "asof_time is reserved for the matched right time")
+    require(!leftCols.contains("__rv"), "__rv is a reserved column name")
 
     val l = left
       .withColumn("__k", col(leftKey)).withColumn("__t", col(leftTime))

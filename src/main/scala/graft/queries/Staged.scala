@@ -18,9 +18,11 @@ import QueryDef.{table, cents}
   * recompute it per consumer).
   */
 object Staged {
-  // keyed WEAKLY by the session object: a stopped, collected session's
-  // entries vanish with it (identity-hash keys could collide or serve a
-  // dead session's frames to a new one)
+  // keyed by session IDENTITY so a new session can never be served a
+  // dead session's frames (plain hash keys could collide). Note the
+  // cached values reference their session, so entries are NOT
+  // GC-reclaimed before the driver exits — the leak is bounded (a few
+  // small frames per session) and accepted for correctness.
   private val perSession =
     new java.util.WeakHashMap[SparkSession, TrieMap[String, Any]]()
 

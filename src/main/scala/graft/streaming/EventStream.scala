@@ -18,6 +18,7 @@ object EventStream {
 
   final case class Event(userId: Long, tsUs: Long, valueC: Long)
   final case class OpenSession(startUs: Long, endUs: Long, n: Long, valueC: Long)
+  final case class SessionState(sessions: Seq[OpenSession])
   final case class Session(userId: Long, startUs: Long, endUs: Long,
                            nEvents: Long, valueC: Long)
 
@@ -64,11 +65,14 @@ object EventStream {
       .withWatermark("ets", watermark)
       .dropDuplicatesWithinWatermark(idCol)
 
-  /** Gap-based sessionization: a session CLOSES (and is emitted) when a
-    * later event of the same user arrives more than `gapUs` after the
-    * session's end, or when event-time timeout fires past the
-    * watermark. Out-of-order events within the gap extend the open
-    * session in both directions.
+  /** Gap-based sessionization. State holds ALL open sessions for the
+    * user (normally one; more when late data opens earlier sessions);
+    * an event merges every session within `gapUs` of it — possibly
+    * BRIDGING two sessions into one. A session closes (emitted, Append
+    * mode — emission must be final) only when the event-time watermark
+    * passes its end + gap, i.e. when no event that could still arrive
+    * may extend it. Closing eagerly on a later event would fragment or
+    * wrongly finalize sessions under late data.
     */
   def sessionize(spark: SparkSession, events: Dataset[Event],
                  gapUs: Long, watermarkDelay: String = "30 minutes"): Dataset[Session] = {
@@ -78,44 +82,33 @@ object EventStream {
       .withWatermark("ets", watermarkDelay)
       .as[Event]
       .groupByKey(_.userId)
-      .flatMapGroupsWithState[OpenSession, Session](
+      .flatMapGroupsWithState[SessionState, Session](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
-        (userId: Long, rows: Iterator[Event], state: GroupState[OpenSession]) =>
-          if (rows.isEmpty && state.hasTimedOut) {
-            // watermark passed: flush the open session
-            val s = state.get
-            state.remove()
-            Iterator.single(Session(userId, s.startUs, s.endUs, s.n, s.valueC))
-          } else {
-            val sorted = rows.toSeq.sortBy(_.tsUs)
-            var open = state.getOption
-            val closed = Seq.newBuilder[Session]
-            sorted.foreach { e =>
-              open match {
-                case Some(s) if e.tsUs > s.endUs + gapUs =>
-                  closed += Session(userId, s.startUs, s.endUs, s.n, s.valueC)
-                  open = Some(OpenSession(e.tsUs, e.tsUs, 1L, e.valueC))
-                case Some(s) if e.tsUs < s.startUs - gapUs =>
-                  // late event more than a gap BEFORE the open session:
-                  // by gap semantics it belongs to an earlier session —
-                  // emit it as its own closed session (anything that
-                  // could have merged with it is older still and would
-                  // already be beyond the watermark), keep `open` as-is
-                  closed += Session(userId, e.tsUs, e.tsUs, 1L, e.valueC)
-                case Some(s) =>
-                  open = Some(OpenSession(math.min(s.startUs, e.tsUs),
-                    math.max(s.endUs, e.tsUs), s.n + 1, s.valueC + e.valueC))
-                case None =>
-                  open = Some(OpenSession(e.tsUs, e.tsUs, 1L, e.valueC))
-              }
+        (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
+          var sessions = state.getOption.map(_.sessions.toList).getOrElse(Nil)
+          rows.toSeq.sortBy(_.tsUs).foreach { e =>
+            val (near, far) = sessions.partition(s =>
+              e.tsUs >= s.startUs - gapUs && e.tsUs <= s.endUs + gapUs)
+            val merged = near.foldLeft(OpenSession(e.tsUs, e.tsUs, 1L, e.valueC)) {
+              (acc, s) => OpenSession(math.min(acc.startUs, s.startUs),
+                math.max(acc.endUs, s.endUs), acc.n + s.n, acc.valueC + s.valueC)
             }
-            open.foreach { s =>
-              state.update(s)
-              // flush when the watermark passes session end + gap
-              state.setTimeoutTimestamp((s.endUs + gapUs) / 1000L)
-            }
-            closed.result().iterator
+            sessions = merged :: far
           }
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val (closed, open) = sessions.partition(s => s.endUs + gapUs < wmUs)
+          if (open.nonEmpty) {
+            state.update(SessionState(open))
+            // wake when the earliest open session becomes closable;
+            // must be strictly beyond the current watermark
+            val nextMs = math.max(state.getCurrentWatermarkMs() + 1,
+              (open.map(_.endUs).min + gapUs) / 1000L + 1)
+            state.setTimeoutTimestamp(nextMs)
+          } else {
+            state.remove()
+          }
+          closed.sortBy(_.startUs).iterator
+            .map(s => Session(userId, s.startUs, s.endUs, s.n, s.valueC))
       }
   }
 }

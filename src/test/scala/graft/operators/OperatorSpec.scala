@@ -76,13 +76,20 @@ class SimilaritySpec extends SparkTestBase {
     assert(top.forall(_ % 10 == 0), s"got ${top.toSeq}")
   }
 
-  test("dot_f32 returns NULL on length mismatch, matching the HOF path") {
+  test("dot_f32 returns NULL on length mismatch and NULL elements, matching the HOF path") {
     graft.functions.VectorExpressions.register(spark)
     val df = Seq((Seq(1f, 2f, 3f), Seq(1f, 2f))).toDF("a", "b")
     val hof = df.select(Similarity.dot(col("a"), col("b"))).collect().head
     val native = df.select(Similarity.dotNative(col("a"), col("b"))).collect().head
     assert(hof.isNullAt(0) && native.isNullAt(0),
       s"length-mismatch must be NULL on both paths: hof=$hof native=$native")
+    // NULL element poisons the sum on both paths
+    val dfn = Seq((Seq(Some(1f), None, Some(3f)), Seq(Some(1f), Some(2f), Some(3f))))
+      .toDF("a", "b")
+    val hofN = dfn.select(Similarity.dot(col("a"), col("b"))).collect().head
+    val natN = dfn.select(Similarity.dotNative(col("a"), col("b"))).collect().head
+    assert(hofN.isNullAt(0) && natN.isNullAt(0),
+      s"null element must be NULL on both paths: hof=$hofN native=$natN")
   }
 
   test("native dot_f32 expression is bit-identical to the HOF fold") {

@@ -17,9 +17,10 @@ class EventStreamSpec extends SparkTestBase {
     val q = sessions.writeStream.format("memory").queryName("sess")
       .outputMode(OutputMode.Append).start()
     try {
-      // one user: 3 events close together, then a 2h jump -> first
-      // session closes when the later event arrives. Base offset keeps
-      // event times strictly above the initial watermark (0).
+      // one user: 3 events close together, then a 2h jump. The first
+      // session closes once the WATERMARK passes its end + gap (event
+      // time 130min - 30min delay = 100min > 10min + 30min), not
+      // eagerly on arrival — eager closing breaks under late data.
       val T0 = 86400L * 1000000L
       input.addData(Event(1L, T0, 10L), Event(1L, T0 + 5 * Min, 20L), Event(1L, T0 + 10 * Min, 30L))
       q.processAllAvailable()
@@ -30,7 +31,7 @@ class EventStreamSpec extends SparkTestBase {
     } finally q.stop()
   }
 
-  test("late event a gap BEFORE the open session becomes its own session") {
+  test("late events open their own earlier session and MERGE with each other") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]
     val sessions = EventStream.sessionize(spark, input.toDS(), gapUs = 30 * Min,
@@ -41,12 +42,16 @@ class EventStreamSpec extends SparkTestBase {
       val T0 = 86400L * 1000000L
       input.addData(Event(1L, T0 + 180 * Min, 10L)) // open session at +3h
       q.processAllAvailable()
-      input.addData(Event(1L, T0, 99L)) // late, 3h before open start
+      // TWO late events 1 min apart, 3h before the open session: they
+      // must merge into ONE earlier session, not fragment
+      input.addData(Event(1L, T0, 99L), Event(1L, T0 + Min, 1L))
+      q.processAllAvailable()
+      // push the watermark past the late session's end + gap
+      // (wm lags one batch, so push then tick once more)
+      input.addData(Event(1L, T0 + 400 * Min, 5L))
       q.processAllAvailable()
       val out = spark.table("late_sess").as[Session].collect().toSeq
-      // the late event closes immediately as a singleton; the open
-      // session stays open (and untouched)
-      assert(out == Seq(Session(1L, T0, T0, 1L, 99L)), s"got $out")
+      assert(out == Seq(Session(1L, T0, T0 + Min, 2L, 100L)), s"got $out")
     } finally q.stop()
   }
 
