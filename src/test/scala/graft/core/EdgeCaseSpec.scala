@@ -75,6 +75,23 @@ class EdgeCaseSpec extends SparkTestBase {
     assert(xs(n.flatten) == (0 until 6).map(_.toDouble))
   }
 
+  test("random reshape chains preserve row-major order (seeded)") {
+    val rnd = new scala.util.Random(42)
+    val n = 24
+    val factorizations = Seq(
+      Vector(24L), Vector(2L, 12L), Vector(3L, 8L), Vector(4L, 6L),
+      Vector(2L, 3L, 4L), Vector(2L, 2L, 6L), Vector(3L, 2L, 2L, 2L))
+    for (_ <- 0 until 10) {
+      val chain = Seq.fill(3)(factorizations(rnd.nextInt(factorizations.size)))
+      val p = chain.foldLeft(points(n))((f, shape) => f.reshapeTo(shape))
+      assert(p.shape == chain.last)
+      // flatten must always recover the original order: reshape is pure
+      // index re-factoring, never a permutation
+      assert(xs(p.flatten) == (0 until n).map(_.toDouble),
+        s"chain $chain broke order")
+    }
+  }
+
   test("einops with three-way regroup and permutation") {
     // (a b c) with a=2,b=3,c=2 -> c (a b): full permute+regroup
     val p = points(12).reshapeEinops("(a b c) -> c (a b)", "a" -> 2L, "b" -> 3L, "c" -> 2L)
