@@ -2,16 +2,21 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 
 /** Similarity search over an embedding column (`array<float>`).
   *
-  * Two paths, mirroring what a 100 TB pipeline needs:
+  * Three paths, mirroring what a 100 TB pipeline needs:
   *   - [[bruteForceTopK]]: exact cosine top-k — the correctness
-  *     baseline; broadcast the (small) query set, scan the corpus once.
-  *   - [[lshTopK]]: sign-random-projection LSH bucketing — the scale
-  *     path: corpus hashed once, candidates only within matching
-  *     buckets (multi-probe via bands), exact re-rank on candidates.
+  *     baseline; broadcast the (small) query set, scan the corpus once,
+  *     keep top-k per query with the bounded [[graft.functions.TopKAgg]]
+  *     aggregator (O(k) state; never a per-key window sort).
+  *   - [[ivfTopK]]: inverted-file ANN — centroids live on the driver
+  *     (k-means centroids are KBs even at 64k cells) and cell
+  *     assignment is a NARROW per-row argmax fold over the broadcast
+  *     centroid array: no corpus×centroid row expansion, no shuffle.
+  *   - [[lshTopK]]: sign-random-projection LSH bucketing — corpus
+  *     hashed once, candidates only within matching band buckets,
+  *     exact re-rank on candidates.
   *
   * Arithmetic notes: floats are cast to double BEFORE multiplication and
   * the dot product is a left-to-right `aggregate` fold, so results are
@@ -38,6 +43,36 @@ object Similarity {
   def cosineNative(a: Column, b: Column): Column =
     dotNative(a, b) / (sqrt(dotNative(a, a)) * sqrt(dotNative(b, b)))
 
+  /** Shared exact re-rank: bounded single-pass top-k per query key via
+    * [[graft.functions.TopKAgg]] — partial aggregation keeps only k
+    * (score, id) pairs per partition, the shuffle carries k-row buffers
+    * per (qid, partition), and no task ever sorts the full candidate
+    * set. This is the plan that survives a 100× corpus; the
+    * `row_number().over(Window.partitionBy(qid))` formulation it
+    * replaces funnels EVERY scored row into one sort task per query.
+    *
+    * Ordering: score DESC, id ASC tiebreak (same as the window form).
+    * Output: (qidCol, rank, idCol, cos_micro) with
+    * cos_micro = floor(1e6 * score) as BIGINT.
+    */
+  private[graft] def topKReRank(scored: DataFrame, k: Int, qidCol: String,
+                                idCol: String, scoreCol: String): DataFrame = {
+    import graft.functions.{ScoredId, TopKAgg}
+    val spark = scored.sparkSession
+    import spark.implicits._
+    scored.select(col(qidCol).cast("long"), col(idCol).cast("long"), col(scoreCol))
+      .as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .mapValues { case (_, id, s) => ScoredId(id, s) }
+      .agg(new TopKAgg(k).toColumn.name("topk"))
+      .flatMap { case (qid, top) =>
+        top.zipWithIndex.map { case (s, r) =>
+          (qid, (r + 1).toLong, s.id, math.floor(s.score * 1e6).toLong)
+        }
+      }
+      .toDF(qidCol, "rank", idCol, "cos_micro")
+  }
+
   /** Exact top-k neighbors for each query vector.
     *
     * @param corpus  (id, vec) — the full embedding table
@@ -53,23 +88,70 @@ object Similarity {
     val scored = corpus.crossJoin(broadcast(queries))
       .filter(col(idCol) =!= col(qidCol))
       .withColumn("__cos", cos(col(vecCol), col(qvecCol)))
-    val w = Window.partitionBy(qidCol).orderBy(col("__cos").desc, col(idCol).asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col(qidCol), col("rank").cast("long").as("rank"), col(idCol),
-        floor(col("__cos") * 1e6).cast("long").as("cos_micro"))
+    topKReRank(scored, k, qidCol, idCol, "__cos")
+  }
+
+  /** A centroid held on the driver: (cell label, vector, precomputed
+    * L2 norm — same left-fold double arithmetic as [[norm]]).
+    */
+  final case class Centroid(cell: Long, vec: Array[Float]) {
+    val norm2: Double = {
+      var s = 0.0; var i = 0
+      while (i < vec.length) { s += vec(i).toDouble * vec(i).toDouble; i += 1 }
+      math.sqrt(s)
+    }
+  }
+
+  /** Literal array<struct<cell, cvec, cnorm>> column of the centroids —
+    * ships with the serialized plan (the Spark analog of a broadcast
+    * variable for expression-level data; KBs even at 64k cells).
+    */
+  private def centroidArray(cents: Seq[Centroid]): Column =
+    array(cents.sortBy(_.cell).map { c =>
+      struct(lit(c.cell).as("cell"), typedlit(c.vec.toSeq).as("cvec"),
+        lit(c.norm2).as("cnorm"))
+    }: _*)
+
+  /** Per-row cosine of `vec` against every centroid, as
+    * array<struct<sim, cell>> — ONE narrow projection, each centroid
+    * scored exactly once (transform, not a when-chain that would
+    * re-evaluate the dot). `__vnorm` must hold norm(vec).
+    */
+  private def centroidSims(vec: Column, vnorm: Column, cents: Seq[Centroid]): Column =
+    transform(centroidArray(cents), c =>
+      struct((dot(vec, c.getField("cvec")) / (vnorm * c.getField("cnorm"))).as("sim"),
+        c.getField("cell").as("cell")))
+
+  /** Nearest-centroid cell id for each row: argmax via `array_max` over
+    * struct(sim, -cell) — max sim, ties → smallest cell (struct ordering
+    * is lexicographic). Narrow; no shuffle, no row expansion.
+    */
+  private def bestCell(vec: Column, vnorm: Column, cents: Seq[Centroid]): Column = {
+    val ranked = transform(centroidSims(vec, vnorm, cents), s =>
+      struct(s.getField("sim").as("sim"), (-s.getField("cell")).as("negcell")))
+    -array_max(ranked).getField("negcell")
+  }
+
+  /** The `n` nearest cells (sim desc, cell asc) as an array<bigint> —
+    * used on the (small) query side for multi-probe.
+    */
+  private def nearestCells(vec: Column, vnorm: Column, cents: Seq[Centroid], n: Int): Column = {
+    val ranked = transform(centroidSims(vec, vnorm, cents), s =>
+      struct((-s.getField("sim")).as("negsim"), s.getField("cell").as("cell")))
+    transform(slice(array_sort(ranked), 1, n), s => s.getField("cell"))
   }
 
   /** IVF (inverted-file) ANN: partition the corpus into `nCells` cells
     * by nearest centroid, probe only the `nProbe` cells nearest each
     * query, exact re-rank within the probed cells.
     *
-    * Centroids here are sampled deterministically from the corpus (the
-    * classic bootstrap; a k-means refinement would reuse the same
-    * assignment machinery). Scale shape: the cell assignment is one
-    * broadcast-join pass over the corpus (and would be persisted/
-    * bucketed BY cell in a real deployment so queries touch only
-    * nProbe/nCells of the data).
+    * Centroids bootstrap from a deterministic id-stride sample and are
+    * optionally Lloyd-refined ([[refineCentroids]]). Scale shape: the
+    * cell assignment is a narrow projection over the corpus (centroids
+    * ride inside the plan as literals — no join, no expansion; in a
+    * real deployment the assigned table is written bucketed BY cell so
+    * queries touch only nProbe/nCells of the data), and the re-rank is
+    * the bounded top-k aggregator.
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               nCells: Int = 16, nProbe: Int = 4, refineIters: Int = 0,
@@ -81,61 +163,56 @@ object Similarity {
     val stride = math.max(1L, total / nCells)
     val bootstrap = corpus.filter(pmod(col(idCol), lit(stride)) === 0)
       .orderBy(idCol).limit(nCells)
-      .select(col(idCol).as("__cell"), col(vecCol).as("__cvec"))
-    val centroids = refineCentroids(corpus, bootstrap, refineIters, idCol, vecCol)
+      .select(col(idCol), col(vecCol))
+      .collect()
+      .map(r => Centroid(r.getLong(0), r.getSeq[Float](1).toArray))
+      .toSeq
+    val centroids = refineCentroids(corpus, bootstrap, refineIters, vecCol)
 
-    val cells = corpus.crossJoin(broadcast(centroids))
-      .withColumn("__csim", cosine(col(vecCol), col("__cvec")))
-      .withColumn("__crank", row_number().over(
-        Window.partitionBy(idCol).orderBy(col("__csim").desc, col("__cell").asc)))
-      .filter(col("__crank") === 1)
+    val cells = corpus
+      .withColumn("__vnorm", norm(col(vecCol)))
+      .withColumn("__cell", bestCell(col(vecCol), col("__vnorm"), centroids))
       .select(col(idCol), col(vecCol), col("__cell"))
 
-    val probes = queries.crossJoin(broadcast(centroids))
-      .withColumn("__csim", cosine(col(qvecCol), col("__cvec")))
-      .withColumn("__crank", row_number().over(
-        Window.partitionBy(qidCol).orderBy(col("__csim").desc, col("__cell").asc)))
-      .filter(col("__crank") <= nProbe)
-      .select(col(qidCol), col(qvecCol), col("__cell"))
+    val probes = queries
+      .withColumn("__vnorm", norm(col(qvecCol)))
+      .select(col(qidCol), col(qvecCol),
+        explode(nearestCells(col(qvecCol), col("__vnorm"), centroids, nProbe)).as("__cell"))
 
     val cands = cells.join(broadcast(probes), "__cell")
       .filter(col(idCol) =!= col(qidCol))
       .withColumn("__cos", cosine(col(vecCol), col(qvecCol)))
-    val rw = Window.partitionBy(qidCol).orderBy(col("__cos").desc, col(idCol).asc)
-    cands.withColumn("rank", row_number().over(rw))
-      .filter(col("rank") <= k)
-      .select(col(qidCol), col("rank").cast("long").as("rank"), col(idCol),
-        floor(col("__cos") * 1e6).cast("long").as("cos_micro"))
+    topKReRank(cands, k, qidCol, idCol, "__cos")
   }
 
   /** Lloyd (k-means) refinement of IVF centroids: assign every vector
-    * to its nearest centroid, replace each centroid by its cell's mean.
-    * Fully distributed: the mean is a posexplode → (cell, dim) avg →
-    * array reassembly; per iteration one broadcast-assign pass plus one
-    * small shuffle keyed on (cell, dim). Cells that lose all members
-    * keep their previous centroid.
+    * to its nearest centroid (narrow argmax fold — see [[bestCell]]),
+    * replace each centroid by its cell's mean. Per iteration: one
+    * narrow projection over the corpus plus one small shuffle keyed on
+    * (cell, dim) for the mean; the (nCells × dims)-row mean table is
+    * collected to the driver to seed the next iteration — the classic
+    * k-means loop shape. Cells that lose all members keep their
+    * previous centroid.
     */
-  def refineCentroids(corpus: DataFrame, centroids0: DataFrame, iters: Int,
-                      idCol: String, vecCol: String): DataFrame = {
+  def refineCentroids(corpus: DataFrame, centroids0: Seq[Centroid], iters: Int,
+                      vecCol: String): Seq[Centroid] = {
     var cents = centroids0
     for (_ <- 0 until iters) {
-      val assigned = corpus.crossJoin(broadcast(cents))
-        .withColumn("__csim", cosine(col(vecCol), col("__cvec")))
-        .withColumn("__crank", row_number().over(
-          Window.partitionBy(idCol).orderBy(col("__csim").desc, col("__cell").asc)))
-        .filter(col("__crank") === 1)
-        .select(col("__cell"), col(vecCol))
-      val means = assigned
+      val meanRows = corpus
+        .withColumn("__vnorm", norm(col(vecCol)))
+        .withColumn("__cell", bestCell(col(vecCol), col("__vnorm"), cents))
         .select(col("__cell"), posexplode(col(vecCol)).as(Seq("__pos", "__x")))
         .groupBy("__cell", "__pos")
         .agg(avg(col("__x").cast("double")).as("__m"))
-        .groupBy("__cell")
-        .agg(transform(
-          array_sort(collect_list(struct(col("__pos"), col("__m")))),
-          e => e.getField("__m").cast("float")).as("__newvec"))
-      // keep old centroid for cells with no members this round
-      cents = cents.join(means, Seq("__cell"), "left")
-        .select(col("__cell"), coalesce(col("__newvec"), col("__cvec")).as("__cvec"))
+        .collect()
+      val byCell = meanRows.groupBy(_.getLong(0))
+      cents = cents.map { c =>
+        byCell.get(c.cell) match {
+          case Some(rows) =>
+            Centroid(c.cell, rows.sortBy(_.getInt(1)).map(_.getDouble(2).toFloat))
+          case None => c // empty cell keeps its previous centroid
+        }
+      }
     }
     cents
   }
@@ -186,22 +263,6 @@ object Similarity {
       .select(col(qidCol), col(qvecCol), col(idCol), col(vecCol))
       .distinct()
     val scored = cands.withColumn("__cos", cosine(col(vecCol), col(qvecCol)))
-    // re-rank with the single-pass bounded top-k aggregator (O(k) state
-    // per query) instead of a window sort over all candidates — at
-    // corpus scale the window's per-key sort is the bottleneck
-    import graft.functions.{ScoredId, TopKAgg}
-    val spark = scored.sparkSession
-    import spark.implicits._
-    scored.select(col(qidCol).cast("long"), col(idCol).cast("long"), col("__cos"))
-      .as[(Long, Long, Double)]
-      .groupByKey(_._1)
-      .mapValues { case (_, id, cos) => ScoredId(id, cos) }
-      .agg(new TopKAgg(k).toColumn.name("topk"))
-      .flatMap { case (qid, top) =>
-        top.zipWithIndex.map { case (s, r) =>
-          (qid, (r + 1).toLong, s.id, math.floor(s.score * 1e6).toLong)
-        }
-      }
-      .toDF(qidCol, "rank", idCol, "cos_micro")
+    topKReRank(scored, k, qidCol, idCol, "__cos")
   }
 }

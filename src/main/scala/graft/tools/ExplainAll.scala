@@ -24,11 +24,13 @@ object ExplainAll {
       val scans = plan.linesIterator.filter(_.contains("FileScan")).map(_.trim.take(200)).toList
       val joins = plan.linesIterator.filter(l =>
         l.contains("Join") || l.contains("CartesianProduct")).map(_.trim.take(120)).toList
-      val exchanges = plan.linesIterator.count(_.trim.startsWith("+- Exchange") )
+      val exchanges = plan.linesIterator.filter(_.contains("Exchange"))
+        .map(_.trim.stripPrefix("+- ").stripPrefix(":- ").take(160)).toList
       val wsc = plan.linesIterator.count(_.contains("WholeStageCodegen"))
-      println(s"== $name  (exchanges~$exchanges, codegenSpans=$wsc)")
+      println(s"== $name  (exchanges~${exchanges.size}, codegenSpans=$wsc)")
       scans.foreach(s => println(s"   scan: $s"))
       joins.foreach(j => println(s"   join: $j"))
+      exchanges.foreach(e => println(s"   xchg: $e"))
     }
     spark.stop()
   }
