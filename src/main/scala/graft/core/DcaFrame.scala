@@ -211,13 +211,17 @@ final case class DcaFrame(
     * not a global window.
     */
   def mask(pred: Column): DcaFrame = {
+    require(!df.columns.contains("__graft_lin"),
+      "__graft_lin is a reserved column name")
     val filtered = df.filter(pred)
       .select(linearIndex.as("__graft_lin") +: arrayCols.map(col): _*)
     // persist the final df before the shape-count (single execution of
     // the sort+re-index; releasable via unpersist())
-    val out = DcaFrame.denseIndex(filtered, Seq(col("__graft_lin"))).drop("__graft_lin")
+    val (indexed, n, staging) = DcaFrame.denseIndex(filtered, Seq(col("__graft_lin")))
+    val out = indexed.drop("__graft_lin")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val n = out.count()
+    out.count()
+    staging.unpersist()
     copy(df = out, shape = Vector(n))
   }
 
@@ -384,10 +388,11 @@ object DcaFrame {
     // persist the FINAL frame df (not an upstream plan) before the
     // shape-count: the sort+index pipeline runs once, and
     // DcaFrame.unpersist() releases exactly this cached Dataset
-    val out = denseIndex(df.select(cols.map(col): _*), sortCols)
-      .select((col("__idx0") +: cols.map(col)): _*)
+    val (indexed, n, staging) = denseIndex(df.select(cols.map(col): _*), sortCols)
+    val out = indexed
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val n = out.count()
+    out.count()
+    staging.unpersist()
     DcaFrame(out, Vector(n), cols, statics)
   }
 
@@ -422,17 +427,45 @@ object DcaFrame {
   }
 
   /** Dense 0..n-1 index via range-partitioned sort + per-partition
-    * offsets. The scalable replacement for `row_number()` over a global
-    * window (SURVEY §7.5.1).
+    * offsets — the scalable replacement for `row_number()` over a
+    * global window (SURVEY §7.5.1), kept entirely inside Tungsten:
+    * `monotonically_increasing_id()` encodes (partitionId << 33 |
+    * position-in-partition); a tiny per-partition count job turns that
+    * into dense indices via a literal offset array. No per-row Row
+    * ser/deser (the old `rdd.zipWithIndex` exit), no codegen break.
+    *
+    * The sorted input is persisted so the count job and every
+    * downstream job see ONE materialization (a re-executed range
+    * shuffle could re-sample different partition bounds and silently
+    * mis-index). Callers must materialize their derived frame, then
+    * release the staging cache via the returned handle.
+    *
+    * @return (indexed frame with `__idx0` prepended, total row count,
+    *         staging Dataset to unpersist once downstream materialized)
     */
-  private[core] def denseIndex(df: DataFrame, sortCols: Seq[Column]): DataFrame = {
-    val spark = df.sparkSession
+  private[core] def denseIndex(df: DataFrame, sortCols: Seq[Column]): (DataFrame, Long, DataFrame) = {
+    require(!df.columns.contains("__graft_mid"), "__graft_mid is a reserved column name")
     val sorted =
       if (sortCols.isEmpty) df
       else df.repartitionByRange(sortCols: _*).sortWithinPartitions(sortCols: _*)
-    val schema = sorted.schema
-    val rdd = sorted.rdd.zipWithIndex().map { case (r, i) => Row.fromSeq(i +: r.toSeq) }
-    spark.createDataFrame(rdd, new StructType((new StructType().add("__idx0", LongType) ++ schema).toArray))
+    val staged = sorted.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val withMid = staged.select(
+      monotonically_increasing_id().as("__graft_mid") +: df.columns.map(col).toSeq: _*)
+    val counts = withMid
+      .select(shiftright(col("__graft_mid"), 33).cast("int").as("__pid"))
+      .groupBy("__pid").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val nPart = if (counts.isEmpty) 0 else counts.keys.max + 1
+    val offsets = new Array[Long](nPart)
+    var acc = 0L
+    for (p <- 0 until nPart) { offsets(p) = acc; acc += counts.getOrElse(p, 0L) }
+    val offCol =
+      if (nPart == 0) lit(0L)
+      else element_at(typedlit(offsets.toSeq), shiftright(col("__graft_mid"), 33).cast("int") + 1)
+    val indexed = withMid.select(
+      (offCol + col("__graft_mid").bitwiseAND(lit((1L << 33) - 1))).cast(LongType).as("__idx0")
+        +: df.columns.map(col).toSeq: _*)
+    (indexed, acc, staged)
   }
 
   /** Stack k same-shape frames along a NEW axis (M1, `ops.py:90-106`):
