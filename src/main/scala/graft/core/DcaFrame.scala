@@ -167,9 +167,13 @@ final case class DcaFrame(
   // Indexing (S6-S8)
   // ---------------------------------------------------------------------
 
-  /** numpy basic indexing on the batch dims: int / slice / ellipsis /
-    * newaxis (`array_dataclass.py:382-390`, `:1006-1035`).
-    * Narrow: predicates + index remap; no shuffle.
+  /** numpy indexing on the batch dims: int / slice / ellipsis /
+    * newaxis / integer-array (`array_dataclass.py:382-390`,
+    * `:1006-1035`). Basic items are narrow (predicates + index remap,
+    * no shuffle); an `Ix.A` integer-array item composes as a
+    * [[gatherAxis]] on its output axis AFTER the basic items — numpy's
+    * single-advanced-index semantics (`p[idx_arr, 2:5]` ==
+    * `p[:, 2:5][idx_arr]`).
     */
   def apply(items: Indexing.Ix*): DcaFrame = {
     val resolved = Indexing.resolve(items, shape)
@@ -177,6 +181,7 @@ final case class DcaFrame(
     var axis = 0          // input axis being consumed
     var outPos = 0        // output axis position
     val outCols = Vector.newBuilder[(String, Column)]
+    val gathers = Vector.newBuilder[(Int, Vector[Long])] // (output axis, indices)
     resolved.foreach {
       case (_, Indexing.Resolved.New) =>
         outCols += ((s"__oidx$outPos", lit(0L)))
@@ -184,6 +189,12 @@ final case class DcaFrame(
       case (_, Indexing.Resolved.Int(i)) =>
         cur = cur.filter(col(s"__idx$axis") === lit(i))
         axis += 1
+      case (_, Indexing.Resolved.Gather(idxs)) =>
+        // pass the axis through untouched here; gather applies below
+        outCols += ((s"__oidx$outPos", col(s"__idx$axis")))
+        gathers += ((outPos, idxs))
+        axis += 1
+        outPos += 1
       case (_, Indexing.Resolved.Slice(start, step, newLen)) =>
         val c = col(s"__idx$axis")
         // offset along the slice direction; exact-integer-valued
@@ -197,11 +208,17 @@ final case class DcaFrame(
         axis += 1
         outPos += 1
     }
-    val newShape = Indexing.resultShape(resolved)
+    // shape BEFORE the gathers apply: gather axes keep their full dim
+    val interShape = resolved.collect {
+      case (_, Indexing.Resolved.Slice(_, _, len)) => len
+      case (Some(dim), Indexing.Resolved.Gather(_)) => dim
+      case (_, Indexing.Resolved.New) => 1L
+    }.toVector
     val sel = outCols.result().map { case (n, c) => c.as(n) } ++ arrayCols.map(col)
     val out = cur.select(sel: _*)
-    val fin = newShape.indices.foldLeft(out)((d, i) => d.withColumnRenamed(s"__oidx$i", s"__idx$i"))
-    copy(df = fin, shape = newShape)
+    val fin = interShape.indices.foldLeft(out)((d, i) => d.withColumnRenamed(s"__oidx$i", s"__idx$i"))
+    val basic = copy(df = fin, shape = interShape)
+    gathers.result().foldLeft(basic) { case (f, (pos, idxs)) => f.gatherAxis(idxs, pos) }
   }
 
   /** Boolean-mask selection — THE canonical filter (S7,
@@ -226,23 +243,68 @@ final case class DcaFrame(
   }
 
   /** Integer-array gather along axis 0 (S8): `p[int_arr]` — a
-    * broadcast semi-join against the (small) index list, preserving the
+    * broadcast join against the (small) index list, preserving the
     * gather order and allowing repeats.
     */
-  def gather(indices: Seq[Long]): DcaFrame = {
+  def gather(indices: Seq[Long]): DcaFrame = gatherAxis(indices, 0)
+
+  /** Driver-side integer-array gather along any axis. */
+  def gatherAxis(indices: Seq[Long], axis: Int): DcaFrame = {
     require(ndim >= 1, "gather needs ndim >= 1")
+    val ax = Shape.toAbsoluteAxis(axis, ndim)
+    val dim = shape(ax)
     indices.zipWithIndex.foreach { case (i, k) =>
-      require(i >= -shape.head && i < shape.head, s"gather index $i (pos $k) out of bounds for dim ${shape.head}") }
+      require(i >= -dim && i < dim, s"gather index $i (pos $k) out of bounds for dim $dim") }
     val spark = df.sparkSession
-    val resolvedIdx = indices.map(i => if (i < 0) i + shape.head else i)
+    val resolvedIdx = indices.map(i => if (i < 0) i + dim else i)
     import spark.implicits._
     val idxDf = resolvedIdx.zipWithIndex.map { case (src, pos) => (src, pos.toLong) }
       .toDF("__src", "__pos")
-    val joined = df.join(broadcast(idxDf), col("__idx0") === col("__src"))
-      .drop("__idx0", "__src")
-      .withColumnRenamed("__pos", "__idx0")
-    val newShape = indices.length.toLong +: shape.tail
+    val joined = df.join(broadcast(idxDf), col(s"__idx$ax") === col("__src"))
+      .drop(s"__idx$ax", "__src")
+      .withColumnRenamed("__pos", s"__idx$ax")
+    val newShape = shape.updated(ax, indices.length.toLong)
     copy(df = joined.select(idxCols.map(col) ++ arrayCols.map(col): _*), shape = newShape)
+  }
+
+  /** DISTRIBUTED integer-array gather along axis 0 (S8 at scale,
+    * `array_dataclass_test.py:459-494` with arbitrary-size index
+    * arrays): the index array is itself a frame — an equi-join of
+    * self's `__idx0` against the index frame's values, with the index
+    * frame's own batch index becoming the output position. Repeats
+    * allowed, negative indices resolved per row, out-of-bounds raises
+    * (numpy IndexError semantics; an inner join would drop silently).
+    *
+    * Result shape = `indices.shape ++ this.shape.tail`. The join is
+    * declarative — Catalyst broadcasts the small side, or sort-merges
+    * on the key when both sides are big (the 100-TB plan).
+    *
+    * @param indices frame whose single payload column (or `valueCol`)
+    *                holds the gather indices
+    */
+  def gather(indices: DcaFrame, valueCol: String = null): DcaFrame = {
+    require(ndim >= 1, "gather needs ndim >= 1")
+    val vcol = Option(valueCol).getOrElse {
+      require(indices.arrayCols.size == 1,
+        s"index frame must have exactly one payload column (or pass valueCol); got ${indices.arrayCols}")
+      indices.arrayCols.head
+    }
+    val n = shape.head
+    // eager bounds check: one cheap job over the index frame only
+    require(indices.df.filter(col(vcol) < -n || col(vcol) >= n).isEmpty,
+      s"gather index out of bounds for dim $n")
+    val m = indices.ndim
+    (Seq("__gsrc") ++ (0 until m).map(i => s"__gpos$i")).foreach { r =>
+      require(!df.columns.contains(r), s"$r is a reserved column name") }
+    val idxSide = indices.df.select(
+      (0 until m).map(i => col(s"__idx$i").as(s"__gpos$i")) :+
+        when(col(vcol) < 0, col(vcol) + n).otherwise(col(vcol))
+          .cast(LongType).as("__gsrc"): _*)
+    val joined = df.join(idxSide, col("__idx0") === col("__gsrc"))
+    val outIdx = (0 until m).map(i => col(s"__gpos$i").as(s"__idx$i")) ++
+      (1 until ndim).map(j => col(s"__idx$j").as(s"__idx${m + j - 1}"))
+    val newShape = indices.shape ++ shape.tail
+    copy(df = joined.select(outIdx ++ arrayCols.map(col): _*), shape = newShape)
   }
 
   /** Per-first-dim decomposition (S9) — a driver-boundary op. */

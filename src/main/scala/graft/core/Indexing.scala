@@ -16,6 +16,7 @@ object Indexing {
     final case class I(i: Long) extends Ix                               // p[3]
     final case class S(start: Option[Long] = None, stop: Option[Long] = None,
                        step: Long = 1L) extends Ix                       // p[a:b:c]
+    final case class A(indices: Seq[Long]) extends Ix                    // p[[4,0,4]]
     case object Ellipsis extends Ix                                      // p[...]
     case object NewAxis extends Ix                                       // p[None]
     val All: S = S()
@@ -30,6 +31,12 @@ object Indexing {
       * the new axis maps to old index start + k*step.
       */
     final case class Slice(start: Long, step: Long, newLen: Long) extends Resolved
+    /** Integer-array gather on this axis (indices already resolved
+      * non-negative); repeats allowed, order preserved — numpy "single
+      * advanced index" semantics, which compose with the basic items as
+      * sequential application.
+      */
+    final case class Gather(indices: Vector[Long]) extends Resolved
     /** Insert a new length-1 axis. */
     case object New extends Resolved
   }
@@ -78,6 +85,14 @@ object Indexing {
         val len   = math.max(0L, ceilDiv(stop - start, step))
         Resolved.Slice(start, step, len)
       }
+    case Ix.A(idxs) =>
+      val resolvedIdx = idxs.toVector.zipWithIndex.map { case (i0, k) =>
+        val i = if (i0 < 0) i0 + dim else i0
+        require(i >= 0 && i < dim,
+          s"index $i0 (position $k) is out of bounds for axis with size $dim")
+        i
+      }
+      Resolved.Gather(resolvedIdx)
     case Ix.Ellipsis | Ix.NewAxis =>
       throw new IllegalStateException("unreachable: expanded earlier")
   }
@@ -86,6 +101,7 @@ object Indexing {
   def resultShape(resolved: Seq[(Option[Long], Resolved)]): Shape =
     resolved.collect {
       case (_, Resolved.Slice(_, _, len)) => len
+      case (_, Resolved.Gather(idxs))     => idxs.length.toLong
       case (_, Resolved.New)              => 1L
     }.toVector
 

@@ -77,6 +77,45 @@ object DcaQueries {
           |SELECT CAST(g.pos AS BIGINT) AS __idx0, b.l_orderkey, b.l_linenumber, b.qty_c
           |FROM g JOIN base b ON b.rn = g.src ORDER BY 1""".stripMargin)),
 
+    // S8b: DISTRIBUTED gather — the index array is itself a frame
+    // (order-preserving join; repeats + negative indices resolved
+    // per row). The index values derive from orders, so the index
+    // "array" scales with the data instead of living on the driver.
+    "dca_s8b_gather_df" -> QueryDef(
+      (s, dir) => {
+        val f = liFrame(s, dir)
+        val n = f.shape.head
+        val ord = table(s, dir, "orders")
+          .select(col("o_orderkey"),
+            ((col("o_orderkey") * 37) % lit(2 * n) - lit(n)).as("src"))
+        val idxF = DcaFrame.fromDF(ord, Seq(col("o_orderkey")), arrayCols = Seq("src"))
+        out(f.gather(idxF))
+      },
+      Some(baseCte + """,
+          |  n AS (SELECT count(*) AS c FROM lineitem),
+          |  g AS (SELECT row_number() OVER (ORDER BY o_orderkey) - 1 AS pos,
+          |    ((o_orderkey * 37) % (2 * (SELECT c FROM n))) - (SELECT c FROM n) AS src
+          |  FROM orders)
+          |SELECT g.pos AS __idx0, b.l_orderkey, b.l_linenumber, b.qty_c
+          |FROM g JOIN base b
+          |  ON b.rn = CASE WHEN g.src < 0 THEN g.src + (SELECT c FROM n) ELSE g.src END
+          |ORDER BY 1""".stripMargin)),
+
+    // S8c: mixed advanced+basic indexing — p[idx_arr, 1:3] on a
+    // (1500, 4) frame: int-array gather on axis 0 composed with a
+    // slice on axis 1 (numpy single-advanced-index semantics),
+    // including a negative index and a repeat
+    "dca_s8c_mixed_index" -> QueryDef(
+      (s, dir) => out(liFrame(s, dir)(Ix.S(None, Some(6000))).reshape(1500, 4)
+        .apply(Ix.A(Seq(7L, 3L, -1L, 1499L, 0L)), Ix.S(Some(1), Some(3)))),
+      Some(baseCte + """,
+          |  g(pos, src) AS (VALUES (0, 7), (1, 3), (2, 1499), (3, 1499), (4, 0))
+          |SELECT CAST(g.pos AS BIGINT) AS __idx0, (b.rn % 4) - 1 AS __idx1,
+          |  b.l_orderkey, b.l_linenumber, b.qty_c
+          |FROM g JOIN base b ON b.rn // 4 = g.src AND (b.rn % 4) IN (1, 2)
+          |WHERE b.rn < 6000
+          |ORDER BY 1, 2""".stripMargin)),
+
     // M1: stack along a NEW axis (union + axis tag, narrow)
     "dca_m1_stack" -> QueryDef(
       (s, dir) => {

@@ -96,10 +96,47 @@ class DcaFrameSpec extends SparkTestBase {
 
   test("integer-array gather preserves order and repeats (S8)") {
     val p = points(5)
-    val g = p.gather(Seq(3, 0, 3, -1))
+    val g = p.gather(Seq(3L, 0L, 3L, -1L))
     assert(g.shape == Vector(4L))
     assert(xs(g) == Seq(3.0, 0.0, 3.0, 4.0))
-    intercept[IllegalArgumentException](p.gather(Seq(9)))
+    intercept[IllegalArgumentException](p.gather(Seq(9L)))
+  }
+
+  test("distributed gather: index frame drives positions, repeats, negatives (S8b)") {
+    val p = points(5)
+    val idxSchema = StructType(Seq(StructField("src", LongType)))
+    val idxF = DcaFrame.fromLocal(spark,
+      Seq(Row(4L), Row(0L), Row(-2L), Row(4L)), idxSchema)
+    val g = p.gather(idxF)
+    assert(g.shape == Vector(4L))
+    assert(xs(g) == Seq(4.0, 0.0, 3.0, 4.0))
+    // N-D index frame: result shape = idx.shape ++ self.shape.tail
+    val g2 = p.gather(idxF.reshape(2, 2))
+    assert(g2.shape == Vector(2L, 2L))
+    assert(idxAndX(g2) == Seq(
+      (Seq(0L, 0L), 4.0), (Seq(0L, 1L), 0.0), (Seq(1L, 0L), 3.0), (Seq(1L, 1L), 4.0)))
+    // out-of-bounds raises eagerly (numpy IndexError semantics)
+    val bad = DcaFrame.fromLocal(spark, Seq(Row(5L)), idxSchema)
+    intercept[IllegalArgumentException](p.gather(bad))
+    intercept[IllegalArgumentException](
+      p.gather(DcaFrame.fromLocal(spark, Seq(Row(-6L)), idxSchema)))
+  }
+
+  test("mixed advanced+basic indexing: p[idx_arr, 1:] and gatherAxis (S8c)") {
+    val p = points(6).reshape(3, 2)
+    // p[[2,0,2], 1:] -> shape (3, 1); row i of output = p[idx[i], 1]
+    val m = p(Ix.A(Seq(2L, 0L, -1L)), Ix.S(Some(1), None))
+    assert(m.shape == Vector(3L, 1L))
+    assert(idxAndX(m) == Seq((Seq(0L, 0L), 5.0), (Seq(1L, 0L), 1.0), (Seq(2L, 0L), 5.0)))
+    // gather along axis 1: p[:, [1, 0, 1]]
+    val g = p(Ix.All, Ix.A(Seq(1L, 0L, 1L)))
+    assert(g.shape == Vector(3L, 3L))
+    assert(idxAndX(g).map(_._2) ==
+      Seq(1.0, 0.0, 1.0, 3.0, 2.0, 3.0, 5.0, 4.0, 5.0))
+    // ellipsis composes with the array index
+    val e = p(Ix.Ellipsis, Ix.A(Seq(0L)))
+    assert(e.shape == Vector(3L, 1L) && idxAndX(e).map(_._2) == Seq(0.0, 2.0, 4.0))
+    intercept[IllegalArgumentException](p(Ix.A(Seq(3L)), Ix.All))
   }
 
   test("stack creates a new axis; axis arg normalized (M1)") {

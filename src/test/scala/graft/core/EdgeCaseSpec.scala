@@ -63,7 +63,7 @@ class EdgeCaseSpec extends SparkTestBase {
 
   test("gather on a 2-d frame gathers whole rows along axis 0") {
     val p = points(6).reshape(3, 2)
-    val g = p.gather(Seq(2, 0))
+    val g = p.gather(Seq(2L, 0L))
     assert(g.shape == Vector(2L, 2L))
     assert(xs(g) == Seq(4.0, 5.0, 0.0, 1.0))
   }
