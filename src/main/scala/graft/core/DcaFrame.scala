@@ -429,6 +429,41 @@ final case class DcaFrame(
     val joined = df.join(rdf, idxCols)
     copy(df = joined, arrayCols = arrayCols ++ rCols, statics = statics ++ other.statics)
   }
+
+  /** Zip a frame whose shape EXTENDS this one's (`other.shape` =
+    * `this.shape ++ extra`) on the shared leading index — the executed
+    * form of V2's extra-trailing-dims broadcast
+    * (`vectorization.py:246-300`): each self element is replicated
+    * across its arg element's `extra` dims. Equi-join on the shared
+    * `__idx*` prefix; the result carries other's full index (shape =
+    * `other.shape`).
+    */
+  def zipJoinPrefix(other: DcaFrame, suffix: String = "_r"): DcaFrame = {
+    require(other.shape.length >= ndim && other.shape.take(ndim) == shape,
+      s"zipJoinPrefix: ${other.shape} does not extend $shape")
+    if (other.ndim == ndim) zipJoin(other, suffix)
+    else {
+      val rCols = other.arrayCols.map(n => if (arrayCols.contains(n)) n + suffix else n)
+      val rdf = other.arrayCols.zip(rCols).foldLeft(other.df) { case (d, (o, n)) =>
+        if (o == n) d else d.withColumnRenamed(o, n)
+      }
+      val joined = df.join(rdf, idxCols) // shared prefix; right keeps __idx{ndim..}
+      val outCols = DcaFrame.idxColNames(other.ndim).map(col) ++
+        (arrayCols ++ rCols).map(col)
+      DcaFrame(joined.select(outCols: _*), other.shape,
+        arrayCols ++ rCols, statics ++ other.statics)
+    }
+  }
+
+  /** V2 end-to-end: align `other` per the reference's vectorize
+    * broadcast rules (leading dims broadcast, extra trailing dims
+    * allowed) and zip on the batch index. Result shape =
+    * joint ++ extra.
+    */
+  def vectorizeZip(other: DcaFrame, suffix: String = "_r"): DcaFrame = {
+    val (selfB, otherB, _) = alignForVectorize(other)
+    selfB.zipJoinPrefix(otherB, suffix)
+  }
 }
 
 object DcaFrame {

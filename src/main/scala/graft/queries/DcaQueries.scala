@@ -229,6 +229,29 @@ object DcaQueries {
           |  (SELECT count(*) FROM region) AS factor
           |FROM base WHERE rn < 2000 ORDER BY 1""".stripMargin)),
 
+    // V2b: vectorize arg with EXTRA TRAILING dims — the reference's
+    // "(b,) @ (1,*x) -> (b,*x)" broadcast row
+    // (vectorization.py:246-300, vectorization_test.py:39-107): self
+    // (2000,) zips an arg of shape (1,3); the arg's leading dim
+    // broadcasts against the batch, its trailing dim is per-element
+    // payload. Executed as broadcast + equi-join on the shared idx
+    // prefix.
+    "dca_v3_extradims" -> QueryDef(
+      (s, dir) => {
+        val self = liFrame(s, dir)(Ix.S(None, Some(2000)))
+        val arg = DcaFrame.fromDF(
+          table(s, dir, "nation").filter(col("n_nationkey") < 3)
+            .select(col("n_nationkey").cast("long").as("mult")),
+          Seq(col("mult"))).reshape(1, 3)
+        out(self.vectorizeZip(arg)
+          .replaceField("qty_c", col("qty_c") * (col("mult") + 1)))
+      },
+      Some(baseCte + """,
+          |  m AS (SELECT CAST(n_nationkey AS BIGINT) AS nk FROM nation WHERE n_nationkey < 3)
+          |SELECT b.rn AS __idx0, m.nk AS __idx1, b.l_orderkey, b.l_linenumber,
+          |  b.qty_c * (m.nk + 1) AS qty_c, m.nk AS mult
+          |FROM base b CROSS JOIN m WHERE b.rn < 2000 ORDER BY 1, 2""".stripMargin)),
+
     // C1/C3: schema conform — declared inner shape (64) enforced per
     // row, scalar cast policy applied
     "dca_c1_conform" -> QueryDef(

@@ -139,6 +139,34 @@ class DcaFrameSpec extends SparkTestBase {
     intercept[IllegalArgumentException](p(Ix.A(Seq(3L)), Ix.All))
   }
 
+  test("vectorizeZip: extra trailing dims broadcast (V2)") {
+    // (b,) @ (1,*x) -> (b,*x): self (3,), arg (1,2)
+    val self = points(3)
+    val arg = points(2).mapField(c => c + lit(100.0)).reshape(1, 2)
+    val z = self.vectorizeZip(arg)
+    assert(z.shape == Vector(3L, 2L))
+    assert(z.arrayCols == Vector("x", "y", "x_r", "y_r"))
+    val rows = z.df.orderBy(z.idxCols.map(col): _*)
+      .select(col("x"), col("x_r")).collect().map(r => (r.getDouble(0), r.getDouble(1))).toSeq
+    assert(rows == Seq((0.0, 100.0), (0.0, 101.0), (1.0, 100.0), (1.0, 101.0),
+      (2.0, 100.0), (2.0, 101.0)))
+    // (1,h) @ (b,1,*x) -> (b,h,*x): self (1,2), arg (3,1,2)
+    val self2 = points(2).reshape(1, 2)
+    val arg2 = points(6).mapField(c => c + lit(100.0)).reshape(3, 1, 2)
+    val z2 = self2.vectorizeZip(arg2)
+    assert(z2.shape == Vector(3L, 2L, 2L))
+    // element (b, h, x) pairs self[0, h] with arg[b, 0, x]
+    val xz = z2.df.orderBy(z2.idxCols.map(col): _*)
+      .select(col("x"), col("x_r")).collect().map(r => (r.getDouble(0), r.getDouble(1))).toSeq
+    assert(xz == Seq(
+      (0.0, 100.0), (0.0, 101.0), (1.0, 100.0), (1.0, 101.0),
+      (0.0, 102.0), (0.0, 103.0), (1.0, 102.0), (1.0, 103.0),
+      (0.0, 104.0), (0.0, 105.0), (1.0, 104.0), (1.0, 105.0)))
+    // rank errors: arg rank < self rank; incompatible leading dims
+    intercept[IllegalArgumentException](points(3).reshape(3, 1).vectorizeZip(points(3)))
+    intercept[IllegalArgumentException](points(3).vectorizeZip(points(4)))
+  }
+
   test("stack creates a new axis; axis arg normalized (M1)") {
     val a = points(3)
     val b = points(3).mapField(c => c + lit(100.0))
