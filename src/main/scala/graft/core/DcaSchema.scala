@@ -24,21 +24,25 @@ final case class DcaField(
     inner.foldRight(base)((_, t) => ArrayType(t))
   }
 
-  /** Validation predicate for fixed inner dims: size checks at each
-    * nesting level (analog of `assert_shape`,
-    * `array_dataclass.py:1183-1188`). True when valid.
+  /** Validation predicate for fixed inner dims, recursing into nested
+    * schemas (analog of `assert_shape` + the per-field recursion of
+    * `_validate`, `array_dataclass.py:1121-1143,1183-1188`). True when
+    * valid.
     */
   def validExpr(c: Column): Column = {
+    def leaf(cc: Column): Column = nested match {
+      case Some(sub) =>
+        sub.fields.map(sf => sf.validExpr(cc.getField(sf.name)))
+          .foldLeft(lit(true))(_ && _)
+      case None => lit(true)
+    }
     def go(cc: Column, dims: List[Dim]): Column = dims match {
-      case Nil => lit(true)
+      case Nil => leaf(cc)
       case Dim.Static(n) :: rest =>
-        val here = size(cc) === lit(n)
-        if (rest.isEmpty) here
         // check the first element's sub-shape (rectangularity is the
         // writer's contract; checking every element would be O(prod))
-        else here && go(element_at(cc, 1), rest)
-      case _ :: rest =>
-        if (rest.isEmpty) lit(true) else go(element_at(cc, 1), rest)
+        size(cc) === lit(n) && go(element_at(cc, 1), rest)
+      case _ :: rest => go(element_at(cc, 1), rest)
     }
     go(c, inner.toList)
   }
@@ -51,13 +55,23 @@ final case class DcaField(
   * ([[DcaSchema.field]]).
   *
   * Coercion policy mirrors `DataclassParams`
-  * (`array_dataclass.py:57-117`): `castDtype` inserts casts,
-  * `broadcastScalars` lets scalar (non-array) literals broadcast.
+  * (`array_dataclass.py:57-117`); each switch has a REJECTING negative
+  * path matching the reference's error behavior
+  * (`array_dataclass_test.py:646-691`):
+  *   - `castDtype=false`: a scalar dtype mismatch raises instead of
+  *     casting.
+  *   - `castList=false`: an array column whose concrete Spark type
+  *     differs from the declared one raises instead of element-casting
+  *     (the list→tensor ingest analog).
+  *   - `broadcastScalars=false`: a scalar value where an array field
+  *     is declared raises instead of replicating across the static
+  *     inner dims.
   */
 final case class DcaSchema(
     fields: Vector[DcaField],
     staticFields: Vector[String] = Vector.empty,
     castDtype: Boolean = true,
+    castList: Boolean = true,
     broadcastScalars: Boolean = true) {
 
   def structType: StructType =
@@ -67,17 +81,19 @@ final case class DcaSchema(
 
   /** Conform a raw DataFrame to this schema: project to declared
     * fields, cast scalars (C3 `_cast_xnp_dtype_inplace`,
-    * `array_dataclass.py:626-676`), and append a `__valid` check for
-    * fixed inner dims. `enforce=true` fails the query on the first
-    * invalid row (ANSI-style, via assert expression).
+    * `array_dataclass.py:626-676`) RECURSIVELY through array levels
+    * and nested struct schemas, and append a `__valid` check for fixed
+    * inner dims (also recursive). Policy violations raise eagerly,
+    * driver-side, against the input schema — matching the reference's
+    * construction-time errors. `enforce=true` fails the query on the
+    * first invalid row (ANSI-style, via assert expression).
     */
   def conform(df: DataFrame, enforce: Boolean = true): DataFrame = {
+    val inputSchema = df.schema
     val cols = fields.map { f =>
-      val raw = col(f.name)
-      val casted =
-        if (castDtype && f.inner.isEmpty && f.nested.isEmpty) raw.cast(f.dtype)
-        else raw
-      casted.as(f.name)
+      val idx = inputSchema.fieldNames.indexOf(f.name)
+      require(idx >= 0, s"missing column ${f.name}")
+      conformCol(col(f.name), inputSchema(idx).dataType, f, f.name).as(f.name)
     }
     val projected = df.select(cols: _*)
     if (!enforce) projected
@@ -91,9 +107,68 @@ final case class DcaSchema(
         .drop("__shape_ok")
     }
   }
+
+  /** Recursive cast/conform of one column against its field metadata. */
+  private def conformCol(c: Column, actual: DataType, f: DcaField, path: String): Column = {
+    def leafCast(cc: Column, at: DataType, p: String): Column = f.nested match {
+      case Some(sub) => at match {
+        case st: StructType =>
+          struct(sub.fields.map { sf =>
+            val a = st.fields.find(_.name == sf.name).getOrElse(throw new IllegalArgumentException(
+              s"$p.${sf.name}: missing struct field (have ${st.fieldNames.mkString(", ")})")).dataType
+            sub.conformCol(cc.getField(sf.name), a, sf, s"$p.${sf.name}").as(sf.name)
+          }: _*)
+        case other => throw new IllegalArgumentException(
+          s"$p: expected struct, got ${other.catalogString}")
+      }
+      case None =>
+        if (at == f.dtype) cc
+        else {
+          require(castDtype,
+            s"$p: dtype ${at.catalogString} != declared ${f.dtype.catalogString} and castDtype=false")
+          cc.cast(f.dtype)
+        }
+    }
+    // expected Spark type below k consumed array levels
+    def expectedBelow(k: Int): DataType =
+      f.inner.drop(k).foldRight(f.nested.map(_.structType).getOrElse(f.dtype))((_, t) => ArrayType(t))
+    def go(cc: Column, at: DataType, dims: List[Dim], level: Int, p: String): Column = dims match {
+      case Nil => leafCast(cc, at, p)
+      case _ :: rest => at match {
+        case _ if DcaSchema.sameType(at, expectedBelow(level)) => cc // already conformant below here
+        case ArrayType(ae, _) =>
+          require(castList,
+            s"$p: array type ${at.catalogString} != declared ${expectedBelow(level).catalogString} and castList=false")
+          transform(cc, e => go(e, ae, rest, level + 1, p + "[]"))
+        case other =>
+          // scalar where an array is declared: replicate across static dims
+          require(broadcastScalars,
+            s"$p: scalar ${other.catalogString} where ${expectedBelow(level).catalogString} declared and broadcastScalars=false")
+          val statics = dims.map {
+            case Dim.Static(n) => n
+            case d => throw new IllegalArgumentException(
+              s"$p: cannot broadcast a scalar into non-static inner dim $d")
+          }
+          statics.foldRight(leafCast(cc, other, p))((n, acc) => array_repeat(acc, n))
+      }
+    }
+    go(c, actual, f.inner.toList, 0, path)
+  }
 }
 
 object DcaSchema {
+  /** Structural type equality ignoring array/struct nullability flags
+    * (parquet readers vary containsNull; it is not a semantic
+    * difference for conformance).
+    */
+  private[core] def sameType(a: DataType, b: DataType): Boolean = (a, b) match {
+    case (ArrayType(ae, _), ArrayType(be, _)) => sameType(ae, be)
+    case (sa: StructType, sb: StructType) =>
+      sa.length == sb.length && sa.fields.zip(sb.fields).forall {
+        case (x, y) => x.name == y.name && sameType(x.dataType, y.dataType) }
+    case _ => a == b
+  }
+
   /** Declare a field with a shape string, e.g.
     * `field("pos", FloatType, "*batch 3")` — the Scala analog of
     * `pos: f32['*batch 3']`.
@@ -107,4 +182,8 @@ object DcaSchema {
   /** Nested dataclass field (`c: Ray`). */
   def nested(name: String, schema: DcaSchema): DcaField =
     DcaField(name, NullType, Vector.empty, Some(schema))
+
+  /** Nested dataclass field with inner dims (array of sub-records). */
+  def nestedArray(name: String, schema: DcaSchema, shapeStr: String): DcaField =
+    DcaField(name, NullType, ShapeParser.innerShape(shapeStr), Some(schema))
 }

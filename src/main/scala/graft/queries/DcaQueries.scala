@@ -271,6 +271,38 @@ object DcaQueries {
              |  CAST(label AS BIGINT) AS label
              |FROM embeddings ORDER BY vec_id""".stripMargin)),
 
+    // C2/C3: RECURSIVE nested-struct conform — the reference's Nested
+    // fixture (array_dataclass_test.py:105-139): a struct column whose
+    // sub-fields carry their own dtypes and inner shapes. Exercises
+    // scalar cast at the top level (int->long), element cast through an
+    // array level (array<double> -> array<float>), untouched sub-field
+    // pass-through, and the recursive Static(2) inner-dim validator.
+    "dca_c2_nested_conform" -> QueryDef(
+      (s, dir) => {
+        import org.apache.spark.sql.types.{FloatType, LongType}
+        val sub = graft.core.DcaSchema(Vector(
+          graft.core.DcaSchema.field("pid", LongType),
+          graft.core.DcaSchema.field("vals", FloatType, "*b 2")))
+        val schema = graft.core.DcaSchema(Vector(
+          graft.core.DcaSchema.field("l_orderkey", LongType),
+          graft.core.DcaSchema.field("l_linenumber", LongType),
+          graft.core.DcaSchema.nested("item", sub)))
+        val raw = table(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_linenumber"),
+            struct(col("l_partkey").as("pid"),
+              array(col("l_quantity"), col("l_extendedprice")).as("vals")).as("item"))
+        schema.conform(raw)
+          .select(col("l_orderkey"), col("l_linenumber"),
+            col("item.pid").as("pid"),
+            size(col("item.vals")).cast("long").as("n_vals"),
+            floor(element_at(col("item.vals"), 1).cast("double") * 100).cast("long").as("q_c"))
+          .orderBy("l_orderkey", "l_linenumber")
+      },
+      Some("""SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+             |  l_partkey AS pid, CAST(2 AS BIGINT) AS n_vals,
+             |  CAST(floor(CAST(CAST(l_quantity AS REAL) AS DOUBLE) * 100) AS BIGINT) AS q_c
+             |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
     // V2: vectorize arg alignment — zip two aligned frames on the batch
     // index (equi-join on __idx*); the shifted slice makes it a lead().
     "dca_v2_zip" -> QueryDef(

@@ -264,13 +264,73 @@ class DcaSchemaSpec extends SparkTestBase {
     intercept[IllegalArgumentException](DcaSchema.field("p", FloatType, "3 4"))
   }
 
-  test("castDtype=false leaves source dtypes untouched") {
+  test("castDtype=false rejects dtype mismatch; matching dtype passes") {
     import spark.implicits._
+    // reference DataclassParams(cast_dtype=False) raises on mismatch
+    // (array_dataclass_test.py:646-691)
     val schema = DcaSchema(Vector(DcaSchema.field("w", DoubleType)), castDtype = false)
     val df = Seq(1, 2).toDF("w") // IntegerType source
-    assert(schema.conform(df).schema("w").dataType == IntegerType)
+    intercept[IllegalArgumentException](schema.conform(df))
+    assert(schema.conform(df.select(col("w").cast("double").as("w")))
+      .schema("w").dataType == DoubleType)
     assert(DcaSchema(Vector(DcaSchema.field("w", DoubleType)))
       .conform(df).schema("w").dataType == DoubleType)
+  }
+
+  test("castList=false rejects array element casts; exact array passes") {
+    import spark.implicits._
+    val schema = DcaSchema(Vector(DcaSchema.field("pos", FloatType, "*b 2")),
+      castList = false)
+    val doubles = Seq(Tuple1(Seq(1.0, 2.0))).toDF("pos")
+    intercept[IllegalArgumentException](schema.conform(doubles))
+    val floats = Seq(Tuple1(Seq(1f, 2f))).toDF("pos")
+    assert(schema.conform(floats).schema("pos").dataType.asInstanceOf[ArrayType]
+      .elementType == FloatType)
+    // with castList=true the same input conforms via element cast
+    assert(DcaSchema(Vector(DcaSchema.field("pos", FloatType, "*b 2")))
+      .conform(doubles).schema("pos").dataType.asInstanceOf[ArrayType]
+      .elementType == FloatType)
+  }
+
+  test("broadcastScalars: scalar fills static inner dims; =false rejects") {
+    import spark.implicits._
+    val df = Seq(Tuple1(7)).toDF("pos")
+    val bcast = DcaSchema(Vector(DcaSchema.field("pos", FloatType, "*b 3")))
+    val out = bcast.conform(df).collect()
+    assert(out.head.getSeq[Float](0) == Seq(7f, 7f, 7f))
+    val strict = DcaSchema(Vector(DcaSchema.field("pos", FloatType, "*b 3")),
+      broadcastScalars = false)
+    intercept[IllegalArgumentException](strict.conform(df))
+    // scalar cannot broadcast into a dynamic dim regardless of policy
+    val dyn = DcaSchema(Vector(DcaSchema.field("pos", FloatType, "*b _")))
+    intercept[IllegalArgumentException](dyn.conform(df))
+  }
+
+  test("nested conform recurses: casts and inner-dim checks through structs") {
+    import spark.implicits._
+    val sub = DcaSchema(Vector(
+      DcaSchema.field("pid", LongType),
+      DcaSchema.field("vals", FloatType, "*b 2")))
+    val schema = DcaSchema(Vector(
+      DcaSchema.field("k", LongType), DcaSchema.nested("item", sub)))
+    val raw = Seq((1, (10, Seq(1.5, 2.5))), (2, (20, Seq(3.5, 4.5))))
+      .toDF("k", "item")
+      .select(col("k"), col("item._1").as("pid"), col("item._2").as("vals"))
+      .select(col("k"), struct(col("pid"), col("vals")).as("item"))
+    val out = schema.conform(raw)
+    val itemType = out.schema("item").dataType.asInstanceOf[StructType]
+    assert(itemType("pid").dataType == LongType)
+    assert(itemType("vals").dataType.asInstanceOf[ArrayType].elementType == FloatType)
+    assert(out.count() == 2)
+    // inner-dim violation INSIDE the struct fails enforcement
+    val bad = Seq((1, (10, Seq(1.5)))).toDF("k", "item")
+      .select(col("k"), col("item._1").as("pid"), col("item._2").as("vals"))
+      .select(col("k"), struct(col("pid"), col("vals")).as("item"))
+    intercept[Exception](schema.conform(bad).collect())
+    // missing sub-field raises eagerly
+    val missing = Seq(1L).toDF("k")
+      .select(col("k"), struct(col("k").as("pid")).as("item"))
+    intercept[IllegalArgumentException](schema.conform(missing))
   }
 
   test("Staged cache keys by sf dir: mixed dirs in one session stay distinct") {
