@@ -85,7 +85,8 @@ case class DotF32(left: Expression, right: Expression) extends BinaryExpression 
 }
 
 /** Native codegen'd polynomial rolling hash over a string's characters:
-  * acc = (acc * 31 + codepoint) mod 1e9+7, left-to-right.
+  * acc = (acc * base + codepoint) mod `mod`, left-to-right
+  * (defaults base=31, mod=1e9+7).
   *
   * Replaces the HOF formulation
   * `aggregate(transform(sequence(1, length(s)), i -> ascii(substr(s,i,1))), ...)`
@@ -93,8 +94,13 @@ case class DotF32(left: Expression, right: Expression) extends BinaryExpression 
   * allocates an index array. This is a single O(n) pass over the bytes
   * (== codepoints for ASCII; multi-byte UTF-8 falls back to codepoint
   * iteration for identical semantics).
+  *
+  * `base`/`mod` are plan-time constants (SQL form:
+  * `poly_hash(s, base, mod)` with literal ints) so two independent
+  * hashes can be combined into a wider engine-portable hash — see
+  * [[graft.operators.Dedup.portableHash60]].
   */
-case class PolyHash(child: Expression)
+case class PolyHash(child: Expression, base: Long = 31L, mod: Long = 1000000007L)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
 
   override def dataType: DataType = org.apache.spark.sql.types.LongType
@@ -108,10 +114,10 @@ case class PolyHash(child: Expression)
     }
 
   override protected def nullSafeEval(input: Any): Any =
-    PolyHash.hash(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+    PolyHash.hash(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], base, mod)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.PolyHash.hash($c)")
+    defineCodeGen(ctx, ev, c => s"graft.functions.PolyHash.hash($c, ${base}L, ${mod}L)")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -120,10 +126,8 @@ case class PolyHash(child: Expression)
 }
 
 object PolyHash {
-  private final val Mod = 1000000007L
-
   /** O(n) over bytes for pure-ASCII strings; codepoint loop otherwise. */
-  def hash(s: org.apache.spark.unsafe.types.UTF8String): Long = {
+  def hash(s: org.apache.spark.unsafe.types.UTF8String, base: Long, mod: Long): Long = {
     val bytes = s.getBytes
     var ascii = true
     var i = 0
@@ -131,14 +135,16 @@ object PolyHash {
     var acc = 0L
     if (ascii) {
       i = 0
-      while (i < bytes.length) { acc = (acc * 31 + bytes(i)) % Mod; i += 1 }
+      while (i < bytes.length) { acc = (acc * base + bytes(i)) % mod; i += 1 }
     } else {
       val str = s.toString
       i = 0
-      while (i < str.length) { acc = (acc * 31 + str.codePointAt(i)) % Mod; i += str.offsetByCodePoints(i, 1) - i }
+      while (i < str.length) { acc = (acc * base + str.codePointAt(i)) % mod; i += str.offsetByCodePoints(i, 1) - i }
     }
     acc
   }
+
+  def hash(s: org.apache.spark.unsafe.types.UTF8String): Long = hash(s, 31L, 1000000007L)
 }
 
 object VectorExpressions {
@@ -148,8 +154,18 @@ object VectorExpressions {
   }
 
   private[functions] val polyHashBuilder: Seq[Expression] => Expression = exprs => {
-    require(exprs.length == 1, s"poly_hash takes 1 arg, got ${exprs.length}")
-    PolyHash(exprs.head)
+    require(exprs.length == 1 || exprs.length == 3,
+      s"poly_hash takes 1 arg or (str, base, mod), got ${exprs.length}")
+    if (exprs.length == 1) PolyHash(exprs.head)
+    else {
+      def longLit(e: Expression, what: String): Long = e match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(v: Long, _) => v
+        case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v.toLong
+        case other => throw new IllegalArgumentException(
+          s"poly_hash $what must be an integer literal, got $other")
+      }
+      PolyHash(exprs.head, longLit(exprs(1), "base"), longLit(exprs(2), "mod"))
+    }
   }
 
   /** Register the graft native functions in the session's function

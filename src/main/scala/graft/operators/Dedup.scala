@@ -35,16 +35,30 @@ object Dedup {
     case x => x
   }
 
-  /** Per-(doc, shingle) rows with the RAW xxhash64 of each shingle.
-    * Hash each shingle string EXACTLY ONCE — the array-lambda
-    * formulation re-evaluated xxhash64 under every permutation (k×
-    * work) because Catalyst does not CSE across lambda bodies. The
-    * same table feeds both MinHash and SimHash (stage/persist it when
-    * running both).
+  /** Engine-portable 60-bit shingle hash: two independent polynomial
+    * hashes packed as bits 0..29 (base 31 mod 1e9+7) and 30..59
+    * (base 37 mod 1073741789) — reproducible in any SQL engine with
+    * 64-bit integer arithmetic (the DuckDB oracle recomputes it
+    * exactly), unlike xxhash64. Mixing is weaker than xxhash64; prefer
+    * [[shingleHashTable]]'s default in production and this one when
+    * cross-engine verification matters. Requires
+    * [[graft.functions.VectorExpressions.register]].
     */
-  def shingleHashTable(docs: DataFrame, idCol: String, shinglesCol: String): DataFrame =
+  def portableHash60(c: Column): Column =
+    call_function("poly_hash", c) +
+      call_function("poly_hash", c, lit(37L), lit(1073741789L)) * lit(1073741824L)
+
+  /** Per-(doc, shingle) rows with the RAW hash of each shingle
+    * (default xxhash64). Hash each shingle string EXACTLY ONCE — the
+    * array-lambda formulation re-evaluated the hash under every
+    * permutation (k× work) because Catalyst does not CSE across lambda
+    * bodies. The same table feeds both MinHash and SimHash
+    * (stage/persist it when running both).
+    */
+  def shingleHashTable(docs: DataFrame, idCol: String, shinglesCol: String,
+                       hashFn: Column => Column = xxhash64(_)): DataFrame =
     docs.select(col(idCol).as("__id"), explode(col(shinglesCol)).as("__s"))
-      .select(col("__id"), xxhash64(col("__s")).as("__h"))
+      .select(col("__id"), hashFn(col("__s")).as("__h"))
 
   /** MinHash signatures as k flat columns `__m0..__m{k-1}`: explode →
     * hash once → single hash-aggregate with k codegen'd min()s. One
@@ -176,13 +190,16 @@ object Dedup {
   def simhashCols(docs: DataFrame, idCol: String, shinglesCol: String): DataFrame =
     simhashColsFromHashes(shingleHashTable(docs, idCol, shinglesCol))
 
-  /** SimHash from a pre-staged (__id, __h) shingle-hash table. */
-  def simhashColsFromHashes(hashed: DataFrame): DataFrame = {
-    val aggs = (0 until 64).map { j =>
+  /** SimHash from a pre-staged (__id, __h) shingle-hash table.
+    * `bits` is the sketch width — 64 for xxhash64 input; 60 when the
+    * hashes come from [[portableHash60]].
+    */
+  def simhashColsFromHashes(hashed: DataFrame, bits: Int = 64): DataFrame = {
+    val aggs = (0 until bits).map { j =>
       sum(when(bitSetLit(col("__h"), j), 1L).otherwise(-1L)).as(s"__v$j")
     }
     hashed.groupBy("__id").agg(aggs.head, aggs.tail: _*)
-      .select(col("__id"), concat((0 until 64).map(j =>
+      .select(col("__id"), concat((0 until bits).map(j =>
         when(col(s"__v$j") > 0, "1").otherwise("0")): _*).as("__sim"))
   }
 
@@ -207,10 +224,11 @@ object Dedup {
     */
   def simhashPairsFromShingles(shingled: DataFrame, idCol: String, shinglesCol: String,
                                maxHamming: Int = 3,
-                               hashed: Option[DataFrame] = None): DataFrame = {
+                               hashed: Option[DataFrame] = None,
+                               bits: Int = 64): DataFrame = {
     val nChunks = maxHamming + 1
-    val width = (64 + nChunks - 1) / nChunks
-    val sh = hashed.map(simhashColsFromHashes).getOrElse(
+    val width = (bits + nChunks - 1) / nChunks
+    val sh = hashed.map(simhashColsFromHashes(_, bits)).getOrElse(
       simhashCols(shingled.select(col(idCol), col(shinglesCol).as("__sh")), idCol, "__sh"))
     val chunks = sh.select(col("__id"), col("__sim"),
       explode(transform(sequence(lit(0), lit(nChunks - 1)), j =>

@@ -46,14 +46,36 @@ object DedupQueries {
              |WHERE inter * 5 >= (sa.n + sb.n - inter) * 2
              |ORDER BY 1, 2""".stripMargin)),
 
-    // SimHash near-dup pairs (hamming <= 3 over 64 bits, banded by
-    // 16-bit chunks). xxhash64 is not reproducible in DuckDB → the
-    // driver records the weaker rows-only check; semantics are covered
-    // by DedupSpec against planted near-dups.
+    // SimHash near-dup pairs (hamming <= 3 over 60 bits, banded by
+    // 15-bit chunks; pigeonhole recall 1.0, exact hamming verify).
+    // Uses the engine-portable 60-bit polynomial shingle hash so the
+    // DuckDB oracle recomputes the sketches bit-for-bit and checks the
+    // full result (the banding itself needs no oracle mirror: recall
+    // is exactly 1 within the budget, so banded == all-pairs).
     "d3_simhash" -> QueryDef(
       (s, dir) => Dedup.simhashPairsFromShingles(Staged.docShingles(s, dir), "doc_id", "__sh",
-          hashed = Some(Staged.docShingleHashes(s, dir)))
+          hashed = Some(Staged.docShingleHashesPortable(s, dir)), bits = 60)
         .orderBy("doc_a", "doc_b"),
-      None)
+      Some("""WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+             |sh AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS s
+             |       FROM words, UNNEST(range(1, len(w) - 1)) AS t(i)),
+             |h AS (SELECT doc_id,
+             |  list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(1, length(s) + 1),
+             |      i -> CAST(ascii(substr(s, CAST(i AS INTEGER), 1)) AS BIGINT))),
+             |    (acc, c) -> (acc * 31 + c) % 1000000007)
+             |  + list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(1, length(s) + 1),
+             |      i -> CAST(ascii(substr(s, CAST(i AS INTEGER), 1)) AS BIGINT))),
+             |    (acc, c) -> (acc * 37 + c) % 1073741789) * 1073741824 AS hv
+             |  FROM sh),
+             |votes AS (SELECT doc_id, j,
+             |    CASE WHEN sum(CASE WHEN (hv >> CAST(j AS INTEGER)) & 1 = 1 THEN 1 ELSE -1 END) > 0
+             |      THEN CAST(1 AS BIGINT) << CAST(j AS INTEGER) ELSE 0 END AS bitval
+             |  FROM h, UNNEST(range(0, 60)) AS t(j) GROUP BY 1, 2),
+             |sims AS (SELECT doc_id, sum(bitval) AS sim FROM votes GROUP BY 1)
+             |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             |  CAST(bit_count(xor(a.sim, b.sim)) AS BIGINT) AS hamming
+             |FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+             |WHERE bit_count(xor(a.sim, b.sim)) <= 3
+             |ORDER BY 1, 2""".stripMargin))
   )
 }

@@ -61,4 +61,16 @@ object Staged {
       graft.operators.Dedup.shingleHashTable(docShingles(s, dir), "doc_id", "__sh")
         .persist(StorageLevel.MEMORY_AND_DISK)
     }).asInstanceOf[DataFrame]
+
+  /** shingle-hash table under the engine-portable 60-bit hash
+    * ([[graft.operators.Dedup.portableHash60]]) — the variant whose
+    * sketches a DuckDB oracle can recompute bit-for-bit.
+    */
+  def docShingleHashesPortable(s: SparkSession, dir: String): DataFrame =
+    cacheFor(s).getOrElseUpdate(s"shhp:$dir", {
+      graft.functions.VectorExpressions.register(s)
+      graft.operators.Dedup.shingleHashTable(docShingles(s, dir), "doc_id", "__sh",
+          graft.operators.Dedup.portableHash60)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    }).asInstanceOf[DataFrame]
 }
