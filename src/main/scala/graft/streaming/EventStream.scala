@@ -73,6 +73,18 @@ object EventStream {
     * passes its end + gap, i.e. when no event that could still arrive
     * may extend it. Closing eagerly on a later event would fragment or
     * wrongly finalize sessions under late data.
+    *
+    * No fragmentation is possible across batches: Spark drops
+    * flatMapGroupsWithState input rows older than the watermark, and a
+    * session closes only once wm > end + gap — so any sibling that
+    * could still merge (ts ≤ end + gap < wm) is dropped before it
+    * reaches the operator, and any sibling that DOES arrive (ts ≥ wm)
+    * always finds the session still open (EventStreamSpec pins both
+    * halves of this argument). As defense in depth for runtimes
+    * without input filtering, a session touched by this batch's events
+    * is additionally never closed in the same invocation — it holds
+    * until the next watermark advance fires the timeout, keeping
+    * emission final.
     */
   def sessionize(spark: SparkSession, events: Dataset[Event],
                  gapUs: Long, watermarkDelay: String = "30 minutes"): Dataset[Session] = {
@@ -85,7 +97,8 @@ object EventStream {
       .flatMapGroupsWithState[SessionState, Session](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
-          var sessions = state.getOption.map(_.sessions.toList).getOrElse(Nil)
+          val before = state.getOption.map(_.sessions.toList).getOrElse(Nil)
+          var sessions = before
           rows.toSeq.sortBy(_.tsUs).foreach { e =>
             val (near, far) = sessions.partition(s =>
               e.tsUs >= s.startUs - gapUs && e.tsUs <= s.endUs + gapUs)
@@ -96,13 +109,17 @@ object EventStream {
             sessions = merged :: far
           }
           val wmUs = state.getCurrentWatermarkMs() * 1000L
-          val (closed, open) = sessions.partition(s => s.endUs + gapUs < wmUs)
+          // only UNTOUCHED sessions may close now; touched ones hold one
+          // more watermark cycle to absorb late siblings (value equality
+          // identifies untouched: any merge changes n)
+          val (closed, open) = sessions.partition(s =>
+            s.endUs + gapUs < wmUs && before.contains(s))
           if (open.nonEmpty) {
             state.update(SessionState(open))
             // wake when the earliest open session becomes closable;
             // must be strictly beyond the current watermark
             val nextMs = math.max(state.getCurrentWatermarkMs() + 1,
-              (open.map(_.endUs).min + gapUs) / 1000L + 1)
+              (open.map(s => s.endUs + gapUs).min) / 1000L + 1)
             state.setTimeoutTimestamp(nextMs)
           } else {
             state.remove()

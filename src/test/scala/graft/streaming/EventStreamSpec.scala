@@ -55,6 +55,49 @@ class EventStreamSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("late siblings in DIFFERENT batches merge; below-watermark input is dropped") {
+    // The no-fragmentation argument, pinned: (a) a session stays open
+    // while wm <= end+gap, so an above-wm sibling arriving batches
+    // later still merges; (b) Spark drops FMGWS input below the
+    // watermark, so once wm passes end+gap no mergeable sibling can
+    // arrive — two late events can therefore never fragment into
+    // separate singleton sessions.
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val sessions = EventStream.sessionize(spark, input.toDS(), gapUs = 30 * Min,
+      watermarkDelay = "6 hours")
+    val q = sessions.writeStream.format("memory").queryName("late_sib")
+      .outputMode(OutputMode.Append).start()
+    try {
+      val T0 = 86400L * 1000000L
+      // advance the watermark: wm = 600min - 360min = 240min
+      input.addData(Event(1L, T0 + 600 * Min, 5L))
+      q.processAllAvailable()
+      // (b) input BELOW the watermark never reaches the operator
+      input.addData(Event(1L, T0, 99L))
+      q.processAllAvailable()
+      // (a) late-but-above-wm event at 250min: session (250,250) stays
+      // open (end+gap = 280min > wm = 240min)
+      input.addData(Event(1L, T0 + 250 * Min, 10L))
+      q.processAllAvailable()
+      assert(spark.table("late_sib").isEmpty,
+        "open late session must not emit eagerly")
+      // sibling in the NEXT batch, within the gap: merges
+      input.addData(Event(1L, T0 + 251 * Min, 20L))
+      q.processAllAvailable()
+      // advance wm past 281min so the merged session closes
+      // (wm lags one batch: push, then tick)
+      input.addData(Event(1L, T0 + 700 * Min, 7L))
+      q.processAllAvailable()
+      input.addData(Event(1L, T0 + 710 * Min, 7L))
+      q.processAllAvailable()
+      val out = spark.table("late_sib").as[Session].collect().toSeq
+      // ONE merged late session; the dropped below-wm event appears
+      // nowhere; the 600/700/710min sessions are still open
+      assert(out == Seq(Session(1L, T0 + 250 * Min, T0 + 251 * Min, 2L, 30L)), s"got $out")
+    } finally q.stop()
+  }
+
   test("interval join honors sub-second windows (no truncation)") {
     implicit val sqlCtx = spark.sqlContext
     val actions = MemoryStream[(Long, Long, Long)]
