@@ -1,0 +1,25 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** One place for the engine confs every graft session needs — session
+  * configuration belongs at BUILD time, not inside query functions
+  * (a query mutating session conf is global, order-dependent state).
+  *
+  *  - `nanosAsLong`: events.parquet carries TIMESTAMP(NANOS), which
+  *    Spark 4 cannot read natively; reading it as raw epoch-nanos
+  *    LongType keeps arithmetic exact (ns epochs exceed 2^53, so
+  *    doubles would corrupt them).
+  *  - UTC: date/timestamp functions must agree with the DuckDB oracle.
+  *  - shuffle.partitions sized to the local core count (not the 200
+  *    default) — on a real cluster this is AQE + explicit tuning.
+  */
+object GraftSession {
+  def builder(master: String, shufflePartitions: String): SparkSession.Builder =
+    SparkSession.builder()
+      .master(master)
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+}

@@ -18,9 +18,10 @@ object SparkEntry {
     queries("q1_agg")(spark, "/root/testdata/sf0.001")
 
   /** Full operator registry: relational + DcaFrame structural ops +
-    * (as they land) LLM-pipeline extensions.
+    * LLM-pipeline extensions. A lazy val — the map (and everything the
+    * defs construct eagerly) is built once, not per access.
     */
-  private def registry: Map[String, graft.queries.QueryDef] =
+  private lazy val registry: Map[String, graft.queries.QueryDef] =
     graft.queries.Relational.defs ++ graft.queries.DcaQueries.defs ++
       graft.queries.EventQueries.defs ++ graft.queries.TextQueries.defs ++
       graft.queries.DedupQueries.defs ++ graft.queries.SimilarityQueries.defs ++

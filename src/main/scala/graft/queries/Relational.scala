@@ -483,9 +483,13 @@ object Relational {
   /** events with `ts` as raw epoch-nanos LongType (Spark 4 cannot read
     * parquet TIMESTAMP(NANOS) natively). Exact integer arithmetic on
     * nanos avoids any double-precision loss (ns epochs exceed 2^53).
+    * The conf must be set at session build ([[graft.GraftSession]]) —
+    * mutating it per query would be global, order-dependent state.
     */
   def eventsRaw(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    require(s.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"),
+      "build the session with spark.sql.legacy.parquet.nanosAsLong=true " +
+        "(see graft.GraftSession): events.parquet is TIMESTAMP(NANOS)")
     table(s, dir, "events")
   }
 }

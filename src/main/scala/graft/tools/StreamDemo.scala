@@ -18,13 +18,7 @@ import org.apache.spark.sql.types._
 object StreamDemo {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.001")
-    val spark = SparkSession.builder()
-      .master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val spark = graft.GraftSession.builder("local[4]", "4").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
     // file streaming source needs an explicit schema (ts = raw nanos)
