@@ -35,9 +35,13 @@ final case class DcaFrame(
     require(ndim > 0, "len() of unsized object (scalar shape)")
     shape.head
   }
-  /** bool(p): raises on empty (ambiguity guard, `array_dataclass.py:412-453`). */
+  /** bool(p): raises only when the FIRST dim is 0 on a non-scalar shape
+    * (len(x) == 0) — e.g. shape (3,0) is truthy — matching the
+    * reference's `__bool__` guard exactly (`array_dataclass.py:412-453`).
+    */
   def nonEmptyOrThrow(): Boolean = {
-    require(size != 0, "The truth value of an empty array is ambiguous")
+    require(ndim == 0 || shape.head != 0,
+      "The truth value of an empty array is ambiguous")
     true
   }
 

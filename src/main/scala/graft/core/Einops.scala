@@ -44,6 +44,7 @@ object Einops {
     val leftNames = p.left.flatten
     val rightNames = p.right.flatten
     require(leftNames.distinct == leftNames, s"duplicate names on left: $leftNames")
+    require(rightNames.distinct == rightNames, s"duplicate names on right: $rightNames")
     require(leftNames.toSet == rightNames.toSet,
       s"left/right names differ: $leftNames vs $rightNames")
     val sizes = collection.mutable.Map[String, Long](axesLength.toSeq: _*)

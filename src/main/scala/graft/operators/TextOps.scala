@@ -70,10 +70,14 @@ object TextOps {
 
   /** Polynomial rolling-hash document fingerprint over characters:
     * acc = (acc * 31 + codepoint) mod 1e9+7. Deterministic, exact-int,
-    * reproducible in any engine (the oracle recomputes it in SQL).
+    * reproducible in any engine (the oracle recomputes it in SQL), and
+    * identical to the native [[graft.functions.PolyHash]] expression
+    * (spec-asserted). `split(text, "")` emits a trailing empty token
+    * (ascii('') = 0 would fold in one extra `acc*31 % p` step), so
+    * empties are filtered before the fold.
     */
   def fingerprint(text: Column): Column =
-    aggregate(split(text, ""), lit(0L),
+    aggregate(filter(split(text, ""), c => length(c) > 0), lit(0L),
       (acc, c) => (acc * 31 + ascii(c)) % 1000000007L)
 
   /** Word n-gram shingles (distinct), the input to MinHash/Jaccard.

@@ -85,6 +85,9 @@ class DcaFrameSpec extends SparkTestBase {
     assert(xs(q.flatten) == (0 until 12).map(_.toDouble)) // order preserved
     intercept[IllegalArgumentException](points(6).reshapeEinops("(h w) -> w h")) // w unknown
     intercept[IllegalArgumentException](points(6).reshapeEinops("a -> a b"))
+    // duplicate right-side names would silently break the dense-index
+    // invariant (declared size a^2, only a rows) — einops rejects too
+    intercept[IllegalArgumentException](points(6).reshapeEinops("a -> a a"))
   }
 
   test("boolean mask filters and densely re-indexes (S7)") {
@@ -239,6 +242,10 @@ class DcaFrameSpec extends SparkTestBase {
     val p = points(3).mask(col("x") > 100)
     assert(p.shape == Vector(0L))
     intercept[IllegalArgumentException](p.nonEmptyOrThrow())
+    // only a zero FIRST dim is falsy: shape (3,0) is truthy in the
+    // reference (__bool__ checks len(x), array_dataclass.py:412-453)
+    assert(p.reshape(3, 0).nonEmptyOrThrow())
+    assert(points(1)(Ix.I(0)).nonEmptyOrThrow()) // scalar shape truthy
   }
 }
 

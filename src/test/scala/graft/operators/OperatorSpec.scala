@@ -271,5 +271,11 @@ class TextOpsSpec extends SparkTestBase {
     val model = Seq(s, "", "another longer string with more text")
       .map(_.foldLeft(0L)((acc, c) => (acc * 31 + c.toInt) % 1000000007L))
     assert(native == model)
+    // TextOps.fingerprint (the HOF form) agrees with poly_hash — the
+    // trailing empty token from split(text, '') must not fold in an
+    // extra acc*31 step
+    val hof = Seq(s, "", "another longer string with more text").toDF("text")
+      .select(TextOps.fingerprint(col("text"))).as[Long].collect().toSeq
+    assert(hof == model)
   }
 }
