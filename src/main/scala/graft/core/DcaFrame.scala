@@ -106,7 +106,7 @@ final case class DcaFrame(
     * right groups. Narrow, no shuffle.
     */
   def reshapeEinops(pattern: String, axesLength: (String, Long)*): DcaFrame = {
-    val p = Einops.parse(pattern)
+    val p = Einops.expandEllipsis(Einops.parse(pattern), ndim)
     val (sizes, newShape) = Einops.resolve(p, shape, axesLength.toMap)
     // per-name index expression from the left structure
     val nameIdx: Map[String, Column] = p.left.zipWithIndex.flatMap { case (group, gi) =>

@@ -90,6 +90,20 @@ class DcaFrameSpec extends SparkTestBase {
     intercept[IllegalArgumentException](points(6).reshapeEinops("a -> a a"))
   }
 
+  test("einops ellipsis expands against the concrete ndim") {
+    // "... a -> a ..." on shape (2,3,2): ellipsis = leading (2,3)
+    val p = points(12).reshape(2, 3, 2).reshapeEinops("... a -> a ...")
+    assert(p.shape == Vector(2L, 2L, 3L))
+    // element (a, e0, e1) = x at linear (e0*3 + e1)*2 + a
+    assert(idxAndX(p) == (for (a <- 0L until 2L; i <- 0L until 2L; j <- 0L until 3L)
+      yield (Seq(a, i, j), ((i * 3 + j) * 2 + a).toDouble)))
+    // identity and grouped-ellipsis use
+    assert(xs(points(6).reshape(3, 2).reshapeEinops("... -> ...").flatten) ==
+      (0 until 6).map(_.toDouble))
+    intercept[IllegalArgumentException](points(6).reshapeEinops("... a ... -> a"))
+    intercept[IllegalArgumentException](points(6).reshapeEinops("a ... -> a"))
+  }
+
   test("boolean mask filters and densely re-indexes (S7)") {
     val p = points(10)
     val m = p.mask(col("x") % 2 === 1)
