@@ -497,6 +497,19 @@ object DcaFrame {
     DcaFrame(out, Vector(n), cols, statics)
   }
 
+  /** Statics-only frame — the analog of a dataclass with ONLY static
+    * fields (`array_dataclass.py:939-952`, which injects a dummy array
+    * field so `.shape` works): an index-only lattice of the requested
+    * shape carrying no payload columns. All shape algebra (reshape,
+    * broadcast, slice, stack, concat) works; `mapField` is a no-op.
+    */
+  def staticOnly(spark: SparkSession, shape: Shape,
+                 statics: Map[String, Any] = Map.empty): DcaFrame = {
+    val n = Shape.size(shape)
+    val flat = spark.range(n).select(col("id").cast(LongType).as("__idx0"))
+    DcaFrame(flat, Vector(n), Vector.empty, statics).reshapeTo(shape)
+  }
+
   /** Local construction (tests / small data): rows in given order. */
   def fromLocal(spark: SparkSession, rows: Seq[Row], schema: StructType,
                 shape: Shape = null): DcaFrame = {

@@ -184,6 +184,17 @@ class DcaFrameSpec extends SparkTestBase {
     intercept[IllegalArgumentException](points(3).vectorizeZip(points(4)))
   }
 
+  test("statics-only frame: shape algebra without array columns") {
+    val p = DcaFrame.staticOnly(spark, Vector(2L, 3L), Map("k" -> 7))
+    assert(p.shape == Vector(2L, 3L) && p.arrayCols.isEmpty && p.statics("k") == 7)
+    assert(p.reshape(3, 2).shape == Vector(3L, 2L))
+    assert(p.broadcastTo(Seq(4, 2, 3)).shape == Vector(4L, 2L, 3L))
+    assert(p(Ix.I(1)).shape == Vector(3L))
+    val s = DcaFrame.stack(Seq(p, p.replaceStatic("k", 8)))
+    assert(s.shape == Vector(2L, 2L, 3L) && s.statics("k") == 7) // first wins
+    assert(p.df.count() == 6L) // the index lattice is materialized
+  }
+
   test("stack creates a new axis; axis arg normalized (M1)") {
     val a = points(3)
     val b = points(3).mapField(c => c + lit(100.0))
