@@ -180,6 +180,11 @@ final case class DcaFrame(
     * `p[:, 2:5][idx_arr]`).
     */
   def apply(items: Indexing.Ix*): DcaFrame = {
+    // only ONE advanced index is supported: numpy's multi-advanced-index
+    // semantics zip the index arrays (diagonal), which sequential
+    // gathers would silently turn into an outer product
+    require(items.count(_.isInstanceOf[Indexing.Ix.A]) <= 1,
+      "at most one integer-array index is supported per indexing call")
     val resolved = Indexing.resolve(items, shape)
     var cur = df
     var axis = 0          // input axis being consumed
@@ -213,11 +218,7 @@ final case class DcaFrame(
         outPos += 1
     }
     // shape BEFORE the gathers apply: gather axes keep their full dim
-    val interShape = resolved.collect {
-      case (_, Indexing.Resolved.Slice(_, _, len)) => len
-      case (Some(dim), Indexing.Resolved.Gather(_)) => dim
-      case (_, Indexing.Resolved.New) => 1L
-    }.toVector
+    val interShape = Indexing.resultShape(resolved, gatherKeepsDim = true)
     val sel = outCols.result().map { case (n, c) => c.as(n) } ++ arrayCols.map(col)
     val out = cur.select(sel: _*)
     val fin = interShape.indices.foldLeft(out)((d, i) => d.withColumnRenamed(s"__oidx$i", s"__idx$i"))
@@ -255,6 +256,8 @@ final case class DcaFrame(
   /** Driver-side integer-array gather along any axis. */
   def gatherAxis(indices: Seq[Long], axis: Int): DcaFrame = {
     require(ndim >= 1, "gather needs ndim >= 1")
+    Seq("__src", "__pos").foreach { r =>
+      require(!df.columns.contains(r), s"$r is a reserved column name") }
     val ax = Shape.toAbsoluteAxis(axis, ndim)
     val dim = shape(ax)
     indices.zipWithIndex.foreach { case (i, k) =>
@@ -293,10 +296,21 @@ final case class DcaFrame(
         s"index frame must have exactly one payload column (or pass valueCol); got ${indices.arrayCols}")
       indices.arrayCols.head
     }
+    // integral index column only — a fractional type would be silently
+    // truncated by the cast below
+    indices.df.schema(vcol).dataType match {
+      case _: org.apache.spark.sql.types.ByteType | _: org.apache.spark.sql.types.ShortType |
+           _: org.apache.spark.sql.types.IntegerType | _: LongType => ()
+      case other => throw new IllegalArgumentException(
+        s"gather index column $vcol must be integral, got ${other.catalogString}")
+    }
     val n = shape.head
-    // eager bounds check: one cheap job over the index frame only
-    require(indices.df.filter(col(vcol) < -n || col(vcol) >= n).isEmpty,
-      s"gather index out of bounds for dim $n")
+    // eager bounds+null check: one cheap job over the index frame only.
+    // NULLs must be caught here — they would evaluate the bounds
+    // predicate to NULL and then silently DROP in the equi-join,
+    // leaving the claimed shape larger than the actual row count
+    require(indices.df.filter(col(vcol).isNull || col(vcol) < -n || col(vcol) >= n).isEmpty,
+      s"gather index null or out of bounds for dim $n")
     val m = indices.ndim
     (Seq("__gsrc") ++ (0 until m).map(i => s"__gpos$i")).foreach { r =>
       require(!df.columns.contains(r), s"$r is a reserved column name") }

@@ -90,10 +90,13 @@ final case class DcaSchema(
     */
   def conform(df: DataFrame, enforce: Boolean = true): DataFrame = {
     val inputSchema = df.schema
+    // honor the session's analyzer case sensitivity (default false):
+    // col("pos") resolves "Pos", so the schema lookup must too
+    val cs = df.sparkSession.conf.get("spark.sql.caseSensitive", "false").toBoolean
     val cols = fields.map { f =>
-      val idx = inputSchema.fieldNames.indexOf(f.name)
-      require(idx >= 0, s"missing column ${f.name}")
-      conformCol(col(f.name), inputSchema(idx).dataType, f, f.name).as(f.name)
+      val idx = DcaSchema.resolveIndex(inputSchema.fieldNames.toIndexedSeq, f.name, cs, "input")
+      conformCol(col(inputSchema.fieldNames(idx)),
+        inputSchema(idx).dataType, f, f.name, cs).as(f.name)
     }
     val projected = df.select(cols: _*)
     if (!enforce) projected
@@ -109,14 +112,15 @@ final case class DcaSchema(
   }
 
   /** Recursive cast/conform of one column against its field metadata. */
-  private def conformCol(c: Column, actual: DataType, f: DcaField, path: String): Column = {
+  private def conformCol(c: Column, actual: DataType, f: DcaField, path: String,
+                         cs: Boolean): Column = {
     def leafCast(cc: Column, at: DataType, p: String): Column = f.nested match {
       case Some(sub) => at match {
         case st: StructType =>
           struct(sub.fields.map { sf =>
-            val a = st.fields.find(_.name == sf.name).getOrElse(throw new IllegalArgumentException(
-              s"$p.${sf.name}: missing struct field (have ${st.fieldNames.mkString(", ")})")).dataType
-            sub.conformCol(cc.getField(sf.name), a, sf, s"$p.${sf.name}").as(sf.name)
+            val i = DcaSchema.resolveIndex(st.fieldNames.toIndexedSeq, sf.name, cs, p)
+            sub.conformCol(cc.getField(st.fieldNames(i)), st.fields(i).dataType,
+              sf, s"$p.${sf.name}", cs).as(sf.name)
           }: _*)
         case other => throw new IllegalArgumentException(
           s"$p: expected struct, got ${other.catalogString}")
@@ -157,6 +161,25 @@ final case class DcaSchema(
 }
 
 object DcaSchema {
+  /** Resolve `want` among `names` with the analyzer's case rules:
+    * exact match first; unique case-insensitive match when the session
+    * is case-insensitive; clear errors otherwise.
+    */
+  private[core] def resolveIndex(names: IndexedSeq[String], want: String,
+                                 caseSensitive: Boolean, ctx: String): Int = {
+    val exact = names.indexOf(want)
+    if (exact >= 0) exact
+    else if (caseSensitive) throw new IllegalArgumentException(
+      s"$ctx: missing column $want (have ${names.mkString(", ")})")
+    else names.zipWithIndex.filter(_._1.equalsIgnoreCase(want)) match {
+      case IndexedSeq((_, i)) => i
+      case IndexedSeq() => throw new IllegalArgumentException(
+        s"$ctx: missing column $want (have ${names.mkString(", ")})")
+      case many => throw new IllegalArgumentException(
+        s"$ctx: ambiguous column $want matches ${many.map(_._1).mkString(", ")}")
+    }
+  }
+
   /** Structural type equality ignoring array/struct nullability flags
     * (parquet readers vary containsNull; it is not a semantic
     * difference for conformance).

@@ -97,10 +97,16 @@ object Indexing {
       throw new IllegalStateException("unreachable: expanded earlier")
   }
 
-  /** Resulting batch shape after applying resolved indices. */
-  def resultShape(resolved: Seq[(Option[Long], Resolved)]): Shape =
+  /** Resulting batch shape after applying resolved indices. With
+    * `gatherKeepsDim=true`, gather axes keep their FULL input dim —
+    * the intermediate shape before the gathers apply (used by
+    * `DcaFrame.apply`, which runs the basic items first).
+    */
+  def resultShape(resolved: Seq[(Option[Long], Resolved)],
+                  gatherKeepsDim: Boolean = false): Shape =
     resolved.collect {
       case (_, Resolved.Slice(_, _, len)) => len
+      case (Some(dim), Resolved.Gather(_)) if gatherKeepsDim => dim
       case (_, Resolved.Gather(idxs))     => idxs.length.toLong
       case (_, Resolved.New)              => 1L
     }.toVector

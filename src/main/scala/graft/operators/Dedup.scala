@@ -186,9 +186,10 @@ object Dedup {
   private def bitSetLit(h: Column, j: Int): Column =
     if (j == 63) h < 0 else h.bitwiseAND(lit(1L << j)) =!= 0
 
-  /** SimHash per doc via explode → hash once → 64 codegen'd sums. */
-  def simhashCols(docs: DataFrame, idCol: String, shinglesCol: String): DataFrame =
-    simhashColsFromHashes(shingleHashTable(docs, idCol, shinglesCol))
+  /** SimHash per doc via explode → hash once → `bits` codegen'd sums. */
+  def simhashCols(docs: DataFrame, idCol: String, shinglesCol: String,
+                  bits: Int = 64): DataFrame =
+    simhashColsFromHashes(shingleHashTable(docs, idCol, shinglesCol), bits)
 
   /** SimHash from a pre-staged (__id, __h) shingle-hash table.
     * `bits` is the sketch width — 64 for xxhash64 input; 60 when the
@@ -229,7 +230,7 @@ object Dedup {
     val nChunks = maxHamming + 1
     val width = (bits + nChunks - 1) / nChunks
     val sh = hashed.map(simhashColsFromHashes(_, bits)).getOrElse(
-      simhashCols(shingled.select(col(idCol), col(shinglesCol).as("__sh")), idCol, "__sh"))
+      simhashCols(shingled.select(col(idCol), col(shinglesCol).as("__sh")), idCol, "__sh", bits))
     val chunks = sh.select(col("__id"), col("__sim"),
       explode(transform(sequence(lit(0), lit(nChunks - 1)), j =>
         struct(j.as("chunk"), col("__sim").substr(j * width + 1, lit(width)).as("bits")))).as("c"))

@@ -137,6 +137,14 @@ class DcaFrameSpec extends SparkTestBase {
     intercept[IllegalArgumentException](p.gather(bad))
     intercept[IllegalArgumentException](
       p.gather(DcaFrame.fromLocal(spark, Seq(Row(-6L)), idxSchema)))
+    // NULL index values must raise, not silently drop in the join
+    // (a dropped row would break the dense-index shape invariant)
+    intercept[IllegalArgumentException](
+      p.gather(DcaFrame.fromLocal(spark, Seq(Row(1L), Row(null)), idxSchema)))
+    // fractional index column must raise, not truncate
+    val fracSchema = StructType(Seq(StructField("src", DoubleType)))
+    intercept[IllegalArgumentException](
+      p.gather(DcaFrame.fromLocal(spark, Seq(Row(2.5)), fracSchema)))
   }
 
   test("mixed advanced+basic indexing: p[idx_arr, 1:] and gatherAxis (S8c)") {
@@ -154,6 +162,9 @@ class DcaFrameSpec extends SparkTestBase {
     val e = p(Ix.Ellipsis, Ix.A(Seq(0L)))
     assert(e.shape == Vector(3L, 1L) && idxAndX(e).map(_._2) == Seq(0.0, 2.0, 4.0))
     intercept[IllegalArgumentException](p(Ix.A(Seq(3L)), Ix.All))
+    // multiple advanced indices are rejected: numpy would take the
+    // DIAGONAL, which sequential gathers cannot express
+    intercept[IllegalArgumentException](p(Ix.A(Seq(0L, 1L)), Ix.A(Seq(0L, 1L))))
   }
 
   test("vectorizeZip: extra trailing dims broadcast (V2)") {
@@ -307,6 +318,14 @@ class DcaSchemaSpec extends SparkTestBase {
       .schema("w").dataType == DoubleType)
     assert(DcaSchema(Vector(DcaSchema.field("w", DoubleType)))
       .conform(df).schema("w").dataType == DoubleType)
+  }
+
+  test("conform resolves columns case-insensitively (default analyzer mode)") {
+    import spark.implicits._
+    val schema = DcaSchema(Vector(DcaSchema.field("pos", DoubleType)))
+    val df = Seq(1.0, 2.0).toDF("Pos")
+    val out = schema.conform(df)
+    assert(out.columns.toSeq == Seq("pos") && out.count() == 2)
   }
 
   test("castList=false rejects array element casts; exact array passes") {
