@@ -16,13 +16,21 @@ object ExplainAll {
     val names = if (args.nonEmpty) args.toSeq else graft.SparkEntry.queries.keys.toSeq.sorted
     names.foreach { name =>
       val df = graft.SparkEntry.queries(name)(spark, sfDir)
-      val plan = df.queryExecution.executedPlan.toString()
+      // execute THIS queryExecution's plan: under AQE the pre-execution
+      // plan is the initial one — runtime join picks and codegen stages
+      // only exist in the final plan (a separate write would plan its
+      // own execution and leave this one unfinalized)
+      val qe = df.queryExecution
+      qe.executedPlan.execute().foreachPartition(_ => ())
+      val plan = qe.executedPlan.toString()
       val scans = plan.linesIterator.filter(_.contains("FileScan")).map(_.trim.take(200)).toList
       val joins = plan.linesIterator.filter(l =>
         l.contains("Join") || l.contains("CartesianProduct")).map(_.trim.take(120)).toList
       val exchanges = plan.linesIterator.filter(_.contains("Exchange"))
         .map(_.trim.stripPrefix("+- ").stripPrefix(":- ").take(160)).toList
-      val wsc = plan.linesIterator.count(_.contains("WholeStageCodegen"))
+      // executedPlan.toString marks codegen stages with "*(n)" prefixes;
+      // count distinct stage ids for the span count
+      val wsc = """\*\((\d+)\)""".r.findAllMatchIn(plan).map(_.group(1)).toSet.size
       println(s"== $name  (exchanges~${exchanges.size}, codegenSpans=$wsc)")
       scans.foreach(s => println(s"   scan: $s"))
       joins.foreach(j => println(s"   join: $j"))
