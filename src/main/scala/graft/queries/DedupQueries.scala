@@ -46,6 +46,59 @@ object DedupQueries {
              |WHERE inter * 5 >= (sa.n + sb.n - inter) * 2
              |ORDER BY 1, 2""".stripMargin)),
 
+    // Embedding-cosine near-dup at cosine >= 0.98 — planted dup pairs
+    // (a x2-scaled copy: the scaling cancels exactly through the fold
+    // since powers of two commute with fp rounding, leaving cosine
+    // within 1 ulp of 1; and a negated-first-dim copy whose cosine
+    // straddles the threshold, decided by the identical left-fold on
+    // both engines). The
+    // operator is sign-LSH banding -> short-key candidate pairs ->
+    // exact cosine verify; the oracle recomputes all pairs with a
+    // cheap relational prefilter and the bit-identical fold on the
+    // survivors.
+    "d4_embed_neardup" -> QueryDef(
+      (s, dir) => {
+        val base = table(s, dir, "embeddings").filter(col("vec_id") < 100)
+          .select(col("vec_id"), col("embedding"))
+        val scaled = base.select((col("vec_id") + 10000).as("vec_id"),
+          transform(col("embedding"), x => x * lit(2.0f)).as("embedding"))
+        val negated = base.select((col("vec_id") + 20000).as("vec_id"),
+          transform(col("embedding"), (x, i) => when(i === 0, -x).otherwise(x)).as("embedding"))
+        Dedup.embedNearDupPairs(base.unionByName(scaled).unionByName(negated),
+            "vec_id", "embedding", dims = 64, minCosine = 0.98)
+          .orderBy("doc_a", "doc_b")
+      },
+      Some("""WITH base AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 100),
+             |allv AS (
+             |  SELECT vec_id, embedding FROM base
+             |  UNION ALL
+             |  SELECT vec_id + 10000, list_transform(embedding, x -> x * CAST(2 AS REAL)) FROM base
+             |  UNION ALL
+             |  SELECT vec_id + 20000, list_transform(range(1, 65),
+             |    i -> CASE WHEN i = 1 THEN -embedding[i] ELSE embedding[i] END) FROM base),
+             |u AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
+             |      FROM allv, UNNEST(range(1, 65)) AS t(i)),
+             |nrm AS (SELECT vec_id, sum(x * x) AS s FROM u GROUP BY 1),
+             |pre AS (SELECT ua.vec_id AS ia, ub.vec_id AS ib, sum(ua.x * ub.x) AS d
+             |        FROM u ua JOIN u ub ON ua.i = ub.i AND ua.vec_id < ub.vec_id
+             |        GROUP BY 1, 2),
+             |cand AS (SELECT p.ia, p.ib FROM pre p
+             |         JOIN nrm na ON na.vec_id = p.ia JOIN nrm nb ON nb.vec_id = p.ib
+             |         WHERE p.d / sqrt(na.s * nb.s) >= 0.9),
+             |ex AS (SELECT c.ia, c.ib,
+             |    list_reduce(list_prepend(0.0, list_transform(range(1, 65),
+             |        i -> CAST(va.embedding[i] AS DOUBLE) * CAST(vb.embedding[i] AS DOUBLE))),
+             |      (a, b) -> a + b)
+             |    / (sqrt(list_reduce(list_prepend(0.0, list_transform(range(1, 65),
+             |        i -> CAST(va.embedding[i] AS DOUBLE) * CAST(va.embedding[i] AS DOUBLE))),
+             |      (a, b) -> a + b))
+             |      * sqrt(list_reduce(list_prepend(0.0, list_transform(range(1, 65),
+             |        i -> CAST(vb.embedding[i] AS DOUBLE) * CAST(vb.embedding[i] AS DOUBLE))),
+             |      (a, b) -> a + b))) AS cos
+             |  FROM cand c JOIN allv va ON va.vec_id = c.ia JOIN allv vb ON vb.vec_id = c.ib)
+             |SELECT ia AS doc_a, ib AS doc_b, CAST(floor(cos * 1e6) AS BIGINT) AS cos_micro
+             |FROM ex WHERE cos >= 0.98 ORDER BY 1, 2""".stripMargin)),
+
     // SimHash near-dup pairs (hamming <= 3 over 60 bits, banded by
     // 15-bit chunks; pigeonhole recall 1.0, exact hamming verify).
     // Uses the engine-portable 60-bit polynomial shingle hash so the

@@ -47,6 +47,25 @@ class DedupSpec extends SparkTestBase {
     val d = Seq(("1100", "1001")).toDF("a", "b")
     assert(d.select(Dedup.hammingDist(col("a"), col("b"))).as[Long].head() == 2L)
   }
+
+  test("embedding near-dup: planted scaled/near copies found, far vectors skipped") {
+    // deterministic 8-dim vectors: v2 = 2*v1 (cosine exactly 1),
+    // v3 = v1 with a small perturbation (cosine just under 1),
+    // v4 orthogonal-ish (cosine far below threshold)
+    val v1 = Array(1f, 2f, 3f, 4f, 5f, 6f, 7f, 8f)
+    val v2 = v1.map(_ * 2f)
+    val v3 = v1.clone(); v3(0) = 1.05f
+    val v4 = Array(8f, -7f, 6f, -5f, 4f, -3f, 2f, -1f)
+    val d = Seq((1L, v1.toSeq), (2L, v2.toSeq), (3L, v3.toSeq), (4L, v4.toSeq))
+      .toDF("vec_id", "embedding")
+    val pairs = Dedup.embedNearDupPairs(d, "vec_id", "embedding", dims = 8, minCosine = 0.99)
+      .select("doc_a", "doc_b", "cos_micro").as[(Long, Long, Long)].collect()
+      .map(p => (p._1, p._2) -> p._3).toMap
+    assert(pairs.keySet == Set((1L, 2L), (1L, 3L), (2L, 3L)), s"got $pairs")
+    // scaled copy: the x2 cancels exactly, leaving S / fl(sqrt(S)^2) —
+    // within 1 ulp of 1.0 (deterministic, but not exactly 1)
+    assert(pairs((1L, 2L)) >= 999999L && pairs((1L, 2L)) <= 1000000L)
+  }
 }
 
 class SimilaritySpec extends SparkTestBase {
