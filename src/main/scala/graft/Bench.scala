@@ -15,23 +15,27 @@ object Bench {
         .groupBy(r.columns.head).count()
         .write.format("noop").mode("overwrite").save()
     }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // sorted iteration: stable query order across rounds, so staged
+    // first-touch costs land on the same query every run
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       // noop sink: materializes EVERY output column (count() would let
       // Catalyst prune payload expressions and under-measure)
       val failed = try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); false }
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); true }
-      // a failed query records NEGATIVE elapsed — a sentinel so the
-      // bench json can never pass off a crash as a fast success
       val elapsed = (System.nanoTime() - t0) / 1e9
-      name -> (if (failed) -elapsed else elapsed)
+      (name, elapsed, failed)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val errs = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
+    // a failed query records NEGATIVE elapsed (clamped away from -0.0
+    // so a fast crash cannot read as a 0.0s success) plus an explicit
+    // errors entry — the sentinel is redundant on purpose
+    val qs = results.map { case (k, t, failed) =>
+      s"\"" + k + "\":" + (if (failed) -math.max(t, 0.001) else t)
+    }.mkString("{", ",", "}")
+    val errs = results.collect { case (k, _, true) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
-    val total = results.values.filter(_ >= 0).sum
+    val total = results.collect { case (_, t, false) => t }.sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -181,13 +181,13 @@ object Dedup {
   def embedNearDupPairs(vecs: DataFrame, idCol: String, vecCol: String, dims: Int,
                         minCosine: Double, planes: Int = 24,
                         rowsPerBand: Int = 3): DataFrame = {
-    import graft.operators.Similarity
+    require(planes % rowsPerBand == 0,
+      s"planes ($planes) must be divisible by rowsPerBand ($rowsPerBand): " +
+        "trailing code bits would silently never be banded")
     val bands = planes / rowsPerBand
-    val banded = vecs
-      .withColumn("__code", Similarity.signCode(col(vecCol), dims, planes))
-      .select(col(idCol), explode(transform(sequence(lit(0), lit(bands - 1)), j =>
-        struct(j.as("band"), col("__code").substr(j * rowsPerBand + 1, lit(rowsPerBand)).as("bits")))).as("b"))
-      .select(col(idCol), col("b.band"), col("b.bits"))
+    val banded = Similarity.bandExplode(
+      vecs.withColumn("__code", Similarity.signCode(col(vecCol), dims, planes)),
+      "__code", bands, rowsPerBand, Seq(idCol))
     val cands = banded.select(col(idCol).as("doc_a"), col("band"), col("bits"))
       .join(banded.select(col(idCol).as("doc_b"), col("band"), col("bits")), Seq("band", "bits"))
       .filter(col("doc_a") < col("doc_b"))
@@ -270,13 +270,10 @@ object Dedup {
     val width = (bits + nChunks - 1) / nChunks
     val sh = hashed.map(simhashColsFromHashes(_, bits)).getOrElse(
       simhashCols(shingled.select(col(idCol), col(shinglesCol).as("__sh")), idCol, "__sh", bits))
-    val chunks = sh.select(col("__id"), col("__sim"),
-      explode(transform(sequence(lit(0), lit(nChunks - 1)), j =>
-        struct(j.as("chunk"), col("__sim").substr(j * width + 1, lit(width)).as("bits")))).as("c"))
-      .select(col("__id"), col("__sim"), col("c.chunk"), col("c.bits"))
+    val chunks = Similarity.bandExplode(sh, "__sim", nChunks, width, Seq("__id", "__sim"))
     val l = chunks.as("l")
     val r = chunks.as("r")
-    l.join(r, col("l.chunk") === col("r.chunk") && col("l.bits") === col("r.bits") &&
+    l.join(r, col("l.band") === col("r.band") && col("l.bits") === col("r.bits") &&
         col("l.__id") < col("r.__id"))
       .select(col("l.__id").as("doc_a"), col("r.__id").as("doc_b"),
         col("l.__sim").as("__sima"), col("r.__sim").as("__simb"))

@@ -239,6 +239,21 @@ object Similarity {
       when(proj >= 0, "1").otherwise("0")
     }: _*)
 
+  /** Explode a bit-string code column into one (band, bits) row per
+    * band of `width` bits, keeping `keep` columns — the single home of
+    * the substr-banding idiom shared by [[lshTopK]],
+    * [[graft.operators.Dedup.embedNearDupPairs]] and the SimHash chunk
+    * banding.
+    */
+  private[operators] def bandExplode(df: DataFrame, codeCol: String,
+                                     bands: Int, width: Int,
+                                     keep: Seq[String]): DataFrame =
+    df.select(keep.map(col) :+
+        explode(transform(sequence(lit(0), lit(bands - 1)), j =>
+          struct(j.as("band"),
+            col(codeCol).substr(j * width + 1, lit(width)).as("bits")))).as("__b"): _*)
+      .select(keep.map(col) :+ col("__b.band") :+ col("__b.bits"): _*)
+
   /** LSH ANN: band the sign code (bands of `rowsPerBand` bits); query
     * and corpus rows sharing any band bucket become candidates; exact
     * cosine re-rank keeps top-k. Recall < 1 by construction; raise
@@ -248,14 +263,13 @@ object Similarity {
               planes: Int = 24, rowsPerBand: Int = 3,
               idCol: String = "vec_id", vecCol: String = "embedding",
               qidCol: String = "qid", qvecCol: String = "qvec"): DataFrame = {
+    require(planes % rowsPerBand == 0,
+      s"planes ($planes) must be divisible by rowsPerBand ($rowsPerBand): " +
+        "trailing code bits would silently never be banded")
     val bands = planes / rowsPerBand
-    def banded(df: DataFrame, id: String, vec: String, codeName: String) = {
-      val coded = df.withColumn(codeName, signCode(col(vec), dims, planes))
-      coded.select(col(id), col(vec),
-        explode(transform(sequence(lit(0), lit(bands - 1)), j =>
-          struct(j.as("band"), col(codeName).substr(j * rowsPerBand + 1, lit(rowsPerBand)).as("bits")))).as("b"))
-        .select(col(id), col(vec), col("b.band"), col("b.bits"))
-    }
+    def banded(df: DataFrame, id: String, vec: String, codeName: String) =
+      bandExplode(df.withColumn(codeName, signCode(col(vec), dims, planes)),
+        codeName, bands, rowsPerBand, Seq(id, vec))
     val c = banded(corpus, idCol, vecCol, "__code")
     val q = banded(queries, qidCol, qvecCol, "__qcode")
     val cands = c.join(broadcast(q), Seq("band", "bits"))

@@ -483,13 +483,22 @@ object Relational {
   /** events with `ts` as raw epoch-nanos LongType (Spark 4 cannot read
     * parquet TIMESTAMP(NANOS) natively). Exact integer arithmetic on
     * nanos avoids any double-precision loss (ns epochs exceed 2^53).
-    * The conf must be set at session build ([[graft.GraftSession]]) —
-    * mutating it per query would be global, order-dependent state.
+    *
+    * The conf belongs at session build ([[graft.GraftSession]] sets
+    * it); for sessions built elsewhere (the SparkEntry contract allows
+    * any session) it is set here ONLY when absent — an idempotent
+    * default, not order-dependent state. An explicit `false` is an
+    * error rather than something to silently override.
     */
   def eventsRaw(s: SparkSession, dir: String): DataFrame = {
-    require(s.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"),
-      "build the session with spark.sql.legacy.parquet.nanosAsLong=true " +
-        "(see graft.GraftSession): events.parquet is TIMESTAMP(NANOS)")
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    s.conf.getOption(key) match {
+      case Some("true") => ()
+      case None => s.conf.set(key, "true")
+      case Some(other) => throw new IllegalArgumentException(
+        s"$key=$other: events.parquet is TIMESTAMP(NANOS) and needs the conf true " +
+          "(see graft.GraftSession)")
+    }
     table(s, dir, "events")
   }
 }
