@@ -405,6 +405,20 @@ final case class DcaFrame(
     df.select((idxCols ++ arrayCols).map(col): _*)
       .write.mode("overwrite").parquet(path)
 
+  /** Typed case-class view of the payload (I1-I3/I5: the Encoder is
+    * the Spark analog of the reference's pytree/backend conversion
+    * boundary). Row ORDER is not defined on the returned Dataset — the
+    * batch index is the order; use [[collectTyped]] for an ordered
+    * driver-side materialization or keep working through the frame.
+    */
+  def asDataset[T: org.apache.spark.sql.Encoder]: org.apache.spark.sql.Dataset[T] =
+    df.select(arrayCols.map(col): _*).as[T]
+
+  /** Ordered driver-side typed materialization (small data / tests). */
+  def collectTyped[T: org.apache.spark.sql.Encoder](): Seq[T] =
+    df.orderBy(idxCols.map(col): _*).select(arrayCols.map(col): _*).as[T]
+      .collect().toSeq
+
   /** Storage-placement analog of the reference's `.to(device)` (I6,
     * `array_dataclass.py:565-581`): placement is the cluster's job; the
     * user-controllable knob is the storage level.
@@ -510,6 +524,12 @@ object DcaFrame {
     staging.unpersist()
     DcaFrame(out, Vector(n), cols, statics)
   }
+
+  /** Build a 1-D frame from a typed Dataset; row identity comes from
+    * `sortCols` (must be a unique key — see [[fromDF]]).
+    */
+  def fromDataset[T](ds: org.apache.spark.sql.Dataset[T], sortCols: Seq[Column]): DcaFrame =
+    fromDF(ds.toDF(), sortCols)
 
   /** Statics-only frame — the analog of a dataclass with ONLY static
     * fields (`array_dataclass.py:939-952`, which injects a dummy array

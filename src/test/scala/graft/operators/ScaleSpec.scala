@@ -53,7 +53,22 @@ class BucketingSpec extends SparkTestBase {
   }
 }
 
+final case class PtRow(k: Long, x: Double)
+
 class RoundTripSpec extends SparkTestBase {
+
+  test("typed Dataset round trip: fromDataset -> ops -> asDataset/collectTyped") {
+    import spark.implicits._
+    val ds = spark.createDataset((0 until 6).map(i => PtRow(i.toLong, i * 1.5)))
+    val f = DcaFrame.fromDataset(ds, Seq(col("k")))
+    assert(f.shape == Vector(6L) && f.arrayCols == Vector("k", "x"))
+    val doubled = f.mapField(c => c * 2)
+    assert(doubled.collectTyped[PtRow]() ==
+      (0 until 6).map(i => PtRow(i * 2L, i * 3.0)))
+    // the untyped-order Dataset view still carries all rows
+    assert(doubled.asDataset[PtRow].collect().toSet ==
+      (0 until 6).map(i => PtRow(i * 2L, i * 3.0)).toSet)
+  }
 
   test("DcaFrame parquet round trip preserves shape and order identity") {
     val dir = Files.createTempDirectory("graft_rt").toFile.getAbsolutePath + "/frame"
