@@ -354,6 +354,35 @@ object Relational {
              |  split_part(p_type, ' ', 1) AS type_head
              |FROM part ORDER BY p_partkey""".stripMargin)),
 
+    // ---- PIVOT: wide aggregation over a known value set -------------
+    // Spark's RelationalGroupedDataset.pivot with an EXPLICIT value
+    // list (the scale-safe form: no extra distinct-values job, single
+    // hash aggregate with one slot per pivot value). The oracle is the
+    // relational definition (conditional aggregation).
+    "q31_pivot" -> QueryDef(
+      (s, dir) => table(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_linestatus"), cents(col("l_quantity")).as("qty_c"))
+        .groupBy("l_returnflag").pivot("l_linestatus", Seq("F", "O")).agg(sum("qty_c"))
+        .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag,
+             |  CAST(sum(CASE WHEN l_linestatus = 'F' THEN CAST(round(l_quantity*100) AS BIGINT) END) AS BIGINT) AS F,
+             |  CAST(sum(CASE WHEN l_linestatus = 'O' THEN CAST(round(l_quantity*100) AS BIGINT) END) AS BIGINT) AS O
+             |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ---- generator / table function: posexplode (LATERAL UNNEST) ----
+    // The UDTF surface as its own query: one input row generates N
+    // output rows with ordinality, inside whole-stage codegen.
+    "q32_posexplode" -> QueryDef(
+      (s, dir) => table(s, dir, "documents")
+        .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "word")))
+        .filter(col("pos") < 5)
+        .select(col("doc_id"), col("pos").cast("long").as("pos"), col("word"))
+        .orderBy("doc_id", "pos"),
+      Some("""WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+             |SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, w[i] AS word
+             |FROM words, UNNEST(range(1, len(w) + 1)) AS t(i)
+             |WHERE i <= 5 ORDER BY doc_id, pos""".stripMargin)),
+
     // ---- analytic window suite: lead/lag/first/ntile/percent_rank ---
     "q26_window_suite" -> QueryDef(
       (s, dir) => {
