@@ -57,4 +57,29 @@ object IndexingPropSpec extends Properties("Indexing") {
       val t = Shape.resolveReshape(s, Seq(a, b, c))
       Prop(t == Vector(a, b, c) && Shape.size(t) == Shape.size(s))
     }
+
+  property("int-array index resolves negatives, keeps order+repeats, bounds-checks") =
+    forAll(Gen.choose(1L, 20L), Gen.nonEmptyListOf(Gen.choose(-25L, 25L))) { (n, idxs) =>
+      val allIn = idxs.forall(i => i >= -n && i < n)
+      try {
+        val Vector((_, Resolved.Gather(got))) = resolve(Seq(Ix.A(idxs)), Vector(n))
+        val want = idxs.map(i => if (i < 0) i + n else i).toVector
+        Prop(allIn && got == want) :| s"n=$n idxs=$idxs got=$got want=$want"
+      } catch {
+        case _: IllegalArgumentException => Prop(!allIn)
+      }
+    }
+
+  property("mixed gather+slice result shape composes per numpy") =
+    forAll(Gen.choose(1L, 12L), Gen.choose(1L, 12L),
+        Gen.nonEmptyListOf(Gen.choose(0L, 11L)), boundGen, boundGen, stepGen) {
+      (d0, d1, rawIdxs, start, stop, step) =>
+        val idxs = rawIdxs.map(_ % d0)
+        val resolved = resolve(Seq(Ix.A(idxs), Ix.S(start, stop, step)), Vector(d0, d1))
+        val sliceLen = model(d1, start, stop, step).length.toLong
+        val shape = resultShape(resolved)
+        val inter = resultShape(resolved, gatherKeepsDim = true)
+        Prop(shape == Vector(idxs.length.toLong, sliceLen) &&
+          inter == Vector(d0, sliceLen)) :| s"shape=$shape inter=$inter"
+    }
 }
