@@ -185,6 +185,63 @@ object Similarity {
     topKReRank(cands, k, qidCol, idCol, "__cos")
   }
 
+  /** Materialize an IVF index on disk: vectors written PARTITIONED BY
+    * their nearest-centroid cell, centroids alongside. This is the
+    * 100 TB shape the inline [[ivfTopK]] only simulates: a query then
+    * touches ONLY the probed cells' files — partition pruning at the
+    * source, reading nProbe/nCells of the data, verified by
+    * `PartitionFilters` in the scan (SimilaritySpec asserts it).
+    */
+  def buildIvfIndex(corpus: DataFrame, path: String,
+                    nCells: Int = 16, refineIters: Int = 0,
+                    idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    val spark = corpus.sparkSession
+    val total = corpus.count()
+    val stride = math.max(1L, total / nCells)
+    val bootstrap = corpus.filter(pmod(col(idCol), lit(stride)) === 0)
+      .orderBy(idCol).limit(nCells)
+      .select(col(idCol), col(vecCol))
+      .collect()
+      .map(r => Centroid(r.getLong(0), r.getSeq[Float](1).toArray))
+      .toSeq
+    val cents = refineCentroids(corpus, bootstrap, refineIters, vecCol)
+    corpus
+      .withColumn("__vnorm", norm(col(vecCol)))
+      .withColumn("cell", bestCell(col(vecCol), col("__vnorm"), cents))
+      .drop("__vnorm")
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/vectors")
+    import spark.implicits._
+    cents.map(c => (c.cell, c.vec.toSeq)).toDF("cell", "cvec")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+  }
+
+  /** Query a materialized IVF index: probe the nProbe nearest cells
+    * per query and scan ONLY those cells' partitions (the `cell IN`
+    * filter prunes at the file level), exact re-rank via the bounded
+    * top-k aggregator. Same assignment arithmetic as [[buildIvfIndex]],
+    * so results match the inline [[ivfTopK]] at equal parameters.
+    */
+  def ivfIndexTopK(spark: org.apache.spark.sql.SparkSession, path: String,
+                   queries: DataFrame, k: Int, nProbe: Int = 4,
+                   idCol: String = "vec_id", vecCol: String = "embedding",
+                   qidCol: String = "qid", qvecCol: String = "qvec"): DataFrame = {
+    val cents = spark.read.parquet(s"$path/centroids").collect()
+      .map(r => Centroid(r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+    val probes = queries
+      .withColumn("__vnorm", norm(col(qvecCol)))
+      .select(col(qidCol), col(qvecCol),
+        explode(nearestCells(col(qvecCol), col("__vnorm"), cents, nProbe)).as("cell"))
+    // the probed cell set is tiny (≤ nProbe × |queries|): collect it so
+    // the scan filter is a literal IN — prunable at planning time
+    val probedCells = probes.select("cell").distinct().collect().map(_.getLong(0)).toSeq
+    val vecs = spark.read.parquet(s"$path/vectors")
+      .filter(col("cell").isInCollection(probedCells))
+    val cands = vecs.join(broadcast(probes), "cell")
+      .filter(col(idCol) =!= col(qidCol))
+      .withColumn("__cos", cosine(col(vecCol), col(qvecCol)))
+    topKReRank(cands, k, qidCol, idCol, "__cos")
+  }
+
   /** Lloyd (k-means) refinement of IVF centroids: assign every vector
     * to its nearest centroid (narrow argmax fold — see [[bestCell]]),
     * replace each centroid by its cell's mean. Per iteration: one

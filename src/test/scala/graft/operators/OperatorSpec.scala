@@ -152,6 +152,29 @@ class SimilaritySpec extends SparkTestBase {
     val recall = (exact & approx).size.toDouble / exact.size
     assert(recall >= 0.6, s"recall $recall too low (${(exact & approx).size}/${exact.size})")
   }
+
+  test("materialized IVF index: partition-pruned probing matches inline ivfTopK") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf").toFile.getAbsolutePath
+    val c = corpus()
+    Similarity.buildIvfIndex(c, dir, nCells = 8, refineIters = 1)
+    val q = c.filter(col("vec_id").isin(0L, 1L, 2L))
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val fromIndex = Similarity.ivfIndexTopK(spark, dir, q, 10, nProbe = 3)
+    val inline = Similarity.ivfTopK(c, q, 10, nCells = 8, nProbe = 3, refineIters = 1)
+      .select("qid", "rank", "vec_id", "cos_micro")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(fromIndex.select("qid", "rank", "vec_id", "cos_micro")
+      .as[(Long, Long, Long, Long)].collect().toSet == inline)
+    // the scan must PRUNE to the probed cells (nProbe*|q| <= 3*3 of 8
+    // partition dirs), not read the whole index
+    val vecsScan = {
+      val qe = fromIndex.queryExecution
+      qe.executedPlan.execute().foreachPartition(_ => ())
+      qe.executedPlan.toString()
+    }
+    assert(vecsScan.contains("PartitionFilters: [cell"),
+      s"expected a partition filter on cell in:\n$vecsScan")
+  }
 }
 
 class ApproxAggSpec extends SparkTestBase {
