@@ -55,6 +55,49 @@ class BucketingSpec extends SparkTestBase {
 
 final case class PtRow(k: Long, x: Double)
 
+/** Guards the Tungsten dense-index scheme (mid = pid<<33 | pos +
+  * literal offsets) across MANY partitions — the partition-boundary
+  * arithmetic is exactly where a silent mis-index would hide.
+  */
+class DenseIndexScaleSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("dense index is a correct permutation at 200k rows / 37 partitions") {
+    val df = spark.range(200000)
+      .select(col("id").as("k"), (col("id") * 7 % 1000).as("v"))
+      .repartition(37) // scramble the input partitioning
+    val f = DcaFrame.fromDF(df, Seq(col("k")))
+    assert(f.shape == Vector(200000L))
+    // sorted by k, so __idx0 == k everywhere — check across boundaries
+    val sample = f.df.filter(col("__idx0").isin(0L, 1L, 54321L, 99999L, 199999L))
+      .select(col("__idx0"), col("k")).as[(Long, Long)].collect().toMap
+    assert(sample == Map(0L -> 0L, 1L -> 1L, 54321L -> 54321L,
+      99999L -> 99999L, 199999L -> 199999L), s"got $sample")
+    // dense invariant: indices are exactly 0..n-1
+    val (mx, distinct) = f.df
+      .select(max(col("__idx0")), countDistinct(col("__idx0")))
+      .as[(Long, Long)].head()
+    assert(mx == 199999L && distinct == 200000L)
+    f.unpersist()
+  }
+
+  test("mask keeps the dense invariant on a multi-partition frame") {
+    val df = spark.range(50000).select(col("id").as("k")).repartition(17)
+    val f = DcaFrame.fromDF(df, Seq(col("k")))
+    val m = f.mask(col("k") % 3 === 1)
+    assert(m.shape == Vector(16667L))
+    val (mx, distinct) = m.df
+      .select(max(col("__idx0")), countDistinct(col("__idx0")))
+      .as[(Long, Long)].head()
+    assert(mx == 16666L && distinct == 16667L)
+    // order preserved: element at idx i is k = 3i+1
+    val probe = m.df.filter(col("__idx0").isin(0L, 8000L, 16666L))
+      .select(col("__idx0"), col("k")).as[(Long, Long)].collect().toMap
+    assert(probe == Map(0L -> 1L, 8000L -> 24001L, 16666L -> 49999L), s"got $probe")
+    m.unpersist(); f.unpersist()
+  }
+}
+
 class RoundTripSpec extends SparkTestBase {
 
   test("typed Dataset round trip: fromDataset -> ops -> asDataset/collectTyped") {
