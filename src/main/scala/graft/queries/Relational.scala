@@ -477,6 +477,50 @@ object Relational {
         .orderBy("l_returnflag"),
       None),
 
+    // ---- KMV distinct sketch: approximate count-distinct with an
+    // EXACT cross-engine oracle — the estimate is pure integer
+    // arithmetic over the k smallest portable-hash values, so DuckDB
+    // reproduces it bit-for-bit (unlike HLL's q24, which stays
+    // rows-only). O(k) state per group, mergeable buffers.
+    "q33_kmv_distinct" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        import graft.functions.{KMinAgg, KMinAgg => KA}
+        graft.functions.VectorExpressions.register(s)
+        val k = 64
+        val hashed = table(s, dir, "lineitem")
+          .select(col("l_returnflag"),
+            KA.scramble(call_function("poly_hash", col("l_partkey").cast("string"))).as("h"))
+          .as[(String, Long)]
+        hashed.groupByKey(_._1)
+          .mapValues(_._2)
+          .agg(new KMinAgg(k).toColumn.name("s"))
+          .map { case (g, sum) =>
+            (g, KA.estimate(sum, k, 1000000007L)) }
+          .toDF("l_returnflag", "est_distinct")
+          .orderBy("l_returnflag")
+      },
+      Some("""WITH h0 AS (
+             |  SELECT DISTINCT l_returnflag,
+             |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |      list_transform(range(1, length(CAST(l_partkey AS VARCHAR)) + 1),
+             |        i -> CAST(ascii(substr(CAST(l_partkey AS VARCHAR), CAST(i AS INTEGER), 1)) AS BIGINT))),
+             |      (acc, c) -> (acc * 31 + c) % 1000000007) AS p0
+             |  FROM lineitem),
+             |h1 AS (SELECT l_returnflag, (p0 * 2654435761) % 1000000007 AS x1 FROM h0),
+             |h2 AS (SELECT l_returnflag, xor(x1, x1 >> 15) AS x2 FROM h1),
+             |h3 AS (SELECT l_returnflag, (x2 * 48271) % 1000000007 AS x3 FROM h2),
+             |h AS (SELECT l_returnflag, xor(x3, x3 >> 13) AS hv FROM h3),
+             |r AS (SELECT l_returnflag, hv,
+             |    row_number() OVER (PARTITION BY l_returnflag ORDER BY hv) AS rn,
+             |    count(*) OVER (PARTITION BY l_returnflag) AS nd
+             |  FROM h)
+             |SELECT l_returnflag,
+             |  CAST(CASE WHEN max(nd) < 64 THEN max(nd)
+             |    ELSE (CAST(63 AS BIGINT) * 1000000007) // max(CASE WHEN rn = 64 THEN hv END) END AS BIGINT)
+             |    AS est_distinct
+             |FROM r GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // ---- exact median (interpolation exact at 0.5 over int cents) ---
     "q20_median" -> QueryDef(
       (s, dir) => table(s, dir, "lineitem")

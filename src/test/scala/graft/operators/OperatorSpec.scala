@@ -191,6 +191,32 @@ class ApproxAggSpec extends SparkTestBase {
       assert(math.abs(a - e).toDouble / e < 0.05, s"approx $a vs exact $e")
     }
   }
+
+  test("KMV sketch estimates distinct within ~2/sqrt(k); exact below k") {
+    import spark.implicits._
+    import graft.functions.{KMinAgg, KmvSummary}
+    graft.functions.VectorExpressions.register(spark)
+    val k = 64
+    // group "big": 5000 distinct values; group "small": 10 distinct
+    val rows = (0 until 5000).map(i => ("big", s"val_$i")) ++
+      (0 until 200).map(i => ("small", s"s_${i % 10}"))
+    val hashed = rows.toDF("g", "v")
+      .select(col("g"), KMinAgg.scramble(call_function("poly_hash", col("v"))).as("h"))
+      .as[(String, Long)]
+    val est = hashed.groupByKey(_._1).mapValues(_._2)
+      .agg(new KMinAgg(k).toColumn.name("s"))
+      .map { case (g, s) => (g, KMinAgg.estimate(s, k, 1000000007L)) }
+      .collect().toMap
+    assert(est("small") == 10L) // below k: exact
+    val err = math.abs(est("big") - 5000L).toDouble / 5000.0
+    assert(err < 2.0 / math.sqrt(k), s"KMV estimate ${est("big")} err $err")
+    // merge is order-insensitive: same result at 1 partition
+    val one = hashed.repartition(1).groupByKey(_._1).mapValues(_._2)
+      .agg(new KMinAgg(k).toColumn.name("s"))
+      .map { case (g, s) => (g, KMinAgg.estimate(s, k, 1000000007L)) }
+      .collect().toMap
+    assert(one == est)
+  }
 }
 
 class TopKAggSpec extends SparkTestBase {
