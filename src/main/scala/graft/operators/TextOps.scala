@@ -41,6 +41,15 @@ object TextOps {
       aggregate(words(text), lit(0L), (acc, w) => acc + length(w).cast("long")) /
       tokenCount(text)).cast("long")
 
+  /** Punctuation ratio in exact per-mille: fraction of characters in
+    * the C4-style punctuation set (a heavy-punctuation document is a
+    * boilerplate/code smell).
+    */
+  def punctPermille(text: Column): Column =
+    floor(lit(1000.0) *
+      (length(text) - length(regexp_replace(text, "[.,;:!?'\"()-]", ""))) /
+      length(text)).cast("long")
+
   /** Composite quality heuristic: length / stopword / word-length
     * signals, integer-encoded. A document "passes" when all components
     * are in range (the usual C4-style filter shape).

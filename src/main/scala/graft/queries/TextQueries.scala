@@ -34,16 +34,20 @@ object TextQueries {
           TextOps.tokenCount(col("text")).as("n_tokens"),
           TextOps.stopwordPermille(col("text")).as("stop_permille"),
           TextOps.meanWordLenCenti(col("text")).as("wlen_centi"),
+          TextOps.punctPermille(col("text")).as("punct_permille"),
           when(TextOps.qualityPass(col("text"), col("n_chars")), 1L).otherwise(0L).as("pass"))
         .orderBy("doc_id"),
       Some("""WITH t AS (
-             |  SELECT doc_id, n_chars, string_split(text, ' ') AS w FROM documents)
+             |  SELECT doc_id, n_chars, text, string_split(text, ' ') AS w FROM documents)
              |SELECT doc_id, n_chars,
              |  CAST(len(w) AS BIGINT) AS n_tokens,
              |  CAST(floor(1000.0 * len(list_filter(w, x -> x IN
              |    ('the','a','of','and','to','in','is','it'))) / len(w)) AS BIGINT) AS stop_permille,
              |  CAST(floor(100.0 * list_reduce(list_transform(w, x -> len(x)), (a,b) -> a+b)
              |    / len(w)) AS BIGINT) AS wlen_centi,
+             |  CAST(floor(1000.0 * (length(text) -
+             |    length(regexp_replace(text, '[.,;:!?''"()-]', '', 'g'))) / length(text))
+             |    AS BIGINT) AS punct_permille,
              |  CAST(CASE WHEN n_chars >= 100 AND n_chars <= 20000 AND len(w) >= 20
              |    AND floor(1000.0 * len(list_filter(w, x -> x IN
              |      ('the','a','of','and','to','in','is','it'))) / len(w)) >= 10
