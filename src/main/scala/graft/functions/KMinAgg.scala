@@ -55,15 +55,21 @@ object KMinAgg {
   def estimate(s: KmvSummary, k: Int, hashSpace: Long): Long =
     if (s.nDistinct < k) s.nDistinct else ((k - 1).toLong * hashSpace) / s.kthMin
 
-  /** Engine-portable scrambling bijection on [0, 1e9+7): two rounds of
+  /** Engine-portable scrambling mix on [0, 1e9+7): two rounds of
     * multiply-mod-p + xor-shift. KMV's uniformity assumption fails on
     * raw polynomial hashes (short similar strings cluster near low
     * values — measured 224% estimate error); after this mix the
     * estimate lands within ~2/sqrt(k) (5-13% measured at k=64).
-    * Injective: mult mod prime and x^(x>>s) are both bijections, so
-    * distinctness is preserved. Every op exists in DuckDB BIGINT
-    * arithmetic (`xor`, `>>`, `%`) with no int64 overflow
-    * (max product 2.66e18 < 2^63).
+    *
+    * NOT injective: x^(x>>15) widens the domain past p, so the
+    * following mult-mod-p can collapse pairs (≈2^-15 per pair — e.g.
+    * scramble(0) == scramble(465384372)). Negligible for estimation,
+    * but it means distinct-ness must be established AFTER scrambling
+    * on BOTH engines (the q33 oracle dedups on the scrambled value,
+    * matching the aggregator's buffer dedup) — deduping pre-scramble
+    * on one side would diverge on a collision. Every op exists in
+    * DuckDB BIGINT arithmetic (`xor`, `>>`, `%`) with no int64
+    * overflow (max product 2.66e18 < 2^63).
     */
   def scramble(h: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
     import org.apache.spark.sql.functions._

@@ -153,21 +153,29 @@ object Similarity {
     * queries touch only nProbe/nCells of the data), and the re-rank is
     * the bounded top-k aggregator.
     */
-  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-              nCells: Int = 16, nProbe: Int = 4, refineIters: Int = 0,
-              idCol: String = "vec_id", vecCol: String = "embedding",
-              qidCol: String = "qid", qvecCol: String = "qvec"): DataFrame = {
-    // deterministic centroid sample by id stride: no global sort of the
-    // corpus (TakeOrdered gathers only nCells rows)
+  /** Deterministic centroid bootstrap by id stride: no global sort of
+    * the corpus (TakeOrdered gathers only nCells rows). The ONE home
+    * of the sampling arithmetic — [[ivfTopK]] and [[buildIvfIndex]]
+    * must agree byte-for-byte for index-vs-inline result parity.
+    */
+  private def bootstrapCentroids(corpus: DataFrame, nCells: Int,
+                                 idCol: String, vecCol: String): Seq[Centroid] = {
     val total = corpus.count()
     val stride = math.max(1L, total / nCells)
-    val bootstrap = corpus.filter(pmod(col(idCol), lit(stride)) === 0)
+    corpus.filter(pmod(col(idCol), lit(stride)) === 0)
       .orderBy(idCol).limit(nCells)
       .select(col(idCol), col(vecCol))
       .collect()
       .map(r => Centroid(r.getLong(0), r.getSeq[Float](1).toArray))
       .toSeq
-    val centroids = refineCentroids(corpus, bootstrap, refineIters, vecCol)
+  }
+
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              nCells: Int = 16, nProbe: Int = 4, refineIters: Int = 0,
+              idCol: String = "vec_id", vecCol: String = "embedding",
+              qidCol: String = "qid", qvecCol: String = "qvec"): DataFrame = {
+    val centroids = refineCentroids(corpus,
+      bootstrapCentroids(corpus, nCells, idCol, vecCol), refineIters, vecCol)
 
     val cells = corpus
       .withColumn("__vnorm", norm(col(vecCol)))
@@ -196,15 +204,8 @@ object Similarity {
                     nCells: Int = 16, refineIters: Int = 0,
                     idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
     val spark = corpus.sparkSession
-    val total = corpus.count()
-    val stride = math.max(1L, total / nCells)
-    val bootstrap = corpus.filter(pmod(col(idCol), lit(stride)) === 0)
-      .orderBy(idCol).limit(nCells)
-      .select(col(idCol), col(vecCol))
-      .collect()
-      .map(r => Centroid(r.getLong(0), r.getSeq[Float](1).toArray))
-      .toSeq
-    val cents = refineCentroids(corpus, bootstrap, refineIters, vecCol)
+    val cents = refineCentroids(corpus,
+      bootstrapCentroids(corpus, nCells, idCol, vecCol), refineIters, vecCol)
     corpus
       .withColumn("__vnorm", norm(col(vecCol)))
       .withColumn("cell", bestCell(col(vecCol), col("__vnorm"), cents))
@@ -227,13 +228,18 @@ object Similarity {
                    qidCol: String = "qid", qvecCol: String = "qvec"): DataFrame = {
     val cents = spark.read.parquet(s"$path/centroids").collect()
       .map(r => Centroid(r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
-    val probes = queries
+    // the probe set is tiny (≤ nProbe × |queries|): collect it ONCE and
+    // re-localize, deriving both the literal cell list (prunable at
+    // planning time) and the broadcast side — evaluating the probes
+    // plan twice would re-run whatever plan backs `queries`
+    val probesPlan = queries
       .withColumn("__vnorm", norm(col(qvecCol)))
       .select(col(qidCol), col(qvecCol),
         explode(nearestCells(col(qvecCol), col("__vnorm"), cents, nProbe)).as("cell"))
-    // the probed cell set is tiny (≤ nProbe × |queries|): collect it so
-    // the scan filter is a literal IN — prunable at planning time
-    val probedCells = probes.select("cell").distinct().collect().map(_.getLong(0)).toSeq
+    val probeRows = probesPlan.collect()
+    val probes = spark.createDataFrame(
+      spark.sparkContext.parallelize(probeRows.toIndexedSeq, 1), probesPlan.schema)
+    val probedCells = probeRows.map(_.getAs[Long]("cell")).distinct.toIndexedSeq
     val vecs = spark.read.parquet(s"$path/vectors")
       .filter(col("cell").isInCollection(probedCells))
     val cands = vecs.join(broadcast(probes), "cell")

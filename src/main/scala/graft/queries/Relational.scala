@@ -485,18 +485,18 @@ object Relational {
     "q33_kmv_distinct" -> QueryDef(
       (s, dir) => {
         import s.implicits._
-        import graft.functions.{KMinAgg, KMinAgg => KA}
+        import graft.functions.KMinAgg
         graft.functions.VectorExpressions.register(s)
         val k = 64
         val hashed = table(s, dir, "lineitem")
           .select(col("l_returnflag"),
-            KA.scramble(call_function("poly_hash", col("l_partkey").cast("string"))).as("h"))
+            KMinAgg.scramble(call_function("poly_hash", col("l_partkey").cast("string"))).as("h"))
           .as[(String, Long)]
         hashed.groupByKey(_._1)
           .mapValues(_._2)
           .agg(new KMinAgg(k).toColumn.name("s"))
           .map { case (g, sum) =>
-            (g, KA.estimate(sum, k, 1000000007L)) }
+            (g, KMinAgg.estimate(sum, k, 1000000007L)) }
           .toDF("l_returnflag", "est_distinct")
           .orderBy("l_returnflag")
       },
@@ -510,7 +510,9 @@ object Relational {
              |h1 AS (SELECT l_returnflag, (p0 * 2654435761) % 1000000007 AS x1 FROM h0),
              |h2 AS (SELECT l_returnflag, xor(x1, x1 >> 15) AS x2 FROM h1),
              |h3 AS (SELECT l_returnflag, (x2 * 48271) % 1000000007 AS x3 FROM h2),
-             |h AS (SELECT l_returnflag, xor(x3, x3 >> 13) AS hv FROM h3),
+             |-- dedup AFTER the scramble: the mix is not injective, and
+             |-- the Spark aggregator dedups scrambled values
+             |h AS (SELECT DISTINCT l_returnflag, xor(x3, x3 >> 13) AS hv FROM h3),
              |r AS (SELECT l_returnflag, hv,
              |    row_number() OVER (PARTITION BY l_returnflag ORDER BY hv) AS rn,
              |    count(*) OVER (PARTITION BY l_returnflag) AS nd
