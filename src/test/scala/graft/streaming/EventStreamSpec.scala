@@ -140,6 +140,26 @@ class EventStreamSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("stream-static join enriches events against a dimension table") {
+    // the everyday pipeline shape: unbounded stream broadcast-joined
+    // to a small static dimension — no state, no watermark needed
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.broadcast
+    val input = MemoryStream[Event]
+    val dim = Seq((1L, "gold"), (2L, "basic")).toDF("userId", "segment")
+    val joined = input.toDF().join(broadcast(dim), Seq("userId"), "left")
+    val q = joined.writeStream.format("memory").queryName("enrich")
+      .outputMode(OutputMode.Append).start()
+    try {
+      val T0 = 86400L * 1000000L
+      input.addData(Event(1L, T0, 10L), Event(2L, T0 + Min, 20L), Event(9L, T0 + 2 * Min, 30L))
+      q.processAllAvailable()
+      val rows = spark.table("enrich").selectExpr("userId", "segment")
+        .as[(Long, Option[String])].collect().toSet
+      assert(rows == Set((1L, Some("gold")), (2L, Some("basic")), (9L, None)))
+    } finally q.stop()
+  }
+
   test("streaming dedup drops duplicate ids within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, Long, Long)] // (eventId, tsUs, valueC)
