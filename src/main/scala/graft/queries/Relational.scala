@@ -523,6 +523,59 @@ object Relational {
              |    AS est_distinct
              |FROM r GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // ---- deterministic uniform sample + quantile estimate: bottom-k
+    // rows by scrambled row-key hash IS a simple random sample (the
+    // distributed consistent-sampling pattern), so the sample median
+    // is exactly reproducible — another approximate operator with an
+    // exact cross-engine oracle. O(k) mergeable state via TopKAgg.
+    "q34_sample_quantile" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        import graft.functions.{KMinAgg, ScoredId, TopKAgg}
+        graft.functions.VectorExpressions.register(s)
+        val k = 101
+        val rows = table(s, dir, "lineitem")
+          .select(col("l_returnflag"),
+            KMinAgg.scramble(call_function("poly_hash",
+              concat_ws("_", col("l_orderkey"), col("l_linenumber")))).as("h"),
+            cents(col("l_quantity")).as("qty_c"))
+          .as[(String, Long, Long)]
+        rows.groupByKey(_._1)
+          // score = -hash: TopKAgg's (score desc, id asc) order becomes
+          // (hash asc, value asc) — hashes < 2^30 are exact in double
+          .mapValues { case (_, h, v) => ScoredId(v, -h.toDouble) }
+          .agg(new TopKAgg(k).toColumn.name("sample"))
+          .map { case (g, sample) =>
+            val vals = sample.map(_.id).sorted
+            (g, vals((vals.size - 1) / 2), vals.size.toLong)
+          }
+          .toDF("l_returnflag", "med_sample_qty_c", "n_sample")
+          .orderBy("l_returnflag")
+      },
+      Some("""WITH h0 AS (
+             |  SELECT l_returnflag, CAST(round(l_quantity*100) AS BIGINT) AS v,
+             |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |      list_transform(range(1, length(CAST(l_orderkey AS VARCHAR) || '_' || CAST(l_linenumber AS VARCHAR)) + 1),
+             |        i -> CAST(ascii(substr(CAST(l_orderkey AS VARCHAR) || '_' || CAST(l_linenumber AS VARCHAR), CAST(i AS INTEGER), 1)) AS BIGINT))),
+             |      (acc, c) -> (acc * 31 + c) % 1000000007) AS p0
+             |  FROM lineitem),
+             |h1 AS (SELECT l_returnflag, v, (p0 * 2654435761) % 1000000007 AS x1 FROM h0),
+             |h2 AS (SELECT l_returnflag, v, xor(x1, x1 >> 15) AS x2 FROM h1),
+             |h3 AS (SELECT l_returnflag, v, (x2 * 48271) % 1000000007 AS x3 FROM h2),
+             |h AS (SELECT l_returnflag, v, xor(x3, x3 >> 13) AS hv FROM h3),
+             |r AS (SELECT l_returnflag, v,
+             |    row_number() OVER (PARTITION BY l_returnflag ORDER BY hv, v) AS rn
+             |  FROM h),
+             |smp AS (SELECT l_returnflag, v FROM r WHERE rn <= 101),
+             |o AS (SELECT l_returnflag, v,
+             |    row_number() OVER (PARTITION BY l_returnflag ORDER BY v) AS vr,
+             |    count(*) OVER (PARTITION BY l_returnflag) AS n
+             |  FROM smp)
+             |SELECT l_returnflag,
+             |  CAST(max(CASE WHEN vr = (n - 1) // 2 + 1 THEN v END) AS BIGINT) AS med_sample_qty_c,
+             |  CAST(max(n) AS BIGINT) AS n_sample
+             |FROM o GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // ---- exact median (interpolation exact at 0.5 over int cents) ---
     "q20_median" -> QueryDef(
       (s, dir) => table(s, dir, "lineitem")

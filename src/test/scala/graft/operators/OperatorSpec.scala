@@ -217,6 +217,27 @@ class ApproxAggSpec extends SparkTestBase {
       .collect().toMap
     assert(one == est)
   }
+
+  test("bottom-k hash sample estimates the median within sampling error") {
+    import spark.implicits._
+    import graft.functions.{KMinAgg, ScoredId, TopKAgg}
+    graft.functions.VectorExpressions.register(spark)
+    val k = 101
+    // 10k rows, values 0..9999 (true median 4999/5000)
+    val rows = (0 until 10000).map(i => (s"row_$i", i.toLong)).toDF("rk", "v")
+      .select(KMinAgg.scramble(call_function("poly_hash", col("rk"))).as("h"), col("v"))
+      .as[(Long, Long)]
+    val med = rows.map { case (h, v) => ("g", h, v) }
+      .groupByKey(_._1)
+      .mapValues { case (_, h, v) => ScoredId(v, -h.toDouble) }
+      .agg(new TopKAgg(k).toColumn.name("sample"))
+      .map { case (_, sample) =>
+        val vals = sample.map(_.id).sorted
+        vals((vals.size - 1) / 2)
+      }.collect().head
+    // binomial quantile error at n=101: sd ≈ 0.05 of the range; 3 sd
+    assert(math.abs(med - 5000L) < 1500, s"sample median $med vs 5000")
+  }
 }
 
 class TopKAggSpec extends SparkTestBase {
