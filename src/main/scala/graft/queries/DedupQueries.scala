@@ -109,16 +109,12 @@ object DedupQueries {
       (s, dir) => Dedup.simhashPairsFromShingles(Staged.docShingles(s, dir), "doc_id", "__sh",
           hashed = Some(Staged.docShingleHashesPortable(s, dir)), bits = 60)
         .orderBy("doc_a", "doc_b"),
-      Some("""WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      Some(s"""WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
              |sh AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS s
              |       FROM words, UNNEST(range(1, len(w) - 1)) AS t(i)),
              |h AS (SELECT doc_id,
-             |  list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(1, length(s) + 1),
-             |      i -> CAST(ascii(substr(s, CAST(i AS INTEGER), 1)) AS BIGINT))),
-             |    (acc, c) -> (acc * 31 + c) % 1000000007)
-             |  + list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(1, length(s) + 1),
-             |      i -> CAST(ascii(substr(s, CAST(i AS INTEGER), 1)) AS BIGINT))),
-             |    (acc, c) -> (acc * 37 + c) % 1073741789) * 1073741824 AS hv
+             |  ${QueryDef.polyHashSql("s")}
+             |  + ${QueryDef.polyHashSql("s", 37, 1073741789L)} * 1073741824 AS hv
              |  FROM sh),
              |votes AS (SELECT doc_id, j,
              |    CASE WHEN sum(CASE WHEN (hv >> CAST(j AS INTEGER)) & 1 = 1 THEN 1 ELSE -1 END) > 0

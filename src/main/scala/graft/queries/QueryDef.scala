@@ -19,4 +19,35 @@ object QueryDef {
     * avoids float-sum nondeterminism in the driver's hash compare.
     */
   def cents(c: Column): Column = round(c * 100).cast("long")
+
+  /** DuckDB SQL for the polynomial rolling hash of string expression
+    * `e` — the ONE rendering of [[graft.functions.PolyHash]]'s fold
+    * (default base 31 mod 1e9+7) shared by every oracle that mirrors
+    * it.
+    */
+  def polyHashSql(e: String, base: Int = 31, mod: Long = 1000000007L): String =
+    s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(range(1, length($e) + 1),
+       |        i -> CAST(ascii(substr($e, CAST(i AS INTEGER), 1)) AS BIGINT))),
+       |      (acc, c) -> (acc * $base + c) % $mod)""".stripMargin
+
+  /** DuckDB CTE chain computing `hv` = [[graft.functions.KMinAgg.scramble]]
+    * of the poly hash of `keyExpr`, carrying `carried` columns from
+    * `source` — the ONE SQL rendering of the scramble constants.
+    * `dedupFinal` applies DISTINCT on (carried, hv) AFTER the scramble
+    * (the mix is not injective; dedup must happen post-scramble on
+    * both engines).
+    */
+  def scrambledHashCtes(source: String, carried: Seq[String], keyExpr: String,
+                        dedupFinal: Boolean = false): String = {
+    val keep = if (carried.isEmpty) "" else carried.mkString(", ") + ", "
+    val dedup = if (dedupFinal) "DISTINCT " else ""
+    s"""h0 AS (
+       |  SELECT $keep${polyHashSql(keyExpr)} AS p0
+       |  FROM $source),
+       |h1 AS (SELECT $keep(p0 * 2654435761) % 1000000007 AS x1 FROM h0),
+       |h2 AS (SELECT ${keep}xor(x1, x1 >> 15) AS x2 FROM h1),
+       |h3 AS (SELECT $keep(x2 * 48271) % 1000000007 AS x3 FROM h2),
+       |h AS (SELECT $dedup${keep}xor(x3, x3 >> 13) AS hv FROM h3)""".stripMargin
+  }
 }

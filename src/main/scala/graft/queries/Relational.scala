@@ -15,6 +15,12 @@ import QueryDef.{table, cents}
   *     comparison against the DuckDB oracle.
   */
 object Relational {
+  /** Sketch/sample sizes, interpolated into BOTH the Spark code and
+    * the oracle SQL so the two sides cannot drift.
+    */
+  private val KmvK = 64
+  private val SampleK = 101
+
 
   val defs: Map[String, QueryDef] = Map(
 
@@ -487,7 +493,7 @@ object Relational {
         import s.implicits._
         import graft.functions.KMinAgg
         graft.functions.VectorExpressions.register(s)
-        val k = 64
+        val k = KmvK
         val hashed = table(s, dir, "lineitem")
           .select(col("l_returnflag"),
             KMinAgg.scramble(call_function("poly_hash", col("l_partkey").cast("string"))).as("h"))
@@ -500,26 +506,15 @@ object Relational {
           .toDF("l_returnflag", "est_distinct")
           .orderBy("l_returnflag")
       },
-      Some("""WITH h0 AS (
-             |  SELECT DISTINCT l_returnflag,
-             |    list_reduce(list_prepend(CAST(0 AS BIGINT),
-             |      list_transform(range(1, length(CAST(l_partkey AS VARCHAR)) + 1),
-             |        i -> CAST(ascii(substr(CAST(l_partkey AS VARCHAR), CAST(i AS INTEGER), 1)) AS BIGINT))),
-             |      (acc, c) -> (acc * 31 + c) % 1000000007) AS p0
-             |  FROM lineitem),
-             |h1 AS (SELECT l_returnflag, (p0 * 2654435761) % 1000000007 AS x1 FROM h0),
-             |h2 AS (SELECT l_returnflag, xor(x1, x1 >> 15) AS x2 FROM h1),
-             |h3 AS (SELECT l_returnflag, (x2 * 48271) % 1000000007 AS x3 FROM h2),
-             |-- dedup AFTER the scramble: the mix is not injective, and
-             |-- the Spark aggregator dedups scrambled values
-             |h AS (SELECT DISTINCT l_returnflag, xor(x3, x3 >> 13) AS hv FROM h3),
+      Some(s"""WITH ${QueryDef.scrambledHashCtes("lineitem", Seq("l_returnflag"),
+                 "CAST(l_partkey AS VARCHAR)", dedupFinal = true)},
              |r AS (SELECT l_returnflag, hv,
              |    row_number() OVER (PARTITION BY l_returnflag ORDER BY hv) AS rn,
              |    count(*) OVER (PARTITION BY l_returnflag) AS nd
              |  FROM h)
              |SELECT l_returnflag,
-             |  CAST(CASE WHEN max(nd) < 64 THEN max(nd)
-             |    ELSE (CAST(63 AS BIGINT) * 1000000007) // max(CASE WHEN rn = 64 THEN hv END) END AS BIGINT)
+             |  CAST(CASE WHEN max(nd) < ${KmvK} THEN max(nd)
+             |    ELSE (CAST(${KmvK - 1} AS BIGINT) * 1000000007) // max(CASE WHEN rn = ${KmvK} THEN hv END) END AS BIGINT)
              |    AS est_distinct
              |FROM r GROUP BY 1 ORDER BY 1""".stripMargin)),
 
@@ -533,7 +528,7 @@ object Relational {
         import s.implicits._
         import graft.functions.{KMinAgg, ScoredId, TopKAgg}
         graft.functions.VectorExpressions.register(s)
-        val k = 101
+        val k = SampleK
         val rows = table(s, dir, "lineitem")
           .select(col("l_returnflag"),
             KMinAgg.scramble(call_function("poly_hash",
@@ -552,21 +547,14 @@ object Relational {
           .toDF("l_returnflag", "med_sample_qty_c", "n_sample")
           .orderBy("l_returnflag")
       },
-      Some("""WITH h0 AS (
-             |  SELECT l_returnflag, CAST(round(l_quantity*100) AS BIGINT) AS v,
-             |    list_reduce(list_prepend(CAST(0 AS BIGINT),
-             |      list_transform(range(1, length(CAST(l_orderkey AS VARCHAR) || '_' || CAST(l_linenumber AS VARCHAR)) + 1),
-             |        i -> CAST(ascii(substr(CAST(l_orderkey AS VARCHAR) || '_' || CAST(l_linenumber AS VARCHAR), CAST(i AS INTEGER), 1)) AS BIGINT))),
-             |      (acc, c) -> (acc * 31 + c) % 1000000007) AS p0
-             |  FROM lineitem),
-             |h1 AS (SELECT l_returnflag, v, (p0 * 2654435761) % 1000000007 AS x1 FROM h0),
-             |h2 AS (SELECT l_returnflag, v, xor(x1, x1 >> 15) AS x2 FROM h1),
-             |h3 AS (SELECT l_returnflag, v, (x2 * 48271) % 1000000007 AS x3 FROM h2),
-             |h AS (SELECT l_returnflag, v, xor(x3, x3 >> 13) AS hv FROM h3),
+      Some(s"""WITH ${QueryDef.scrambledHashCtes(
+                 "(SELECT l_returnflag, CAST(round(l_quantity*100) AS BIGINT) AS v, " +
+                   "CAST(l_orderkey AS VARCHAR) || '_' || CAST(l_linenumber AS VARCHAR) AS rk FROM lineitem)",
+                 Seq("l_returnflag", "v"), "rk")},
              |r AS (SELECT l_returnflag, v,
              |    row_number() OVER (PARTITION BY l_returnflag ORDER BY hv, v) AS rn
              |  FROM h),
-             |smp AS (SELECT l_returnflag, v FROM r WHERE rn <= 101),
+             |smp AS (SELECT l_returnflag, v FROM r WHERE rn <= ${SampleK}),
              |o AS (SELECT l_returnflag, v,
              |    row_number() OVER (PARTITION BY l_returnflag ORDER BY v) AS vr,
              |    count(*) OVER (PARTITION BY l_returnflag) AS n

@@ -86,11 +86,8 @@ object TextQueries {
           .select(col("doc_id"), call_function("poly_hash", col("text")).as("fp"))
           .orderBy("doc_id")
       },
-      Some("""SELECT doc_id,
-             |  CAST(list_reduce(
-             |    list_prepend(CAST(0 AS BIGINT), list_transform(range(1, length(text) + 1),
-             |      i -> CAST(ascii(substr(text, CAST(i AS INTEGER), 1)) AS BIGINT))),
-             |    (acc, c) -> (acc * 31 + c) % 1000000007) AS BIGINT) AS fp
+      Some(s"""SELECT doc_id,
+             |  CAST(${QueryDef.polyHashSql("text")} AS BIGINT) AS fp
              |FROM documents ORDER BY doc_id""".stripMargin))
   )
 }
