@@ -360,6 +360,27 @@ object Relational {
              |  split_part(p_type, ' ', 1) AS type_head
              |FROM part ORDER BY p_partkey""".stripMargin)),
 
+    // ---- salted skew join: result identical to the plain join -------
+    // The manual hot-key spread (left side salted by stable row hash,
+    // right side replicated per salt) — the oracle is the PLAIN join,
+    // proving output equivalence, which is the whole point of salting.
+    "q35_salted_join" -> QueryDef(
+      (s, dir) => {
+        val li = table(s, dir, "lineitem")
+          .select(col("l_suppkey").as("k"), col("l_orderkey"),
+            col("l_linenumber").cast("long").as("l_linenumber"),
+            cents(col("l_quantity")).as("qty_c"))
+        val sup = table(s, dir, "supplier")
+          .select(col("s_suppkey").as("k"), col("s_name"))
+        graft.operators.SkewJoin.salted(li, sup, "k", salts = 8)
+          .orderBy("l_orderkey", "l_linenumber")
+      },
+      Some("""SELECT l_suppkey AS k, l_orderkey,
+             |  CAST(l_linenumber AS BIGINT) AS l_linenumber,
+             |  CAST(round(l_quantity*100) AS BIGINT) AS qty_c, s_name
+             |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+             |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
     // ---- PIVOT: wide aggregation over a known value set -------------
     // Spark's RelationalGroupedDataset.pivot with an EXPLICIT value
     // list (the scale-safe form: no extra distinct-values job, single
