@@ -23,18 +23,27 @@ class TopKAgg(k: Int) extends Aggregator[ScoredId, List[ScoredId], Seq[ScoredId]
   private def better(a: ScoredId, b: ScoredId): Boolean =
     a.score > b.score || (a.score == b.score && a.id < b.id)
 
-  /** Insert keeping the buffer sorted best-first and bounded at k. */
-  private def insert(buf: List[ScoredId], x: ScoredId): List[ScoredId] = {
-    val (front, back) = buf.span(e => better(e, x))
-    val merged = front ::: x :: back
-    if (merged.length > k) merged.take(k) else merged
-  }
+  /** Buffer invariant: sorted WORST-first, ≤ k elements — the head is
+    * the current cutoff, so a full buffer rejects a non-qualifying row
+    * in O(1) with zero allocation (the common case once the sketch
+    * stabilizes; at k=101 over 600k rows the old always-walk insert
+    * dominated the whole query's runtime).
+    */
+  private def insert(buf: List[ScoredId], x: ScoredId): List[ScoredId] =
+    if (buf.lengthCompare(k) >= 0 && !better(x, buf.head)) buf
+    else {
+      // elements x beats stay in front (they are worse)
+      val (front, back) = buf.span(e => better(x, e))
+      val merged = front ::: x :: back
+      if (merged.lengthCompare(k) > 0) merged.tail else merged // drop the worst (head)
+    }
 
   override def zero: List[ScoredId] = Nil
   override def reduce(buf: List[ScoredId], x: ScoredId): List[ScoredId] = insert(buf, x)
   override def merge(a: List[ScoredId], b: List[ScoredId]): List[ScoredId] =
     b.foldLeft(a)(insert)
-  override def finish(buf: List[ScoredId]): Seq[ScoredId] = buf
+  /** Output best-first (the buffer is worst-first). */
+  override def finish(buf: List[ScoredId]): Seq[ScoredId] = buf.reverse
   override def bufferEncoder: Encoder[List[ScoredId]] =
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
   override def outputEncoder: Encoder[Seq[ScoredId]] =
