@@ -360,6 +360,30 @@ object Relational {
              |  split_part(p_type, ' ', 1) AS type_head
              |FROM part ORDER BY p_partkey""".stripMargin)),
 
+    // ---- RANGE window frame: value-based (not row-count) framing ----
+    // sum over peers within 500 cents of the current row's quantity —
+    // deterministic under ties because the frame is defined by VALUE
+    // range (all peers included), unlike a rows-frame.
+    "q36_range_frame" -> QueryDef(
+      (s, dir) => {
+        val w = Window.partitionBy("l_suppkey").orderBy(col("qty_c"))
+          .rangeBetween(-500, 0)
+        table(s, dir, "lineitem")
+          .select(col("l_suppkey"), col("l_orderkey"),
+            col("l_linenumber").cast("long").as("l_linenumber"),
+            cents(col("l_quantity")).as("qty_c"))
+          .withColumn("qty_range_sum", sum(col("qty_c")).over(w))
+          .orderBy("l_orderkey", "l_linenumber")
+      },
+      Some("""WITH base AS (SELECT l_suppkey, l_orderkey,
+             |    CAST(l_linenumber AS BIGINT) AS l_linenumber,
+             |    CAST(round(l_quantity*100) AS BIGINT) AS qty_c
+             |  FROM lineitem)
+             |SELECT l_suppkey, l_orderkey, l_linenumber, qty_c,
+             |  CAST(sum(qty_c) OVER (PARTITION BY l_suppkey ORDER BY qty_c
+             |    RANGE BETWEEN 500 PRECEDING AND CURRENT ROW) AS BIGINT) AS qty_range_sum
+             |FROM base ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
     // ---- salted skew join: result identical to the plain join -------
     // The manual hot-key spread (left side salted by stable row hash,
     // right side replicated per salt) — the oracle is the PLAIN join,

@@ -54,6 +54,47 @@ object TextQueries {
              |    THEN 1 ELSE 0 END AS BIGINT) AS pass
              |FROM t ORDER BY doc_id""".stripMargin)),
 
+    // END-TO-END C4-style cleaning pipeline: quality filter → langid
+    // filter → exact dedup (keep min doc_id per text) → corpus stats.
+    // The "switch your whole pipeline to this engine" demonstration:
+    // every stage is the registered operator itself, chained; one scan,
+    // narrow filters, one dedup shuffle on the content hash, one tiny
+    // final aggregate.
+    "t5_pipeline_e2e" -> QueryDef(
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+        val cleaned = docs
+          .filter(TextOps.qualityPass(col("text"), col("n_chars")))
+          .filter(TextOps.langId(col("text")) === "en")
+        val survivors = graft.operators.Dedup.exactSurvivors(
+          cleaned, "text", "doc_id")
+        cleaned.join(survivors, "doc_id")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(TextOps.tokenCount(col("text"))).as("n_tokens"),
+            sum(col("n_chars").cast("long")).as("n_chars_total"),
+            min("doc_id").as("first_doc"))
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id, n_chars, text, string_split(text, ' ') AS w FROM documents),
+             |q AS (SELECT * FROM t
+             |  WHERE n_chars >= 100 AND n_chars <= 20000 AND len(w) >= 20
+             |    AND floor(1000.0 * len(list_filter(w, x -> x IN
+             |      ('the','a','of','and','to','in','is','it'))) / len(w)) >= 10),
+             |lang AS (SELECT *,
+             |    len(list_filter(w, x -> x IN ('the','a','of','and','to','in','is','it'))) AS s_en,
+             |    len(list_filter(w, x -> x IN ('der','die','das','und','ist','nicht','ein','zu'))) AS s_de,
+             |    len(list_filter(w, x -> x IN ('le','la','de','et','est','un','une','dans'))) AS s_fr
+             |  FROM q),
+             |-- argmax with first-wins ties: 'en' wins iff neither later
+             |-- profile strictly beats it
+             |en AS (SELECT * FROM lang WHERE s_de <= s_en AND s_fr <= s_en),
+             |surv AS (SELECT min(doc_id) AS doc_id FROM en GROUP BY text)
+             |SELECT count(*) AS n_docs,
+             |  CAST(sum(len(w)) AS BIGINT) AS n_tokens,
+             |  CAST(sum(n_chars) AS BIGINT) AS n_chars_total,
+             |  min(e.doc_id) AS first_doc
+             |FROM en e JOIN surv USING (doc_id)""".stripMargin)),
+
     // stopword-profile language ID (argmax, first-wins ties)
     "t3_langid" -> QueryDef(
       (s, dir) => table(s, dir, "documents")
