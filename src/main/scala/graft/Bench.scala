@@ -27,6 +27,10 @@ object Bench {
       val elapsed = (System.nanoTime() - t0) / 1e9
       (name, elapsed, failed)
     }
+    // steady-state protocol: release every staged/dense-index cache so a
+    // repeated in-JVM run starts from a clean executor-memory state
+    // instead of inheriting (and evicting against) this run's caches
+    graft.queries.Staged.release(spark)
     // a failed query records NEGATIVE elapsed (clamped away from -0.0
     // so a fast crash cannot read as a 0.0s success) plus an explicit
     // errors entry — the sentinel is redundant on purpose

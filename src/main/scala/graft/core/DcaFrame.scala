@@ -26,7 +26,8 @@ final case class DcaFrame(
     df: DataFrame,
     shape: Shape,
     arrayCols: Vector[String],
-    statics: Map[String, Any] = Map.empty) {
+    statics: Map[String, Any] = Map.empty,
+    staging: Option[DataFrame] = None) {
 
   def ndim: Int = shape.length
   def size: Long = Shape.size(shape)
@@ -237,14 +238,10 @@ final case class DcaFrame(
       "__graft_lin is a reserved column name")
     val filtered = df.filter(pred)
       .select(linearIndex.as("__graft_lin") +: arrayCols.map(col): _*)
-    // persist the final df before the shape-count (single execution of
-    // the sort+re-index; releasable via unpersist())
-    val (indexed, n, staging) = DcaFrame.denseIndex(filtered, Seq(col("__graft_lin")))
-    val out = indexed.drop("__graft_lin")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    out.count()
-    staging.unpersist()
-    copy(df = out, shape = Vector(n))
+    // the staged (sorted, cached) frame is the SINGLE cached artifact;
+    // the re-indexed view is a narrow codegen'd projection over it
+    val (indexed, n, staged) = DcaFrame.denseIndex(filtered, Seq(col("__graft_lin")))
+    copy(df = indexed.drop("__graft_lin"), shape = Vector(n), staging = Some(staged))
   }
 
   /** Integer-array gather along axis 0 (S8): `p[int_arr]` — a
@@ -279,8 +276,9 @@ final case class DcaFrame(
     * arrays): the index array is itself a frame — an equi-join of
     * self's `__idx0` against the index frame's values, with the index
     * frame's own batch index becoming the output position. Repeats
-    * allowed, negative indices resolved per row, out-of-bounds raises
-    * (numpy IndexError semantics; an inner join would drop silently).
+    * allowed, negative indices resolved per row; out-of-bounds or NULL
+    * raises when the plan is evaluated (numpy IndexError semantics —
+    * an inner join would drop silently).
     *
     * Result shape = `indices.shape ++ this.shape.tail`. The join is
     * declarative — Catalyst broadcasts the small side, or sort-merges
@@ -305,19 +303,22 @@ final case class DcaFrame(
         s"gather index column $vcol must be integral, got ${other.catalogString}")
     }
     val n = shape.head
-    // eager bounds+null check: one cheap job over the index frame only.
-    // NULLs must be caught here — they would evaluate the bounds
-    // predicate to NULL and then silently DROP in the equi-join,
-    // leaving the claimed shape larger than the actual row count
-    require(indices.df.filter(col(vcol).isNull || col(vcol) < -n || col(vcol) >= n).isEmpty,
-      s"gather index null or out of bounds for dim $n")
     val m = indices.ndim
     (Seq("__gsrc") ++ (0 until m).map(i => s"__gpos$i")).foreach { r =>
       require(!df.columns.contains(r), s"$r is a reserved column name") }
+    // bounds+null check fused INTO the join key (per-row raise_error),
+    // not a separate eager job: one evaluation of the index plan, so a
+    // nondeterministic upstream (sample/rand) cannot pass a pre-check
+    // and then silently DROP rows in the equi-join. A NULL index would
+    // otherwise evaluate the join predicate to NULL and vanish,
+    // leaving the claimed shape larger than the actual row count.
+    val checkedSrc = when(col(vcol).isNull || col(vcol) < -n || col(vcol) >= n,
+        raise_error(format_string(
+          s"gather index %s null or out of bounds for dim $n", col(vcol).cast("string"))))
+      .otherwise(when(col(vcol) < 0, col(vcol) + n).otherwise(col(vcol)))
+      .cast(LongType).as("__gsrc")
     val idxSide = indices.df.select(
-      (0 until m).map(i => col(s"__idx$i").as(s"__gpos$i")) :+
-        when(col(vcol) < 0, col(vcol) + n).otherwise(col(vcol))
-          .cast(LongType).as("__gsrc"): _*)
+      (0 until m).map(i => col(s"__idx$i").as(s"__gpos$i")) :+ checkedSrc: _*)
     val joined = df.join(idxSide, col("__idx0") === col("__gsrc"))
     val outIdx = (0 until m).map(i => col(s"__gpos$i").as(s"__idx$i")) ++
       (1 until ndim).map(j => col(s"__idx$j").as(s"__idx${m + j - 1}"))
@@ -427,7 +428,16 @@ final case class DcaFrame(
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK): DcaFrame =
     copy(df = df.persist(level))
 
-  def unpersist(): DcaFrame = copy(df = df.unpersist())
+  /** Release this frame's backing caches: the staged dense-index sort
+    * (created by [[DcaFrame.fromDF]]/[[mask]]) plus any explicit
+    * [[persist]] of the view itself. The frame must not be used after
+    * release — downstream jobs would re-execute the range shuffle with
+    * fresh sampled bounds and could silently mis-index.
+    */
+  def unpersist(): DcaFrame = {
+    staging.foreach(_.unpersist())
+    copy(df = df.unpersist(), staging = None)
+  }
 
   // ---------------------------------------------------------------------
   // Vectorize alignment (V2): join the other frame on the shared batch
@@ -501,6 +511,36 @@ final case class DcaFrame(
 object DcaFrame {
   def idxColNames(ndim: Int): Vector[String] = (0 until ndim).map(i => s"__idx$i").toVector
 
+  // Session-scoped registry of live dense-index staging caches, so a
+  // long-lived session (Bench/Verify) can release everything between
+  // rounds instead of accumulating one cache per constructed frame.
+  // Weak session keys: a stopped session's entries become collectable.
+  private val liveStaging =
+    new java.util.WeakHashMap[SparkSession, java.util.ArrayList[DataFrame]]()
+
+  private def registerStaging(s: SparkSession, d: DataFrame): Unit =
+    liveStaging.synchronized {
+      var l = liveStaging.get(s)
+      if (l == null) { l = new java.util.ArrayList[DataFrame](); liveStaging.put(s, l) }
+      l.add(d)
+    }
+
+  /** Unpersist every staging cache created by [[fromDF]]/[[mask]] in
+    * this session. Frames constructed before the release must be
+    * discarded (their dense indices are only stable against the cached
+    * materialization); rebuild them afterwards.
+    *
+    * @return number of caches released
+    */
+  def releaseStaging(s: SparkSession): Int = liveStaging.synchronized {
+    val l = liveStaging.remove(s)
+    if (l == null) 0
+    else {
+      l.forEach(_.unpersist())
+      l.size
+    }
+  }
+
   /** Construct from an (already ordered-by sortCols) DataFrame, adding a
     * dense 1-D index. Ordering is established by a range-repartition +
     * partition-local sort, then indices are assigned with per-partition
@@ -514,15 +554,13 @@ object DcaFrame {
   def fromDF(df: DataFrame, sortCols: Seq[Column], arrayCols: Seq[String] = Nil,
              statics: Map[String, Any] = Map.empty): DcaFrame = {
     val cols = if (arrayCols.nonEmpty) arrayCols.toVector else df.columns.toVector
-    // persist the FINAL frame df (not an upstream plan) before the
-    // shape-count: the sort+index pipeline runs once, and
-    // DcaFrame.unpersist() releases exactly this cached Dataset
-    val (indexed, n, staging) = denseIndex(df.select(cols.map(col): _*), sortCols)
-    val out = indexed
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    out.count()
-    staging.unpersist()
-    DcaFrame(out, Vector(n), cols, statics)
+    // ONE cached artifact (the staged sort, already materialized by the
+    // offsets job inside denseIndex), ONE job total. The indexed frame is
+    // a narrow codegen'd projection over that cache — re-deriving the
+    // dense index per downstream job is a literal-array lookup, far
+    // cheaper than a second persist + count of the projection was.
+    val (indexed, n, staged) = denseIndex(df.select(cols.map(col): _*), sortCols)
+    DcaFrame(indexed, Vector(n), cols, statics, staging = Some(staged))
   }
 
   /** Build a 1-D frame from a typed Dataset; row identity comes from
@@ -582,14 +620,16 @@ object DcaFrame {
     * into dense indices via a literal offset array. No per-row Row
     * ser/deser (the old `rdd.zipWithIndex` exit), no codegen break.
     *
-    * The sorted input is persisted so the count job and every
+    * The sorted input is persisted so the offsets job and every
     * downstream job see ONE materialization (a re-executed range
     * shuffle could re-sample different partition bounds and silently
-    * mis-index). Callers must materialize their derived frame, then
-    * release the staging cache via the returned handle.
+    * mis-index). This staged cache is the frame's ONLY cache — it is
+    * returned as a handle, carried on [[DcaFrame.staging]], registered
+    * per session, and released via [[DcaFrame.unpersist]] or
+    * [[DcaFrame.releaseStaging]].
     *
     * @return (indexed frame with `__idx0` prepended, total row count,
-    *         staging Dataset to unpersist once downstream materialized)
+    *         staged Dataset backing the indexed view)
     */
   private[core] def denseIndex(df: DataFrame, sortCols: Seq[Column]): (DataFrame, Long, DataFrame) = {
     require(!df.columns.contains("__graft_mid"), "__graft_mid is a reserved column name")
@@ -597,6 +637,7 @@ object DcaFrame {
       if (sortCols.isEmpty) df
       else df.repartitionByRange(sortCols: _*).sortWithinPartitions(sortCols: _*)
     val staged = sorted.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    registerStaging(df.sparkSession, staged)
     val withMid = staged.select(
       monotonically_increasing_id().as("__graft_mid") +: df.columns.map(col).toSeq: _*)
     val counts = withMid

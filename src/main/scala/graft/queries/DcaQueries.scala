@@ -23,6 +23,10 @@ object DcaQueries {
     */
   private def liFrame(s: SparkSession, dir: String): DcaFrame =
     Staged.liFrame(s, dir)
+  private def liFlagFrame(s: SparkSession, dir: String, flag: String): DcaFrame =
+    Staged.liFlagFrame(s, dir, flag)
+  private def liWideFrame(s: SparkSession, dir: String): DcaFrame =
+    Staged.liWideFrame(s, dir)
 
   private def out(f: DcaFrame): DataFrame =
     f.df.select((f.idxCols ++ f.arrayCols).map(col): _*).orderBy(f.idxCols.map(col): _*)
@@ -119,14 +123,8 @@ object DcaQueries {
     // M1: stack along a NEW axis (union + axis tag, narrow)
     "dca_m1_stack" -> QueryDef(
       (s, dir) => {
-        def flagFrame(flag: String): DcaFrame = {
-          val df = table(s, dir, "lineitem").filter(col("l_returnflag") === flag)
-            .select(col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
-              cents(col("l_quantity")).as("qty_c"))
-          DcaFrame.fromDF(df, Seq(col("l_orderkey"), col("l_linenumber")))
-        }
-        val a = flagFrame("A")(Ix.S(None, Some(1000)))
-        val r = flagFrame("R")(Ix.S(None, Some(1000)))
+        val a = liFlagFrame(s, dir, "A")(Ix.S(None, Some(1000)))
+        val r = liFlagFrame(s, dir, "R")(Ix.S(None, Some(1000)))
         out(DcaFrame.stack(Seq(a, r)))
       },
       Some("""WITH a AS (SELECT row_number() OVER (ORDER BY l_orderkey, l_linenumber) - 1 AS rn,
@@ -173,15 +171,7 @@ object DcaQueries {
 
     // S11: map_field — elementwise projection over every array column
     "dca_s11_mapfield" -> QueryDef(
-      (s, dir) => {
-        val df = table(s, dir, "lineitem")
-          .select(cents(col("l_quantity")).as("qty_c"), cents(col("l_extendedprice")).as("price_c"),
-            col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"))
-        val f = DcaFrame.fromDF(df.select("l_orderkey", "l_linenumber", "qty_c", "price_c"),
-          Seq(col("l_orderkey"), col("l_linenumber")),
-          arrayCols = Seq("qty_c", "price_c"))
-        out(f(Ix.S(None, Some(2000))).mapField(c => c * 2 + 1))
-      },
+      (s, dir) => out(liWideFrame(s, dir)(Ix.S(None, Some(2000))).mapField(c => c * 2 + 1)),
       Some("""WITH base AS (
              |  SELECT row_number() OVER (ORDER BY l_orderkey, l_linenumber) - 1 AS rn,
              |    CAST(round(l_quantity*100) AS BIGINT) AS qty_c,

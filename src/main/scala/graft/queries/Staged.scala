@@ -45,6 +45,30 @@ object Staged {
       DcaFrame.fromDF(df, Seq(col("l_orderkey"), col("l_linenumber")))
     }).asInstanceOf[DcaFrame]
 
+  /** lineitem restricted to one return flag, same ordering/payload as
+    * [[liFrame]] — staged per (dir, flag) so stack/concat queries reuse
+    * the constructed frame instead of paying fromDF per invocation.
+    */
+  def liFlagFrame(s: SparkSession, dir: String, flag: String): DcaFrame =
+    cacheFor(s).getOrElseUpdate(s"liflag:$dir:$flag", {
+      val df = table(s, dir, "lineitem").filter(col("l_returnflag") === flag)
+        .select(col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
+          cents(col("l_quantity")).as("qty_c"))
+      DcaFrame.fromDF(df, Seq(col("l_orderkey"), col("l_linenumber")))
+    }).asInstanceOf[DcaFrame]
+
+  /** lineitem frame with a two-column (qty, price) cents payload —
+    * shared by the mapField family.
+    */
+  def liWideFrame(s: SparkSession, dir: String): DcaFrame =
+    cacheFor(s).getOrElseUpdate(s"liwide:$dir", {
+      val df = table(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
+          cents(col("l_quantity")).as("qty_c"), cents(col("l_extendedprice")).as("price_c"))
+      DcaFrame.fromDF(df, Seq(col("l_orderkey"), col("l_linenumber")),
+        arrayCols = Seq("qty_c", "price_c"))
+    }).asInstanceOf[DcaFrame]
+
   /** documents 3-gram shingle table (doc_id, __sh), persisted. */
   def docShingles(s: SparkSession, dir: String): DataFrame =
     cacheFor(s).getOrElseUpdate(s"sh:$dir", {
@@ -73,4 +97,24 @@ object Staged {
           graft.operators.Dedup.portableHash60)
         .persist(StorageLevel.MEMORY_AND_DISK)
     }).asInstanceOf[DataFrame]
+
+  /** Release every staged artifact for this session: the memoized
+    * frames/tables above AND all dense-index staging caches created by
+    * `DcaFrame.fromDF`/`mask` (the per-constructed-frame caches that
+    * would otherwise accumulate for the life of a Bench/Verify
+    * session). Memoized entries are evicted, so the next access
+    * rebuilds from the source tables — stale frames are never served
+    * against a released cache.
+    */
+  def release(s: SparkSession): Unit = {
+    perSession.synchronized {
+      val m = perSession.remove(s)
+      if (m != null) m.values.foreach {
+        case d: DataFrame => d.unpersist()
+        case f: DcaFrame  => f.unpersist()
+        case _            => ()
+      }
+    }
+    DcaFrame.releaseStaging(s)
+  }
 }

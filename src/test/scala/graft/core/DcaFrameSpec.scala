@@ -132,15 +132,21 @@ class DcaFrameSpec extends SparkTestBase {
     assert(g2.shape == Vector(2L, 2L))
     assert(idxAndX(g2) == Seq(
       (Seq(0L, 0L), 4.0), (Seq(0L, 1L), 0.0), (Seq(1L, 0L), 3.0), (Seq(1L, 1L), 4.0)))
-    // out-of-bounds raises eagerly (numpy IndexError semantics)
-    val bad = DcaFrame.fromLocal(spark, Seq(Row(5L)), idxSchema)
-    intercept[IllegalArgumentException](p.gather(bad))
-    intercept[IllegalArgumentException](
-      p.gather(DcaFrame.fromLocal(spark, Seq(Row(-6L)), idxSchema)))
+    // out-of-bounds raises at evaluation (the check is fused into the
+    // join key as raise_error: ONE evaluation of the index plan, so a
+    // nondeterministic upstream can't pass an eager pre-check and then
+    // silently drop rows in the join)
+    def materializeRaises(idx: DcaFrame): Unit = {
+      val e = intercept[Exception](p.gather(idx).df.collect())
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(e).exists(_.contains("out of bounds")), s"unexpected error: $e")
+    }
+    materializeRaises(DcaFrame.fromLocal(spark, Seq(Row(5L)), idxSchema))
+    materializeRaises(DcaFrame.fromLocal(spark, Seq(Row(-6L)), idxSchema))
     // NULL index values must raise, not silently drop in the join
     // (a dropped row would break the dense-index shape invariant)
-    intercept[IllegalArgumentException](
-      p.gather(DcaFrame.fromLocal(spark, Seq(Row(1L), Row(null)), idxSchema)))
+    materializeRaises(DcaFrame.fromLocal(spark, Seq(Row(1L), Row(null)), idxSchema))
     // fractional index column must raise, not truncate
     val fracSchema = StructType(Seq(StructField("src", DoubleType)))
     intercept[IllegalArgumentException](
