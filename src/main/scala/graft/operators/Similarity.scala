@@ -60,6 +60,18 @@ object Similarity {
     import graft.functions.{ScoredId, TopKAgg}
     val spark = scored.sparkSession
     import spark.implicits._
+    // the bounded aggregator keys on Long ids; a non-integral id column
+    // would cast to NULL and NPE inside the encoder — reject it eagerly
+    // with a usable message instead
+    Seq(qidCol, idCol).foreach { c =>
+      scored.schema(c).dataType match {
+        case _: org.apache.spark.sql.types.ByteType | _: org.apache.spark.sql.types.ShortType |
+             _: org.apache.spark.sql.types.IntegerType | _: org.apache.spark.sql.types.LongType => ()
+        case other => throw new IllegalArgumentException(
+          s"top-k re-rank requires integral id columns; $c is ${other.catalogString} " +
+            "(map string ids to a dense long surrogate first)")
+      }
+    }
     scored.select(col(qidCol).cast("long"), col(idCol).cast("long"), col(scoreCol))
       .as[(Long, Long, Double)]
       .groupByKey(_._1)
@@ -256,6 +268,13 @@ object Similarity {
     * collected to the driver to seed the next iteration — the classic
     * k-means loop shape. Cells that lose all members keep their
     * previous centroid.
+    *
+    * The mean is computed as an exact DECIMAL sum divided by the count,
+    * not `avg(double)`: decimal addition is associative, so the result
+    * does not depend on partition/merge order and the
+    * `buildIvfIndex`-vs-`ivfTopK` byte-parity contract holds at any
+    * refineIters. (Elements are rounded once, per value, at the
+    * float→decimal(38,28) cast — order-independent; assumes |x| < 1e9.)
     */
   def refineCentroids(corpus: DataFrame, centroids0: Seq[Centroid], iters: Int,
                       vecCol: String): Seq[Centroid] = {
@@ -266,7 +285,8 @@ object Similarity {
         .withColumn("__cell", bestCell(col(vecCol), col("__vnorm"), cents))
         .select(col("__cell"), posexplode(col(vecCol)).as(Seq("__pos", "__x")))
         .groupBy("__cell", "__pos")
-        .agg(avg(col("__x").cast("double")).as("__m"))
+        .agg((sum(col("__x").cast("decimal(38,28)")).cast("double") /
+          count(lit(1)).cast("double")).as("__m"))
         .collect()
       val byCell = meanRows.groupBy(_.getLong(0))
       cents = cents.map { c =>
