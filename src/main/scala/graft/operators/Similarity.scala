@@ -300,15 +300,24 @@ object Similarity {
     cents
   }
 
+  /** The integer numerator of [[weight]] in [0, 100000): a fixed Long
+    * mix, exposed so the DuckDB oracle can embed the SAME constants as
+    * `k/1e5 - 0.5` literals (int→double promotion and the division are
+    * IEEE-identical across engines, so the hyperplanes match bit for
+    * bit).
+    */
+  private[graft] def weightK(i: Int, j: Int): Long = {
+    var x = i.toLong * 1315423911L ^ j.toLong * 2654435761L
+    x ^= (x >>> 13); x *= 1274126177L; x ^= (x >>> 16)
+    ((x % 100000L) + 100000L) % 100000L
+  }
+
   /** Deterministic pseudo-random hyperplane weight for (dim i, plane j):
     * a fixed integer mix folded to [-0.5, 0.5). Public-constant mixing,
     * reproducible everywhere, no RNG state.
     */
-  private def weight(i: Int, j: Int): Double = {
-    var x = i.toLong * 1315423911L ^ j.toLong * 2654435761L
-    x ^= (x >>> 13); x *= 1274126177L; x ^= (x >>> 16)
-    ((((x % 100000L) + 100000L) % 100000L).toDouble / 100000.0) - 0.5
-  }
+  private def weight(i: Int, j: Int): Double =
+    weightK(i, j).toDouble / 100000.0 - 0.5
 
   /** `planes`-bit sign code of a vector under the fixed hyperplanes,
     * as a bit string (engine-portable, substring-bandable).

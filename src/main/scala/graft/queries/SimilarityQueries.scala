@@ -6,15 +6,152 @@ import graft.operators.Similarity
 import QueryDef.table
 
 /** Similarity search over the `embeddings` table (array<float>[64]).
-  * Brute-force cosine top-k carries a full DuckDB oracle (the fold
-  * order and double-casts are mirrored exactly, so scores are
-  * bit-identical); the LSH ANN variant is the scale path, recall-tested
-  * in SimilaritySpec against the brute-force baseline.
+  *
+  * All three paths now carry full DuckDB oracles: every ingredient is
+  * deterministic integer/double arithmetic mirrored exactly —
+  *   - the cosine is the same left-fold dot product on both engines
+  *     (bit-identical doubles, so DESC orderings agree);
+  *   - sim2's LSH hyperplane weights are `k/1e5 - 0.5` with integer `k`
+  *     from [[Similarity.weightK]], embedded into the SQL as literals;
+  *   - sim3's IVF centroids bootstrap from a deterministic id-stride
+  *     sample (count → stride → `id % stride = 0` → first 16), so the
+  *     whole assign/probe/re-rank chain is reproducible in SQL.
+  * Lloyd refinement (refineIters > 0) is exercised in OperatorSpec's
+  * index-vs-inline parity test; the registered sim3 query pins the
+  * portable refineIters = 0 configuration so the oracle is exact.
   */
 object SimilarityQueries {
 
   private val K = 10
   private val QueryIds = Seq(0L, 1L, 2L)
+  private val Dims = 64
+  // sim2 LSH geometry — must match lshTopK's defaults
+  private val Planes = 24
+  private val RowsPerBand = 3
+  private val Bands = Planes / RowsPerBand
+  // sim3 IVF geometry
+  private val NCells = 16
+  private val NProbe = 6
+
+  /** The ONE DuckDB rendering of [[Similarity.dot]]'s left fold:
+    * prepend-0.0 list_reduce over per-index double products — the same
+    * accumulation order as Spark's `aggregate(zip_with(...))`, so the
+    * result is bit-identical.
+    */
+  private def dotSql(a: String, b: String): String =
+    s"""list_reduce(list_prepend(0.0, list_transform(range(1, ${Dims + 1}),
+       |        i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))),
+       |      (x, y) -> x + y)""".stripMargin
+
+  private def cosineSql(vec: String, qvec: String): String =
+    s"""${dotSql(vec, qvec)}
+       |    / (sqrt(${dotSql(vec, vec)})
+       |      * sqrt(${dotSql(qvec, qvec)}))""".stripMargin
+
+  /** Shared final SELECT of every top-k oracle: rank by cosine desc /
+    * id asc within each query, keep K, encode the score as
+    * floor(1e6·cos) BIGINT — the exact output contract of
+    * [[Similarity.topKReRank]].
+    */
+  private def rerankSql: String =
+    s"""SELECT qid, CAST(row_number() OVER
+       |    (PARTITION BY qid ORDER BY cos DESC, vec_id) AS BIGINT) AS rank,
+       |  vec_id, CAST(floor(cos * 1e6) AS BIGINT) AS cos_micro
+       |FROM scored
+       |QUALIFY rank <= $K
+       |ORDER BY qid, rank""".stripMargin
+
+  private val qidList = QueryIds.mkString(", ")
+
+  /** sim2 oracle: the 24×64 hyperplane weight matrix as a VALUES table
+    * (one row per plane, one 64-double list per row), sign codes via
+    * the same projection fold, banding as 8 static substr equalities.
+    */
+  private def lshOracleSql: String = {
+    val weightRows = (0 until Planes).map { j =>
+      val ws = (0 until Dims)
+        .map(i => s"${Similarity.weightK(i, j)}/1e5-0.5").mkString(", ")
+      s"    ($j, [$ws])"
+    }.mkString(",\n")
+    val bandMatch = (0 until Bands)
+      .map { b =>
+        val p = b * RowsPerBand + 1
+        s"substr(c.code, $p, $RowsPerBand) = substr(qc.qcode, $p, $RowsPerBand)"
+      }
+      .mkString("\n     OR ")
+    s"""WITH w(j, wl) AS (VALUES
+       |$weightRows),
+       |codes AS (
+       |  SELECT e.vec_id,
+       |    string_agg(CASE WHEN list_reduce(list_prepend(0.0,
+       |          list_transform(range(1, ${Dims + 1}),
+       |            i -> CAST(e.embedding[i] AS DOUBLE) * w.wl[i])),
+       |        (x, y) -> x + y) >= 0 THEN '1' ELSE '0' END,
+       |      '' ORDER BY w.j) AS code
+       |  FROM embeddings e CROSS JOIN w
+       |  GROUP BY e.vec_id),
+       |qc AS (
+       |  SELECT vec_id AS qid, code AS qcode FROM codes
+       |  WHERE vec_id IN ($qidList)),
+       |cands AS (
+       |  SELECT qc.qid, c.vec_id
+       |  FROM codes c JOIN qc ON c.vec_id <> qc.qid
+       |   AND ($bandMatch)),
+       |scored AS (
+       |  SELECT cands.qid, cands.vec_id,
+       |    ${cosineSql("e.embedding", "qe.embedding")} AS cos
+       |  FROM cands
+       |  JOIN embeddings e ON e.vec_id = cands.vec_id
+       |  JOIN embeddings qe ON qe.vec_id = cands.qid)
+       |$rerankSql""".stripMargin
+  }
+
+  /** sim3 oracle: id-stride centroid bootstrap, nearest-cell argmax
+    * assignment (sim desc / cell asc — the struct-max tiebreak), nProbe
+    * nearest cells per query, exact re-rank inside probed cells. The
+    * query vectors are corpus rows, so `sims` serves both the corpus
+    * assignment and the query probes.
+    */
+  private def ivfOracleSql: String =
+    s"""WITH par AS (
+       |  SELECT greatest(1, count(*) // $NCells) AS stride FROM embeddings),
+       |cents AS (
+       |  SELECT vec_id AS cell, embedding AS cvec
+       |  FROM embeddings, par WHERE vec_id % par.stride = 0
+       |  ORDER BY vec_id LIMIT $NCells),
+       |cn AS (
+       |  SELECT cell, cvec, sqrt(${dotSql("cvec", "cvec")}) AS cnorm
+       |  FROM cents),
+       |en AS (
+       |  SELECT vec_id, embedding,
+       |    sqrt(${dotSql("embedding", "embedding")}) AS vnorm
+       |  FROM embeddings),
+       |sims AS (
+       |  SELECT en.vec_id, cn.cell,
+       |    ${dotSql("en.embedding", "cn.cvec")}
+       |      / (en.vnorm * cn.cnorm) AS sim
+       |  FROM en CROSS JOIN cn),
+       |assigned AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT vec_id, cell, row_number() OVER
+       |      (PARTITION BY vec_id ORDER BY sim DESC, cell) AS rn
+       |    FROM sims) WHERE rn = 1),
+       |probes AS (
+       |  SELECT qid, cell FROM (
+       |    SELECT vec_id AS qid, cell, row_number() OVER
+       |      (PARTITION BY vec_id ORDER BY sim DESC, cell) AS rn
+       |    FROM sims WHERE vec_id IN ($qidList)) WHERE rn <= $NProbe),
+       |cands AS (
+       |  SELECT p.qid, a.vec_id
+       |  FROM assigned a JOIN probes p
+       |    ON a.cell = p.cell AND a.vec_id <> p.qid),
+       |scored AS (
+       |  SELECT cands.qid, cands.vec_id,
+       |    ${cosineSql("e.embedding", "qe.embedding")} AS cos
+       |  FROM cands
+       |  JOIN embeddings e ON e.vec_id = cands.vec_id
+       |  JOIN embeddings qe ON qe.vec_id = cands.qid)
+       |$rerankSql""".stripMargin
 
   val defs: Map[String, QueryDef] = Map(
 
@@ -31,51 +168,42 @@ object SimilarityQueries {
       },
       Some(s"""WITH q AS (
              |  SELECT vec_id AS qid, embedding AS qvec FROM embeddings
-             |  WHERE vec_id IN (0, 1, 2)),
+             |  WHERE vec_id IN ($qidList)),
              |scored AS (
              |  SELECT q.qid, e.vec_id,
-             |    list_reduce(list_prepend(0.0, list_transform(range(1, 65),
-             |        i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qvec[i] AS DOUBLE))),
-             |      (a, b) -> a + b)
-             |    / (sqrt(list_reduce(list_prepend(0.0, list_transform(range(1, 65),
-             |        i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))),
-             |      (a, b) -> a + b))
-             |      * sqrt(list_reduce(list_prepend(0.0, list_transform(range(1, 65),
-             |        i -> CAST(q.qvec[i] AS DOUBLE) * CAST(q.qvec[i] AS DOUBLE))),
-             |      (a, b) -> a + b))) AS cos
+             |    ${cosineSql("e.embedding", "q.qvec")} AS cos
              |  FROM embeddings e, q WHERE e.vec_id <> q.qid)
-             |SELECT qid, CAST(row_number() OVER
-             |    (PARTITION BY qid ORDER BY cos DESC, vec_id) AS BIGINT) AS rank,
-             |  vec_id, CAST(floor(cos * 1e6) AS BIGINT) AS cos_micro
-             |FROM scored
-             |QUALIFY rank <= $K
-             |ORDER BY qid, rank""".stripMargin)),
+             |$rerankSql""".stripMargin)),
 
     // IVF ANN: nearest-centroid cells, nProbe probing, exact re-rank
-    // within probed cells. Approximate — rows-only check; recall vs
-    // brute force covered in SimilaritySpec.
+    // within probed cells. refineIters = 0 pins the deterministic
+    // id-stride bootstrap, making the full chain SQL-expressible —
+    // Lloyd refinement is covered by OperatorSpec's index-vs-inline
+    // parity test at refineIters = 1.
     "sim3_ivf_ann" -> QueryDef(
       (s, dir) => {
         val emb = table(s, dir, "embeddings")
         val queries = emb.filter(col("vec_id").isInCollection(QueryIds))
           .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
-        Similarity.ivfTopK(emb, queries, K, nCells = 16, nProbe = 6, refineIters = 2)
+        Similarity.ivfTopK(emb, queries, K, nCells = NCells, nProbe = NProbe,
+          refineIters = 0)
           .orderBy("qid", "rank")
       },
-      None),
+      Some(ivfOracleSql)),
 
     // LSH-bucketed ANN (sign-random-projection): the 100-TB path — the
-    // corpus is hashed once and probed per band; approximate by design,
-    // so no equality oracle (recall vs brute force covered in
-    // SimilaritySpec). Driver records the rows-only check.
+    // corpus is hashed once and probed per band. Approximate vs brute
+    // force (recall covered in OperatorSpec), but fully deterministic,
+    // so the oracle recomputes the same codes/bands/re-rank exactly.
     "sim2_lsh_ann" -> QueryDef(
       (s, dir) => {
         val emb = table(s, dir, "embeddings")
         val queries = emb.filter(col("vec_id").isInCollection(QueryIds))
           .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
-        Similarity.lshTopK(emb, queries, K, dims = 64)
+        Similarity.lshTopK(emb, queries, K, dims = Dims,
+          planes = Planes, rowsPerBand = RowsPerBand)
           .orderBy("qid", "rank")
       },
-      None)
+      Some(lshOracleSql))
   )
 }
