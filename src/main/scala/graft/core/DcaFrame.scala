@@ -49,6 +49,18 @@ final case class DcaFrame(
   def idxCols: Vector[String] = DcaFrame.idxColNames(ndim)
   private def idx(i: Int): Column = col(s"__idx$i")
 
+  /** Copy for DERIVED views (reshape/slice/gather/mapField/zip/...):
+    * the result rides on the parent's staged cache but does NOT own it —
+    * its [[unpersist]] must not release a cache the parent and sibling
+    * frames still depend on. Only the constructing frame
+    * ([[DcaFrame.fromDF]]/[[mask]]) or [[DcaFrame.releaseStaging]]
+    * releases staging.
+    */
+  private def derived(df: DataFrame = df, shape: Shape = shape,
+      arrayCols: Vector[String] = arrayCols,
+      statics: Map[String, Any] = statics): DcaFrame =
+    DcaFrame(df, shape, arrayCols, statics, staging = None)
+
   /** Linear (row-major) index expression over the current idx columns. */
   def linearIndex: Column =
     if (ndim == 0) lit(0L)
@@ -93,7 +105,7 @@ final case class DcaFrame(
       val kept = arrayCols.map(col)
       val renamed = withLin.select(newIdx ++ kept: _*)
       val fin = target.indices.foldLeft(renamed)((d, i) => d.withColumnRenamed(s"__nidx$i", s"__idx$i"))
-      copy(df = fin, shape = target)
+      derived(df = fin, shape = target)
     }
   }
 
@@ -129,7 +141,7 @@ final case class DcaFrame(
     }
     val out = df.select(newIdx ++ arrayCols.map(col): _*)
     val fin = newShape.indices.foldLeft(out)((d, i) => d.withColumnRenamed(s"__nidx$i", s"__idx$i"))
-    copy(df = fin, shape = newShape)
+    derived(df = fin, shape = newShape)
   }
 
   /** Expand the batch shape (dim-1/new-leading axes up), every payload
@@ -164,7 +176,7 @@ final case class DcaFrame(
       }
       val finalCols = t.indices.map(i => col(s"__tidx$i").cast(LongType).as(s"__idx$i")) ++
         arrayCols.map(col)
-      copy(df = cur.select(finalCols: _*), shape = t)
+      derived(df = cur.select(finalCols: _*), shape = t)
     }
   }
 
@@ -181,11 +193,6 @@ final case class DcaFrame(
     * `p[:, 2:5][idx_arr]`).
     */
   def apply(items: Indexing.Ix*): DcaFrame = {
-    // only ONE advanced index is supported: numpy's multi-advanced-index
-    // semantics zip the index arrays (diagonal), which sequential
-    // gathers would silently turn into an outer product
-    require(items.count(_.isInstanceOf[Indexing.Ix.A]) <= 1,
-      "at most one integer-array index is supported per indexing call")
     val resolved = Indexing.resolve(items, shape)
     var cur = df
     var axis = 0          // input axis being consumed
@@ -223,8 +230,59 @@ final case class DcaFrame(
     val sel = outCols.result().map { case (n, c) => c.as(n) } ++ arrayCols.map(col)
     val out = cur.select(sel: _*)
     val fin = interShape.indices.foldLeft(out)((d, i) => d.withColumnRenamed(s"__oidx$i", s"__idx$i"))
-    val basic = copy(df = fin, shape = interShape)
-    gathers.result().foldLeft(basic) { case (f, (pos, idxs)) => f.gatherAxis(idxs, pos) }
+    val basic = derived(df = fin, shape = interShape)
+    val gs = gathers.result()
+    if (gs.size <= 1)
+      gs.foldLeft(basic) { case (f, (pos, idxs)) => f.gatherAxis(idxs, pos) }
+    else {
+      // numpy multi-advanced-index semantics: the index arrays broadcast
+      // together and are applied DIAGONALLY (p[[a,b],[c,d]] picks
+      // (a,c),(b,d) — array_dataclass_test.py:459-494). Supported when
+      // the advanced axes end up adjacent after the basic items (an Int
+      // between them vanishes, so it does not separate); numpy's
+      // move-to-front rule for slice-separated advanced indices is
+      // rejected rather than silently misplaced.
+      val positions = gs.map(_._1)
+      require(positions.zip(positions.tail).forall { case (a, b) => b == a + 1 },
+        s"integer-array indices separated by a slice/newaxis are not supported " +
+          s"(numpy would move the result dims to the front); gather axes were at $positions")
+      basic.gatherZip(positions, gs.map(_._2))
+    }
+  }
+
+  /** Diagonal (zipped) multi-axis gather: element k of the result takes
+    * input index `lists(a)(k)` on each gathered axis `positions(a)` —
+    * numpy's broadcast-and-zip semantics for multiple adjacent advanced
+    * indices. Executed as ONE broadcast equi-join on the composite key
+    * (never a chain of per-axis gathers, which would outer-product).
+    * Length-1 lists broadcast to the common length.
+    */
+  private def gatherZip(positions: Vector[Int], lists: Vector[Vector[Long]]): DcaFrame = {
+    import org.apache.spark.sql.types.StructField
+    val m = positions.length
+    val len = lists.map(_.length).max
+    lists.foreach { l =>
+      require(l.length == len || l.length == 1,
+        "shape mismatch: indexing arrays could not be broadcast together " +
+          s"with lengths ${lists.map(_.length).mkString(", ")}") }
+    val expanded = lists.map(l => if (l.length == len) l else Vector.fill(len)(l.head))
+    ((0 until m).map(a => s"__src$a") :+ "__zpos").foreach { r =>
+      require(!df.columns.contains(r), s"$r is a reserved column name") }
+    val spark = df.sparkSession
+    val fields = (0 until m).map(a => StructField(s"__src$a", LongType)) :+
+      StructField("__zpos", LongType)
+    val rows = (0 until len).map(k => Row.fromSeq(expanded.map(_(k)) :+ k.toLong))
+    val idxDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), StructType(fields.toArray))
+    val cond = positions.zipWithIndex
+      .map { case (ax, a) => col(s"__idx$ax") === col(s"__src$a") }.reduce(_ && _)
+    val joined = df.join(broadcast(idxDf), cond)
+    val p0 = positions.head
+    val outIdx = (0 until p0).map(i => col(s"__idx$i").as(s"__idx$i")) ++
+      Seq(col("__zpos").as(s"__idx$p0")) ++
+      ((positions.last + 1) until ndim).map(j => col(s"__idx$j").as(s"__idx${j - (m - 1)}"))
+    val newShape = (shape.take(p0) :+ len.toLong) ++ shape.drop(positions.last + 1)
+    derived(df = joined.select(outIdx ++ arrayCols.map(col): _*), shape = newShape)
   }
 
   /** Boolean-mask selection — THE canonical filter (S7,
@@ -268,27 +326,36 @@ final case class DcaFrame(
       .drop(s"__idx$ax", "__src")
       .withColumnRenamed("__pos", s"__idx$ax")
     val newShape = shape.updated(ax, indices.length.toLong)
-    copy(df = joined.select(idxCols.map(col) ++ arrayCols.map(col): _*), shape = newShape)
+    derived(df = joined.select(idxCols.map(col) ++ arrayCols.map(col): _*), shape = newShape)
   }
 
   /** DISTRIBUTED integer-array gather along axis 0 (S8 at scale,
     * `array_dataclass_test.py:459-494` with arbitrary-size index
-    * arrays): the index array is itself a frame — an equi-join of
-    * self's `__idx0` against the index frame's values, with the index
-    * frame's own batch index becoming the output position. Repeats
-    * allowed, negative indices resolved per row; out-of-bounds or NULL
-    * raises when the plan is evaluated (numpy IndexError semantics —
-    * an inner join would drop silently).
+    * arrays): the index array is itself a frame — see [[gatherAxis]].
+    */
+  def gather(indices: DcaFrame, valueCol: String = null): DcaFrame =
+    gatherAxis(indices, 0, valueCol)
+
+  /** DISTRIBUTED integer-array gather along ANY axis: an equi-join of
+    * self's `__idx{axis}` against the index frame's values, with the
+    * index frame's own batch index becoming the output position(s) on
+    * that axis. Repeats allowed, negative indices resolved per row;
+    * out-of-bounds or NULL raises when the plan is evaluated (numpy
+    * IndexError semantics — an inner join would drop silently). Note
+    * the check is lazy: a partially-consumed result (e.g. under a
+    * `limit`) may never evaluate the offending index rows.
     *
-    * Result shape = `indices.shape ++ this.shape.tail`. The join is
-    * declarative — Catalyst broadcasts the small side, or sort-merges
-    * on the key when both sides are big (the 100-TB plan).
+    * Result shape = `shape[:axis] ++ indices.shape ++ shape[axis+1:]`
+    * — numpy's single-advanced-index rule `p[:, ..., arr, ...]`. The
+    * join is declarative — Catalyst broadcasts the small side, or
+    * sort-merges on the key when both sides are big (the 100-TB plan).
     *
     * @param indices frame whose single payload column (or `valueCol`)
     *                holds the gather indices
     */
-  def gather(indices: DcaFrame, valueCol: String = null): DcaFrame = {
+  def gatherAxis(indices: DcaFrame, axis: Int, valueCol: String = null): DcaFrame = {
     require(ndim >= 1, "gather needs ndim >= 1")
+    val ax = Shape.toAbsoluteAxis(axis, ndim)
     val vcol = Option(valueCol).getOrElse {
       require(indices.arrayCols.size == 1,
         s"index frame must have exactly one payload column (or pass valueCol); got ${indices.arrayCols}")
@@ -302,7 +369,7 @@ final case class DcaFrame(
       case other => throw new IllegalArgumentException(
         s"gather index column $vcol must be integral, got ${other.catalogString}")
     }
-    val n = shape.head
+    val n = shape(ax)
     val m = indices.ndim
     (Seq("__gsrc") ++ (0 until m).map(i => s"__gpos$i")).foreach { r =>
       require(!df.columns.contains(r), s"$r is a reserved column name") }
@@ -319,11 +386,14 @@ final case class DcaFrame(
       .cast(LongType).as("__gsrc")
     val idxSide = indices.df.select(
       (0 until m).map(i => col(s"__idx$i").as(s"__gpos$i")) :+ checkedSrc: _*)
-    val joined = df.join(idxSide, col("__idx0") === col("__gsrc"))
-    val outIdx = (0 until m).map(i => col(s"__gpos$i").as(s"__idx$i")) ++
-      (1 until ndim).map(j => col(s"__idx$j").as(s"__idx${m + j - 1}"))
-    val newShape = indices.shape ++ shape.tail
-    copy(df = joined.select(outIdx ++ arrayCols.map(col): _*), shape = newShape)
+    val joined = df.join(idxSide, col(s"__idx$ax") === col("__gsrc"))
+    // axes before ax unchanged; the index frame's m axes land at
+    // ax..ax+m-1; self's axes after ax shift by m-1
+    val outIdx = (0 until ax).map(j => col(s"__idx$j").as(s"__idx$j")) ++
+      (0 until m).map(i => col(s"__gpos$i").as(s"__idx${ax + i}")) ++
+      ((ax + 1) until ndim).map(j => col(s"__idx$j").as(s"__idx${j + m - 1}"))
+    val newShape = shape.take(ax) ++ indices.shape ++ shape.drop(ax + 1)
+    derived(df = joined.select(outIdx ++ arrayCols.map(col): _*), shape = newShape)
   }
 
   /** Per-first-dim decomposition (S9) — a driver-boundary op. */
@@ -340,7 +410,7 @@ final case class DcaFrame(
     * `array_dataclass.py:455-463`); pure projection, codegen-friendly.
     */
   def mapField(fn: Column => Column): DcaFrame =
-    copy(df = df.select(idxCols.map(col) ++ arrayCols.map(n => fn(col(n)).as(n)): _*))
+    derived(df = df.select(idxCols.map(col) ++ arrayCols.map(n => fn(col(n)).as(n)): _*))
 
   /** `map_field` with structural recursion into nested dataclass
     * columns (S12 `_map_field`, `array_dataclass.py:740-770`; "Nested"
@@ -357,14 +427,14 @@ final case class DcaFrame(
       case _ => fn(c)
     }
     val types = df.schema.fields.map(f => f.name -> f.dataType).toMap
-    copy(df = df.select(idxCols.map(col) ++
+    derived(df = df.select(idxCols.map(col) ++
       arrayCols.map(n => rec(col(n), types(n)).as(n)): _*))
   }
 
   /** Functional field update (S13 `replace`, `array_dataclass.py:467-494`). */
   def replaceField(name: String, value: Column): DcaFrame = {
     require(arrayCols.contains(name), s"unknown field $name")
-    copy(df = df.select(idxCols.map(col) ++ arrayCols.map(n => (if (n == name) value else col(n)).as(n)): _*))
+    derived(df = df.select(idxCols.map(col) ++ arrayCols.map(n => (if (n == name) value else col(n)).as(n)): _*))
   }
 
   /** Replace a static field (never touches the data). */
@@ -391,7 +461,7 @@ final case class DcaFrame(
     val rdd = df.rdd.map { r =>
       Row.fromSeq(r.toSeq.take(n) ++ fn(Row.fromSeq(r.toSeq.drop(n))))
     }
-    copy(df = spark.createDataFrame(rdd, outSchema),
+    derived(df = spark.createDataFrame(rdd, outSchema),
       arrayCols = newSchema.fieldNames.toVector)
   }
 
@@ -429,13 +499,20 @@ final case class DcaFrame(
     copy(df = df.persist(level))
 
   /** Release this frame's backing caches: the staged dense-index sort
-    * (created by [[DcaFrame.fromDF]]/[[mask]]) plus any explicit
-    * [[persist]] of the view itself. The frame must not be used after
-    * release — downstream jobs would re-execute the range shuffle with
-    * fresh sampled bounds and could silently mis-index.
+    * (created by [[DcaFrame.fromDF]]/[[mask]] — only those CONSTRUCTING
+    * frames carry it; derived views do not own it) plus any explicit
+    * [[persist]] of the view itself. Neither this frame NOR any frame
+    * derived from it may be used after release — downstream jobs would
+    * re-execute the range shuffle with fresh sampled bounds and could
+    * silently mis-index. The staged cache is also deregistered from the
+    * session registry, so [[DcaFrame.releaseStaging]] won't double-free
+    * it.
     */
   def unpersist(): DcaFrame = {
-    staging.foreach(_.unpersist())
+    staging.foreach { st =>
+      DcaFrame.deregisterStaging(df.sparkSession, st)
+      st.unpersist()
+    }
     copy(df = df.unpersist(), staging = None)
   }
 
@@ -469,7 +546,7 @@ final case class DcaFrame(
       if (o == n) d else d.withColumnRenamed(o, n)
     }
     val joined = df.join(rdf, idxCols)
-    copy(df = joined, arrayCols = arrayCols ++ rCols, statics = statics ++ other.statics)
+    derived(df = joined, arrayCols = arrayCols ++ rCols, statics = statics ++ other.statics)
   }
 
   /** Zip a frame whose shape EXTENDS this one's (`other.shape` =
@@ -514,7 +591,13 @@ object DcaFrame {
   // Session-scoped registry of live dense-index staging caches, so a
   // long-lived session (Bench/Verify) can release everything between
   // rounds instead of accumulating one cache per constructed frame.
-  // Weak session keys: a stopped session's entries become collectable.
+  // NOTE this is a bounded-until-release leak, not a weak cache: the
+  // registered DataFrames strongly reference their SparkSession (the
+  // map key), so entries are reclaimed only by releaseStaging /
+  // unpersist — the WeakHashMap merely avoids pinning sessions that
+  // never registered anything. Long-lived sessions constructing many
+  // frames must call releaseStaging (Bench/Verify do) or unpersist
+  // each constructed frame.
   private val liveStaging =
     new java.util.WeakHashMap[SparkSession, java.util.ArrayList[DataFrame]]()
 
@@ -523,6 +606,20 @@ object DcaFrame {
       var l = liveStaging.get(s)
       if (l == null) { l = new java.util.ArrayList[DataFrame](); liveStaging.put(s, l) }
       l.add(d)
+    }
+
+  /** Remove one staged frame from the session registry (identity
+    * match) — called by [[DcaFrame.unpersist]] so an individually
+    * released cache is not double-freed by [[releaseStaging]] and its
+    * plan reference does not accumulate for the session's lifetime.
+    */
+  private[core] def deregisterStaging(s: SparkSession, d: DataFrame): Unit =
+    liveStaging.synchronized {
+      val l = liveStaging.get(s)
+      if (l != null) {
+        var i = 0
+        while (i < l.size) { if (l.get(i) eq d) { l.remove(i); i = l.size } else i += 1 }
+      }
     }
 
   /** Unpersist every staging cache created by [[fromDF]]/[[mask]] in

@@ -270,14 +270,19 @@ object Dedup {
     val width = (bits + nChunks - 1) / nChunks
     val sh = hashed.map(simhashColsFromHashes(_, bits)).getOrElse(
       simhashCols(shingled.select(col(idCol), col(shinglesCol).as("__sh")), idCol, "__sh", bits))
-    val chunks = Similarity.bandExplode(sh, "__sim", nChunks, width, Seq("__id", "__sim"))
+    // the candidate distinct() shuffles ONLY the (doc_a, doc_b) id pair
+    // — the 64-char sketch strings are re-joined afterwards (same shape
+    // as embedNearDupPairs), keeping the pair-dedup exchange narrow
+    val chunks = Similarity.bandExplode(sh, "__sim", nChunks, width, Seq("__id"))
     val l = chunks.as("l")
     val r = chunks.as("r")
-    l.join(r, col("l.band") === col("r.band") && col("l.bits") === col("r.bits") &&
-        col("l.__id") < col("r.__id"))
-      .select(col("l.__id").as("doc_a"), col("r.__id").as("doc_b"),
-        col("l.__sim").as("__sima"), col("r.__sim").as("__simb"))
+    val cand = l.join(r, col("l.band") === col("r.band") &&
+        col("l.bits") === col("r.bits") && col("l.__id") < col("r.__id"))
+      .select(col("l.__id").as("doc_a"), col("r.__id").as("doc_b"))
       .distinct()
+    cand
+      .join(sh.select(col("__id").as("doc_a"), col("__sim").as("__sima")), "doc_a")
+      .join(sh.select(col("__id").as("doc_b"), col("__sim").as("__simb")), "doc_b")
       .withColumn("hamming", hammingDist(col("__sima"), col("__simb")))
       .filter(col("hamming") <= maxHamming)
       .select("doc_a", "doc_b", "hamming")

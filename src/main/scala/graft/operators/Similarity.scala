@@ -274,7 +274,11 @@ object Similarity {
     * does not depend on partition/merge order and the
     * `buildIvfIndex`-vs-`ivfTopK` byte-parity contract holds at any
     * refineIters. (Elements are rounded once, per value, at the
-    * float→decimal(38,28) cast — order-independent; assumes |x| < 1e9.)
+    * float→decimal(38,18) cast — order-independent. Scale 18 leaves 20
+    * integer digits of sum headroom: the bound is m·|x| < 1e20 for a
+    * cell of m values, not just the per-element |x| < 1e18 — a scale of
+    * 28 would overflow the SUM to NULL at m·|x| ≥ 1e10 and NPE the
+    * centroid rebuild.)
     */
   def refineCentroids(corpus: DataFrame, centroids0: Seq[Centroid], iters: Int,
                       vecCol: String): Seq[Centroid] = {
@@ -285,7 +289,7 @@ object Similarity {
         .withColumn("__cell", bestCell(col(vecCol), col("__vnorm"), cents))
         .select(col("__cell"), posexplode(col(vecCol)).as(Seq("__pos", "__x")))
         .groupBy("__cell", "__pos")
-        .agg((sum(col("__x").cast("decimal(38,28)")).cast("double") /
+        .agg((sum(col("__x").cast("decimal(38,18)")).cast("double") /
           count(lit(1)).cast("double")).as("__m"))
         .collect()
       val byCell = meanRows.groupBy(_.getLong(0))

@@ -120,6 +120,84 @@ object DcaQueries {
           |WHERE b.rn < 6000
           |ORDER BY 1, 2""".stripMargin)),
 
+    // S8d: DIAGONAL multi-advanced indexing — p[arr0, arr1] on a
+    // (1500, 4) frame zips the two index arrays (numpy broadcast-and-
+    // zip semantics, array_dataclass_test.py:459-494), with a negative
+    // index on each axis and a repeated row. ONE composite-key
+    // broadcast join — never sequential gathers (outer product).
+    "dca_s8d_diag_gather" -> QueryDef(
+      (s, dir) => out(liFrame(s, dir)(Ix.S(None, Some(6000))).reshape(1500, 4)
+        .apply(Ix.A(Seq(7L, 3L, -1L, 1499L, 0L)), Ix.A(Seq(0L, 3L, 2L, -4L, 1L)))),
+      Some(baseCte + """,
+          |  g(pos, s0, s1) AS (VALUES
+          |    (0, 7, 0), (1, 3, 3), (2, 1499, 2), (3, 1499, 0), (4, 0, 1))
+          |SELECT CAST(g.pos AS BIGINT) AS __idx0, b.l_orderkey, b.l_linenumber, b.qty_c
+          |FROM g JOIN base b ON b.rn // 4 = g.s0 AND b.rn % 4 = g.s1
+          |WHERE b.rn < 6000
+          |ORDER BY 1""".stripMargin)),
+
+    // S8e: DISTRIBUTED gather on axis 1 — p[:, idx_frame] on a
+    // (1500, 4) frame: the index array is itself a frame (derived from
+    // nation), gathered along the NON-leading axis with negative
+    // indices and a repeat; result shape (1500, 6).
+    "dca_s8e_gather_axis1" -> QueryDef(
+      (s, dir) => {
+        val f = liFrame(s, dir)(Ix.S(None, Some(6000))).reshape(1500, 4)
+        val nat = table(s, dir, "nation").filter(col("n_nationkey") < 6)
+          .select(col("n_nationkey"),
+            ((col("n_nationkey") * 5 + 3) % 8 - 4).cast("long").as("src"))
+        val idxF = DcaFrame.fromDF(nat, Seq(col("n_nationkey")), arrayCols = Seq("src"))
+        out(f.gatherAxis(idxF, 1))
+      },
+      Some(baseCte + """,
+          |  g AS (SELECT row_number() OVER (ORDER BY n_nationkey) - 1 AS pos,
+          |    ((n_nationkey * 5 + 3) % 8) - 4 AS src
+          |  FROM nation WHERE n_nationkey < 6)
+          |SELECT b.rn // 4 AS __idx0, g.pos AS __idx1,
+          |  b.l_orderkey, b.l_linenumber, b.qty_c
+          |FROM g JOIN base b
+          |  ON (b.rn % 4) = CASE WHEN g.src < 0 THEN g.src + 4 ELSE g.src END
+          |WHERE b.rn < 6000
+          |ORDER BY 1, 2""".stripMargin)),
+
+    // S9: __iter__ over the first dim — each yielded element is a
+    // basic int-index view (shape (4,)); re-stacking three consecutive
+    // elements proves the per-element views carry the right rows in
+    // the right order.
+    "dca_s9_iter" -> QueryDef(
+      (s, dir) => {
+        val f = liFrame(s, dir)(Ix.S(None, Some(6000))).reshape(1500, 4)
+        val elems = f.iterFirstDim().slice(5, 8).toSeq
+        out(DcaFrame.stack(elems))
+      },
+      Some(baseCte + """,
+          |  k(pos, src) AS (VALUES (0, 5), (1, 6), (2, 7))
+          |SELECT CAST(k.pos AS BIGINT) AS __idx0, b.rn % 4 AS __idx1,
+          |  b.l_orderkey, b.l_linenumber, b.qty_c
+          |FROM k JOIN base b ON b.rn // 4 = k.src
+          |WHERE b.rn < 6000
+          |ORDER BY 1, 2""".stripMargin)),
+
+    // S12: _map_field structural recursion — fn applied to every LEAF
+    // field through a nested struct column (struct rebuilt in one
+    // codegen'd projection); rides the session-staged frame.
+    "dca_s12_nested" -> QueryDef(
+      (s, dir) => {
+        val lf = liFrame(s, dir)(Ix.S(None, Some(2000)))
+        val nested = DcaFrame(
+          lf.df.select(col("__idx0"), col("l_orderkey"), col("l_linenumber"),
+            struct(col("qty_c").as("q"), (col("qty_c") % 7).as("r")).as("item")),
+          lf.shape, Vector("l_orderkey", "l_linenumber", "item"))
+        val mapped = nested.mapFieldNested(c => c * 3 + 2)
+        mapped.df.select(col("__idx0"), col("l_orderkey"), col("l_linenumber"),
+          col("item.q").as("q"), col("item.r").as("r")).orderBy("__idx0")
+      },
+      Some(baseCte + """
+          |SELECT rn AS __idx0, l_orderkey * 3 + 2 AS l_orderkey,
+          |  l_linenumber * 3 + 2 AS l_linenumber,
+          |  qty_c * 3 + 2 AS q, (qty_c % 7) * 3 + 2 AS r
+          |FROM base WHERE rn < 2000 ORDER BY 1""".stripMargin)),
+
     // M1: stack along a NEW axis (union + axis tag, narrow)
     "dca_m1_stack" -> QueryDef(
       (s, dir) => {

@@ -263,6 +263,10 @@ object Relational {
              |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
     // ---- theta join (inequality predicate) --------------------------
+    // Deliberate BNLJ: the CAPABILITY demo for arbitrary non-equi join
+    // predicates (O(n²) by nature — fine on a dimension-sized input,
+    // never the plan for a fact table). The aggregate it computes has
+    // an O(n log n) formulation: see q23b_rank_poorer below.
     "q23_theta_join" -> QueryDef(
       (s, dir) => {
         val s1 = table(s, dir, "supplier").select(col("s_suppkey").as("k1"), col("s_acctbal").as("b1"))
@@ -274,6 +278,32 @@ object Relational {
       Some("""SELECT a.s_suppkey AS k1, count(*) AS n_poorer
              |FROM supplier a JOIN supplier b ON a.s_acctbal > b.s_acctbal
              |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ---- q23's aggregate WITHOUT the O(n²) join ---------------------
+    // "count of strictly poorer suppliers" == rank - 1. Scale shape:
+    // aggregate to DISTINCT balance values first (bounded domain), run
+    // the cumulative window over that small set, broadcast-join back —
+    // the window input is |distinct bal|, never the fact-table row
+    // count. Same output as q23 (rows with n_poorer = 0 dropped, as
+    // the inner theta join does).
+    "q23b_rank_poorer" -> QueryDef(
+      (s, dir) => {
+        val sup = table(s, dir, "supplier")
+          .select(col("s_suppkey").as("k1"), col("s_acctbal").as("b"))
+        val byBal = sup.groupBy("b").agg(count(lit(1)).as("cnt"))
+        val w = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)
+        val cum = byBal
+          .withColumn("n_poorer", coalesce(sum("cnt").over(w), lit(0L)))
+          .select("b", "n_poorer")
+        sup.join(broadcast(cum), "b")
+          .filter(col("n_poorer") > 0)
+          .select("k1", "n_poorer")
+          .orderBy("k1")
+      },
+      Some("""SELECT s_suppkey AS k1,
+             |  CAST(rank() OVER (ORDER BY s_acctbal) - 1 AS BIGINT) AS n_poorer
+             |FROM supplier
+             |QUALIFY n_poorer > 0 ORDER BY k1""".stripMargin)),
 
     // ---- explicit grouping sets -------------------------------------
     "q19_grouping_sets" -> QueryDef(

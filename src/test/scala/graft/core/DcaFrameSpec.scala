@@ -168,9 +168,45 @@ class DcaFrameSpec extends SparkTestBase {
     val e = p(Ix.Ellipsis, Ix.A(Seq(0L)))
     assert(e.shape == Vector(3L, 1L) && idxAndX(e).map(_._2) == Seq(0.0, 2.0, 4.0))
     intercept[IllegalArgumentException](p(Ix.A(Seq(3L)), Ix.All))
-    // multiple advanced indices are rejected: numpy would take the
-    // DIAGONAL, which sequential gathers cannot express
-    intercept[IllegalArgumentException](p(Ix.A(Seq(0L, 1L)), Ix.A(Seq(0L, 1L))))
+    // multiple advanced indices take the numpy DIAGONAL (zip): one
+    // composite-key join, never sequential gathers (outer product)
+    val dg = p(Ix.A(Seq(0L, 1L)), Ix.A(Seq(0L, 1L)))
+    assert(dg.shape == Vector(2L))
+    assert(idxAndX(dg).map(_._2) == Seq(0.0, 3.0))
+    // a length-1 array broadcasts against the other (numpy rules)
+    val db = p(Ix.A(Seq(2L, 0L, 2L)), Ix.A(Seq(1L)))
+    assert(db.shape == Vector(3L))
+    assert(idxAndX(db).map(_._2) == Seq(5.0, 1.0, 5.0))
+    // mismatched (non-broadcastable) lengths still reject
+    intercept[IllegalArgumentException](p(Ix.A(Seq(0L, 1L)), Ix.A(Seq(0L, 1L, 0L))))
+  }
+
+  test("diagonal gather grid matches the numpy zip model (S8d)") {
+    // the reference's oracle grid (array_dataclass_test.py:459-494):
+    // p[arr0, arr1] over a (4,3) batch — zip after broadcast, value at
+    // (i,j) is x = i*3 + j; negatives resolve per axis
+    val p = points(12).reshape(4, 3)
+    val arrs0 = Seq(Seq(0L), Seq(3L, 0L), Seq(1L, -1L, 1L), Seq(-4L, 2L))
+    val arrs1 = Seq(Seq(0L), Seq(2L, -3L), Seq(1L))
+    for (a0 <- arrs0; a1 <- arrs1
+         if a0.length == a1.length || a0.length == 1 || a1.length == 1) {
+      val len = math.max(a0.length, a1.length)
+      val e0 = (if (a0.length == len) a0 else Seq.fill(len)(a0.head))
+        .map(i => if (i < 0) i + 4 else i)
+      val e1 = (if (a1.length == len) a1 else Seq.fill(len)(a1.head))
+        .map(j => if (j < 0) j + 3 else j)
+      val want = e0.zip(e1).map { case (i, j) => (i * 3 + j).toDouble }
+      val got = p(Ix.A(a0), Ix.A(a1))
+      assert(got.shape == Vector(len.toLong), s"shape for $a0 / $a1")
+      assert(idxAndX(got).map(_._2) == want, s"values for $a0 / $a1")
+    }
+    // an Int between two advanced indices vanishes -> still adjacent
+    val q = points(24).reshape(4, 2, 3)
+    val mid = q(Ix.A(Seq(1L, 3L)), Ix.I(1L), Ix.A(Seq(0L, 2L)))
+    assert(mid.shape == Vector(2L))
+    assert(idxAndX(mid).map(_._2) == Seq((1 * 6 + 1 * 3 + 0).toDouble, (3 * 6 + 1 * 3 + 2).toDouble))
+    // slice-separated advanced indices reject (numpy moves dims front)
+    intercept[IllegalArgumentException](q(Ix.A(Seq(0L)), Ix.All, Ix.A(Seq(0L))))
   }
 
   test("vectorizeZip: extra trailing dims broadcast (V2)") {
