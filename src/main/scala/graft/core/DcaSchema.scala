@@ -46,6 +46,31 @@ final case class DcaField(
     }
     go(c, inner.toList)
   }
+
+  /** (name, per-row length expression) for every `Named` inner dim of
+    * this field, recursing into nested sub-fields — the per-instance
+    * shape resolution of the reference (`array_dataclass.py:1121-1143`):
+    * each occurrence's length is read along the first-element path at
+    * its level. [[DcaSchema.conform]] compares all occurrences of the
+    * same name within a row (fixture `array_dataclass_test.py:694-747`).
+    */
+  def namedSizeExprs(c: Column): Seq[(String, Column)] = {
+    def leaf(cc: Column): Seq[(String, Column)] = nested match {
+      case Some(sub) =>
+        sub.fields.flatMap(sf => sf.namedSizeExprs(cc.getField(sf.name)))
+      case None => Nil
+    }
+    def go(cc: Column, dims: List[Dim]): Seq[(String, Column)] = dims match {
+      case Nil => leaf(cc)
+      case d :: rest =>
+        val here = d match {
+          case Dim.Named(n) => Seq(n -> size(cc))
+          case _ => Nil
+        }
+        here ++ go(element_at(cc, 1), rest)
+    }
+    go(c, inner.toList)
+  }
 }
 
 /** Class-level schema — the analog of the per-class
@@ -103,9 +128,21 @@ final case class DcaSchema(
     else {
       val checks = fields.map(f => f.validExpr(col(f.name)))
       val allValid = checks.foldLeft(lit(true))(_ && _)
+      // per-row NAMED dim resolution: every occurrence of the same name
+      // (across fields, nesting levels, and repeats within one field)
+      // must resolve to the same length in that row — the reference's
+      // dynamic-shape-conflict errors (`array_dataclass_test.py:694-747`)
+      val named = fields.flatMap(f => f.namedSizeExprs(col(f.name)))
+      val namedOk = named.groupBy(_._1).valuesIterator.collect {
+        case group if group.size > 1 =>
+          group.tail.map(_._2 === group.head._2).reduce(_ && _)
+      }.foldLeft(lit(true))(_ && _)
       // raise_error inside a filter branch: rows all pass or the job fails
       projected.withColumn("__shape_ok",
-          when(allValid, lit(true)).otherwise(raise_error(lit("inner shape mismatch"))))
+          when(allValid && namedOk, lit(true))
+            .when(!allValid, raise_error(lit("inner shape mismatch")))
+            .otherwise(raise_error(
+              lit("named inner dims resolve inconsistently across fields"))))
         .filter(col("__shape_ok"))
         .drop("__shape_ok")
     }

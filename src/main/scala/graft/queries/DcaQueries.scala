@@ -371,6 +371,34 @@ object DcaQueries {
              |  CAST(floor(CAST(CAST(l_quantity AS REAL) AS DOUBLE) * 100) AS BIGINT) AS q_c
              |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin)),
 
+    // C3b: per-row DYNAMIC (named) inner-dim resolution — two fields
+    // declare the same named dim 'k'; each row's lengths vary
+    // (vec_id % 4 + 2) but must agree across fields within the row
+    // (the reference's per-instance shape resolution,
+    // array_dataclass.py:1121-1143). The conflict path is spec-covered
+    // (DcaSchemaSpec negative cases).
+    "dca_c3_dynamic" -> QueryDef(
+      (s, dir) => {
+        import org.apache.spark.sql.types.{FloatType, LongType}
+        val schema = graft.core.DcaSchema(Vector(
+          graft.core.DcaSchema.field("vec_id", LongType),
+          graft.core.DcaSchema.field("a", FloatType, "*b k"),
+          graft.core.DcaSchema.field("b", FloatType, "*b k")))
+        val raw = table(s, dir, "embeddings").select(
+          col("vec_id"),
+          slice(col("embedding"), lit(1), (col("vec_id") % 4 + 2).cast("int")).as("a"),
+          slice(col("embedding"), lit(11), (col("vec_id") % 4 + 2).cast("int")).as("b"))
+        schema.conform(raw)
+          .select(col("vec_id"), size(col("a")).cast("long").as("k_len"),
+            floor(element_at(col("a"), 1).cast("double") * 1e6).cast("long").as("a0_micro"),
+            floor(element_at(col("b"), 1).cast("double") * 1e6).cast("long").as("b0_micro"))
+          .orderBy("vec_id")
+      },
+      Some("""SELECT vec_id, CAST(vec_id % 4 + 2 AS BIGINT) AS k_len,
+             |  CAST(floor(CAST(embedding[1] AS DOUBLE) * 1e6) AS BIGINT) AS a0_micro,
+             |  CAST(floor(CAST(embedding[11] AS DOUBLE) * 1e6) AS BIGINT) AS b0_micro
+             |FROM embeddings ORDER BY vec_id""".stripMargin)),
+
     // V2: vectorize arg alignment — zip two aligned frames on the batch
     // index (equi-join on __idx*); the shifted slice makes it a lead().
     "dca_v2_zip" -> QueryDef(

@@ -31,6 +31,22 @@ object EventStream {
       .groupBy(window(col("ets"), window_), col("userId"))
       .agg(count(lit(1)).as("n"), sum("valueC").as("value_c"))
 
+  /** SLIDING watermarked window counts: each event lands in
+    * duration/slide overlapping windows (`window(ets, dur, slide)` —
+    * Spark expands the row into its windows before the agg, so the
+    * state/shuffle cost scales with the overlap factor; keep
+    * dur/slide small at 100 TB/day). Append emits a window once the
+    * watermark passes its end, same as the tumbling path.
+    */
+  def slidingCounts(events: DataFrame, duration: String = "1 hour",
+                    slide: String = "15 minutes",
+                    watermark: String = "30 minutes"): DataFrame =
+    events
+      .withColumn("ets", timestamp_micros(col("tsUs")))
+      .withWatermark("ets", watermark)
+      .groupBy(window(col("ets"), duration, slide), col("userId"))
+      .agg(count(lit(1)).as("n"), sum("valueC").as("value_c"))
+
   /** Stream-stream interval join: each left event matches right events
     * of the same user within the trailing `windowUs` interval
     * (rts ∈ [lts - window, lts]). Both sides watermarked so Spark can

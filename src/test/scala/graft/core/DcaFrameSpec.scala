@@ -399,6 +399,35 @@ class DcaSchemaSpec extends SparkTestBase {
     intercept[IllegalArgumentException](dyn.conform(df))
   }
 
+  test("named inner dims must resolve consistently per row (dynamic-shape conflicts)") {
+    // the reference's per-instance shape resolution + conflict errors
+    // (array_dataclass.py:1121-1143, array_dataclass_test.py:694-747)
+    import spark.implicits._
+    val schema = DcaSchema(Vector(
+      DcaSchema.field("a", FloatType, "*b k"),
+      DcaSchema.field("c", FloatType, "*b k")))
+    // consistent per row (lengths VARY across rows — that's fine)
+    val good = Seq((Seq(1f, 2f), Seq(3f, 4f)), (Seq(1f, 2f, 3f), Seq(4f, 5f, 6f)))
+      .toDF("a", "c")
+    assert(schema.conform(good).count() == 2)
+    // conflicting within a row raises at evaluation
+    val bad = Seq((Seq(1f, 2f), Seq(3f, 4f, 5f))).toDF("a", "c")
+    val e = intercept[Exception](schema.conform(bad).collect())
+    assert(e.getMessage.contains("named inner dims"))
+    // repeated name WITHIN one field (square 'k k') checks too
+    val sq = DcaSchema(Vector(DcaSchema.field("m", FloatType, "*b k k")))
+    val goodSq = Seq(Tuple1(Seq(Seq(1f, 2f), Seq(3f, 4f)))).toDF("m")
+    assert(sq.conform(goodSq).count() == 1)
+    val badSq = Seq(Tuple1(Seq(Seq(1f, 2f, 3f), Seq(4f, 5f, 6f)))).toDF("m")
+    intercept[Exception](sq.conform(badSq).collect())
+    // unrelated names never cross-check
+    val mixed = DcaSchema(Vector(
+      DcaSchema.field("a", FloatType, "*b h"),
+      DcaSchema.field("c", FloatType, "*b w")))
+    val diff = Seq((Seq(1f, 2f), Seq(3f, 4f, 5f))).toDF("a", "c")
+    assert(mixed.conform(diff).count() == 1)
+  }
+
   test("nested conform recurses: casts and inner-dim checks through structs") {
     import spark.implicits._
     val sub = DcaSchema(Vector(

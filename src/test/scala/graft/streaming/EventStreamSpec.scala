@@ -193,4 +193,26 @@ class EventStreamSpec extends SparkTestBase {
       assert(rows == Set((1L, 2L, 20L), (1L, 1L, 5L)))
     } finally q.stop()
   }
+
+  test("sliding windows: each event lands in duration/slide overlapping windows") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    // 1h windows sliding every 30min -> every event is in exactly 2
+    val counts = EventStream.slidingCounts(input.toDF(),
+      duration = "1 hour", slide = "30 minutes")
+    val q = counts.writeStream.format("memory").queryName("swc")
+      .outputMode(OutputMode.Update).start()
+    try {
+      // 45min: windows [0,60) and [30,90); 75min: [30,90) and [60,120)
+      input.addData(Event(1L, 45 * Min, 10L), Event(1L, 75 * Min, 7L))
+      q.processAllAvailable()
+      val rows = spark.table("swc")
+        .selectExpr("CAST(window.start AS LONG)", "n", "value_c")
+        .as[(Long, Long, Long)].collect().toSet
+      assert(rows == Set(
+        (0L, 1L, 10L),            // [0,60): first event only
+        (30L * 60, 2L, 17L),      // [30,90): both
+        (60L * 60, 1L, 7L)))      // [60,120): second only
+    } finally q.stop()
+  }
 }
