@@ -260,16 +260,21 @@ object Dedup {
       idCol, "__sh", maxHamming)
 
   /** Pipeline over a pre-staged (id, shingles) table; pass `hashed` to
-    * share the staged shingle-hash table with MinHash.
+    * share the staged shingle-hash table with MinHash, or `sketches`
+    * (a (__id, __sim) table) to reuse a MATERIALIZED sketch table — the
+    * sketch aggregation feeds three consumers (both band-join sides and
+    * the post-distinct sketch re-join), so at scale the sketch table is
+    * the intermediate you persist once, not recompute per consumer.
     */
   def simhashPairsFromShingles(shingled: DataFrame, idCol: String, shinglesCol: String,
                                maxHamming: Int = 3,
                                hashed: Option[DataFrame] = None,
-                               bits: Int = 64): DataFrame = {
+                               bits: Int = 64,
+                               sketches: Option[DataFrame] = None): DataFrame = {
     val nChunks = maxHamming + 1
     val width = (bits + nChunks - 1) / nChunks
-    val sh = hashed.map(simhashColsFromHashes(_, bits)).getOrElse(
-      simhashCols(shingled.select(col(idCol), col(shinglesCol).as("__sh")), idCol, "__sh", bits))
+    val sh = sketches.getOrElse(hashed.map(simhashColsFromHashes(_, bits)).getOrElse(
+      simhashCols(shingled.select(col(idCol), col(shinglesCol).as("__sh")), idCol, "__sh", bits)))
     // the candidate distinct() shuffles ONLY the (doc_a, doc_b) id pair
     // — the 64-char sketch strings are re-joined afterwards (same shape
     // as embedNearDupPairs), keeping the pair-dedup exchange narrow

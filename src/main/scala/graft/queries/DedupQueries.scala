@@ -107,7 +107,7 @@ object DedupQueries {
     // is exactly 1 within the budget, so banded == all-pairs).
     "d3_simhash" -> QueryDef(
       (s, dir) => Dedup.simhashPairsFromShingles(Staged.docShingles(s, dir), "doc_id", "__sh",
-          hashed = Some(Staged.docShingleHashesPortable(s, dir)), bits = 60)
+          bits = 60, sketches = Some(Staged.docSimhash60(s, dir)))
         .orderBy("doc_a", "doc_b"),
       Some(s"""WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
              |sh AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS s

@@ -98,6 +98,20 @@ object Staged {
         .persist(StorageLevel.MEMORY_AND_DISK)
     }).asInstanceOf[DataFrame]
 
+  /** (__id, __sim) 60-bit SimHash sketch table, persisted — one row
+    * per doc. The sketch aggregation feeds THREE consumers in the
+    * pair pipeline (both band-join sides + the post-distinct sketch
+    * re-join); materializing it once is the scale shape (at 100 TB
+    * you'd write this table, not re-aggregate the shingle hashes per
+    * consumer).
+    */
+  def docSimhash60(s: SparkSession, dir: String): DataFrame =
+    cacheFor(s).getOrElseUpdate(s"sim60:$dir", {
+      graft.operators.Dedup
+        .simhashColsFromHashes(docShingleHashesPortable(s, dir), 60)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    }).asInstanceOf[DataFrame]
+
   /** Release every staged artifact for this session: the memoized
     * frames/tables above AND all dense-index staging caches created by
     * `DcaFrame.fromDF`/`mask` (the per-constructed-frame caches that
