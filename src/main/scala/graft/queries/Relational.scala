@@ -19,6 +19,12 @@ object Relational {
     * the oracle SQL so the two sides cannot drift.
     */
   private val KmvK = 64
+  // portable-HLL geometry (q37): m = 2^HllP buckets; the scrambled hash
+  // is < ~2^30, so x = hv >> HllP has < 2^22 values → rho ≤ 22 with 23
+  // as the x=0 sentinel; G = 30 keeps the integer register sum ≤ 2^38
+  private val HllP = 8
+  private val HllG = 30
+  private val HllMaxRho = 23
   private val SampleK = 101
 
 
@@ -592,6 +598,86 @@ object Relational {
              |    ELSE (CAST(${KmvK - 1} AS BIGINT) * 1000000007) // max(CASE WHEN rn = ${KmvK} THEN hv END) END AS BIGINT)
              |    AS est_distinct
              |FROM r GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ---- portable HLL: HyperLogLog with an EXACT cross-engine oracle
+    // (the trick q24's native sketch can't do: its HLL++ registers are
+    // implementation-internal). Same scale shape as any HLL — two
+    // map-side-combining hash aggs, O(m) state per group — but every
+    // step is engine-portable: scrambled poly-hash, bucket = hv % m,
+    // rho = trailing-zeros+1 via bit_count((x & -x) - 1), integer
+    // register sum 2^(G-M), and the standard raw / linear-counting
+    // estimator in IEEE-identical order (ln only in the LC branch; a
+    // 1-ulp ln divergence would need floor(est) to straddle an integer
+    // at 1e-13 relative — checked by the gate at both SFs).
+    "q37_hll_portable" -> QueryDef(
+      (s, dir) => {
+        graft.functions.VectorExpressions.register(s)
+        import graft.functions.KMinAgg
+        val (p, g, maxRho) = (HllP, HllG, HllMaxRho)
+        val m = 1 << p
+        val li = table(s, dir, "lineitem")
+        val hashed = li.select(col("l_returnflag"),
+          KMinAgg.scramble(call_function("poly_hash",
+            col("l_partkey").cast("string"))).as("hv"))
+        val withRho = hashed.select(col("l_returnflag"),
+          (col("hv") % m).as("bucket"),
+          shiftright(col("hv"), p).as("x"))
+          .select(col("l_returnflag"), col("bucket"),
+            when(col("x") === 0, lit(maxRho))
+              .otherwise(bit_count(col("x").bitwiseAND(-col("x")) - 1) + 1).as("rho"))
+        val regs = withRho.groupBy("l_returnflag", "bucket")
+          .agg(max("rho").as("M"))
+        val grouped = regs.groupBy("l_returnflag").agg(
+          sum(expr(s"shiftleft(CAST(1 AS BIGINT), $g - M)")).as("s_present"),
+          count(lit(1)).as("nb"))
+        val withS = grouped.select(col("l_returnflag"),
+          (col("s_present") + (lit(m.toLong) - col("nb")) * lit(1L << g)).as("S"),
+          (lit(m.toLong) - col("nb")).as("V"))
+        val alpha = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(m.toDouble))
+        val rawEst = alpha * lit((m.toDouble * m.toDouble) * (1L << g).toDouble) /
+          col("S").cast("double")
+        val lcEst = lit(m.toDouble) * log(lit(m.toDouble) / col("V").cast("double"))
+        val est = when(rawEst <= lit(2.5 * m) && col("V") > 0, lcEst).otherwise(rawEst)
+        val exact = li.groupBy("l_returnflag")
+          .agg(countDistinct("l_partkey").as("n_exact"))
+        withS.select(col("l_returnflag"), floor(est).cast("long").as("est_distinct"))
+          .join(broadcast(exact), "l_returnflag")
+          .orderBy("l_returnflag")
+      },
+      Some(s"""WITH ${QueryDef.scrambledHashCtes("lineitem", Seq("l_returnflag"),
+                 "CAST(l_partkey AS VARCHAR)")},
+             |b AS (SELECT l_returnflag, hv % ${1 << HllP} AS bucket,
+             |    hv >> $HllP AS x FROM h),
+             |rho AS (SELECT l_returnflag, bucket,
+             |    CASE WHEN x = 0 THEN $HllMaxRho
+             |      ELSE bit_count((x & (-x)) - 1) + 1 END AS rho FROM b),
+             |regs AS (SELECT l_returnflag, bucket, max(rho) AS M
+             |  FROM rho GROUP BY 1, 2),
+             |agg AS (SELECT l_returnflag,
+             |    CAST(sum(CAST(1 AS BIGINT) << CAST($HllG - M AS INTEGER)) AS BIGINT) AS s_present,
+             |    count(*) AS nb
+             |  FROM regs GROUP BY 1),
+             |vs AS (SELECT l_returnflag,
+             |    s_present + (${1 << HllP} - nb) * (CAST(1 AS BIGINT) << $HllG) AS S,
+             |    ${1 << HllP} - nb AS V
+             |  FROM agg),
+             |fin AS (SELECT l_returnflag,
+             |    CASE WHEN CAST('0.7213' AS DOUBLE)
+             |        / (CAST('1.0' AS DOUBLE) + CAST('1.079' AS DOUBLE) / CAST('${(1 << HllP).toDouble}' AS DOUBLE))
+             |        * CAST('${((1 << HllP).toDouble * (1 << HllP).toDouble) * (1L << HllG).toDouble}' AS DOUBLE)
+             |        / CAST(S AS DOUBLE) <= CAST('${2.5 * (1 << HllP)}' AS DOUBLE) AND V > 0
+             |      THEN CAST('${(1 << HllP).toDouble}' AS DOUBLE)
+             |        * ln(CAST('${(1 << HllP).toDouble}' AS DOUBLE) / CAST(V AS DOUBLE))
+             |      ELSE CAST('0.7213' AS DOUBLE)
+             |        / (CAST('1.0' AS DOUBLE) + CAST('1.079' AS DOUBLE) / CAST('${(1 << HllP).toDouble}' AS DOUBLE))
+             |        * CAST('${((1 << HllP).toDouble * (1 << HllP).toDouble) * (1L << HllG).toDouble}' AS DOUBLE)
+             |        / CAST(S AS DOUBLE) END AS est
+             |  FROM vs)
+             |SELECT f.l_returnflag, CAST(floor(f.est) AS BIGINT) AS est_distinct,
+             |  x.n_exact
+             |FROM fin f JOIN (SELECT l_returnflag, count(DISTINCT l_partkey) AS n_exact
+             |  FROM lineitem GROUP BY 1) x USING (l_returnflag)
+             |ORDER BY 1""".stripMargin)),
 
     // ---- deterministic uniform sample + quantile estimate: bottom-k
     // rows by scrambled row-key hash IS a simple random sample (the

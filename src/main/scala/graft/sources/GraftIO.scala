@@ -41,4 +41,17 @@ object GraftIO {
 
   def writeJson(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).json(path)
+
+  /** ORC read/write — the other columnar format Spark ships natively;
+    * same pushdown/pruning machinery as parquet (predicate pushdown
+    * via ORC search arguments, column pruning, partition pruning).
+    */
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
+  def writeOrc(df: DataFrame, path: String,
+               partitionBy: Seq[String] = Nil): Unit = {
+    val w = df.write.mode(SaveMode.Overwrite)
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).orc(path)
+  }
 }

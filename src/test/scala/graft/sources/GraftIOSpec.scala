@@ -33,6 +33,19 @@ class GraftIOSpec extends SparkTestBase {
     assert(plan.contains("PartitionFilters") && plan.contains("name"), plan.take(500))
   }
 
+  test("orc round-trips with partition pruning, like parquet") {
+    import org.apache.spark.sql.functions.col
+    val base = Files.createTempDirectory("graft_io_orc").toFile.getAbsolutePath
+    val df = spark.range(100).selectExpr("id", "CAST(id % 4 AS INT) AS part")
+    GraftIO.writeOrc(df, s"$base/t", partitionBy = Seq("part"))
+    val back = GraftIO.readOrc(spark, s"$base/t")
+    assert(back.count() == 100)
+    val pruned = back.filter(col("part") === 2)
+    assert(pruned.count() == 25)
+    val plan = pruned.queryExecution.executedPlan.toString()
+    assert(plan.contains("PartitionFilters") && plan.contains("part"), plan.take(500))
+  }
+
   test("FAILFAST surfaces malformed csv rows instead of silent nulls") {
     val base = Files.createTempDirectory("graft_io_bad").toFile.getAbsolutePath
     Files.writeString(java.nio.file.Paths.get(s"$base/bad.csv"), "id,name,v\nnot_a_long,a,1.5\n")
