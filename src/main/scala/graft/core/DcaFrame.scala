@@ -260,11 +260,13 @@ final case class DcaFrame(
   private def gatherZip(positions: Vector[Int], lists: Vector[Vector[Long]]): DcaFrame = {
     import org.apache.spark.sql.types.StructField
     val m = positions.length
-    val len = lists.map(_.length).max
-    lists.foreach { l =>
-      require(l.length == len || l.length == 1,
-        "shape mismatch: indexing arrays could not be broadcast together " +
-          s"with lengths ${lists.map(_.length).mkString(", ")}") }
+    // numpy broadcast rule per dim: all non-1 lengths must agree (so
+    // (0,) broadcasts with (1,) to (0,) — max() would wrongly reject it)
+    val non1 = lists.map(_.length).filter(_ != 1).distinct
+    require(non1.size <= 1,
+      "shape mismatch: indexing arrays could not be broadcast together " +
+        s"with lengths ${lists.map(_.length).mkString(", ")}")
+    val len = non1.headOption.getOrElse(1)
     val expanded = lists.map(l => if (l.length == len) l else Vector.fill(len)(l.head))
     ((0 until m).map(a => s"__src$a") :+ "__zpos").foreach { r =>
       require(!df.columns.contains(r), s"$r is a reserved column name") }

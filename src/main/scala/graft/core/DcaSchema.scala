@@ -36,15 +36,22 @@ final case class DcaField(
           .foldLeft(lit(true))(_ && _)
       case None => lit(true)
     }
-    def go(cc: Column, dims: List[Dim]): Column = dims match {
+    // descend via try_element_at: element_at(empty, 1) THROWS under
+    // strict mode, but an empty array just makes the deeper dims
+    // unobservable. A static check below the top level is vacuously
+    // true when its array is unobservable (NULL size); at the TOP
+    // level a NULL/missing array is a genuine shape failure.
+    def go(cc: Column, dims: List[Dim], level: Int): Column = dims match {
       case Nil => leaf(cc)
       case Dim.Static(n) :: rest =>
         // check the first element's sub-shape (rectangularity is the
         // writer's contract; checking every element would be O(prod))
-        size(cc) === lit(n) && go(element_at(cc, 1), rest)
-      case _ :: rest => go(element_at(cc, 1), rest)
+        val sizeOk = size(cc) === lit(n)
+        val okHere = if (level == 0) sizeOk else coalesce(sizeOk, lit(true))
+        okHere && go(try_element_at(cc, lit(1)), rest, level + 1)
+      case _ :: rest => go(try_element_at(cc, lit(1)), rest, level + 1)
     }
-    go(c, inner.toList)
+    go(c, inner.toList, 0)
   }
 
   /** (name, per-row length expression) for every `Named` inner dim of
@@ -67,7 +74,9 @@ final case class DcaField(
           case Dim.Named(n) => Seq(n -> size(cc))
           case _ => Nil
         }
-        here ++ go(element_at(cc, 1), rest)
+        // try_element_at: an empty array yields NULL (unobservable
+        // deeper dims → unconstrained), where element_at would throw
+        here ++ go(try_element_at(cc, lit(1)), rest)
     }
     go(c, inner.toList)
   }
@@ -133,14 +142,23 @@ final case class DcaSchema(
       // must resolve to the same length in that row — the reference's
       // dynamic-shape-conflict errors (`array_dataclass_test.py:694-747`)
       val named = fields.flatMap(f => f.namedSizeExprs(col(f.name)))
+      // a NULL size (NULL column, or a dim below an empty array — no
+      // first element to observe) is UNCONSTRAINED, not a conflict:
+      // coalesce each pairwise comparison to true so namedOk is never
+      // NULL and a (0,0)-shaped row passes
       val namedOk = named.groupBy(_._1).valuesIterator.collect {
         case group if group.size > 1 =>
-          group.tail.map(_._2 === group.head._2).reduce(_ && _)
+          group.tail.map(g => coalesce(g._2 === group.head._2, lit(true)))
+            .reduce(_ && _)
       }.foldLeft(lit(true))(_ && _)
+      // NULL validity (e.g. a NULL array under a static dim) counts as
+      // an inner-shape failure — without the coalesce it would fall
+      // through both when() branches and misreport as a named-dim error
+      val shapeOk = coalesce(allValid, lit(false))
       // raise_error inside a filter branch: rows all pass or the job fails
       projected.withColumn("__shape_ok",
-          when(allValid && namedOk, lit(true))
-            .when(!allValid, raise_error(lit("inner shape mismatch")))
+          when(shapeOk && namedOk, lit(true))
+            .when(!shapeOk, raise_error(lit("inner shape mismatch")))
             .otherwise(raise_error(
               lit("named inner dims resolve inconsistently across fields"))))
         .filter(col("__shape_ok"))

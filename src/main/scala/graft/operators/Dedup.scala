@@ -262,9 +262,14 @@ object Dedup {
   /** Pipeline over a pre-staged (id, shingles) table; pass `hashed` to
     * share the staged shingle-hash table with MinHash, or `sketches`
     * (a (__id, __sim) table) to reuse a MATERIALIZED sketch table — the
-    * sketch aggregation feeds three consumers (both band-join sides and
-    * the post-distinct sketch re-join), so at scale the sketch table is
-    * the intermediate you persist once, not recompute per consumer.
+    * sketch aggregation feeds FOUR consumers (both band-join sides and
+    * both post-distinct sketch re-joins), so at scale the sketch table
+    * is the intermediate you persist once, not recompute per consumer.
+    * When `sketches` is not supplied, the internally-built sketch table
+    * (one small row per doc) is persisted for the session so those four
+    * consumers share one materialization; callers wanting lifecycle
+    * control should build and pass `sketches` themselves (the query
+    * path stages it via `Staged.docSimhash60`).
     */
   def simhashPairsFromShingles(shingled: DataFrame, idCol: String, shinglesCol: String,
                                maxHamming: Int = 3,
@@ -273,8 +278,10 @@ object Dedup {
                                sketches: Option[DataFrame] = None): DataFrame = {
     val nChunks = maxHamming + 1
     val width = (bits + nChunks - 1) / nChunks
-    val sh = sketches.getOrElse(hashed.map(simhashColsFromHashes(_, bits)).getOrElse(
-      simhashCols(shingled.select(col(idCol), col(shinglesCol).as("__sh")), idCol, "__sh", bits)))
+    val sh = sketches.getOrElse(
+      hashed.map(simhashColsFromHashes(_, bits)).getOrElse(
+        simhashCols(shingled.select(col(idCol), col(shinglesCol).as("__sh")), idCol, "__sh", bits))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     // the candidate distinct() shuffles ONLY the (doc_a, doc_b) id pair
     // — the 64-char sketch strings are re-joined afterwards (same shape
     // as embedNearDupPairs), keeping the pair-dedup exchange narrow

@@ -179,6 +179,10 @@ class DcaFrameSpec extends SparkTestBase {
     assert(idxAndX(db).map(_._2) == Seq(5.0, 1.0, 5.0))
     // mismatched (non-broadcastable) lengths still reject
     intercept[IllegalArgumentException](p(Ix.A(Seq(0L, 1L)), Ix.A(Seq(0L, 1L, 0L))))
+    // (0,) broadcasts with (1,) to (0,) — numpy's per-dim rule, which
+    // a max-length rule would wrongly reject
+    val empty = p(Ix.A(Seq.empty[Long]), Ix.A(Seq(0L)))
+    assert(empty.shape == Vector(0L) && idxAndX(empty).isEmpty)
   }
 
   test("diagonal gather grid matches the numpy zip model (S8d)") {
@@ -426,6 +430,16 @@ class DcaSchemaSpec extends SparkTestBase {
       DcaSchema.field("c", FloatType, "*b w")))
     val diff = Seq((Seq(1f, 2f), Seq(3f, 4f, 5f))).toDF("a", "c")
     assert(mixed.conform(diff).count() == 1)
+    // an empty array makes the inner named dim UNOBSERVABLE — that's
+    // unconstrained, not a conflict (a legitimate (0, k) shape)
+    val emptySq = Seq(Tuple1(Seq.empty[Seq[Float]])).toDF("m")
+    assert(sq.conform(emptySq).count() == 1)
+    // a NULL array under a STATIC dim is an inner-shape failure, not a
+    // named-dim error
+    val nullable = DcaSchema(Vector(DcaSchema.field("a", FloatType, "*b 2")))
+    val withNull = Seq(Tuple1(null.asInstanceOf[Seq[Float]])).toDF("a")
+    val e2 = intercept[Exception](nullable.conform(withNull).collect())
+    assert(e2.getMessage.contains("inner shape mismatch"))
   }
 
   test("nested conform recurses: casts and inner-dim checks through structs") {
