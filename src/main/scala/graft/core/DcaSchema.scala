@@ -29,29 +29,41 @@ final case class DcaField(
     * `_validate`, `array_dataclass.py:1121-1143,1183-1188`). True when
     * valid.
     */
-  def validExpr(c: Column): Column = {
-    def leaf(cc: Column): Column = nested match {
+  def validExpr(c: Column): Column = validExprObs(c, lit(true))
+
+  /** [[validExpr]] with an OBSERVABILITY predicate threaded through the
+    * descent: a check only binds where the path to it is observable in
+    * that row. Descending through an empty (or unobservably-NULL) array
+    * turns observability off — there is no element to check, so deeper
+    * dims (including those inside nested schemas, which recurse with
+    * the CURRENT observability, not a reset one) are unconstrained.
+    * Where the path IS observable, a NULL array is a genuine shape
+    * failure — for Named/Dynamic dims too, not only Static ones.
+    * Descent uses try_element_at (element_at(empty, 1) throws under
+    * strict mode).
+    */
+  private[core] def validExprObs(c: Column, observed: Column): Column = {
+    def leaf(cc: Column, obs: Column): Column = nested match {
       case Some(sub) =>
-        sub.fields.map(sf => sf.validExpr(cc.getField(sf.name)))
+        sub.fields.map(sf => sf.validExprObs(cc.getField(sf.name), obs))
           .foldLeft(lit(true))(_ && _)
       case None => lit(true)
     }
-    // descend via try_element_at: element_at(empty, 1) THROWS under
-    // strict mode, but an empty array just makes the deeper dims
-    // unobservable. A static check below the top level is vacuously
-    // true when its array is unobservable (NULL size); at the TOP
-    // level a NULL/missing array is a genuine shape failure.
-    def go(cc: Column, dims: List[Dim], level: Int): Column = dims match {
-      case Nil => leaf(cc)
-      case Dim.Static(n) :: rest =>
-        // check the first element's sub-shape (rectangularity is the
-        // writer's contract; checking every element would be O(prod))
-        val sizeOk = size(cc) === lit(n)
-        val okHere = if (level == 0) sizeOk else coalesce(sizeOk, lit(true))
-        okHere && go(try_element_at(cc, lit(1)), rest, level + 1)
-      case _ :: rest => go(try_element_at(cc, lit(1)), rest, level + 1)
+    def go(cc: Column, dims: List[Dim], obs: Column): Column = dims match {
+      case Nil => leaf(cc, obs)
+      case d :: rest =>
+        // Static checks the first element's sub-shape (rectangularity
+        // is the writer's contract; checking every element would be
+        // O(prod)); Named/Dynamic only require the array to exist
+        val present = d match {
+          case Dim.Static(n) => size(cc) === lit(n)
+          case _ => cc.isNotNull
+        }
+        val okHere = when(obs, coalesce(present, lit(false))).otherwise(lit(true))
+        val childObs = obs && coalesce(size(cc) > 0, lit(false))
+        okHere && go(try_element_at(cc, lit(1)), rest, childObs)
     }
-    go(c, inner.toList, 0)
+    go(c, inner.toList, observed)
   }
 
   /** (name, per-row length expression) for every `Named` inner dim of
@@ -151,9 +163,9 @@ final case class DcaSchema(
           group.tail.map(g => coalesce(g._2 === group.head._2, lit(true)))
             .reduce(_ && _)
       }.foldLeft(lit(true))(_ && _)
-      // NULL validity (e.g. a NULL array under a static dim) counts as
-      // an inner-shape failure — without the coalesce it would fall
-      // through both when() branches and misreport as a named-dim error
+      // validExprObs never yields NULL (observability handles it), but
+      // keep the coalesce as defense so a NULL could never fall through
+      // both when() branches and misreport as a named-dim error
       val shapeOk = coalesce(allValid, lit(false))
       // raise_error inside a filter branch: rows all pass or the job fails
       projected.withColumn("__shape_ok",

@@ -261,15 +261,15 @@ object Dedup {
 
   /** Pipeline over a pre-staged (id, shingles) table; pass `hashed` to
     * share the staged shingle-hash table with MinHash, or `sketches`
-    * (a (__id, __sim) table) to reuse a MATERIALIZED sketch table — the
-    * sketch aggregation feeds FOUR consumers (both band-join sides and
-    * both post-distinct sketch re-joins), so at scale the sketch table
-    * is the intermediate you persist once, not recompute per consumer.
-    * When `sketches` is not supplied, the internally-built sketch table
-    * (one small row per doc) is persisted for the session so those four
-    * consumers share one materialization; callers wanting lifecycle
-    * control should build and pass `sketches` themselves (the query
-    * path stages it via `Staged.docSimhash60`).
+    * (a (__id, __sim) table) to reuse a MATERIALIZED sketch table
+    * (`shingled`/`hashed` are then ignored). The sketch plan feeds FOUR
+    * consumers (both band-join sides and both post-distinct sketch
+    * re-joins), so without `sketches` the sketch aggregation re-runs
+    * per consumer — fine for one-shot/small calls; at scale build the
+    * sketch table once, persist or write it under YOUR lifecycle, and
+    * pass it here (the query path stages it via `Staged.docSimhash60`).
+    * This function deliberately persists nothing: a cache created at
+    * this layer would have no owner to release it.
     */
   def simhashPairsFromShingles(shingled: DataFrame, idCol: String, shinglesCol: String,
                                maxHamming: Int = 3,
@@ -278,10 +278,15 @@ object Dedup {
                                sketches: Option[DataFrame] = None): DataFrame = {
     val nChunks = maxHamming + 1
     val width = (bits + nChunks - 1) / nChunks
-    val sh = sketches.getOrElse(
-      hashed.map(simhashColsFromHashes(_, bits)).getOrElse(
-        simhashCols(shingled.select(col(idCol), col(shinglesCol).as("__sh")), idCol, "__sh", bits))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    // guard supplied sketches against a width/bits mismatch (wrong-width
+    // sketches would band silently wrong): narrow per-row check, no job
+    val sh = sketches.map(_.select(col("__id"),
+        when(length(col("__sim")) === bits, col("__sim"))
+          .otherwise(raise_error(format_string(
+            s"sketch width %s != bits $bits", length(col("__sim")).cast("string"))))
+          .as("__sim")))
+      .getOrElse(hashed.map(simhashColsFromHashes(_, bits)).getOrElse(
+        simhashCols(shingled.select(col(idCol), col(shinglesCol).as("__sh")), idCol, "__sh", bits)))
     // the candidate distinct() shuffles ONLY the (doc_a, doc_b) id pair
     // — the 64-char sketch strings are re-joined afterwards (same shape
     // as embedNearDupPairs), keeping the pair-dedup exchange narrow

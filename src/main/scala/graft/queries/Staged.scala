@@ -99,9 +99,9 @@ object Staged {
     }).asInstanceOf[DataFrame]
 
   /** (__id, __sim) 60-bit SimHash sketch table, persisted — one row
-    * per doc. The sketch aggregation feeds THREE consumers in the
-    * pair pipeline (both band-join sides + the post-distinct sketch
-    * re-join); materializing it once is the scale shape (at 100 TB
+    * per doc. The sketch aggregation feeds FOUR consumers in the
+    * pair pipeline (both band-join sides + both post-distinct sketch
+    * re-joins); materializing it once is the scale shape (at 100 TB
     * you'd write this table, not re-aggregate the shingle hashes per
     * consumer).
     */

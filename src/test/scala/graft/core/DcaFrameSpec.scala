@@ -440,6 +440,19 @@ class DcaSchemaSpec extends SparkTestBase {
     val withNull = Seq(Tuple1(null.asInstanceOf[Seq[Float]])).toDF("a")
     val e2 = intercept[Exception](nullable.conform(withNull).collect())
     assert(e2.getMessage.contains("inner shape mismatch"))
+    // ...and under a NAMED dim too: an observable NULL array is a shape
+    // failure regardless of dim kind
+    val namedNull = DcaSchema(Vector(DcaSchema.field("a", FloatType, "*b k")))
+    val e3 = intercept[Exception](namedNull.conform(withNull).collect())
+    assert(e3.getMessage.contains("inner shape mismatch"))
+    // nested static dims reached through an EMPTY outer array stay
+    // unobservable (observability threads through the nested-schema
+    // recursion, it does not reset)
+    val subP = DcaSchema(Vector(DcaSchema.field("p", FloatType, "*b 2")))
+    val nestedEmpty = DcaSchema(Vector(DcaSchema.nestedArray("c", subP, "*b n")))
+    val emptyOuter = spark.sql(
+      "SELECT CAST(array() AS array<struct<p:array<float>>>) AS c")
+    assert(nestedEmpty.conform(emptyOuter).count() == 1)
   }
 
   test("nested conform recurses: casts and inner-dim checks through structs") {
