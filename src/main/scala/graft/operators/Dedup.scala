@@ -162,6 +162,56 @@ object Dedup {
     verifyJaccard(cands, shingled, idCol, shinglesCol, thresholdNum, thresholdDen)
   }
 
+  // ---- Exact n-gram Jaccard join (prefix filtering / AllPairs) ---------
+
+  /** EXACT n-gram Jaccard similarity join via prefix filtering — the
+    * deterministic complement to [[nearDupPairsFromShingles]]: no LSH
+    * miss probability, the output IS the all-pairs result at the
+    * threshold (which is why its oracle needs no recall caveat).
+    *
+    * Prefix-filtering principle (Chaudhuri/Bayardo AllPairs): order
+    * every token set by one global total order; if J(A,B) >= t then
+    * |A∩B| >= ceil(t·|A|), so among the first |A| - ceil(t·|A|) + 1
+    * tokens of A (and likewise B) at least one common token appears —
+    * candidate generation only needs to join on PREFIX tokens.
+    *
+    * Scale shape: the global order is frequency-ascending (rarest
+    * first), so prefix tokens are the RARE ones and bucket fan-out in
+    * the candidate self-join stays small; the join key is the 64-bit
+    * token hash, never the token text (hash collisions only add false
+    * candidates, which the exact verify discards). Shuffles: one
+    * groupBy on token hash (freq count), one on doc id (prefix
+    * assembly), one short-key candidate join — all narrow-payload.
+    * Per-doc work is a sort of the doc's own token list (bounded by
+    * doc length).
+    *
+    * @param num/den rational threshold t = num/den (float-free test)
+    */
+  def ngramJaccardPairs(shingled: DataFrame, idCol: String, shinglesCol: String,
+                        num: Int, den: Int): DataFrame = {
+    val toks = shingled
+      .select(col(idCol).as("__id"), explode(col(shinglesCol)).as("__t"))
+      .select(col("__id"), xxhash64(col("__t")).as("__th"))
+    // global token frequency — ascending = rarest-first prefix order;
+    // ties broken by the hash so the order is total and deterministic
+    val freq = toks.groupBy("__th").agg(count(lit(1)).as("__cnt"))
+    // per doc: sort own tokens by (cnt, hash), keep the prefix.
+    // n·num/den stays exact in double for any realistic doc size
+    // (integers < 2^53), so the ceil is not fp-fragile.
+    val prefLen = (col("__n") - ceil(col("__n") * num / den) + 1).cast("int")
+    val prefix = toks.join(freq, "__th")
+      .groupBy("__id")
+      .agg(array_sort(collect_list(struct(col("__cnt"), col("__th")))).as("__st"),
+        count(lit(1)).as("__n"))
+      .select(col("__id"), explode(slice(col("__st"), lit(1), greatest(prefLen, lit(1)))).as("__p"))
+      .select(col("__id"), col("__p.__th").as("__th"))
+    val cands = prefix.as("l").join(prefix.as("r"),
+        col("l.__th") === col("r.__th") && col("l.__id") < col("r.__id"))
+      .select(col("l.__id").as("doc_a"), col("r.__id").as("doc_b"))
+      .distinct()
+    verifyJaccard(cands, shingled, idCol, shinglesCol, num, den)
+  }
+
   // ---- Embedding-cosine near-dup ---------------------------------------
 
   /** Embedding-cosine near-duplicate pairs: sign-LSH banding over the

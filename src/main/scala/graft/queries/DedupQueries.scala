@@ -46,6 +46,29 @@ object DedupQueries {
              |WHERE inter * 5 >= (sa.n + sb.n - inter) * 2
              |ORDER BY 1, 2""".stripMargin)),
 
+    // EXACT n-gram Jaccard similarity join at jaccard >= 0.5 via
+    // prefix filtering (AllPairs): deterministic and complete — unlike
+    // the MinHash path there is NO miss probability, so the oracle is
+    // simply the exact all-pairs jaccard at the threshold with no
+    // recall caveat. Candidates join only on rarest-first prefix-token
+    // hashes (short keys, small buckets).
+    "d5_ngram_jaccard" -> QueryDef(
+      (s, dir) => Dedup.ngramJaccardPairs(Staged.docShingles(s, dir), "doc_id", "__sh",
+          num = 1, den = 2)
+        .orderBy("doc_a", "doc_b"),
+      Some("""WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+             |sh AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS s
+             |       FROM words, UNNEST(range(1, len(w) - 1)) AS t(i)),
+             |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+             |pairs AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
+             |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+             |          GROUP BY 1, 2)
+             |SELECT da AS doc_a, db AS doc_b,
+             |  CAST(floor(100.0 * inter / (sa.n + sb.n - inter)) AS BIGINT) AS jacc_pct
+             |FROM pairs JOIN sizes sa ON sa.doc_id = da JOIN sizes sb ON sb.doc_id = db
+             |WHERE inter * 2 >= (sa.n + sb.n - inter) * 1
+             |ORDER BY 1, 2""".stripMargin)),
+
     // Embedding-cosine near-dup at cosine >= 0.98 — planted dup pairs
     // (a x2-scaled copy: the scaling cancels exactly through the fold
     // since powers of two commute with fp rounding, leaving cosine

@@ -29,6 +29,31 @@ class DedupSpec extends SparkTestBase {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("prefix-filter ngram jaccard equals brute-force all-pairs at the threshold") {
+    // deterministic corpus with planted near-dups, borderline pairs,
+    // and short docs (empty shingle sets) to stress prefix lengths
+    val pool = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta", "iota", "kappa", "lambda", "mu")
+    val rows = (0 until 30).map { i =>
+      val words = (0 until 20).map(j => pool((i * 7 + j * (1 + i % 3)) % pool.size))
+      i.toLong -> words.mkString(" ")
+    } :+ (100L -> base) :+ (101L -> nearDup) :+ (102L -> "tiny")
+    val d = docs(rows: _*)
+    val shingled = d.select(col("doc_id"), graft.operators.TextOps.shingles(col("text"), 3).as("__sh"))
+    val out = Dedup.ngramJaccardPairs(shingled, "doc_id", "__sh", num = 1, den = 2)
+      .select("doc_a", "doc_b", "jacc_pct").as[(Long, Long, Long)].collect().toSet
+    // both-empty pairs are undefined (0/0) — exclude them, as the
+    // prefix path necessarily does (no tokens, no candidates)
+    val nonEmpty = shingled.filter(size(col("__sh")) > 0)
+    val allPairs = nonEmpty.select(col("doc_id").as("doc_a"))
+      .crossJoin(nonEmpty.select(col("doc_id").as("doc_b")))
+      .filter(col("doc_a") < col("doc_b"))
+    val exact = Dedup.verifyJaccard(allPairs, shingled, "doc_id", "__sh", num = 1, den = 2)
+      .select("doc_a", "doc_b", "jacc_pct").as[(Long, Long, Long)].collect().toSet
+    assert(out == exact)
+    assert(out.contains((100L, 101L, out.collectFirst { case (100L, 101L, p) => p }.get)))
+  }
+
   test("simhash pairs near-dups within hamming budget") {
     val d = docs(1L -> base, 2L -> nearDup, 3L -> unrelated)
     val pairs = Dedup.simhashPairs(d, "text", "doc_id", maxHamming = 10)
