@@ -195,18 +195,34 @@ object Dedup {
     // global token frequency — ascending = rarest-first prefix order;
     // ties broken by the hash so the order is total and deterministic
     val freq = toks.groupBy("__th").agg(count(lit(1)).as("__cnt"))
-    // per doc: sort own tokens by (cnt, hash), keep the prefix.
-    // n·num/den stays exact in double for any realistic doc size
-    // (integers < 2^53), so the ceil is not fp-fragile.
+    // per doc: sort own tokens by (cnt, hash), keep the prefix WITH
+    // each token's 1-based position in the full sorted list (the
+    // prefix is the head, so positions are global). n·num/den stays
+    // exact in double for any realistic doc size (integers < 2^53),
+    // so the ceil is not fp-fragile.
     val prefLen = (col("__n") - ceil(col("__n") * num / den) + 1).cast("int")
     val prefix = toks.join(freq, "__th")
       .groupBy("__id")
       .agg(array_sort(collect_list(struct(col("__cnt"), col("__th")))).as("__st"),
         count(lit(1)).as("__n"))
-      .select(col("__id"), explode(slice(col("__st"), lit(1), greatest(prefLen, lit(1)))).as("__p"))
-      .select(col("__id"), col("__p.__th").as("__th"))
+      .select(col("__id"), col("__n"),
+        posexplode(slice(col("__st"), lit(1), greatest(prefLen, lit(1)))))
+      .select(col("__id"), col("__n"), (col("pos") + 1).as("__pos"), col("col.__th").as("__th"))
+    // candidate join with the two PPJoin prunes — both safe
+    // relaxations, so completeness is preserved:
+    //  * length filter: J >= t ⇒ t·max(|A|,|B|) <= min(|A|,|B|)
+    //  * positional filter: the overlap needed is
+    //    α = ceil(t/(1+t)·(|A|+|B|)); a match at positions (pA, pB)
+    //    can certify at most 1 + min(|A|-pA, |B|-pB) overlap even if
+    //    every earlier token matched, so later matches cannot qualify
+    //    the pair. (ceil on double is exact here: the operand is at
+    //    least 1/(num+den) from any integer unless exactly integral.)
+    val (ln, rn) = (col("l.__n"), col("r.__n"))
+    val alpha = ceil((ln + rn) * num / (num + den))
     val cands = prefix.as("l").join(prefix.as("r"),
-        col("l.__th") === col("r.__th") && col("l.__id") < col("r.__id"))
+        col("l.__th") === col("r.__th") && col("l.__id") < col("r.__id") &&
+          greatest(ln, rn) * num <= least(ln, rn) * den &&
+          least(ln - col("l.__pos"), rn - col("r.__pos")) + 1 >= alpha)
       .select(col("l.__id").as("doc_a"), col("r.__id").as("doc_b"))
       .distinct()
     verifyJaccard(cands, shingled, idCol, shinglesCol, num, den)
