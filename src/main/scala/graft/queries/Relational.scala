@@ -26,6 +26,10 @@ object Relational {
   private val HllG = 30
   private val HllMaxRho = 23
   private val SampleK = 101
+  /** q38 per-stratum keep-rates in permille, interpolated into both
+    * engines' arithmetic (threshold test AND rescale divisor).
+    */
+  private val StratRatesPm: Map[String, Int] = Map("A" -> 100, "N" -> 10, "R" -> 50)
 
 
   val defs: Map[String, QueryDef] = Map(
@@ -678,6 +682,48 @@ object Relational {
              |FROM fin f JOIN (SELECT l_returnflag, count(DISTINCT l_partkey) AS n_exact
              |  FROM lineitem GROUP BY 1) x USING (l_returnflag)
              |ORDER BY 1""".stripMargin)),
+
+    // ---- stratified Bernoulli sample (sampleBy's deterministic
+    // analog): per-stratum keep-rates via a hash THRESHOLD — keep the
+    // row iff 1000·hv < rate_pm·P. Unlike q34's bottom-k this is a
+    // pure scan-side filter (no per-group state, no sort, no extra
+    // shuffle — the only exchange is the final tiny aggregate), which
+    // is the 100 TB shape for downsampling a skewed corpus: the
+    // estimator rescales each stratum by its own rate using exact
+    // integer arithmetic, so the oracle reproduces it bit-for-bit.
+    "q38_stratified_sample" -> QueryDef(
+      (s, dir) => {
+        graft.functions.VectorExpressions.register(s)
+        import graft.functions.KMinAgg
+        val rates = StratRatesPm // permille per l_returnflag stratum
+        val thr = element_at(typedLit(rates), col("l_returnflag")).cast("long")
+        val hv = KMinAgg.scramble(call_function("poly_hash",
+          concat_ws("_", col("l_orderkey"), col("l_linenumber"))))
+        table(s, dir, "lineitem")
+          .select(col("l_returnflag"), hv.as("__hv"),
+            cents(col("l_quantity")).as("__qty_c"), thr.as("__pm"))
+          .filter(col("__hv") * 1000 < col("__pm") * lit(1000000007L))
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n_sample"),
+            sum("__qty_c").as("sum_qty_c"), max("__pm").as("__pm"))
+          // Horvitz-Thompson rescale: DIV is true integer floor
+          // division on both engines (all operands non-negative)
+          .select(col("l_returnflag"), col("n_sample"), col("sum_qty_c"),
+            expr("CAST((sum_qty_c * 1000) DIV __pm AS BIGINT)").as("est_total_qty_c"))
+          .orderBy("l_returnflag")
+      },
+      Some(s"""WITH ${QueryDef.scrambledHashCtes(
+                 "(SELECT l_returnflag, CAST(round(l_quantity*100) AS BIGINT) AS qc, " +
+                   "CAST(l_orderkey AS VARCHAR) || '_' || CAST(l_linenumber AS VARCHAR) AS rk FROM lineitem)",
+                 Seq("l_returnflag", "qc"), "rk")},
+             |rates(flag, pm) AS (VALUES ${StratRatesPm.toSeq.sorted.map { case (f, r) => s"('$f', $r)" }.mkString(", ")}),
+             |smp AS (SELECT h.l_returnflag, h.qc, r.pm FROM h
+             |  JOIN rates r ON r.flag = h.l_returnflag
+             |  WHERE h.hv * 1000 < CAST(r.pm AS BIGINT) * 1000000007)
+             |SELECT l_returnflag, count(*) AS n_sample,
+             |  CAST(sum(qc) AS BIGINT) AS sum_qty_c,
+             |  CAST(sum(qc) * 1000 // max(pm) AS BIGINT) AS est_total_qty_c
+             |FROM smp GROUP BY 1 ORDER BY 1""".stripMargin)),
 
     // ---- deterministic uniform sample + quantile estimate: bottom-k
     // rows by scrambled row-key hash IS a simple random sample (the

@@ -117,6 +117,50 @@ object TextQueries {
              |       WHEN s_de > s_en THEN 'de' ELSE 'en' END) THEN 1 ELSE 0 END AS BIGINT) AS is_match
              |FROM sc ORDER BY doc_id""".stripMargin)),
 
+    // TF-IDF keyword extraction: top-3 terms per doc by a BM25-style
+    // RATIONAL idf — weight = tf · (2N − 2df + 1)/(2df + 1), the
+    // log-free Robertson idf surrogate — so the score is exact integer
+    // arithmetic on both engines (no ln, no float divergence). Scale
+    // shape: tf and df are two map-side-combining aggs shuffled on
+    // (doc, term)/(term); N joins in as a broadcast 1-row aggregate
+    // (no driver count); the final top-3 window partitions by doc with
+    // per-group size bounded by doc length.
+    "t6_tfidf_topterms" -> QueryDef(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = table(s, dir, "documents")
+        val toks = docs.select(col("doc_id"),
+            explode(TextOps.words(col("text"))).as("term"))
+          .filter(length(col("term")) > 0)
+        val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+        val ndocs = docs.agg(count(lit(1)).as("__N"))
+        val scored = tf.join(dfreq, "term").crossJoin(broadcast(ndocs))
+          .withColumn("score_micro",
+            expr("CAST((1000000 * tf * (2*__N - 2*df + 1)) DIV (2*df + 1) AS BIGINT)"))
+        val w = Window.partitionBy("doc_id")
+          .orderBy(col("score_micro").desc, col("term"))
+        scored.withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 3)
+          .select(col("doc_id"), col("rn").cast("long").as("rn"),
+            col("term"), col("score_micro"))
+          .orderBy("doc_id", "rn")
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+             |tf AS (SELECT doc_id, term, count(*) AS tf
+             |  FROM toks WHERE len(term) > 0 GROUP BY 1, 2),
+             |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+             |n AS (SELECT count(*) AS nd FROM documents),
+             |sc AS (SELECT tf.doc_id, tf.term,
+             |    (1000000 * tf.tf * (2*n.nd - 2*dfreq.df + 1)) // (2*dfreq.df + 1) AS score_micro
+             |  FROM tf JOIN dfreq USING (term) CROSS JOIN n),
+             |r AS (SELECT doc_id, term, score_micro,
+             |    row_number() OVER (PARTITION BY doc_id ORDER BY score_micro DESC, term) AS rn
+             |  FROM sc)
+             |SELECT doc_id, CAST(rn AS BIGINT) AS rn, term, score_micro
+             |FROM r WHERE rn <= 3 ORDER BY doc_id, rn""".stripMargin)),
+
     // polynomial rolling-hash fingerprint (exact-int, engine-portable).
     // Native codegen'd PolyHash: one O(n) byte pass per doc — the HOF
     // form (per-char substr) rescans the string per character, O(n^2).
