@@ -12,6 +12,13 @@ import QueryDef.table
   */
 object TextQueries {
 
+  /** Count-Min geometry (t7): d independent polynomial hashes (distinct
+    * bases, one shared prime modulus) over w buckets — interpolated
+    * into BOTH engines so the sketch cells match bit-for-bit.
+    */
+  private val CmsW = 1024
+  private val CmsBases = Seq(31, 37, 41, 43)
+
   val defs: Map[String, QueryDef] = Map(
 
     // whitespace + regex-run token counting
@@ -160,6 +167,57 @@ object TextQueries {
              |  FROM sc)
              |SELECT doc_id, CAST(rn AS BIGINT) AS rn, term, score_micro
              |FROM r WHERE rn <= 3 ORDER BY doc_id, rn""".stripMargin)),
+
+    // Count-Min sketch heavy hitters: estimate term frequencies from a
+    // d×w integer cell grid and compare against the exact counts for
+    // the top-20 terms. The sketch build is the 100 TB shape — per
+    // occurrence emit d (row, bucket) pairs, ONE map-side-combining
+    // aggregate collapses them to ≤ d·w cells per partition before the
+    // shuffle, so the exchange is O(d·w) per partition regardless of
+    // corpus size. Every hash is the engine-portable polynomial (d
+    // distinct bases), so the DuckDB oracle rebuilds the identical
+    // sketch: est ≥ true always, overestimates only from collisions.
+    "t7_cms_heavy_hitters" -> QueryDef(
+      (s, dir) => {
+        graft.functions.VectorExpressions.register(s)
+        val toks = table(s, dir, "documents")
+          .select(explode(TextOps.words(col("text"))).as("term"))
+          .filter(length(col("term")) > 0)
+        def bucketExprs = array(CmsBases.map(b =>
+          pmod(call_function("poly_hash", col("term"), lit(b.toLong), lit(1000000007L)),
+            lit(CmsW.toLong))): _*)
+        val cells = toks.select(posexplode(bucketExprs))
+          .toDF("r", "bucket")
+          .groupBy("r", "bucket").agg(count(lit(1)).as("c"))
+        val top = toks.groupBy("term").agg(count(lit(1)).as("true_cnt"))
+          .orderBy(col("true_cnt").desc, col("term")).limit(20)
+        val candR = top.select(col("term"), col("true_cnt"), posexplode(bucketExprs))
+          .toDF("term", "true_cnt", "r", "bucket")
+        candR.join(cells, Seq("r", "bucket"))
+          .groupBy("term", "true_cnt").agg(min("c").as("est_cnt"))
+          .orderBy(col("true_cnt").desc, col("term"))
+      },
+      Some {
+        def bucketSql(b: Int) = s"${QueryDef.polyHashSql("term", b)} % $CmsW"
+        val cellSrc = CmsBases.zipWithIndex.map { case (b, r) =>
+          s"SELECT $r AS r, ${bucketSql(b)} AS bucket FROM tk" }.mkString("\n  UNION ALL ")
+        val candSrc = CmsBases.zipWithIndex.map { case (b, r) =>
+          s"SELECT term, true_cnt, $r AS r, ${bucketSql(b)} AS bucket FROM top" }
+          .mkString("\n  UNION ALL ")
+        s"""WITH toks AS (SELECT unnest(string_split(text, ' ')) AS term FROM documents),
+           |tk AS (SELECT term FROM toks WHERE len(term) > 0),
+           |cellsrc AS (
+           |  $cellSrc),
+           |cells AS (SELECT r, bucket, count(*) AS c FROM cellsrc GROUP BY 1, 2),
+           |top AS (SELECT term, count(*) AS true_cnt FROM tk GROUP BY 1
+           |  ORDER BY true_cnt DESC, term LIMIT 20),
+           |candr AS (
+           |  $candSrc)
+           |SELECT term, CAST(true_cnt AS BIGINT) AS true_cnt,
+           |  CAST(min(c) AS BIGINT) AS est_cnt
+           |FROM candr JOIN cells USING (r, bucket)
+           |GROUP BY term, true_cnt ORDER BY true_cnt DESC, term""".stripMargin
+      }),
 
     // polynomial rolling-hash fingerprint (exact-int, engine-portable).
     // Native codegen'd PolyHash: one O(n) byte pass per doc — the HOF
