@@ -188,7 +188,15 @@ object Dedup {
     * @param num/den rational threshold t = num/den (float-free test)
     */
   def ngramJaccardPairs(shingled: DataFrame, idCol: String, shinglesCol: String,
-                        num: Int, den: Int): DataFrame = {
+                        num: Int, den: Int): DataFrame =
+    verifyJaccard(ngramJaccardCandidates(shingled, idCol, shinglesCol, num, den),
+      shingled, idCol, shinglesCol, num, den)
+
+  /** Candidate-pair stage of [[ngramJaccardPairs]], exposed so sizing
+    * tools measure the SHIPPED pipeline rather than a copy.
+    */
+  def ngramJaccardCandidates(shingled: DataFrame, idCol: String, shinglesCol: String,
+                             num: Int, den: Int): DataFrame = {
     val toks = shingled
       .select(col(idCol).as("__id"), explode(col(shinglesCol)).as("__t"))
       .select(col("__id"), xxhash64(col("__t")).as("__th"))
@@ -225,7 +233,7 @@ object Dedup {
           least(ln - col("l.__pos"), rn - col("r.__pos")) + 1 >= alpha)
       .select(col("l.__id").as("doc_a"), col("r.__id").as("doc_b"))
       .distinct()
-    verifyJaccard(cands, shingled, idCol, shinglesCol, num, den)
+    cands
   }
 
   // ---- Embedding-cosine near-dup ---------------------------------------

@@ -33,9 +33,7 @@ object DedupQueries {
       (s, dir) => Dedup.nearDupPairsFromShingles(Staged.docShingles(s, dir), "doc_id", "__sh",
           hashed = Some(Staged.docShingleHashes(s, dir)))
         .orderBy("doc_a", "doc_b"),
-      Some("""WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-             |sh AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS s
-             |       FROM words, UNNEST(range(1, len(w) - 1)) AS t(i)),
+      Some(s"""WITH ${QueryDef.shingleCtes()},
              |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
              |pairs AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
              |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
@@ -56,9 +54,7 @@ object DedupQueries {
       (s, dir) => Dedup.ngramJaccardPairs(Staged.docShingles(s, dir), "doc_id", "__sh",
           num = 1, den = 2)
         .orderBy("doc_a", "doc_b"),
-      Some("""WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-             |sh AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS s
-             |       FROM words, UNNEST(range(1, len(w) - 1)) AS t(i)),
+      Some(s"""WITH ${QueryDef.shingleCtes()},
              |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
              |pairs AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
              |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
@@ -132,9 +128,7 @@ object DedupQueries {
       (s, dir) => Dedup.simhashPairsFromShingles(Staged.docShingles(s, dir), "doc_id", "__sh",
           bits = 60, sketches = Some(Staged.docSimhash60(s, dir)))
         .orderBy("doc_a", "doc_b"),
-      Some(s"""WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-             |sh AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS s
-             |       FROM words, UNNEST(range(1, len(w) - 1)) AS t(i)),
+      Some(s"""WITH ${QueryDef.shingleCtes()},
              |h AS (SELECT doc_id,
              |  ${QueryDef.polyHashSql("s")}
              |  + ${QueryDef.polyHashSql("s", 37, 1073741789L)} * 1073741824 AS hv

@@ -31,6 +31,16 @@ object QueryDef {
        |        i -> CAST(ascii(substr($e, CAST(i AS INTEGER), 1)) AS BIGINT))),
        |      (acc, c) -> (acc * $base + c) % $mod)""".stripMargin
 
+  /** DuckDB CTE pair (`words`, `sh`) rendering the documents word
+    * n-gram shingle set — the ONE SQL mirror of
+    * [[graft.operators.TextOps.shingles]] shared by every dedup oracle
+    * (distinct n-grams; docs shorter than n words yield no rows).
+    */
+  def shingleCtes(n: Int = 3): String =
+    s"""words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |sh AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+${n - 1}], ' ') AS s
+       |       FROM words, UNNEST(range(1, len(w) - ${n - 2})) AS t(i))""".stripMargin
+
   /** DuckDB CTE chain computing `hv` = [[graft.functions.KMinAgg.scramble]]
     * of the poly hash of `keyExpr`, carrying `carried` columns from
     * `source` — the ONE SQL rendering of the scramble constants.

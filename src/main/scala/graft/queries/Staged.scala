@@ -77,6 +77,18 @@ object Staged {
         .persist(StorageLevel.MEMORY_AND_DISK)
     }).asInstanceOf[DataFrame]
 
+  /** documents word-token table (doc_id, term) — one row per non-empty
+    * token occurrence, persisted; shared by the TF-IDF and Count-Min
+    * queries (each would otherwise re-scan and re-explode the corpus).
+    */
+  def docTerms(s: SparkSession, dir: String): DataFrame =
+    cacheFor(s).getOrElseUpdate(s"terms:$dir", {
+      table(s, dir, "documents")
+        .select(col("doc_id"), explode(TextOps.words(col("text"))).as("term"))
+        .filter(length(col("term")) > 0)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    }).asInstanceOf[DataFrame]
+
   /** exploded shingle-hash table (__id, __h) shared by MinHash AND
     * SimHash — hash each shingle once per session, not once per sketch.
     */

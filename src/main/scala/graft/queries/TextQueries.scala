@@ -135,13 +135,10 @@ object TextQueries {
     "t6_tfidf_topterms" -> QueryDef(
       (s, dir) => {
         import org.apache.spark.sql.expressions.Window
-        val docs = table(s, dir, "documents")
-        val toks = docs.select(col("doc_id"),
-            explode(TextOps.words(col("text"))).as("term"))
-          .filter(length(col("term")) > 0)
+        val toks = Staged.docTerms(s, dir)
         val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
         val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
-        val ndocs = docs.agg(count(lit(1)).as("__N"))
+        val ndocs = table(s, dir, "documents").agg(count(lit(1)).as("__N"))
         val scored = tf.join(dfreq, "term").crossJoin(broadcast(ndocs))
           .withColumn("score_micro",
             expr("CAST((1000000 * tf * (2*__N - 2*df + 1)) DIV (2*df + 1) AS BIGINT)"))
@@ -180,9 +177,7 @@ object TextQueries {
     "t7_cms_heavy_hitters" -> QueryDef(
       (s, dir) => {
         graft.functions.VectorExpressions.register(s)
-        val toks = table(s, dir, "documents")
-          .select(explode(TextOps.words(col("text"))).as("term"))
-          .filter(length(col("term")) > 0)
+        val toks = Staged.docTerms(s, dir).select("term")
         def bucketExprs = array(CmsBases.map(b =>
           pmod(call_function("poly_hash", col("term"), lit(b.toLong), lit(1000000007L)),
             lit(CmsW.toLong))): _*)
