@@ -54,6 +54,51 @@ class DedupSpec extends SparkTestBase {
     assert(out.contains((100L, 101L, out.collectFirst { case (100L, 101L, p) => p }.get)))
   }
 
+  test("prefix-filter jaccard matches a driver-side model: random corpora x thresholds") {
+    // independent oracle: pure-Scala shingle sets + brute-force jaccard
+    // (does NOT reuse verifyJaccard), over a SMALL vocab so pairs
+    // cluster near the threshold, exercising the prefix/positional
+    // boundary; includes sub-3-word docs (empty shingle sets)
+    val rnd = new scala.util.Random(42)
+    val vocab = Vector("a1", "b2", "c3", "d4", "e5", "f6", "g7", "h8")
+    for (threshold <- Seq((1, 2), (2, 5), (3, 4))) {
+      val (num, den) = threshold
+      // planted structure: base docs + single-word-mutated copies (the
+      // near-dups straddle the thresholds) + pure-random chaff
+      val corpus = (0 until 8).flatMap { i =>
+        val n = 4 + rnd.nextInt(25)
+        val base = Vector.fill(n)(vocab(rnd.nextInt(vocab.size)))
+        val mutated = base.updated(rnd.nextInt(n), vocab(rnd.nextInt(vocab.size)))
+        Seq((i * 10).toLong -> base.mkString(" "),
+          (i * 10 + 1).toLong -> mutated.mkString(" "))
+      } ++ (0 until 9).map { i =>
+        val n = 1 + rnd.nextInt(30)
+        (100 + i).toLong -> Vector.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+      }
+      val model: Set[(Long, Long, Long)] = {
+        def shingleSet(text: String): Set[String] = {
+          val w = text.split(" ")
+          if (w.length < 3) Set.empty
+          else (0 to w.length - 3).map(i => w.slice(i, i + 3).mkString(" ")).toSet
+        }
+        val sets = corpus.map { case (id, t) => id -> shingleSet(t) }.toMap
+        (for {
+          (a, sa) <- sets.toSeq; (b, sb) <- sets.toSeq
+          if a < b
+          inter = (sa & sb).size.toLong
+          union = (sa | sb).size.toLong
+          if union > 0 && inter * den >= union * num
+        } yield (a, b, math.floor(100.0 * inter / union).toLong)).toSet
+      }
+      val d = docs(corpus: _*)
+      val shingled = d.select(col("doc_id"), graft.operators.TextOps.shingles(col("text"), 3).as("__sh"))
+      val got = Dedup.ngramJaccardPairs(shingled, "doc_id", "__sh", num, den)
+        .select("doc_a", "doc_b", "jacc_pct").as[(Long, Long, Long)].collect().toSet
+      assert(got == model, s"threshold $num/$den")
+      assert(model.nonEmpty, s"degenerate trial at $num/$den — tighten the generator")
+    }
+  }
+
   test("simhash pairs near-dups within hamming budget") {
     val d = docs(1L -> base, 2L -> nearDup, 3L -> unrelated)
     val pairs = Dedup.simhashPairs(d, "text", "doc_id", maxHamming = 10)
