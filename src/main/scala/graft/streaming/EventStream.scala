@@ -81,6 +81,39 @@ object EventStream {
       .withWatermark("ets", watermark)
       .dropDuplicatesWithinWatermark(idCol)
 
+  /** Streaming document-cleaning pipeline — the online face of the
+    * batch `t5_pipeline_e2e` chain: watermark-bounded exact dedup on
+    * doc id (at-least-once upstreams re-deliver), quality gate,
+    * language ID, then finalized per-(window, lang) corpus stats in
+    * Append mode. Every per-row step is the SAME codegen'd Column
+    * expression the batch queries use ([[graft.operators.TextOps]]) —
+    * one operator library, two execution modes.
+    *
+    * Scale notes: dedup state is keyed by doc id and bounded by the
+    * watermark; the only other stateful op is the windowed aggregate
+    * (O(windows x langs) state). The per-row text analysis is
+    * stateless and pipeline-parallel, so the plan survives arbitrary
+    * input rates — exactly the ingest-time cleaning a 100 TB corpus
+    * needs before documents ever land in the lake.
+    *
+    * Input schema: (doc_id long, tsUs long, text string).
+    */
+  def cleaningPipeline(docs: DataFrame, window_ : String = "1 hour",
+                       watermark: String = "30 minutes"): DataFrame = {
+    import graft.operators.TextOps
+    docs
+      .withColumn("ets", timestamp_micros(col("tsUs")))
+      .withWatermark("ets", watermark)
+      .dropDuplicatesWithinWatermark("doc_id")
+      .filter(TextOps.qualityPass(col("text"), length(col("text"))))
+      .select(col("ets"), TextOps.langId(col("text")).as("lang"),
+        TextOps.tokenCount(col("text")).as("n_tokens"))
+      .groupBy(window(col("ets"), window_), col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("sum_tokens"))
+      .select(col("window.start").as("w_start"), col("lang"),
+        col("n_docs"), col("sum_tokens"))
+  }
+
   /** Gap-based sessionization. State holds ALL open sessions for the
     * user (normally one; more when late data opens earlier sessions);
     * an event merges every session within `gapUs` of it — possibly

@@ -178,6 +178,38 @@ class EventStreamSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("cleaning pipeline: dedup + quality gate + langid, finalized window stats") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Long, String)]
+    val out = EventStream.cleaningPipeline(
+      input.toDF().toDF("doc_id", "tsUs", "text"))
+    val q = out.writeStream.format("memory").queryName("clean")
+      .outputMode(OutputMode.Append).start()
+    try {
+      val T0 = 86400L * 1000000L // window [24h, 25h)
+      // passes quality (26 tokens, 125 chars, EN stopwords) -> "en"
+      val en = ("the quick brown fox jumps over the lazy dog and runs far away " * 2).trim
+      // passes quality via the one EN stopword "in"; de profile wins langid
+      val de = "der hund und die katze ist nicht ein tier zu haus in der stadt " +
+        "und die maus ist auch ein tier der vogel ist frei"
+      val junk = "too short" // fails every quality bound
+      input.addData((1L, T0, en), (1L, T0 + Min, en) /* dup id */ ,
+        (2L, T0, de), (3L, T0, junk))
+      q.processAllAvailable()
+      // push the watermark past the window end (wm lags a batch: tick twice)
+      input.addData((99L, T0 + 120 * Min, en))
+      q.processAllAvailable()
+      input.addData((98L, T0 + 121 * Min, en))
+      q.processAllAvailable()
+      val rows = spark.table("clean")
+        .selectExpr("CAST(w_start AS LONG) AS ws", "lang", "n_docs", "sum_tokens")
+        .as[(Long, String, Long, Long)].collect().toSet
+      // only the finalized [24h, 25h) window is emitted: the duplicate
+      // doc 1 re-delivery is dropped, junk fails the quality gate
+      assert(rows == Set((86400L, "en", 1L, 26L), (86400L, "de", 1L, 25L)))
+    } finally q.stop()
+  }
+
   test("windowed counts aggregate per tumbling hour (update mode)") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]
