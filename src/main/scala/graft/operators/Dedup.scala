@@ -236,6 +236,61 @@ object Dedup {
     cands
   }
 
+  // ---- Transitive dedup clusters ---------------------------------------
+
+  /** Connected components over a near-dup pair graph: every document
+    * labeled with the MINIMUM doc id reachable through pair edges —
+    * the step that turns pairwise matches into actual dedup decisions
+    * (keep the representative, drop the rest), which pairwise output
+    * alone cannot express when dups chain (A~B, B~C, A!~C).
+    *
+    * Algorithm: distributed min-label propagation. Each round is ONE
+    * shuffle (labels join edges, then a min-aggregate); the driver
+    * loop only checks convergence (a count per round — control flow,
+    * not data movement). Rounds needed = graph diameter, which for
+    * near-dup graphs (cliques and short chains) is small; for
+    * adversarial long-path graphs switch to alternating star
+    * contraction (O(log n) rounds) — same join/agg building blocks.
+    * Labels/edges are persisted per round and released on the next.
+    *
+    * @param pairs (doc_a, doc_b) — one row per undirected edge
+    * @return (id, rep) for every vertex that appears in `pairs`;
+    *         rep = min id of its component. The returned frame is
+    *         PERSISTED (its lineage is the whole round chain, whose
+    *         intermediates are already released) — the caller owns it
+    *         and must `unpersist()` when done (the query path stages
+    *         it under the session lifecycle).
+    * @throws IllegalStateException if maxIter rounds don't converge
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val fwd = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    val edges = fwd.union(fwd.select(col("dst"), col("src")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("rep"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIter) {
+      // rep'(v) = min(rep(v), min over neighbors u of rep(u))
+      val viaEdges = labels.join(edges, labels("id") === edges("src"))
+        .select(col("dst").as("id"), col("rep"))
+      val next = labels.select(col("id"), col("rep")).union(viaEdges)
+        .groupBy("id").agg(min("rep").as("rep"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val changed = next.as("n").join(labels.as("o"), col("n.id") === col("o.id"))
+        .filter(col("n.rep") =!= col("o.rep")).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      it += 1
+    }
+    edges.unpersist()
+    if (!converged)
+      throw new IllegalStateException(s"connectedComponents: no fixpoint after $maxIter rounds")
+    labels
+  }
+
   // ---- Embedding-cosine near-dup ---------------------------------------
 
   /** Embedding-cosine near-duplicate pairs: sign-LSH banding over the

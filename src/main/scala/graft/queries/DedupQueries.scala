@@ -29,9 +29,9 @@ object DedupQueries {
              |SELECT min(doc_id) AS doc_id FROM doubled GROUP BY text ORDER BY 1""".stripMargin)),
 
     // MinHash + LSH near-dup pairs, exact-verified at jaccard >= 0.4
+    // (pair table staged — the transitive-cluster query d6 shares it)
     "d2_minhash_lsh" -> QueryDef(
-      (s, dir) => Dedup.nearDupPairsFromShingles(Staged.docShingles(s, dir), "doc_id", "__sh",
-          hashed = Some(Staged.docShingleHashes(s, dir)))
+      (s, dir) => Staged.docNearDupPairs(s, dir)
         .orderBy("doc_a", "doc_b"),
       Some(s"""WITH ${QueryDef.shingleCtes()},
              |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
@@ -64,6 +64,35 @@ object DedupQueries {
              |FROM pairs JOIN sizes sa ON sa.doc_id = da JOIN sizes sb ON sb.doc_id = db
              |WHERE inter * 2 >= (sa.n + sb.n - inter) * 1
              |ORDER BY 1, 2""".stripMargin)),
+
+    // Transitive dedup clusters: connected components over the d2
+    // near-dup pair graph — every doc labeled with the min reachable
+    // doc id (the dedup representative). Distributed min-label
+    // propagation, one shuffle per round; the oracle closes the same
+    // pair graph with a recursive CTE, so the full labeling is checked
+    // exactly.
+    "d6_dup_clusters" -> QueryDef(
+      (s, dir) => Staged.docDupComponents(s, dir)
+        .select(col("id").as("doc_id"), col("rep"))
+        .orderBy("doc_id"),
+      Some(s"""WITH RECURSIVE ${QueryDef.shingleCtes()},
+             |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+             |prs AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
+             |        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+             |        GROUP BY 1, 2),
+             |qp AS (SELECT da, db FROM prs
+             |       JOIN sizes sa ON sa.doc_id = da JOIN sizes sb ON sb.doc_id = db
+             |       WHERE inter * 5 >= (sa.n + sb.n - inter) * 2),
+             |edges AS (SELECT da AS src, db AS dst FROM qp
+             |          UNION SELECT db, da FROM qp),
+             |reach(a, b) AS (
+             |  SELECT src, dst FROM edges
+             |  UNION
+             |  SELECT r.a, e.dst FROM reach r JOIN edges e ON e.src = r.b),
+             |verts AS (SELECT DISTINCT src AS id FROM edges)
+             |SELECT v.id AS doc_id, least(v.id, min(r.b)) AS rep
+             |FROM verts v LEFT JOIN reach r ON r.a = v.id
+             |GROUP BY v.id ORDER BY 1""".stripMargin)),
 
     // Embedding-cosine near-dup at cosine >= 0.98 — planted dup pairs
     // (a x2-scaled copy: the scaling cancels exactly through the fold

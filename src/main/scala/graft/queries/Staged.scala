@@ -77,6 +77,28 @@ object Staged {
         .persist(StorageLevel.MEMORY_AND_DISK)
     }).asInstanceOf[DataFrame]
 
+  /** MinHash-LSH verified near-dup pair table (doc_a, doc_b, jacc_pct)
+    * at the d2 threshold, persisted — shared by the pair query itself
+    * and the transitive-cluster query (which would otherwise re-run
+    * signature generation, banding, and verification).
+    */
+  def docNearDupPairs(s: SparkSession, dir: String): DataFrame =
+    cacheFor(s).getOrElseUpdate(s"ndpairs:$dir", {
+      graft.operators.Dedup.nearDupPairsFromShingles(
+          docShingles(s, dir), "doc_id", "__sh",
+          hashed = Some(docShingleHashes(s, dir)))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    }).asInstanceOf[DataFrame]
+
+  /** Connected components over [[docNearDupPairs]] (id, rep) — the
+    * operator returns an owned persisted frame; staging it hands the
+    * release to the session lifecycle ([[release]]).
+    */
+  def docDupComponents(s: SparkSession, dir: String): DataFrame =
+    cacheFor(s).getOrElseUpdate(s"ndcomp:$dir", {
+      graft.operators.Dedup.connectedComponents(docNearDupPairs(s, dir))
+    }).asInstanceOf[DataFrame]
+
   /** documents word-token table (doc_id, term) — one row per non-empty
     * token occurrence, persisted; shared by the TF-IDF and Count-Min
     * queries (each would otherwise re-scan and re-explode the corpus).

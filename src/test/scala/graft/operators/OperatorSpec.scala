@@ -99,6 +99,28 @@ class DedupSpec extends SparkTestBase {
     }
   }
 
+  test("connected components: chains bridge, cliques collapse, components stay apart") {
+    // component 1: a CHAIN 5-4-3-2-1 (A~B, B~C without A~C — the case
+    // pairwise dedup cannot decide); component 2: a clique {10,11,12};
+    // component 3: the pair {20,21}. Chain diameter forces multiple
+    // propagation rounds.
+    val pairs = Seq((5L, 4L), (4L, 3L), (3L, 2L), (2L, 1L),
+      (10L, 11L), (11L, 12L), (10L, 12L), (21L, 20L))
+      .toDF("doc_a", "doc_b")
+    val got = Dedup.connectedComponents(pairs)
+    val rows = got.as[(Long, Long)].collect().toSet
+    got.unpersist()
+    assert(rows == Set(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
+  test("connected components: maxIter too small for the diameter throws") {
+    val chain = Seq((5L, 4L), (4L, 3L), (3L, 2L), (2L, 1L)).toDF("doc_a", "doc_b")
+    intercept[IllegalStateException] {
+      Dedup.connectedComponents(chain, maxIter = 1)
+    }
+  }
+
   test("simhash pairs near-dups within hamming budget") {
     val d = docs(1L -> base, 2L -> nearDup, 3L -> unrelated)
     val pairs = Dedup.simhashPairs(d, "text", "doc_id", maxHamming = 10)
