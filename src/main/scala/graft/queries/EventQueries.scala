@@ -71,6 +71,87 @@ object EventQueries {
              |FROM l ASOF JOIN r ON l.user_id = r.o_custkey AND l.ets >= r.o_orderdate
              |ORDER BY l.event_id""".stripMargin)),
 
+    // Forward as-of join: each event picks the EARLIEST order (per
+    // customer) at-or-after its time — the "next scheduled action"
+    // lookup. Same right-side dedup as q17; DuckDB mirrors it natively
+    // (ASOF JOIN with <=).
+    "q39_asof_forward" -> QueryDef(
+      (s, dir) => {
+        val ev = eventsShifted(s, dir)
+        val r = table(s, dir, "orders")
+          .groupBy(col("o_custkey"), col("o_orderdate"))
+          .agg(max("o_orderkey").as("o_orderkey"), sum(cents(col("o_totalprice"))).as("total_c"))
+        AsOfJoin.forward(ev, r,
+            leftKey = "user_id", rightKey = "o_custkey",
+            leftTime = "ets", rightTime = "o_orderdate",
+            valueCols = Seq("o_orderkey", "total_c"))
+          .select(col("event_id"), col("user_id"), col("o_orderkey"), col("total_c"),
+            date_format(col("asof_time"), "yyyy-MM-dd").as("asof_date"))
+          .orderBy("event_id")
+      },
+      Some("""WITH r AS (
+             |  SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey,
+             |    CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS total_c
+             |  FROM orders GROUP BY 1, 2),
+             |     l AS (
+             |  SELECT event_id, user_id,
+             |    make_timestamp(epoch_us(ts)) - INTERVAL 29 YEAR AS ets
+             |  FROM events)
+             |SELECT l.event_id, l.user_id, r.o_orderkey, r.total_c,
+             |  strftime(r.o_orderdate, '%Y-%m-%d') AS asof_date
+             |FROM l ASOF JOIN r ON l.user_id = r.o_custkey AND l.ets <= r.o_orderdate
+             |ORDER BY l.event_id""".stripMargin)),
+
+    // Nearest as-of join: the closer of the backward/forward matches,
+    // exact distance ties resolving backward. Distances compare in
+    // integer MICROSECONDS on both engines (a float comparison could
+    // flip an equidistant pair). Oracle composes DuckDB's two
+    // directional ASOF joins with the same integer tie-break.
+    "q40_asof_nearest" -> QueryDef(
+      (s, dir) => {
+        val ev = eventsShifted(s, dir)
+        val r = table(s, dir, "orders")
+          .groupBy(col("o_custkey"), col("o_orderdate"))
+          .agg(max("o_orderkey").as("o_orderkey"), sum(cents(col("o_totalprice"))).as("total_c"))
+        AsOfJoin.nearest(ev, r,
+            leftKey = "user_id", rightKey = "o_custkey",
+            leftTime = "ets", rightTime = "o_orderdate",
+            valueCols = Seq("o_orderkey", "total_c"))
+          .select(col("event_id"), col("user_id"), col("o_orderkey"), col("total_c"),
+            date_format(col("asof_time"), "yyyy-MM-dd").as("asof_date"))
+          .orderBy("event_id")
+      },
+      Some("""WITH r AS (
+             |  SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey,
+             |    CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS total_c
+             |  FROM orders GROUP BY 1, 2),
+             |     l AS (
+             |  SELECT event_id, user_id,
+             |    make_timestamp(epoch_us(ts)) - INTERVAL 29 YEAR AS ets
+             |  FROM events),
+             |     b AS (
+             |  SELECT l.event_id, l.user_id, l.ets, r.o_orderkey AS b_key,
+             |    r.total_c AS b_tot, r.o_orderdate AS b_d
+             |  FROM l ASOF LEFT JOIN r ON l.user_id = r.o_custkey AND l.ets >= r.o_orderdate),
+             |     f AS (
+             |  SELECT l.event_id, r.o_orderkey AS f_key, r.total_c AS f_tot,
+             |    r.o_orderdate AS f_d
+             |  FROM l ASOF LEFT JOIN r ON l.user_id = r.o_custkey AND l.ets <= r.o_orderdate),
+             |     j AS (
+             |  SELECT b.event_id, b.user_id, b.ets, b_key, b_tot, b_d, f_key, f_tot, f_d,
+             |    CASE WHEN b_key IS NULL THEN FALSE
+             |         WHEN f_key IS NULL THEN TRUE
+             |         WHEN epoch_us(b.ets) - epoch_us(CAST(b_d AS TIMESTAMP))
+             |           <= epoch_us(CAST(f_d AS TIMESTAMP)) - epoch_us(b.ets) THEN TRUE
+             |         ELSE FALSE END AS pick_b
+             |  FROM b JOIN f USING (event_id))
+             |SELECT event_id, user_id,
+             |  CASE WHEN pick_b THEN b_key ELSE f_key END AS o_orderkey,
+             |  CASE WHEN pick_b THEN b_tot ELSE f_tot END AS total_c,
+             |  strftime(CASE WHEN pick_b THEN b_d ELSE f_d END, '%Y-%m-%d') AS asof_date
+             |FROM j WHERE b_key IS NOT NULL OR f_key IS NOT NULL
+             |ORDER BY event_id""".stripMargin)),
+
     // Gap-based sessionization (30-min inactivity): lag + running sum of
     // session-start flags — one shuffle on user_id; the batch mirror of
     // streaming flatMapGroupsWithState sessionization.

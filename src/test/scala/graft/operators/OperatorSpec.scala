@@ -395,6 +395,40 @@ class AsOfJoinSpec extends SparkTestBase {
     assert(out == Map("e1" -> 100L, "e2" -> 200L, "e3" -> 400L)) // e4: no match, inner drops
   }
 
+  test("forward as-of picks earliest right >= left time; exact tie matches") {
+    val left = Seq((1L, 10L, "e1"), (1L, 25L, "e2"), (1L, 31L, "e3"), (2L, 20L, "e4"))
+      .toDF("k", "t", "ev")
+    val right = Seq((1L, 5L, 100L), (1L, 25L, 200L), (1L, 30L, 300L), (2L, 10L, 400L))
+      .toDF("rk", "rt", "v")
+    val out = AsOfJoin.forward(left, right, "k", "rk", "t", "rt", Seq("v"))
+      .select("ev", "v").as[(String, Long)].collect().toMap
+    // e2 matches its exact-time right row; e3 (past the last right row)
+    // and e4 (right only earlier) drop under inner semantics
+    assert(out == Map("e1" -> 200L, "e2" -> 200L))
+  }
+
+  test("nearest as-of: closer side wins, equidistant resolves backward") {
+    val left = Seq((1L, 10L, "eq"), (1L, 14L, "fw"), (1L, 6L, "bw"),
+      (1L, 2L, "only_fw"), (2L, 50L, "only_bw"), (3L, 1L, "none"))
+      .toDF("k", "t", "ev")
+    val right = Seq((1L, 5L, 100L), (1L, 15L, 200L), (2L, 10L, 400L))
+      .toDF("rk", "rt", "v")
+    val out = AsOfJoin.nearest(left, right, "k", "rk", "t", "rt", Seq("v"))
+      .select("ev", "v").as[(String, Long)].collect().toMap
+    // eq: both at distance 5 -> backward; only_fw/only_bw: one-sided;
+    // none: no right rows for key 3, inner drops
+    assert(out == Map("eq" -> 100L, "fw" -> 200L, "bw" -> 100L,
+      "only_fw" -> 100L, "only_bw" -> 400L))
+  }
+
+  test("nearest as-of: exact-time right row is the zero-distance backward match") {
+    val left = Seq((1L, 10L, "x")).toDF("k", "t", "ev")
+    val right = Seq((1L, 10L, 100L), (1L, 11L, 200L)).toDF("rk", "rt", "v")
+    val out = AsOfJoin.nearest(left, right, "k", "rk", "t", "rt", Seq("v"))
+      .select("ev", "v").as[(String, Long)].collect().toMap
+    assert(out == Map("x" -> 100L))
+  }
+
   test("as-of fill is atomic: a right row with NULL values is never torn") {
     // right at t=1 has (7, 5); right at t=5 has (9, NULL). A left row at
     // t=6 must get (9, NULL) — not orderkey from one row and total from
