@@ -24,6 +24,31 @@ class SkewJoinSpec extends SparkTestBase {
   }
 }
 
+/** Plan-shape regression guards for the sketch/sampling queries: the
+  * properties that make them 100 TB-viable must stay visible in the
+  * physical plan, not just hold by accident.
+  */
+class PlanShapeSpec extends SparkTestBase {
+  private val sf = "/root/testdata/sf0.001"
+
+  test("q38 stratified sample: the hash-threshold filter runs scan-side") {
+    val df = graft.SparkEntry.queries("q38_stratified_sample")(spark, sf)
+    df.write.format("noop").mode("overwrite").save()
+    // the Bernoulli keep-test must sit in the scan stage's data
+    // filters — a post-shuffle filter would ship the dropped rows
+    val plan = df.queryExecution.executedPlan.toString()
+    assert("DataFilters: \\[[^\\]]*poly_hash".r.findFirstIn(plan).isDefined,
+      plan.take(800))
+  }
+
+  test("t7 count-min: the candidate estimate join broadcasts") {
+    val df = graft.SparkEntry.queries("t7_cms_heavy_hitters")(spark, sf)
+    df.write.format("noop").mode("overwrite").save()
+    val plan = df.queryExecution.executedPlan.toString()
+    assert(plan.contains("BroadcastHashJoin"), plan.take(800))
+  }
+}
+
 class BucketingSpec extends SparkTestBase {
   import spark.implicits._
 
