@@ -48,11 +48,7 @@ object AsOfJoin {
     val w = Window.partitionBy("__k").orderBy(col("__t"), col("__tag"))
       .rowsBetween(Window.unboundedPreceding, 0)
     val filled = unioned.withColumn("__rv", last(col("__rv"), ignoreNulls = true).over(w))
-    val matchedOnly = if (inner) filled.filter(col("__rv").isNotNull) else filled
-    matchedOnly.filter(col("__tag") === 1)
-      .select(leftCols.map(col) ++
-        (col("__rv.asof_time").as("asof_time") +:
-          valueCols.map(c => col(s"__rv.$c").as(c))): _*)
+    selectMatched(filled, leftCols, valueCols, inner)
   }
 
   /** Forward as-of join: for each left row, attach the EARLIEST right
@@ -73,11 +69,7 @@ object AsOfJoin {
     val w = Window.partitionBy("__k").orderBy(col("__t"), col("__tag"))
       .rowsBetween(0, Window.unboundedFollowing)
     val filled = unioned.withColumn("__rv", first(col("__rv"), ignoreNulls = true).over(w))
-    val matchedOnly = if (inner) filled.filter(col("__rv").isNotNull) else filled
-    matchedOnly.filter(col("__tag") === 1)
-      .select(leftCols.map(col) ++
-        (col("__rv.asof_time").as("asof_time") +:
-          valueCols.map(c => col(s"__rv.$c").as(c))): _*)
+    selectMatched(filled, leftCols, valueCols, inner)
   }
 
   /** Nearest as-of join: the closer of the backward and forward
@@ -113,6 +105,14 @@ object AsOfJoin {
           .when(us(col("__t")) - us(col("__b.asof_time")) <=
             us(col("__f.asof_time")) - us(col("__t")), col("__b"))
           .otherwise(col("__f")))
+    selectMatched(filled, leftCols, valueCols, inner)
+  }
+
+  /** Shared output tail: inner-filter on the matched struct, keep only
+    * left rows, unpack `__rv` next to the left payload.
+    */
+  private def selectMatched(filled: DataFrame, leftCols: Seq[String],
+      valueCols: Seq[String], inner: Boolean): DataFrame = {
     val matchedOnly = if (inner) filled.filter(col("__rv").isNotNull) else filled
     matchedOnly.filter(col("__tag") === 1)
       .select(leftCols.map(col) ++

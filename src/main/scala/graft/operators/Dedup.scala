@@ -244,10 +244,13 @@ object Dedup {
     * (keep the representative, drop the rest), which pairwise output
     * alone cannot express when dups chain (A~B, B~C, A!~C).
     *
-    * Algorithm: distributed min-label propagation. Each round is ONE
-    * shuffle (labels join edges, then a min-aggregate); the driver
-    * loop only checks convergence (a count per round — control flow,
-    * not data movement). Rounds needed = graph diameter, which for
+    * Algorithm: distributed min-label propagation. Each round costs a
+    * bounded handful of exchanges (the labels-edges join, the
+    * union+min-aggregate, and the convergence-check join) over the
+    * LABEL table — always (id, rep) pairs, never document payloads —
+    * and the driver loop only checks convergence (a count per round —
+    * control flow, not data movement). Rounds needed = graph diameter,
+    * which for
     * near-dup graphs (cliques and short chains) is small; for
     * adversarial long-path graphs switch to alternating star
     * contraction (O(log n) rounds) — same join/agg building blocks.
@@ -286,8 +289,10 @@ object Dedup {
       it += 1
     }
     edges.unpersist()
-    if (!converged)
+    if (!converged) {
+      labels.unpersist() // don't leak the last round's cache on the throw path
       throw new IllegalStateException(s"connectedComponents: no fixpoint after $maxIter rounds")
+    }
     labels
   }
 

@@ -34,14 +34,8 @@ object DedupQueries {
       (s, dir) => Staged.docNearDupPairs(s, dir)
         .orderBy("doc_a", "doc_b"),
       Some(s"""WITH ${QueryDef.shingleCtes()},
-             |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
-             |pairs AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
-             |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-             |          GROUP BY 1, 2)
-             |SELECT da AS doc_a, db AS doc_b,
-             |  CAST(floor(100.0 * inter / (sa.n + sb.n - inter)) AS BIGINT) AS jacc_pct
-             |FROM pairs JOIN sizes sa ON sa.doc_id = da JOIN sizes sb ON sb.doc_id = db
-             |WHERE inter * 5 >= (sa.n + sb.n - inter) * 2
+             |${QueryDef.jaccardPairCtes(2, 5)}
+             |SELECT da AS doc_a, db AS doc_b, jacc_pct FROM qp
              |ORDER BY 1, 2""".stripMargin)),
 
     // EXACT n-gram Jaccard similarity join at jaccard >= 0.5 via
@@ -55,34 +49,22 @@ object DedupQueries {
           num = 1, den = 2)
         .orderBy("doc_a", "doc_b"),
       Some(s"""WITH ${QueryDef.shingleCtes()},
-             |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
-             |pairs AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
-             |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-             |          GROUP BY 1, 2)
-             |SELECT da AS doc_a, db AS doc_b,
-             |  CAST(floor(100.0 * inter / (sa.n + sb.n - inter)) AS BIGINT) AS jacc_pct
-             |FROM pairs JOIN sizes sa ON sa.doc_id = da JOIN sizes sb ON sb.doc_id = db
-             |WHERE inter * 2 >= (sa.n + sb.n - inter) * 1
+             |${QueryDef.jaccardPairCtes(1, 2)}
+             |SELECT da AS doc_a, db AS doc_b, jacc_pct FROM qp
              |ORDER BY 1, 2""".stripMargin)),
 
     // Transitive dedup clusters: connected components over the d2
     // near-dup pair graph — every doc labeled with the min reachable
     // doc id (the dedup representative). Distributed min-label
-    // propagation, one shuffle per round; the oracle closes the same
-    // pair graph with a recursive CTE, so the full labeling is checked
-    // exactly.
+    // propagation over the (id, rep) label table, diameter-bounded
+    // rounds; the oracle closes the same pair graph with a recursive
+    // CTE, so the full labeling is checked exactly.
     "d6_dup_clusters" -> QueryDef(
       (s, dir) => Staged.docDupComponents(s, dir)
         .select(col("id").as("doc_id"), col("rep"))
         .orderBy("doc_id"),
       Some(s"""WITH RECURSIVE ${QueryDef.shingleCtes()},
-             |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
-             |prs AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
-             |        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-             |        GROUP BY 1, 2),
-             |qp AS (SELECT da, db FROM prs
-             |       JOIN sizes sa ON sa.doc_id = da JOIN sizes sb ON sb.doc_id = db
-             |       WHERE inter * 5 >= (sa.n + sb.n - inter) * 2),
+             |${QueryDef.jaccardPairCtes(2, 5)},
              |edges AS (SELECT da AS src, db AS dst FROM qp
              |          UNION SELECT db, da FROM qp),
              |reach(a, b) AS (

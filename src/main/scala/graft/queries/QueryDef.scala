@@ -41,6 +41,23 @@ object QueryDef {
        |sh AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+${n - 1}], ' ') AS s
        |       FROM words, UNNEST(range(1, len(w) - ${n - 2})) AS t(i))""".stripMargin
 
+  /** DuckDB CTE chain (`sizes`, `prs`, `qp`) computing the exact
+    * qualifying jaccard pairs over the `sh` shingle CTE at threshold
+    * num/den — the ONE rendering of the pair-graph derivation shared
+    * by the d2/d5 pair oracles and the d6 closure oracle (so a
+    * threshold change cannot desynchronize them). `qp` carries
+    * (da, db, jacc_pct).
+    */
+  def jaccardPairCtes(num: Int, den: Int): String =
+    s"""sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+       |prs AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
+       |        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+       |        GROUP BY 1, 2),
+       |qp AS (SELECT da, db,
+       |    CAST(floor(100.0 * inter / (sa.n + sb.n - inter)) AS BIGINT) AS jacc_pct
+       |  FROM prs JOIN sizes sa ON sa.doc_id = da JOIN sizes sb ON sb.doc_id = db
+       |  WHERE inter * $den >= (sa.n + sb.n - inter) * $num)""".stripMargin
+
   /** DuckDB CTE chain computing `hv` = [[graft.functions.KMinAgg.scramble]]
     * of the poly hash of `keyExpr`, carrying `carried` columns from
     * `source` — the ONE SQL rendering of the scramble constants.

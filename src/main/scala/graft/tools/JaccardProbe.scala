@@ -23,11 +23,15 @@ object JaccardProbe {
     }
     val nTok = timed("tokens")(
       sh.select(explode(col("__sh"))).count())
+    // persist so the verify timing measures ONLY the verify join, not
+    // a silent second pass of the candidate stage
     val cands = Dedup.ngramJaccardCandidates(sh, "doc_id", "__sh", num = 1, den = 2)
+      .persist()
     val nCand = timed("candidate pairs")(cands.count())
     val nOut = timed("verified pairs")(
-      Dedup.ngramJaccardPairs(sh, "doc_id", "__sh", num = 1, den = 2).count())
+      Dedup.verifyJaccard(cands, sh, "doc_id", "__sh", num = 1, den = 2).count())
     println(s"[probe] tokens=$nTok cands=$nCand verified=$nOut")
+    cands.unpersist()
     spark.stop()
   }
 }

@@ -32,8 +32,10 @@ class PlanShapeSpec extends SparkTestBase {
   private val sf = "/root/testdata/sf0.001"
 
   test("q38 stratified sample: the hash-threshold filter runs scan-side") {
+    // static plan is the right surface here: DataFilters placement is
+    // decided at planning time (running the query would build its own
+    // separate QueryExecution and change nothing in this assertion)
     val df = graft.SparkEntry.queries("q38_stratified_sample")(spark, sf)
-    df.write.format("noop").mode("overwrite").save()
     // the Bernoulli keep-test must sit in the scan stage's data
     // filters — a post-shuffle filter would ship the dropped rows
     val plan = df.queryExecution.executedPlan.toString()
@@ -43,7 +45,6 @@ class PlanShapeSpec extends SparkTestBase {
 
   test("t7 count-min: the candidate estimate join broadcasts") {
     val df = graft.SparkEntry.queries("t7_cms_heavy_hitters")(spark, sf)
-    df.write.format("noop").mode("overwrite").save()
     val plan = df.queryExecution.executedPlan.toString()
     assert(plan.contains("BroadcastHashJoin"), plan.take(800))
   }
