@@ -725,6 +725,63 @@ object Relational {
              |  CAST(sum(qc) * 1000 // max(pm) AS BIGINT) AS est_total_qty_c
              |FROM smp GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // ---- unpivot (melt): the inverse of q31's pivot — wide measure
+    // columns to (key, measure, value) rows via the native unpivot
+    // operator (a generator, no shuffle; the orderBy here is only for
+    // the deterministic gate). Oracle uses the portable UNION ALL
+    // rendering rather than dialect UNPIVOT syntax.
+    "q41_unpivot" -> QueryDef(
+      (s, dir) => table(s, dir, "lineitem")
+        .filter(col("l_quantity") <= 3)
+        .select(col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
+          cents(col("l_quantity")).as("qty_c"), cents(col("l_extendedprice")).as("price_c"))
+        .unpivot(Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("qty_c"), col("price_c")), "measure", "value_c")
+        .orderBy("l_orderkey", "l_linenumber", "measure"),
+      Some("""WITH src AS (
+             |  SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+             |    CAST(round(l_quantity*100) AS BIGINT) AS qty_c,
+             |    CAST(round(l_extendedprice*100) AS BIGINT) AS price_c
+             |  FROM lineitem WHERE l_quantity <= 3)
+             |SELECT l_orderkey, l_linenumber, 'qty_c' AS measure, qty_c AS value_c FROM src
+             |UNION ALL
+             |SELECT l_orderkey, l_linenumber, 'price_c', price_c FROM src
+             |ORDER BY 1, 2, 3""".stripMargin)),
+
+    // ---- latest record per key WITHOUT a sort: max_by over a
+    // composite (date, key) tie-break — one map-side-combining
+    // aggregate, O(1) state per group, vs the window row_number
+    // formulation's full per-group sort. The tie-break encodes as one
+    // BIGINT (epoch-days * 1e10 + orderkey; keys < 1e10 by TPC-H
+    // construction) because DuckDB's arg_max takes scalar comparators
+    // only — same encoded key on both engines.
+    "q42_latest_per_key" -> QueryDef(
+      (s, dir) => {
+        val sortKey = datediff(col("o_orderdate"), lit("1970-01-01")).cast("long") *
+          lit(10000000000L) + col("o_orderkey")
+        table(s, dir, "orders")
+          .select(col("o_custkey"), col("o_orderdate"), col("o_orderkey"),
+            cents(col("o_totalprice")).as("total_c"))
+          .groupBy("o_custkey")
+          .agg(max_by(struct(col("o_orderdate"), col("o_orderkey"), col("total_c")),
+            sortKey).as("m"))
+          .select(col("o_custkey"),
+            date_format(col("m.o_orderdate"), "yyyy-MM-dd").as("latest_date"),
+            col("m.o_orderkey").as("o_orderkey"), col("m.total_c").as("total_c"))
+          .orderBy("o_custkey")
+      },
+      Some("""WITH src AS (
+             |  SELECT o_custkey, o_orderdate, o_orderkey,
+             |    CAST(round(o_totalprice*100) AS BIGINT) AS total_c,
+             |    CAST(date_diff('day', DATE '1970-01-01', o_orderdate) AS BIGINT)
+             |      * 10000000000 + o_orderkey AS sk
+             |  FROM orders)
+             |SELECT o_custkey,
+             |  strftime(arg_max(o_orderdate, sk), '%Y-%m-%d') AS latest_date,
+             |  arg_max(o_orderkey, sk) AS o_orderkey,
+             |  arg_max(total_c, sk) AS total_c
+             |FROM src GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // ---- deterministic uniform sample + quantile estimate: bottom-k
     // rows by scrambled row-key hash IS a simple random sample (the
     // distributed consistent-sampling pattern), so the sample median
