@@ -447,6 +447,42 @@ class AsOfJoinSpec extends SparkTestBase {
     val out = AsOfJoin.backward(left, right, "k", "rk", "t", "rt", Seq("v"), inner = false)
     assert(out.count() == 1 && out.filter(col("v").isNull).count() == 1)
   }
+
+  test("dedupRightBy collapses duplicate right (key,time) rows deterministically") {
+    val left = Seq((1L, 10L, "e1"), (1L, 3L, "e2")).toDF("k", "t", "ev")
+    // two right rows at (1, 5): without dedup the fill would be
+    // nondeterministic; max_by(v) must keep v=200
+    val right = Seq((1L, 5L, 100L), (1L, 5L, 200L), (1L, 8L, 50L))
+      .toDF("rk", "rt", "v")
+    val bw = AsOfJoin.backward(left, right, "k", "rk", "t", "rt", Seq("v"),
+      dedupRightBy = Some(col("v")))
+      .select("ev", "v").as[(String, Long)].collect().toMap
+    assert(bw == Map("e1" -> 50L)) // e2 at t=3 precedes all right rows
+    val fw = AsOfJoin.forward(left, right, "k", "rk", "t", "rt", Seq("v"),
+      dedupRightBy = Some(col("v")))
+      .select("ev", "v").as[(String, Long)].collect().toMap
+    assert(fw == Map("e2" -> 200L)) // earliest right >= 3 is the deduped (1,5) row
+    val nr = AsOfJoin.nearest(left, right, "k", "rk", "t", "rt", Seq("v"),
+      dedupRightBy = Some(col("v")))
+      .select("ev", "v").as[(String, Long)].collect().toMap
+    assert(nr == Map("e1" -> 50L, "e2" -> 200L))
+  }
+
+  test("forward/nearest fills use running frames only (no O(k^2) following frame)") {
+    // plan-shape guard for the hot-key fix: every window frame in the
+    // physical plan must be "unboundedpreceding$() ... currentrow$()" —
+    // an unboundedfollowing$() frame would re-aggregate the partition
+    // suffix per row
+    val left = Seq((1L, 10L, "e1")).toDF("k", "t", "ev")
+    val right = Seq((1L, 5L, 100L)).toDF("rk", "rt", "v")
+    for (out <- Seq(
+        AsOfJoin.forward(left, right, "k", "rk", "t", "rt", Seq("v")),
+        AsOfJoin.nearest(left, right, "k", "rk", "t", "rt", Seq("v")))) {
+      val plan = out.queryExecution.executedPlan.toString
+      assert(!plan.toLowerCase.contains("unboundedfollowing"),
+        s"following-frame window found in plan:\n$plan")
+    }
+  }
 }
 
 class TextOpsSpec extends SparkTestBase {
