@@ -267,6 +267,15 @@ final case class DcaFrame(
       "shape mismatch: indexing arrays could not be broadcast together " +
         s"with lengths ${lists.map(_.length).mkString(", ")}")
     val len = non1.headOption.getOrElse(1)
+    // guard the resolved-input precondition (Indexing.resolve validates
+    // bounds and folds negatives); an unresolved index reaching the
+    // equi-join below would silently DROP rows instead of raising the
+    // numpy IndexError contract gatherAxis documents
+    positions.zip(lists).foreach { case (ax, l) =>
+      l.foreach(i => require(i >= 0 && i < shape(ax),
+        s"index $i is out of bounds for axis $ax with size ${shape(ax)} " +
+          "(gatherZip requires resolved, in-bounds indices)"))
+    }
     val expanded = lists.map(l => if (l.length == len) l else Vector.fill(len)(l.head))
     ((0 until m).map(a => s"__src$a") :+ "__zpos").foreach { r =>
       require(!df.columns.contains(r), s"$r is a reserved column name") }

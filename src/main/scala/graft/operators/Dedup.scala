@@ -185,12 +185,20 @@ object Dedup {
     * Per-doc work is a sort of the doc's own token list (bounded by
     * doc length).
     *
+    * The shingles column must be a duplicate-free SET per row: prefix
+    * lengths count exploded rows and the verify uses size()-based set
+    * arithmetic, so duplicate elements would skew both. The operator
+    * enforces it below with array_distinct (a no-op on already-distinct
+    * input, e.g. [[TextOps.shingles]] output).
+    *
     * @param num/den rational threshold t = num/den (float-free test)
     */
   def ngramJaccardPairs(shingled: DataFrame, idCol: String, shinglesCol: String,
-                        num: Int, den: Int): DataFrame =
-    verifyJaccard(ngramJaccardCandidates(shingled, idCol, shinglesCol, num, den),
-      shingled, idCol, shinglesCol, num, den)
+                        num: Int, den: Int): DataFrame = {
+    val asSet = shingled.withColumn(shinglesCol, array_distinct(col(shinglesCol)))
+    verifyJaccard(ngramJaccardCandidates(asSet, idCol, shinglesCol, num, den),
+      asSet, idCol, shinglesCol, num, den)
+  }
 
   /** Candidate-pair stage of [[ngramJaccardPairs]], exposed so sizing
     * tools measure the SHIPPED pipeline rather than a copy.
