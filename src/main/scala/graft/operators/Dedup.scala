@@ -286,9 +286,17 @@ object Dedup {
       // rep'(v) = min(rep(v), min over neighbors u of rep(u))
       val viaEdges = labels.join(edges, labels("id") === edges("src"))
         .select(col("dst").as("id"), col("rep"))
-      val next = labels.select(col("id"), col("rep")).union(viaEdges)
+      var next = labels.select(col("id"), col("rep")).union(viaEdges)
         .groupBy("id").agg(min("rep").as("rep"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // truncate lineage every few rounds: without it the returned plan
+      // deepens linearly with rounds, and an executor that later loses
+      // cached partitions would replay EVERY round through already-
+      // unpersisted intermediates. localCheckpoint keeps the iterative
+      // chain shallow at the cost of a materialization it was paying
+      // anyway (the convergence count below materializes the round).
+      next =
+        if ((it + 1) % 5 == 0) next.localCheckpoint(eager = true)
+        else next.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val changed = next.as("n").join(labels.as("o"), col("n.id") === col("o.id"))
         .filter(col("n.rep") =!= col("o.rep")).count()
       labels.unpersist()
@@ -299,8 +307,97 @@ object Dedup {
     edges.unpersist()
     if (!converged) {
       labels.unpersist() // don't leak the last round's cache on the throw path
-      throw new IllegalStateException(s"connectedComponents: no fixpoint after $maxIter rounds")
+      throw new IllegalStateException(
+        s"connectedComponents: no fixpoint after $maxIter rounds " +
+          "(diameter exceeds budget — use connectedComponentsStar, whose " +
+          "round count is logarithmic in component size)")
     }
+    // the frame handed to the caller must not be backed by the full
+    // iterative lineage: checkpoint it (one scan of the warm cache) so
+    // recomputation after executor cache loss replays one block read,
+    // not every round — then release the loop's own cache entry
+    val out = labels.localCheckpoint(eager = true)
+    labels.unpersist()
+    out
+  }
+
+  /** Connected components via ALTERNATING STAR CONTRACTION — same
+    * contract as [[connectedComponents]] (same input/output schema,
+    * persisted result, min-id representative) but with round count
+    * logarithmic in component size instead of linear in diameter, so it
+    * is the variant to use when the pair graph can contain long chains
+    * (adversarial near-dup graphs; transitive key-collision chains).
+    *
+    * Algorithm (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond", SOCC'14 — public literature):
+    *   large-star: every node u links each STRICTLY LARGER neighbor to
+    *     m(u) = min(N(u) ∪ {u});
+    *   small-star: with edges canonicalized (larger → smaller), every
+    *     node u links each smaller neighbor and itself to m(u).
+    * Both preserve connectivity; alternating them converges to the
+    * fixpoint where every component is a star centered on its min id.
+    *
+    * Scale shape per round: one groupBy + one join over the EDGE table
+    * (id pairs only, payload-free), map-side combinable; lineage is
+    * localCheckpoint-truncated every few rounds like the label loop.
+    * Self-loops are dropped each round so the edge table shrinks as
+    * components contract.
+    */
+  def connectedComponentsStar(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    var edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .filter(col("src") =!= col("dst")).distinct()
+      .persist(MEMORY_AND_DISK)
+    // all vertices, captured BEFORE contraction erases degree-1 chains
+    val vertices = edges.select(col("src").as("id"))
+      .union(edges.select(col("dst").as("id"))).distinct()
+      .persist(MEMORY_AND_DISK)
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIter) {
+      // ---- large-star ----
+      val bidir = edges.union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      val lmins = bidir.groupBy("src")
+        .agg(min("dst").as("mn"))
+        .select(col("src"), least(col("mn"), col("src")).as("mn"))
+      val large = bidir.join(lmins, "src")
+        .filter(col("dst") > col("src"))
+        .select(col("dst").as("src"), col("mn").as("dst"))
+        .filter(col("src") =!= col("dst")).distinct()
+      // ---- small-star (on canonical larger→smaller edges) ----
+      val canon = large.select(greatest(col("src"), col("dst")).as("src"),
+        least(col("src"), col("dst")).as("dst"))
+      val smins = canon.groupBy("src").agg(min("dst").as("mn"))
+      val small = canon.join(smins, "src")
+        .select(col("dst").as("src"), col("mn").as("dst"))
+        .union(smins.select(col("src"), col("mn").as("dst")))
+        .filter(col("src") =!= col("dst")).distinct()
+      val next =
+        if ((it + 1) % 3 == 0) small.localCheckpoint(eager = true)
+        else small.persist(MEMORY_AND_DISK)
+      // fixpoint test: the edge set is unchanged (both anti-join counts
+      // zero). Each count also materializes `next`, so the persist above
+      // is warm before the old round releases.
+      val grew = next.join(edges, Seq("src", "dst"), "left_anti").count()
+      converged = grew == 0 &&
+        edges.join(next, Seq("src", "dst"), "left_anti").count() == 0
+      edges.unpersist()
+      edges = next
+      it += 1
+    }
+    if (!converged) {
+      edges.unpersist(); vertices.unpersist()
+      throw new IllegalStateException(
+        s"connectedComponentsStar: no fixpoint after $maxIter rounds")
+    }
+    // at the fixpoint every component is a star (v → min). Labels = the
+    // star edges plus a self-label for every vertex not covered (roots,
+    // and any vertex whose edges contracted away entirely).
+    val labels = vertices
+      .join(edges.select(col("src").as("id"), col("dst").as("rep")), Seq("id"), "left")
+      .select(col("id"), coalesce(col("rep"), col("id")).as("rep"))
+      .localCheckpoint(eager = true)
+    edges.unpersist(); vertices.unpersist()
     labels
   }
 

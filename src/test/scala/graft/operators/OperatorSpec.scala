@@ -121,6 +121,31 @@ class DedupSpec extends SparkTestBase {
     }
   }
 
+  test("star contraction matches min-label on mixed components") {
+    val pairs = Seq((5L, 4L), (4L, 3L), (3L, 2L), (2L, 1L),
+      (10L, 11L), (11L, 12L), (10L, 12L), (21L, 20L))
+      .toDF("doc_a", "doc_b")
+    val got = Dedup.connectedComponentsStar(pairs)
+    val rows = got.as[(Long, Long)].collect().toSet
+    got.unpersist()
+    assert(rows == Set(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
+  test("star contraction labels a long path in logarithmic rounds") {
+    // a 256-node path has diameter 255: min-label propagation would need
+    // 255 rounds (and throws at its default 20), while alternating star
+    // contraction must finish within the 20-round budget given here
+    // (theory: O(log^2 n), practice ~log2(256)=8)
+    val n = 256L
+    val chain = (1L until n).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val got = Dedup.connectedComponentsStar(chain, maxIter = 20)
+    val rows = got.as[(Long, Long)].collect()
+    got.unpersist()
+    assert(rows.length == n)
+    assert(rows.forall(_._2 == 1L), s"non-min rep in ${rows.filter(_._2 != 1L).take(5).toSeq}")
+  }
+
   test("simhash pairs near-dups within hamming budget") {
     val d = docs(1L -> base, 2L -> nearDup, 3L -> unrelated)
     val pairs = Dedup.simhashPairs(d, "text", "doc_id", maxHamming = 10)
