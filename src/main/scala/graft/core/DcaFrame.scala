@@ -232,32 +232,55 @@ final case class DcaFrame(
     val fin = interShape.indices.foldLeft(out)((d, i) => d.withColumnRenamed(s"__oidx$i", s"__idx$i"))
     val basic = derived(df = fin, shape = interShape)
     val gs = gathers.result()
-    if (gs.size <= 1)
-      gs.foldLeft(basic) { case (f, (pos, idxs)) => f.gatherAxis(idxs, pos) }
+    // numpy multi-advanced-index semantics: the index arrays broadcast
+    // together and are applied DIAGONALLY (p[[a,b],[c,d]] picks
+    // (a,c),(b,d) — array_dataclass_test.py:459-494). PLACEMENT follows
+    // numpy's two-case rule: when the advanced items — bare ints COUNT
+    // as advanced here — are separated by a slice/newaxis, the broadcast
+    // result dims move to the FRONT of the result (p[arr, :, arr] and
+    // even p[2, :, arr]); when they are all adjacent (an Int between two
+    // arrays does not separate), the dims are inserted in place at the
+    // first advanced position. An Int participates in the zip as a
+    // scalar — already applied as a filter above, it contributes no
+    // result dim, exactly numpy's () broadcast.
+    if (gs.isEmpty) basic
     else {
-      // numpy multi-advanced-index semantics: the index arrays broadcast
-      // together and are applied DIAGONALLY (p[[a,b],[c,d]] picks
-      // (a,c),(b,d) — array_dataclass_test.py:459-494). Supported when
-      // the advanced axes end up adjacent after the basic items (an Int
-      // between them vanishes, so it does not separate); numpy's
-      // move-to-front rule for slice-separated advanced indices is
-      // rejected rather than silently misplaced.
-      val positions = gs.map(_._1)
-      require(positions.zip(positions.tail).forall { case (a, b) => b == a + 1 },
-        s"integer-array indices separated by a slice/newaxis are not supported " +
-          s"(numpy would move the result dims to the front); gather axes were at $positions")
-      basic.gatherZip(positions, gs.map(_._2))
+      val advancedAt = resolved.zipWithIndex.collect {
+        case ((_, Indexing.Resolved.Int(_)), i)    => i
+        case ((_, Indexing.Resolved.Gather(_)), i) => i
+      }
+      val separated = advancedAt.size >= 2 &&
+        resolved.slice(advancedAt.head + 1, advancedAt.last).exists {
+          case (_, Indexing.Resolved.Slice(_, _, _)) => true
+          case (_, Indexing.Resolved.New)            => true
+          case _                                     => false
+        }
+      if (separated) basic.gatherZip(gs.map(_._1), gs.map(_._2), toFront = true)
+      else if (gs.size == 1) basic.gatherAxis(gs.head._2, gs.head._1)
+      else {
+        val positions = gs.map(_._1)
+        require(positions.zip(positions.tail).forall { case (a, b) => b == a + 1 },
+          s"internal: non-separated advanced indices must be adjacent, got $positions")
+        basic.gatherZip(positions, gs.map(_._2))
+      }
     }
   }
 
   /** Diagonal (zipped) multi-axis gather: element k of the result takes
     * input index `lists(a)(k)` on each gathered axis `positions(a)` —
-    * numpy's broadcast-and-zip semantics for multiple adjacent advanced
-    * indices. Executed as ONE broadcast equi-join on the composite key
-    * (never a chain of per-axis gathers, which would outer-product).
-    * Length-1 lists broadcast to the common length.
+    * numpy's broadcast-and-zip semantics for multiple advanced indices.
+    * Executed as ONE broadcast equi-join on the composite key (never a
+    * chain of per-axis gathers, which would outer-product). Length-1
+    * lists broadcast to the common length.
+    *
+    * Placement: the zipped result dim replaces the gathered axes IN
+    * PLACE (at the first gathered position — requires the positions be
+    * adjacent) or, with `toFront`, lands at axis 0 with every
+    * non-gathered axis following in order — numpy's rule for advanced
+    * indices separated by a slice/newaxis.
     */
-  private def gatherZip(positions: Vector[Int], lists: Vector[Vector[Long]]): DcaFrame = {
+  private def gatherZip(positions: Vector[Int], lists: Vector[Vector[Long]],
+                        toFront: Boolean = false): DcaFrame = {
     import org.apache.spark.sql.types.StructField
     val m = positions.length
     // numpy broadcast rule per dim: all non-1 lengths must agree (so
@@ -288,11 +311,22 @@ final case class DcaFrame(
     val cond = positions.zipWithIndex
       .map { case (ax, a) => col(s"__idx$ax") === col(s"__src$a") }.reduce(_ && _)
     val joined = df.join(broadcast(idxDf), cond)
-    val p0 = positions.head
-    val outIdx = (0 until p0).map(i => col(s"__idx$i").as(s"__idx$i")) ++
-      Seq(col("__zpos").as(s"__idx$p0")) ++
-      ((positions.last + 1) until ndim).map(j => col(s"__idx$j").as(s"__idx${j - (m - 1)}"))
-    val newShape = (shape.take(p0) :+ len.toLong) ++ shape.drop(positions.last + 1)
+    val posSet = positions.toSet
+    val kept = (0 until ndim).filterNot(posSet).toVector
+    // in-place insertion point = number of kept axes before the first
+    // gathered axis (with adjacent positions that is exactly
+    // positions.head); toFront pins the zipped dim at axis 0
+    val insertAt = if (toFront) 0 else {
+      require(positions.zip(positions.tail).forall { case (a, b) => b == a + 1 },
+        s"in-place gatherZip requires adjacent axes, got $positions")
+      kept.count(_ < positions.head)
+    }
+    val keptBefore = kept.take(insertAt)
+    val keptAfter = kept.drop(insertAt)
+    val outIdx = keptBefore.zipWithIndex.map { case (ax, i) => col(s"__idx$ax").as(s"__idx$i") } ++
+      Seq(col("__zpos").as(s"__idx$insertAt")) ++
+      keptAfter.zipWithIndex.map { case (ax, i) => col(s"__idx$ax").as(s"__idx${insertAt + 1 + i}") }
+    val newShape = (keptBefore.map(shape) :+ len.toLong) ++ keptAfter.map(shape)
     derived(df = joined.select(outIdx ++ arrayCols.map(col): _*), shape = newShape)
   }
 

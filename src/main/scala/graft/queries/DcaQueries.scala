@@ -160,6 +160,23 @@ object DcaQueries {
           |WHERE b.rn < 6000
           |ORDER BY 1, 2""".stripMargin)),
 
+    // S8f: SLICE-SEPARATED advanced indices — p[arr0, :, arr1] on a
+    // (500, 4, 3) frame: numpy's move-to-front rule (the arrays zip
+    // diagonally and the broadcast dim lands at axis 0, the sliced
+    // middle axis follows). Negative indices on both arrays and a
+    // repeated row; still ONE composite-key broadcast join.
+    "dca_s8f_sep_advanced" -> QueryDef(
+      (s, dir) => out(liFrame(s, dir)(Ix.S(None, Some(6000))).reshape(500, 4, 3)
+        .apply(Ix.A(Seq(7L, 3L, -1L, 499L, 0L)), Ix.All, Ix.A(Seq(0L, 2L, 1L, -3L, 1L)))),
+      Some(baseCte + """,
+          |  g(pos, s0, s2) AS (VALUES
+          |    (0, 7, 0), (1, 3, 2), (2, 499, 1), (3, 499, 0), (4, 0, 1))
+          |SELECT CAST(g.pos AS BIGINT) AS __idx0, (b.rn % 12) // 3 AS __idx1,
+          |  b.l_orderkey, b.l_linenumber, b.qty_c
+          |FROM g JOIN base b ON b.rn // 12 = g.s0 AND b.rn % 3 = g.s2
+          |WHERE b.rn < 6000
+          |ORDER BY 1, 2""".stripMargin)),
+
     // S9: __iter__ over the first dim — each yielded element is a
     // basic int-index view (shape (4,)); re-stacking three consecutive
     // elements proves the per-element views carry the right rows in

@@ -101,10 +101,16 @@ object EventStream {
   def cleaningPipeline(docs: DataFrame, window_ : String = "1 hour",
                        watermark: String = "30 minutes"): DataFrame = {
     import graft.operators.TextOps
-    docs
-      .withColumn("ets", timestamp_micros(col("tsUs")))
-      .withWatermark("ets", watermark)
-      .dropDuplicatesWithinWatermark("doc_id")
+    val stamped = docs.withColumn("ets", timestamp_micros(col("tsUs")))
+    // batch-equivalent semantics, one function: in a stream the dedup is
+    // state-bounded by the watermark; on a static frame Spark rejects
+    // dropDuplicatesWithinWatermark, and plain dropDuplicates IS its
+    // batch meaning (EventStreamSpec pins stream==batch on one fixture)
+    val deduped =
+      if (docs.isStreaming)
+        stamped.withWatermark("ets", watermark).dropDuplicatesWithinWatermark("doc_id")
+      else stamped.dropDuplicates("doc_id")
+    deduped
       .filter(TextOps.qualityPass(col("text"), length(col("text"))))
       .select(col("ets"), TextOps.langId(col("text")).as("lang"),
         TextOps.tokenCount(col("text")).as("n_tokens"))

@@ -209,8 +209,51 @@ class DcaFrameSpec extends SparkTestBase {
     val mid = q(Ix.A(Seq(1L, 3L)), Ix.I(1L), Ix.A(Seq(0L, 2L)))
     assert(mid.shape == Vector(2L))
     assert(idxAndX(mid).map(_._2) == Seq((1 * 6 + 1 * 3 + 0).toDouble, (3 * 6 + 1 * 3 + 2).toDouble))
-    // slice-separated advanced indices reject (numpy moves dims front)
-    intercept[IllegalArgumentException](q(Ix.A(Seq(0L)), Ix.All, Ix.A(Seq(0L))))
+  }
+
+  test("slice-separated advanced indices move result dims to the front (S8f)") {
+    // numpy's two-case placement rule: q[arr0, :, arr1] zips the arrays
+    // and puts the broadcast dim FIRST, the sliced axis after —
+    // np.index_exp[arr, :, arr] from the reference grid
+    // (array_dataclass_test.py:459-494); value at (i,j,k) is i*6+j*3+k
+    val q = points(24).reshape(4, 2, 3)
+    val sep = q(Ix.A(Seq(1L, 3L)), Ix.All, Ix.A(Seq(0L, 2L)))
+    assert(sep.shape == Vector(2L, 2L))
+    assert(idxAndX(sep).map(_._2) ==
+      Seq(6.0, 9.0, 20.0, 23.0)) // (k,j) -> q[a0(k), j, a1(k)]
+    // grid over broadcastable array pairs, same model as the S8d grid:
+    // result (k, j) = q[e0(k), j, e2(k)] with dims (len, 2)
+    val arrs0 = Seq(Seq(0L), Seq(3L, 0L), Seq(1L, -1L, 1L))
+    val arrs2 = Seq(Seq(0L), Seq(2L, -3L), Seq(1L))
+    for (a0 <- arrs0; a2 <- arrs2
+         if a0.length == a2.length || a0.length == 1 || a2.length == 1) {
+      val len = math.max(a0.length, a2.length)
+      val e0 = (if (a0.length == len) a0 else Seq.fill(len)(a0.head))
+        .map(i => if (i < 0) i + 4 else i)
+      val e2 = (if (a2.length == len) a2 else Seq.fill(len)(a2.head))
+        .map(k => if (k < 0) k + 3 else k)
+      val want = for (z <- 0 until len; j <- 0 until 2)
+        yield (e0(z) * 6 + j * 3 + e2(z)).toDouble
+      val got = q(Ix.A(a0), Ix.All, Ix.A(a2))
+      assert(got.shape == Vector(len.toLong, 2L), s"shape for $a0 / $a2")
+      assert(idxAndX(got).map(_._2) == want, s"values for $a0 / $a2")
+    }
+    // a bare int COUNTS as an advanced index for placement: q[2, :, arr]
+    // is separated, so numpy yields (len, 2), NOT (2, len)
+    val intSep = q(Ix.I(2L), Ix.All, Ix.A(Seq(0L, 1L)))
+    assert(intSep.shape == Vector(2L, 2L))
+    assert(idxAndX(intSep).map(_._2) == Seq(12.0, 15.0, 13.0, 16.0))
+    // newaxis separates too: q[arr, None, arr] -> (len, 1, 3)
+    val nx = q(Ix.A(Seq(1L)), Ix.NewAxis, Ix.A(Seq(1L)))
+    assert(nx.shape == Vector(1L, 1L, 3L))
+    assert(idxAndX(nx).map(_._2) == Seq(9.0, 10.0, 11.0))
+    // broadcast still applies across the separation; negatives resolve
+    val bc = q(Ix.A(Seq(-1L)), Ix.All, Ix.A(Seq(0L, 2L)))
+    assert(bc.shape == Vector(2L, 2L))
+    assert(idxAndX(bc).map(_._2) == Seq(18.0, 21.0, 20.0, 23.0))
+    // non-broadcastable lengths still reject in the separated form
+    intercept[IllegalArgumentException](
+      q(Ix.A(Seq(0L, 1L)), Ix.All, Ix.A(Seq(0L, 1L, 2L))))
   }
 
   test("vectorizeZip: extra trailing dims broadcast (V2)") {

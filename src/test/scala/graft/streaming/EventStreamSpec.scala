@@ -210,6 +210,40 @@ class EventStreamSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("cleaning pipeline: batch execution of the SAME plan matches streamed finalized windows") {
+    implicit val sqlCtx = spark.sqlContext
+    val T0 = 86400L * 1000000L // window [24h, 25h)
+    val en = ("the quick brown fox jumps over the lazy dog and runs far away " * 2).trim
+    val de = "der hund und die katze ist nicht ein tier zu haus in der stadt " +
+      "und die maus ist auch ein tier der vogel ist frei"
+    val junk = "too short"
+    val core = Seq((1L, T0, en), (1L, T0 + Min, en), (2L, T0, de), (3L, T0, junk))
+    // batch: the IDENTICAL function over a static frame — withWatermark
+    // is a no-op and dropDuplicatesWithinWatermark degrades to
+    // dropDuplicates in batch mode, so any divergence from the streamed
+    // finalized output is an engine-semantics bug, not a fixture choice
+    val batch = EventStream.cleaningPipeline(core.toDF("doc_id", "tsUs", "text"))
+      .selectExpr("CAST(w_start AS LONG) AS ws", "lang", "n_docs", "sum_tokens")
+      .as[(Long, String, Long, Long)].collect().toSet
+    // streaming: same rows, plus two watermark-advance ticks so the
+    // [24h, 25h) window finalizes (the tick rows' own window does not —
+    // it must NOT appear; the batch run never sees them)
+    val input = MemoryStream[(Long, Long, String)]
+    val q = EventStream.cleaningPipeline(input.toDF().toDF("doc_id", "tsUs", "text"))
+      .writeStream.format("memory").queryName("clean_eq")
+      .outputMode(OutputMode.Append).start()
+    val streamed = try {
+      input.addData(core: _*); q.processAllAvailable()
+      input.addData((99L, T0 + 120 * Min, en)); q.processAllAvailable()
+      input.addData((98L, T0 + 121 * Min, en)); q.processAllAvailable()
+      spark.table("clean_eq")
+        .selectExpr("CAST(w_start AS LONG) AS ws", "lang", "n_docs", "sum_tokens")
+        .as[(Long, String, Long, Long)].collect().toSet
+    } finally q.stop()
+    assert(streamed == batch, s"stream/batch drift: streamed=$streamed batch=$batch")
+    assert(batch == Set((86400L, "en", 1L, 26L), (86400L, "de", 1L, 25L)))
+  }
+
   test("windowed counts aggregate per tumbling hour (update mode)") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]
