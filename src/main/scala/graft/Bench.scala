@@ -19,11 +19,17 @@ object Bench {
     // one-time init: codegen, parquet reader, broadcast + shuffle
     // machinery (worth ~3-8 s on whichever query runs first otherwise)
     locally {
-      import org.apache.spark.sql.functions.broadcast
+      import org.apache.spark.sql.functions.{broadcast, col, upper}
       val r = spark.read.parquet(s"$sfDir/region.parquet")
       r.join(broadcast(r.limit(1)), r.columns.headOption.toSeq)
         .groupBy(r.columns.head).count()
         .write.format("noop").mode("overwrite").save()
+      // first upper()/lower() call loads the ICU case-mapping tables
+      // (collation-aware string functions) — a one-time ~14 s JVM cost
+      // that would otherwise bill whichever query touches upper first
+      // (measured: q14 5.5 s first run, 0.3 s after; bare upper() 14 s
+      // first call, 0.09 s after)
+      r.select(upper(col(r.columns(1)))).write.format("noop").mode("overwrite").save()
     }
     // sorted iteration: stable query order across rounds AND across passes,
     // so staged first-touch costs land on the same query every time

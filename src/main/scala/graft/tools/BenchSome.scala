@@ -10,8 +10,10 @@ object BenchSome {
     val spark = graft.GraftSession.builder(s"local[$cpus]", cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // warm-up, then noop sink per query (count() would let Catalyst
-    // prune output expressions and under-measure — same as Bench)
-    spark.range(1000).selectExpr("sum(id)").write.format("noop").mode("overwrite").save()
+    // prune output expressions and under-measure — same as Bench).
+    // upper() forces the one-time ICU case-mapping load (~14 s) out of
+    // the first measured query — same warm-up as Bench.
+    spark.range(1000).selectExpr("sum(id)", "upper('x')").write.format("noop").mode("overwrite").save()
     args.foreach { name =>
       val df = graft.SparkEntry.queries(name)(spark, sfDir)
       val t0 = System.nanoTime()
