@@ -543,4 +543,76 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .select("doc_a", "doc_b", "hamming")
   }
+
+  // ---- corpus-level chunk (paragraph) dedup -------------------------
+
+  /** CCNet-style corpus-level duplicate-paragraph removal, adapted to
+    * newline-free text: segment each document into consecutive k-word
+    * chunks, keep only the globally FIRST occurrence of every distinct
+    * chunk (ordered by (id, chunk position) — deterministic), and
+    * reassemble the surviving chunks in document order.
+    *
+    * Scale shape: the first occurrence per chunk is `min(struct(id,
+    * pos))` under a groupBy on the chunk — a map-side-combining
+    * aggregation, so a boilerplate chunk repeated a billion times
+    * collapses to one row per partition BEFORE the exchange (a window
+    * `row_number() = 1` formulation would instead sort the full hot
+    * group on one reducer). Reassembly shuffles survivors by id only.
+    * Two exchanges total, both skew-tolerant.
+    *
+    * Output: (idCol, clean_text, kept, dropped), one row per input
+    * document ([[graft.operators.TextOps.wordChunks]] is total, so
+    * fully-duplicated docs survive with clean_text = "").
+    *
+    * Reference scope: corpus dedup is north-star pipeline work; the
+    * reference library itself has no text ops (SURVEY.md §2.6).
+    */
+  def chunkDedup(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    val ch = docs.select(col(idCol).as("__id"),
+      posexplode(TextOps.wordChunks(col(textCol), k)).as(Seq("__cidx", "__chunk")))
+    val firsts = ch.groupBy("__chunk")
+      .agg(min(struct(col("__id"), col("__cidx"))).as("__f"))
+      .select(col("__f.__id").as("__id"), col("__f.__cidx").as("__cidx"),
+        col("__chunk"))
+    val rebuilt = firsts.groupBy("__id")
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(struct(col("__cidx"), col("__chunk")))),
+          c => c.getField("__chunk")), " ").as("clean_text"),
+        count(lit(1)).as("kept"))
+    val totals = ch.groupBy("__id").agg(count(lit(1)).as("__total"))
+    totals.join(rebuilt, Seq("__id"), "left")
+      .select(col("__id").as(idCol),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("kept"), lit(0L)).as("kept"),
+        (col("__total") - coalesce(col("kept"), lit(0L))).as("dropped"))
+  }
+
+  // ---- benchmark-contamination report --------------------------------
+
+  /** Train/eval n-gram contamination: for every training document,
+    * count its distinct word n-grams that also appear anywhere in the
+    * eval split. The production shape for "did benchmark text leak
+    * into the training corpus": the eval side (a benchmark suite) is
+    * tiny relative to the corpus, so its distinct gram set broadcasts
+    * and the training side never shuffles its grams at all — the only
+    * exchanges are the eval-side distinct and the per-doc count
+    * aggregations (both map-side combining, keyed by doc id).
+    *
+    * `evalPred` selects the eval split. Output: (idCol, n_overlap,
+    * n_grams, permille) for contaminated training docs only.
+    */
+  def contaminationReport(docs: DataFrame, idCol: String, textCol: String,
+                          n: Int, evalPred: Column => Column): DataFrame = {
+    val sh = docs.select(col(idCol).as("__id"),
+      explode(TextOps.shingles(col(textCol), n)).as("__s"))
+    val ev = sh.filter(evalPred(col("__id"))).select("__s").distinct()
+    val tr = sh.filter(!evalPred(col("__id")))
+    val totals = tr.groupBy("__id").agg(count(lit(1)).as("n_grams"))
+    val overlap = tr.join(broadcast(ev), "__s")
+      .groupBy("__id").agg(count(lit(1)).as("n_overlap"))
+    overlap.join(totals, "__id")
+      .select(col("__id").as(idCol), col("n_overlap"), col("n_grams"),
+        expr("CAST((1000 * n_overlap) DIV n_grams AS BIGINT)").as("permille"))
+  }
 }

@@ -89,17 +89,55 @@ object TextOps {
     aggregate(filter(split(text, ""), c => length(c) > 0), lit(0L),
       (acc, c) => (acc * 31 + ascii(c)) % 1000000007L)
 
-  /** Word n-gram shingles (distinct), the input to MinHash/Jaccard.
-    * Documents shorter than n words get an empty shingle set (the
-    * sequence() guard: Spark generates a DESCENDING sequence when
-    * start > stop, which would index out of range).
+  /** Overlapping word n-grams, occurrence-preserving (NOT distinct) —
+    * the input to repetition-quality signals, where duplicate grams are
+    * the signal itself. Documents shorter than n words get an empty
+    * list (the sequence() guard: Spark generates a DESCENDING sequence
+    * when start > stop, which would index out of range).
     */
-  def shingles(text: Column, n: Int): Column = {
+  def ngrams(text: Column, n: Int): Column = {
     val w = words(text)
     when(size(w) >= n,
-      array_distinct(
-        transform(sequence(lit(0), size(w) - n),
-          i => concat_ws(" ", slice(w, i + 1, lit(n))))))
+      transform(sequence(lit(0), size(w) - n),
+        i => concat_ws(" ", slice(w, i + 1, lit(n)))))
       .otherwise(array().cast("array<string>"))
   }
+
+  /** Word n-gram shingles (distinct), the input to MinHash/Jaccard. */
+  def shingles(text: Column, n: Int): Column = array_distinct(ngrams(text, n))
+
+  /** Consecutive non-overlapping k-word chunks (the last chunk may be
+    * shorter) — the "paragraph" segmentation for corpus-level chunk
+    * dedup on text without newlines. Every document yields >= 1 chunk
+    * (an empty text is one empty chunk), so reassembly is total.
+    */
+  def wordChunks(text: Column, k: Int): Column = {
+    val w = words(text)
+    transform(sequence(lit(0), ceil(size(w) / lit(k.toDouble)).cast("int") - 1),
+      j => concat_ws(" ", slice(w, j * k + 1, lit(k))))
+  }
+
+  // ---- PII detection / redaction ------------------------------------
+  // Conservative patterns kept identical (and identically-behaving)
+  // under Java regex and DuckDB's RE2: character classes + greedy
+  // quantifiers only, no backrefs/lookaround.
+
+  /** email-shaped token */
+  val EmailRe = "[a-z0-9]+@[a-z0-9.]+\\.[a-z]+"
+
+  /** dotted-quad (IPv4-shaped) token */
+  val Ipv4Re = "\\d+\\.\\d+\\.\\d+\\.\\d+"
+
+  /** long digit run (account/phone-number smell) */
+  val DigitRunRe = "\\d{4,}"
+
+  /** Non-overlapping match count of `re` (BIGINT). */
+  def countMatches(c: Column, re: String): Column =
+    regexp_count(c, lit(re)).cast("long")
+
+  /** Redact emails then IPs — count BEFORE redacting (the email
+    * replacement could otherwise splice digit runs together).
+    */
+  def redactPii(text: Column): Column =
+    regexp_replace(regexp_replace(text, EmailRe, "<EMAIL>"), Ipv4Re, "<IP>")
 }

@@ -76,6 +76,47 @@ object DedupQueries {
              |FROM verts v LEFT JOIN reach r ON r.a = v.id
              |GROUP BY v.id ORDER BY 1""".stripMargin)),
 
+    // CCNet-style corpus-level paragraph dedup over 8-word chunks:
+    // every distinct chunk survives exactly once (its globally first
+    // occurrence), documents are reassembled from survivors. The
+    // first-occurrence rule is a map-side-combining min(struct) agg —
+    // skew-tolerant where a window row_number()=1 would sort the
+    // hottest boilerplate chunk on one reducer.
+    "d7_paragraph_dedup" -> QueryDef(
+      (s, dir) => Dedup.chunkDedup(table(s, dir, "documents"), "doc_id", "text", k = 8)
+        .orderBy("doc_id"),
+      Some("""WITH w AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+             |ch AS (SELECT doc_id, i AS cidx, array_to_string(w[(i*8+1):(i*8+8)],' ') AS chunk
+             |       FROM w, unnest(range(0, CAST(ceil(len(w)/8.0) AS BIGINT))) AS t(i)),
+             |firsts AS (SELECT chunk, min(struct_pack(doc_id := doc_id, cidx := cidx)) AS f
+             |           FROM ch GROUP BY 1),
+             |kept AS (SELECT f.doc_id AS doc_id, f.cidx AS cidx, chunk FROM firsts),
+             |agg AS (SELECT doc_id, string_agg(chunk, ' ' ORDER BY cidx) AS clean_text,
+             |        count(*) AS kept FROM kept GROUP BY 1),
+             |tot AS (SELECT doc_id, count(*) AS total FROM ch GROUP BY 1)
+             |SELECT t.doc_id, coalesce(a.clean_text,'') AS clean_text,
+             |  CAST(coalesce(a.kept,0) AS BIGINT) AS kept,
+             |  CAST(t.total - coalesce(a.kept,0) AS BIGINT) AS dropped
+             |FROM tot t LEFT JOIN agg a USING (doc_id) ORDER BY doc_id""".stripMargin)),
+
+    // Benchmark-contamination report: training docs sharing any word
+    // 4-gram with the eval split (doc_id % 50 == 0). The eval gram set
+    // is tiny by construction (a benchmark suite vs a corpus), so it
+    // BROADCASTS — the training side's grams never enter an exchange.
+    "d8_contamination" -> QueryDef(
+      (s, dir) => Dedup.contaminationReport(table(s, dir, "documents"),
+          "doc_id", "text", n = 4, evalPred = id => id % 50 === 0)
+        .orderBy("doc_id"),
+      Some(s"""WITH ${QueryDef.shingleCtes(4)},
+             |ev AS (SELECT DISTINCT s FROM sh WHERE doc_id % 50 = 0),
+             |tr AS (SELECT doc_id, s FROM sh WHERE doc_id % 50 <> 0),
+             |tot AS (SELECT doc_id, count(*) AS n_grams FROM tr GROUP BY 1),
+             |ov AS (SELECT doc_id, count(*) AS n_overlap FROM tr JOIN ev USING (s) GROUP BY 1)
+             |SELECT doc_id, CAST(n_overlap AS BIGINT) AS n_overlap,
+             |  CAST(n_grams AS BIGINT) AS n_grams,
+             |  CAST((1000*n_overlap) // n_grams AS BIGINT) AS permille
+             |FROM ov JOIN tot USING (doc_id) ORDER BY doc_id""".stripMargin)),
+
     // Embedding-cosine near-dup at cosine >= 0.98 — planted dup pairs
     // (a x2-scaled copy: the scaling cancels exactly through the fold
     // since powers of two commute with fp rounding, leaving cosine

@@ -214,6 +214,88 @@ object TextQueries {
            |GROUP BY term, true_cnt ORDER BY true_cnt DESC, term""".stripMargin
       }),
 
+    // Gopher-style repetition quality signals: fraction of tokens under
+    // the single most frequent 2-gram + fraction of 5-gram occurrences
+    // that are duplicates. Scale shape: occurrence-preserving n-grams
+    // explode into a (doc, gram) count — map-side combining, keyed by
+    // (doc, gram) so per-key volume is bounded by document length —
+    // then a per-doc rollup; the O(len^2) per-row higher-order-function
+    // alternative would melt on million-word documents. Exact integer
+    // permilles (DIV) on both engines.
+    "t8_repetition_signals" -> QueryDef(
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+        def gramCounts(n: Int) = docs
+          .select(col("doc_id"), explode(TextOps.ngrams(col("text"), n)).as("g"))
+          .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+        val a2 = gramCounts(2).groupBy("doc_id")
+          .agg(sum("c").as("n2"), max("c").as("top2"))
+        val a5 = gramCounts(5).groupBy("doc_id")
+          .agg(sum("c").as("n5"),
+            sum(when(col("c") > 1, col("c")).otherwise(0L)).as("dup5"))
+        // inner join: docs under 5 words have no 5-grams and drop out
+        // (none at these SFs; the oracle joins identically)
+        a2.join(a5, "doc_id")
+          .select(col("doc_id"),
+            expr("CAST((1000 * top2) DIV n2 AS BIGINT)").as("top2_permille"),
+            expr("CAST((1000 * dup5) DIV n5 AS BIGINT)").as("dup5_permille"),
+            col("n2").cast("long").as("n2"), col("n5").cast("long").as("n5"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH w AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+             |g2 AS (SELECT doc_id, array_to_string(w[i:i+1],' ') AS g
+             |       FROM w, unnest(range(1, len(w))) AS t(i)),
+             |c2 AS (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY 1,2),
+             |a2 AS (SELECT doc_id, sum(c) AS n2, max(c) AS top2 FROM c2 GROUP BY 1),
+             |g5 AS (SELECT doc_id, array_to_string(w[i:i+4],' ') AS g
+             |       FROM w, unnest(range(1, len(w)-3)) AS t(i)),
+             |c5 AS (SELECT doc_id, g, count(*) AS c FROM g5 GROUP BY 1,2),
+             |a5 AS (SELECT doc_id, sum(c) AS n5,
+             |       sum(CASE WHEN c>1 THEN c ELSE 0 END) AS dup5 FROM c5 GROUP BY 1)
+             |SELECT doc_id,
+             |  CAST((1000*top2) // n2 AS BIGINT) AS top2_permille,
+             |  CAST((1000*dup5) // n5 AS BIGINT) AS dup5_permille,
+             |  CAST(n2 AS BIGINT) AS n2, CAST(n5 AS BIGINT) AS n5
+             |FROM a2 JOIN a5 USING (doc_id) ORDER BY doc_id""".stripMargin)),
+
+    // PII detection + redaction. The synthetic corpus contains no PII,
+    // so each engine deterministically injects identical email/IP/digit
+    // tokens into 2/3 of the docs (keyed by doc_id), then counts and
+    // redacts them — the regexes and replacement run for real on text
+    // that actually contains matches. Pure scan-side projection: no
+    // shuffle, whole-stage codegen, patterns chosen to behave
+    // identically under Java regex and DuckDB's RE2.
+    "t9_pii_scrub" -> QueryDef(
+      (s, dir) => {
+        val itext = when(col("doc_id") % 3 === 0, col("text"))
+          .otherwise(concat(col("text"), lit(" contact user"),
+            col("doc_id").cast("string"), lit("@mail.example.com ip 10.0."),
+            (col("doc_id") % 250).cast("string"), lit(".7 code "),
+            (col("doc_id") * col("doc_id")).cast("string")))
+        table(s, dir, "documents")
+          .select(col("doc_id"), itext.as("itext"))
+          .select(col("doc_id"),
+            TextOps.countMatches(col("itext"), TextOps.EmailRe).as("email_n"),
+            TextOps.countMatches(col("itext"), TextOps.Ipv4Re).as("ip_n"),
+            TextOps.countMatches(col("itext"), TextOps.DigitRunRe).as("digitrun_n"),
+            TextOps.redactPii(col("itext")).as("redacted"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH inj AS (
+             |  SELECT doc_id,
+             |    CASE WHEN doc_id % 3 = 0 THEN text
+             |         ELSE text || ' contact user' || doc_id || '@mail.example.com ip 10.0.'
+             |              || (doc_id % 250) || '.7 code ' || (doc_id*doc_id) END AS itext
+             |  FROM documents)
+             |SELECT doc_id,
+             |  CAST(len(regexp_extract_all(itext, '[a-z0-9]+@[a-z0-9.]+\.[a-z]+')) AS BIGINT) AS email_n,
+             |  CAST(len(regexp_extract_all(itext, '\d+\.\d+\.\d+\.\d+')) AS BIGINT) AS ip_n,
+             |  CAST(len(regexp_extract_all(itext, '\d{4,}')) AS BIGINT) AS digitrun_n,
+             |  regexp_replace(regexp_replace(itext,
+             |    '[a-z0-9]+@[a-z0-9.]+\.[a-z]+', '<EMAIL>', 'g'),
+             |    '\d+\.\d+\.\d+\.\d+', '<IP>', 'g') AS redacted
+             |FROM inj ORDER BY doc_id""".stripMargin)),
+
     // polynomial rolling-hash fingerprint (exact-int, engine-portable).
     // Native codegen'd PolyHash: one O(n) byte pass per doc — the HOF
     // form (per-char substr) rescans the string per character, O(n^2).

@@ -183,6 +183,40 @@ class DedupSpec extends SparkTestBase {
     // within 1 ulp of 1.0 (deterministic, but not exactly 1)
     assert(pairs((1L, 2L)) >= 999999L && pairs((1L, 2L)) <= 1000000L)
   }
+
+  test("chunkDedup keeps first occurrence globally, reassembles in order") {
+    // k=2 chunks: doc 1 = [a b][c d], doc 2 = [a b][x y], doc 3 = [c d]
+    // doc 1 owns "a b" and "c d"; doc 2 loses "a b", keeps "x y";
+    // doc 3 is fully duplicated -> empty clean_text, 0 kept, 1 dropped
+    val d = docs(1L -> "a b c d", 2L -> "a b x y", 3L -> "c d")
+    val out = Dedup.chunkDedup(d, "doc_id", "text", k = 2)
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(out == Seq(
+      (1L, "a b c d", 2L, 0L),
+      (2L, "x y", 1L, 1L),
+      (3L, "", 0L, 1L)))
+  }
+
+  test("chunkDedup dedups repeats WITHIN one document too") {
+    val d = docs(1L -> "a b a b c d")
+    val out = Dedup.chunkDedup(d, "doc_id", "text", k = 2)
+      .as[(Long, String, Long, Long)].head()
+    assert(out == ((1L, "a b c d", 2L, 1L)))
+  }
+
+  test("contaminationReport counts eval-overlapping grams per train doc") {
+    // eval = ids divisible by 10; train doc 1 shares the 2-gram "q r"
+    // and "r s"; train doc 2 shares nothing
+    val d = docs(
+      10L -> "q r s t",
+      1L -> "q r s x y z",
+      2L -> "completely different words here")
+    val out = Dedup.contaminationReport(d, "doc_id", "text", n = 2,
+        evalPred = id => id % 10 === 0)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // doc 1: grams {q r, r s, s x, x y, y z} -> 2 of 5 overlap = 400‰
+    assert(out == Seq((1L, 2L, 5L, 400L)))
+  }
 }
 
 class SimilaritySpec extends SparkTestBase {
@@ -553,5 +587,32 @@ class TextOpsSpec extends SparkTestBase {
     val hof = Seq(s, "", "another longer string with more text").toDF("text")
       .select(TextOps.fingerprint(col("text"))).as[Long].collect().toSeq
     assert(hof == model)
+  }
+
+  test("ngrams preserve duplicate occurrences; shingles dedup them") {
+    val d = Seq(("a b a b a", 1)).toDF("text", "id")
+    val g = d.select(TextOps.ngrams(col("text"), 2)).as[Seq[String]].head()
+    assert(g == Seq("a b", "b a", "a b", "b a"))
+    val sh = d.select(TextOps.shingles(col("text"), 2)).as[Seq[String]].head()
+    assert(sh == Seq("a b", "b a"))
+  }
+
+  test("wordChunks: total cover, last chunk short, empty text one chunk") {
+    val d = Seq("a b c d e f g", "a b c", "").toDF("text")
+    val ch = d.select(TextOps.wordChunks(col("text"), 3)).as[Seq[String]].collect()
+    assert(ch(0) == Seq("a b c", "d e f", "g"))
+    assert(ch(1) == Seq("a b c"))
+    assert(ch(2) == Seq(""))
+  }
+
+  test("PII count + redact: emails and IPs found and replaced, digit runs counted") {
+    val d = Seq("mail me at bob99@corp.example.org or 192.168.0.1 ref 123456 x 12").toDF("text")
+    val out = d.select(
+      TextOps.countMatches(col("text"), TextOps.EmailRe),
+      TextOps.countMatches(col("text"), TextOps.Ipv4Re),
+      TextOps.countMatches(col("text"), TextOps.DigitRunRe),
+      TextOps.redactPii(col("text"))).as[(Long, Long, Long, String)].head()
+    assert(out._1 == 1 && out._2 == 1 && out._3 == 1)
+    assert(out._4 == "mail me at <EMAIL> or <IP> ref 123456 x 12")
   }
 }
