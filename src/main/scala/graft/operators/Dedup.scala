@@ -152,6 +152,13 @@ object Dedup {
   /** Pipeline over a pre-staged (id, shingles) table; pass the staged
     * shingle-HASH table too when SimHash shares the session (avoids
     * re-exploding).
+    *
+    * Sizing at scale (measured, PROBES.md): candidate volume is
+    * n²·p with p = 1−(1−j₀^rows)^bands fixed by the background
+    * similarity j₀ of unrelated documents — pick (bands, rows) from
+    * the corpus' measured j₀ so the candidate budget is ~n·k (e.g.
+    * rows=3 cut candidates 5× on the probe corpus at unchanged recall
+    * for true near-dups).
     */
   def nearDupPairsFromShingles(shingled: DataFrame, idCol: String, shinglesCol: String,
                                bands: Int = 32, rows: Int = 2,
@@ -190,6 +197,14 @@ object Dedup {
     * arithmetic, so duplicate elements would skew both. The operator
     * enforces it below with array_distinct (a no-op on already-distinct
     * input, e.g. [[TextOps.shingles]] output).
+    *
+    * Scale limit (measured, PROBES.md): prefix pruning relies on token
+    * RARITY. On a vocabulary-bounded corpus every token's frequency
+    * grows linearly with corpus size, prefix buckets grow with it, and
+    * candidate volume grows quadratically — inherent to any EXACT
+    * similarity join over data whose similar-pair mass is quadratic.
+    * Where vocabulary is bounded, prefer [[nearDupPairsFromShingles]]
+    * (tunable candidate budget, identical verified output contract).
     *
     * @param num/den rational threshold t = num/den (float-free test)
     */

@@ -359,6 +359,20 @@ object Similarity {
               planes: Int = 24, rowsPerBand: Int = 3,
               idCol: String = "vec_id", vecCol: String = "embedding",
               qidCol: String = "qid", qvecCol: String = "qvec"): DataFrame = {
+    val cands = lshAnnCandidates(corpus, queries, dims, planes, rowsPerBand,
+      idCol, vecCol, qidCol, qvecCol)
+    val scored = cands.withColumn("__cos", cosine(col(vecCol), col(qvecCol)))
+    topKReRank(scored, k, qidCol, idCol, "__cos")
+  }
+
+  /** Candidate stage of [[lshTopK]], exposed so sizing tools measure
+    * the SHIPPED candidate pipeline rather than a copy (same contract
+    * as [[Dedup.ngramJaccardCandidates]]).
+    */
+  def lshAnnCandidates(corpus: DataFrame, queries: DataFrame, dims: Int,
+                       planes: Int = 24, rowsPerBand: Int = 3,
+                       idCol: String = "vec_id", vecCol: String = "embedding",
+                       qidCol: String = "qid", qvecCol: String = "qvec"): DataFrame = {
     require(planes % rowsPerBand == 0,
       s"planes ($planes) must be divisible by rowsPerBand ($rowsPerBand): " +
         "trailing code bits would silently never be banded")
@@ -368,11 +382,9 @@ object Similarity {
         codeName, bands, rowsPerBand, Seq(id, vec))
     val c = banded(corpus, idCol, vecCol, "__code")
     val q = banded(queries, qidCol, qvecCol, "__qcode")
-    val cands = c.join(broadcast(q), Seq("band", "bits"))
+    c.join(broadcast(q), Seq("band", "bits"))
       .filter(col(idCol) =!= col(qidCol))
       .select(col(qidCol), col(qvecCol), col(idCol), col(vecCol))
       .distinct()
-    val scored = cands.withColumn("__cos", cosine(col(vecCol), col(qvecCol)))
-    topKReRank(scored, k, qidCol, idCol, "__cos")
   }
 }

@@ -557,9 +557,15 @@ object Relational {
              |                          WHERE i.o_custkey = o.o_custkey)
              |ORDER BY o_orderkey""".stripMargin)),
 
-    // ---- sketch aggregate: HLL approx distinct (rows-only check —
-    // DuckDB's approx algorithm differs; AccuracySpec-style bound is in
-    // the oracle-free contract: exact value asserted within 5% in spec)
+    // ---- sketch aggregate: HLL approx distinct. PERMANENTLY oracle-
+    // less BY DESIGN: this row exercises Spark's NATIVE HLL++ sketch
+    // (datasketches registers are engine-internal, so no cross-engine
+    // oracle can exist); its exactly-oracled twin is q37_hll_portable —
+    // same scale shape, engine-portable hash + integer registers,
+    // bit-for-bit DuckDB oracle. Keep both: q24 is the "use the
+    // engine's native sketch" capability row (driver records rows>0 +
+    // the ≤5% accuracy bound in ApproxAggSpec), q37 is the correctness
+    // proof of the HLL algorithm itself.
     "q24_approx_distinct" -> QueryDef(
       (s, dir) => table(s, dir, "lineitem")
         .groupBy("l_returnflag")

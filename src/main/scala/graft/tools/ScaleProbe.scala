@@ -1,0 +1,74 @@
+// Scale probe for the dedup/ANN family: runs the SHIPPED candidate +
+// verify pipelines of d2 (MinHash-LSH), d5 (prefix-filter Jaccard) and
+// sim2 (LSH ANN) at two scale factors and records input rows, candidate
+// pairs, output pairs, and wall time — the 100 TB claims rest on these
+// volumes growing near-linearly with the corpus, and this tool turns
+// that from plan-shape argument into measurement.
+//
+//   sbt "runMain graft.tools.ScaleProbe"            # sf0.01 then sf0.1
+//   sbt "runMain graft.tools.ScaleProbe <dir> ..."  # explicit dirs
+package graft.tools
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Similarity}
+import graft.queries.{QueryDef, Staged}
+
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val dirs = if (args.nonEmpty) args.toSeq
+      else Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = graft.GraftSession.builder(s"local[$cpus]", cpus).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.range(1000).selectExpr("sum(id)", "upper('x')")
+      .write.format("noop").mode("overwrite").save()
+
+    def timed[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime()
+      val a = f
+      (a, (System.nanoTime() - t0) / 1e9)
+    }
+
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    dirs.foreach { dir =>
+      val nDocs = QueryDef.table(spark, dir, "documents").count()
+      val nVecs = QueryDef.table(spark, dir, "embeddings").count()
+
+      // d2: MinHash-LSH near-dup (staged pipeline, d2's exact defaults)
+      val d2Cand = Dedup.lshCandidatesFromHashes(
+        Staged.docShingleHashes(spark, dir), bands = 32, rows = 2).count()
+      val (d2Pairs, d2Wall) = timed(Staged.docNearDupPairs(spark, dir).count())
+      out += s"""{"probe":"d2_minhash_lsh","dir":"$dir","rows":$nDocs,"candidates":$d2Cand,"pairs":$d2Pairs,"wall_sec":$d2Wall}"""
+
+      // d2 with TIGHTER banding (3 rows/band): the geometry knob that
+      // controls background-collision candidate volume at scale —
+      // P(random pair collides) = 1-(1-j0^rows)^bands drops sharply
+      // with rows, at the cost of recall near the threshold
+      val d2CandR3 = Dedup.lshCandidatesFromHashes(
+        Staged.docShingleHashes(spark, dir), bands = 21, rows = 3).count()
+      out += s"""{"probe":"d2_minhash_lsh_rows3","dir":"$dir","rows":$nDocs,"candidates":$d2CandR3}"""
+
+      // d5: prefix-filter exact Jaccard at the d5 threshold (1/2)
+      val d5Cand = Dedup.ngramJaccardCandidates(
+        Staged.docShingles(spark, dir), "doc_id", "__sh", num = 1, den = 2).count()
+      val (d5Pairs, d5Wall) = timed(Dedup.ngramJaccardPairs(
+        Staged.docShingles(spark, dir), "doc_id", "__sh", num = 1, den = 2).count())
+      out += s"""{"probe":"d5_ngram_jaccard","dir":"$dir","rows":$nDocs,"candidates":$d5Cand,"pairs":$d5Pairs,"wall_sec":$d5Wall}"""
+
+      // sim2: LSH ANN (sim2's exact geometry: 24 planes, 3 rows/band)
+      val emb = QueryDef.table(spark, dir, "embeddings")
+      val queries = emb.filter(col("vec_id").isInCollection(Seq(0L, 1L, 2L)))
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val simCand = Similarity.lshAnnCandidates(emb, queries, dims = 64,
+        planes = 24, rowsPerBand = 3).count()
+      val (simRes, simWall) = timed(Similarity.lshTopK(emb, queries, k = 10,
+        dims = 64, planes = 24, rowsPerBand = 3).count())
+      out += s"""{"probe":"sim2_lsh_ann","dir":"$dir","rows":$nVecs,"candidates":$simCand,"results":$simRes,"wall_sec":$simWall}"""
+
+      Staged.release(spark)
+    }
+    out.foreach(println)
+    spark.stop()
+  }
+}
