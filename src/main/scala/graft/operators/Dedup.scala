@@ -595,7 +595,10 @@ object Dedup {
           array_sort(collect_list(struct(col("__cidx"), col("__chunk")))),
           c => c.getField("__chunk")), " ").as("clean_text"),
         count(lit(1)).as("kept"))
-    val totals = ch.groupBy("__id").agg(count(lit(1)).as("__total"))
+    // per-doc chunk totals as a NARROW scan-side projection (size of
+    // the chunk array) — no explode, no exchange on this branch
+    val totals = docs.select(col(idCol).as("__id"),
+      size(TextOps.wordChunks(col(textCol), k)).cast("long").as("__total"))
     totals.join(rebuilt, Seq("__id"), "left")
       .select(col("__id").as(idCol),
         coalesce(col("clean_text"), lit("")).as("clean_text"),
@@ -623,7 +626,12 @@ object Dedup {
       explode(TextOps.shingles(col(textCol), n)).as("__s"))
     val ev = sh.filter(evalPred(col("__id"))).select("__s").distinct()
     val tr = sh.filter(!evalPred(col("__id")))
-    val totals = tr.groupBy("__id").agg(count(lit(1)).as("n_grams"))
+    // per-doc gram totals as a NARROW scan-side projection (shingles
+    // is a distinct set, so its size == the exploded row count) — no
+    // explode, no exchange on this branch
+    val totals = docs.filter(!evalPred(col(idCol)))
+      .select(col(idCol).as("__id"),
+        size(TextOps.shingles(col(textCol), n)).cast("long").as("n_grams"))
     val overlap = tr.join(broadcast(ev), "__s")
       .groupBy("__id").agg(count(lit(1)).as("n_overlap"))
     overlap.join(totals, "__id")
