@@ -304,6 +304,63 @@ object TextQueries {
              |    '\d+\.\d+\.\d+\.\d+', '<IP>', 'g') AS redacted
              |FROM inj ORDER BY doc_id""".stripMargin)),
 
+    // Data mixing under a per-source token budget: docs are admitted
+    // in deterministic pseudo-random order (Knuth-mix of doc_id) until
+    // each source's running token count exceeds the quota — the
+    // pipeline op that rebalances source proportions before training.
+    // One exchange (partition by source) + per-source sort. At 100 TB
+    // with few, huge sources the sort key is the hot spot: the scale
+    // path is q38's scan-side hash-threshold pre-filter at an
+    // estimated keep-rate, then this exact trim over survivors only.
+    "t10_token_budget_mix" -> QueryDef(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("source").orderBy("h", "doc_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        table(s, dir, "documents")
+          .select(col("doc_id"), col("source"),
+            TextOps.tokenCount(col("text")).as("n_tokens"),
+            ((col("doc_id") * lit(2654435761L)) % lit(1000000007L)).as("h"))
+          .withColumn("running", sum("n_tokens").over(w))
+          .filter(col("running") <= 800)
+          .select(col("doc_id"), col("source"), col("n_tokens"),
+            col("running").cast("long").as("running"))
+          .orderBy("source", "running")
+      },
+      Some("""WITH t AS (SELECT doc_id, source,
+             |    CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens,
+             |    (doc_id * 2654435761) % 1000000007 AS h FROM documents),
+             |r AS (SELECT *, sum(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
+             |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running FROM t)
+             |SELECT doc_id, source, n_tokens, CAST(running AS BIGINT) AS running
+             |FROM r WHERE running <= 800 ORDER BY source, running""".stripMargin)),
+
+    // Deterministic train/val/test assignment (80/10/10 by the same
+    // Knuth-mix hash — reproducible across engines, stable under
+    // corpus growth since the split is a pure function of doc_id),
+    // reported as per-split per-lang doc and token counts. Scan-side
+    // split + one tiny aggregation: the shuffle carries one row per
+    // (split, lang) per partition.
+    "t11_split_assign" -> QueryDef(
+      (s, dir) => {
+        val hv = (col("doc_id") * lit(2654435761L)) % lit(1000000007L)
+        table(s, dir, "documents")
+          .select(col("doc_id"), col("lang"),
+            TextOps.tokenCount(col("text")).as("n_tokens"),
+            when(hv % 10 < 8, "train").when(hv % 10 === 8, "val")
+              .otherwise("test").as("split"))
+          .groupBy("split", "lang")
+          .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"))
+          .orderBy("split", "lang")
+      },
+      Some("""WITH h AS (SELECT doc_id, lang,
+             |    CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens,
+             |    (doc_id * 2654435761) % 1000000007 AS hv FROM documents),
+             |s AS (SELECT *, CASE WHEN hv % 10 < 8 THEN 'train'
+             |                     WHEN hv % 10 = 8 THEN 'val' ELSE 'test' END AS split FROM h)
+             |SELECT split, lang, count(*) AS n_docs, sum(n_tokens) AS n_tokens
+             |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
     // polynomial rolling-hash fingerprint (exact-int, engine-portable).
     // Native codegen'd PolyHash: one O(n) byte pass per doc — the HOF
     // form (per-char substr) rescans the string per character, O(n^2).
