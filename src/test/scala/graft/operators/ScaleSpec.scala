@@ -48,6 +48,31 @@ class PlanShapeSpec extends SparkTestBase {
     val plan = df.queryExecution.executedPlan.toString()
     assert(plan.contains("BroadcastHashJoin"), plan.take(800))
   }
+
+  test("d8 contamination: the eval gram set joins as an explicit broadcast") {
+    // the 100 TB property: training-side grams never enter an exchange —
+    // the gram join must be a broadcast, planned as such STATICALLY
+    // (an AQE runtime demotion to shuffle would ship the corpus grams)
+    val df = graft.SparkEntry.queries("d8_contamination")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString()
+    assert(plan.contains("BroadcastHashJoin"), plan.take(800))
+    // and the split predicates reach the scan (partition the corpus
+    // read, not a post-scan filter stage)
+    assert("DataFilters: \\[[^\\]]*% 50\\)".r.findFirstIn(plan).isDefined,
+      plan.take(800))
+  }
+
+  test("d7 chunk dedup: first-occurrence agg partially aggregates map-side") {
+    // the skew defense: min(struct(id,pos)) per chunk must show a
+    // partial_min BEFORE the chunk exchange (a final-only aggregation
+    // would sort every occurrence of a hot boilerplate chunk on one
+    // reducer — the exact failure the operator was shaped to avoid)
+    val df = graft.SparkEntry.queries("d7_paragraph_dedup")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString()
+    assert("partial_min".r.findFirstIn(plan.toLowerCase).isDefined ||
+      plan.toLowerCase.contains("partial") && plan.contains("min(struct"),
+      plan.take(1500))
+  }
 }
 
 class BucketingSpec extends SparkTestBase {
