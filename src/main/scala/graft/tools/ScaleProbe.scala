@@ -66,6 +66,24 @@ object ScaleProbe {
         dims = 64, planes = 24, rowsPerBand = 3).count())
       out += s"""{"probe":"sim2_lsh_ann","dir":"$dir","rows":$nVecs,"candidates":$simCand,"results":$simRes,"wall_sec":$simWall}"""
 
+      // d7: corpus chunk dedup — candidate-free (agg-only); record the
+      // exploded chunk volume and survivors
+      val docsT = QueryDef.table(spark, dir, "documents")
+      val nChunks = docsT.select(explode(
+        graft.operators.TextOps.wordChunks(col("text"), 8))).count()
+      val (d7Kept, d7Wall) = timed(
+        Dedup.chunkDedup(docsT, "doc_id", "text", k = 8)
+          .agg(sum("kept")).collect()(0).getLong(0))
+      out += s"""{"probe":"d7_paragraph_dedup","dir":"$dir","rows":$nDocs,"chunks":$nChunks,"kept":$d7Kept,"wall_sec":$d7Wall}"""
+
+      // d8: contamination — broadcast-side volume is the scaling risk
+      val evGrams = docsT.filter(col("doc_id") % 50 === 0)
+        .select(explode(graft.operators.TextOps.shingles(col("text"), 4)))
+        .distinct().count()
+      val (d8Rows, d8Wall) = timed(Dedup.contaminationReport(
+        docsT, "doc_id", "text", n = 4, evalPred = id => id % 50 === 0).count())
+      out += s"""{"probe":"d8_contamination","dir":"$dir","rows":$nDocs,"eval_grams":$evGrams,"contaminated":$d8Rows,"wall_sec":$d8Wall}"""
+
       Staged.release(spark)
     }
     out.foreach(println)

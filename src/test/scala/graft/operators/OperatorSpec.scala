@@ -204,6 +204,34 @@ class DedupSpec extends SparkTestBase {
     assert(out == ((1L, "a b c d", 2L, 1L)))
   }
 
+  test("chunkDedup matches a driver-side model on random corpora") {
+    // driver-side model: same segmentation, same global first-occurrence
+    // rule, same reassembly — over corpora drawn from a tiny vocabulary
+    // so cross-doc chunk collisions are common
+    val vocab = Vector("a", "b", "c", "d")
+    val rng = new scala.util.Random(7)
+    (0 until 5).foreach { trial =>
+      val k = 2 + trial % 2  // chunk sizes 2 and 3
+      val corpus = (0L until 12L).map { id =>
+        val len = 1 + rng.nextInt(9)
+        id -> Seq.fill(len)(vocab(rng.nextInt(vocab.size))).mkString(" ")
+      }
+      // model
+      val chunksOf = corpus.map { case (id, text) =>
+        id -> text.split(" ").grouped(k).map(_.mkString(" ")).toSeq
+      }.toMap
+      val seen = scala.collection.mutable.Set[String]()
+      val model = corpus.map { case (id, _) =>
+        val kept = chunksOf(id).filter(c => seen.add(c))
+        (id, kept.mkString(" "), kept.size.toLong,
+          (chunksOf(id).size - kept.size).toLong)
+      }
+      val got = Dedup.chunkDedup(docs(corpus: _*), "doc_id", "text", k)
+        .as[(Long, String, Long, Long)].collect().sortBy(_._1).toSeq
+      assert(got == model, s"trial $trial k=$k")
+    }
+  }
+
   test("contaminationReport counts eval-overlapping grams per train doc") {
     // eval = ids divisible by 10; train doc 1 shares the 2-gram "q r"
     // and "r s"; train doc 2 shares nothing
