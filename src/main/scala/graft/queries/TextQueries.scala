@@ -334,6 +334,44 @@ object TextQueries {
              |SELECT doc_id, source, n_tokens, CAST(running AS BIGINT) AS running
              |FROM r WHERE running <= 800 ORDER BY source, running""".stripMargin)),
 
+    // Sequence packing: assign every doc (in deterministic hash order,
+    // per source) to a fixed-token-budget training bin — bin id =
+    // tokens-before-this-doc DIV budget, the contiguous-fill rule (a
+    // doc straddling a boundary belongs to the bin where it starts, so
+    // fill can exceed 1000‰ by at most one doc). Reports per-bin doc
+    // count and fill ratio — the packing-efficiency numbers a training
+    // job plans around. Same scale shape as t10 (one window exchange);
+    // the bin assignment itself is pure arithmetic on the running sum.
+    "t12_sequence_pack" -> QueryDef(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("source").orderBy("h", "doc_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        table(s, dir, "documents")
+          .select(col("doc_id"), col("source"),
+            TextOps.tokenCount(col("text")).as("n_tokens"),
+            ((col("doc_id") * lit(2654435761L)) % lit(1000000007L)).as("h"))
+          .withColumn("cum", sum("n_tokens").over(w))
+          .select(col("source"),
+            expr("CAST((cum - n_tokens) DIV 512 AS BIGINT)").as("bin"),
+            col("n_tokens"))
+          .groupBy("source", "bin")
+          .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("bin_tokens"))
+          .withColumn("fill_permille",
+            expr("CAST((1000 * bin_tokens) DIV 512 AS BIGINT)"))
+          .orderBy("source", "bin")
+      },
+      Some("""WITH t AS (SELECT doc_id, source,
+             |    CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens,
+             |    (doc_id * 2654435761) % 1000000007 AS h FROM documents),
+             |r AS (SELECT *, sum(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
+             |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM t),
+             |b AS (SELECT source, (cum - n_tokens) // 512 AS bin, n_tokens FROM r)
+             |SELECT source, CAST(bin AS BIGINT) AS bin, count(*) AS n_docs,
+             |  CAST(sum(n_tokens) AS BIGINT) AS bin_tokens,
+             |  CAST((1000 * sum(n_tokens)) // 512 AS BIGINT) AS fill_permille
+             |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
     // Deterministic train/val/test assignment (80/10/10 by the same
     // Knuth-mix hash — reproducible across engines, stable under
     // corpus growth since the split is a pure function of doc_id),
