@@ -76,6 +76,29 @@ object DedupQueries {
              |FROM verts v LEFT JOIN reach r ON r.a = v.id
              |GROUP BY v.id ORDER BY 1""".stripMargin)),
 
+    // The SAME clustering through the star-contraction path (Kiveris
+    // et al. SOCC'14): alternating large/small-star rounds, count
+    // logarithmic in component size — the fallback for adversarially
+    // long dup chains where min-label propagation's diameter bound is
+    // the limit. Identical output contract, so the identical
+    // recursive-CTE oracle checks the full labeling of BOTH paths.
+    "d6b_dup_clusters_star" -> QueryDef(
+      (s, dir) => Staged.docDupComponentsStar(s, dir)
+        .select(col("id").as("doc_id"), col("rep"))
+        .orderBy("doc_id"),
+      Some(s"""WITH RECURSIVE ${QueryDef.shingleCtes()},
+             |${QueryDef.jaccardPairCtes(2, 5)},
+             |edges AS (SELECT da AS src, db AS dst FROM qp
+             |          UNION SELECT db, da FROM qp),
+             |reach(a, b) AS (
+             |  SELECT src, dst FROM edges
+             |  UNION
+             |  SELECT r.a, e.dst FROM reach r JOIN edges e ON e.src = r.b),
+             |verts AS (SELECT DISTINCT src AS id FROM edges)
+             |SELECT v.id AS doc_id, least(v.id, min(r.b)) AS rep
+             |FROM verts v LEFT JOIN reach r ON r.a = v.id
+             |GROUP BY v.id ORDER BY 1""".stripMargin)),
+
     // CCNet-style corpus-level paragraph dedup over 8-word chunks:
     // every distinct chunk survives exactly once (its globally first
     // occurrence), documents are reassembled from survivors. The

@@ -99,6 +99,15 @@ object Staged {
       graft.operators.Dedup.connectedComponents(docNearDupPairs(s, dir))
     }).asInstanceOf[DataFrame]
 
+  /** Star-contraction connected components over [[docNearDupPairs]] —
+    * the O(log n)-round fallback path, staged so repeated bench passes
+    * don't accumulate checkpointed label frames.
+    */
+  def docDupComponentsStar(s: SparkSession, dir: String): DataFrame =
+    cacheFor(s).getOrElseUpdate(s"ndcompstar:$dir", {
+      graft.operators.Dedup.connectedComponentsStar(docNearDupPairs(s, dir))
+    }).asInstanceOf[DataFrame]
+
   /** documents word-token table (doc_id, term) — one row per non-empty
     * token occurrence, persisted; shared by the TF-IDF and Count-Min
     * queries (each would otherwise re-scan and re-explode the corpus).
