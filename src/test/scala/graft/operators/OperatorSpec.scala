@@ -245,6 +245,31 @@ class DedupSpec extends SparkTestBase {
     // doc 1: grams {q r, r s, s x, x y, y z} -> 2 of 5 overlap = 400‰
     assert(out == Seq((1L, 2L, 5L, 400L)))
   }
+
+  test("contaminationReport matches a driver-side model on random corpora") {
+    val vocab = Vector("a", "b", "c", "d", "e")
+    val rng = new scala.util.Random(11)
+    (0 until 4).foreach { trial =>
+      val n = 2 + trial % 2  // gram sizes 2 and 3
+      val corpus = (0L until 15L).map { id =>
+        val len = n + rng.nextInt(10)
+        id -> Seq.fill(len)(vocab(rng.nextInt(vocab.size))).mkString(" ")
+      }
+      def grams(text: String): Set[String] =
+        text.split(" ").sliding(n).filter(_.size == n).map(_.mkString(" ")).toSet
+      val evalGrams = corpus.filter(_._1 % 5 == 0).flatMap(d => grams(d._2)).toSet
+      val model = corpus.filter(_._1 % 5 != 0).flatMap { case (id, text) =>
+        val g = grams(text)
+        val ov = g.count(evalGrams)
+        if (ov > 0) Some((id, ov.toLong, g.size.toLong, (1000L * ov) / g.size))
+        else None
+      }.sortBy(_._1)
+      val got = Dedup.contaminationReport(docs(corpus: _*), "doc_id", "text",
+          n = n, evalPred = id => id % 5 === 0)
+        .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+      assert(got == model, s"trial $trial n=$n")
+    }
+  }
 }
 
 class SimilaritySpec extends SparkTestBase {
