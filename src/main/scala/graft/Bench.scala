@@ -7,11 +7,12 @@ object Bench {
     // A single-shot run is one sample per query — one background compile /
     // GC pause / page-cache miss lands on some query and records a phantom
     // regression (the r4 artifact had 7 of them, up to 9× the quiet time).
-    // Min-of-passes discards per-query load spikes while staying comparable
-    // to a quiet single-pass run: staged caches are RELEASED between passes
-    // (below), so every pass re-pays the same staging first-touch profile
-    // and the min never reads a warm cache the single-pass protocol
-    // wouldn't have had.
+    // Min-of-passes discards per-query load spikes. Spark-level staged
+    // caches are RELEASED between passes (below) so every pass re-pays
+    // staging first-touch; OS page cache and JIT warmth DO carry across
+    // passes, so the min runs mildly warmer than a literal single-pass
+    // protocol — compare rounds run under the same multi-pass protocol,
+    // not against pre-r5 single-pass artifacts.
     val runs = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt)
     val spark = GraftSession.builder(s"local[$cpus]", cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

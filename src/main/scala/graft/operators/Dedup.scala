@@ -309,12 +309,11 @@ object Dedup {
         .select(col("dst").as("id"), col("rep"))
       var next = labels.select(col("id"), col("rep")).union(viaEdges)
         .groupBy("id").agg(min("rep").as("rep"))
-      // truncate lineage every few rounds: without it the returned plan
-      // deepens linearly with rounds, and an executor that later loses
-      // cached partitions would replay EVERY round through already-
-      // unpersisted intermediates. localCheckpoint keeps the iterative
-      // chain shallow at the cost of a materialization it was paying
-      // anyway (the convergence count below materializes the round).
+      // truncate lineage every few rounds: the plan otherwise deepens
+      // linearly with rounds and the driver re-analyzes the whole chain
+      // each round. localCheckpoint materializes what the convergence
+      // count below pays anyway (see the end-of-function note for the
+      // fault-tolerance trade).
       next =
         if ((it + 1) % 5 == 0) next.localCheckpoint(eager = true)
         else next.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -333,9 +332,15 @@ object Dedup {
           "round count is logarithmic in component size)")
     }
     // the frame handed to the caller must not be backed by the full
-    // iterative lineage: checkpoint it (one scan of the warm cache) so
-    // recomputation after executor cache loss replays one block read,
-    // not every round — then release the loop's own cache entry
+    // iterative lineage: checkpoint it, then release the loop's own
+    // cache entry. NOTE the fault-tolerance trade, here and in the
+    // loops above: localCheckpoint blocks live in executor storage
+    // only — lose an executor and the frame is gone (a query over it
+    // throws; the operator must be re-run), there is NO lineage replay.
+    // That is the right local/bench trade (driver-side plan analysis
+    // was the measured bottleneck — PROBES.md); a long-lived production
+    // job would use reliable checkpoint() to cluster storage instead,
+    // same call shape, needs only a checkpoint dir.
     val out = labels.localCheckpoint(eager = true)
     labels.unpersist()
     out
@@ -375,9 +380,12 @@ object Dedup {
     var edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .filter(col("src") =!= col("dst")).distinct()
       .localCheckpoint(eager = true)
-    // all vertices, captured BEFORE contraction erases degree-1 chains
-    val vertices = edges.select(col("src").as("id"))
-      .union(edges.select(col("dst").as("id"))).distinct()
+    // all vertices, captured from the UNFILTERED pairs (a vertex whose
+    // only edge is a self-loop must still be labeled — the min-label
+    // variant labels it, and the two variants share one contract) and
+    // BEFORE contraction erases degree-1 chains
+    val vertices = pairs.select(col("doc_a").as("id"))
+      .union(pairs.select(col("doc_b").as("id"))).distinct()
       .persist(MEMORY_AND_DISK)
     var converged = false
     var it = 0
@@ -401,7 +409,11 @@ object Dedup {
         .filter(col("src") =!= col("dst")).distinct()
       // per-round checkpoint (not every-3rd): each round's plan embeds
       // ~6 copies of the previous round's, so anything short of full
-      // truncation lets driver-side analysis grow multiplicatively
+      // truncation lets driver-side analysis grow multiplicatively.
+      // Superseded rounds' checkpoint blocks are released by the
+      // ContextCleaner once unreferenced (we drop the only reference
+      // below); the edge table shrinks per round, so the transient
+      // residency is bounded by a few copies of the INITIAL edge set.
       val next = small.localCheckpoint(eager = true)
       // fixpoint test: the edge set is unchanged (both anti-join counts
       // zero over the two checkpointed leaves)
@@ -594,8 +606,13 @@ object Dedup {
     * reference library itself has no text ops (SURVEY.md §2.6).
     */
   def chunkDedup(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    // NULL text reads as empty text: without the coalesce the explode
+    // branch drops the row (posexplode of NULL) while the totals branch
+    // yields size(NULL) = NULL, emitting (id, '', 0, NULL) — a torn row
+    // that breaks downstream arithmetic on `dropped`
+    val text = coalesce(col(textCol), lit(""))
     val ch = docs.select(col(idCol).as("__id"),
-      posexplode(TextOps.wordChunks(col(textCol), k)).as(Seq("__cidx", "__chunk")))
+      posexplode(TextOps.wordChunks(text, k)).as(Seq("__cidx", "__chunk")))
     val firsts = ch.groupBy("__chunk")
       .agg(min(struct(col("__id"), col("__cidx"))).as("__f"))
       .select(col("__f.__id").as("__id"), col("__f.__cidx").as("__cidx"),
@@ -609,7 +626,7 @@ object Dedup {
     // per-doc chunk totals as a NARROW scan-side projection (size of
     // the chunk array) — no explode, no exchange on this branch
     val totals = docs.select(col(idCol).as("__id"),
-      size(TextOps.wordChunks(col(textCol), k)).cast("long").as("__total"))
+      size(TextOps.wordChunks(text, k)).cast("long").as("__total"))
     totals.join(rebuilt, Seq("__id"), "left")
       .select(col("__id").as(idCol),
         coalesce(col("clean_text"), lit("")).as("clean_text"),

@@ -117,6 +117,18 @@ object TextOps {
       j => concat_ws(" ", slice(w, j * k + 1, lit(k))))
   }
 
+  /** Deterministic id scrambler for split/sampling order: Knuth
+    * multiplicative mix mod 1e9+7. The id is reduced mod p BEFORE the
+    * multiply so the product is bounded by (1e9+6)·2654435761 < 2^63 —
+    * an unreduced doc_id ≥ 2^63/2654435761 (~3.5e9, reachable in a
+    * 100 TB corpus) would silently wrap negative in Spark while DuckDB
+    * raises on BIGINT overflow, splitting the engines. One rendering
+    * here + [[graft.queries.QueryDef.knuthMixSql]]; every consumer
+    * references these two.
+    */
+  def knuthMix(id: Column): Column =
+    ((id % 1000000007L) * 2654435761L) % 1000000007L
+
   // ---- PII detection / redaction ------------------------------------
   // Conservative patterns kept identical (and identically-behaving)
   // under Java regex and DuckDB's RE2: character classes + greedy

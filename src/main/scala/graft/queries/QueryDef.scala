@@ -31,6 +31,13 @@ object QueryDef {
        |        i -> CAST(ascii(substr($e, CAST(i AS INTEGER), 1)) AS BIGINT))),
        |      (acc, c) -> (acc * $base + c) % $mod)""".stripMargin
 
+  /** DuckDB rendering of [[graft.operators.TextOps.knuthMix]] — the
+    * ONE SQL mirror of the id scrambler (id reduced mod p before the
+    * multiply: see the Scala side for the overflow bound).
+    */
+  def knuthMixSql(e: String): String =
+    s"(($e % 1000000007) * 2654435761) % 1000000007"
+
   /** DuckDB CTE pair (`words`, `sh`) rendering the documents word
     * n-gram shingle set — the ONE SQL mirror of
     * [[graft.operators.TextOps.shingles]] shared by every dedup oracle

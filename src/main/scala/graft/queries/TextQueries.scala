@@ -319,16 +319,16 @@ object TextQueries {
         table(s, dir, "documents")
           .select(col("doc_id"), col("source"),
             TextOps.tokenCount(col("text")).as("n_tokens"),
-            ((col("doc_id") * lit(2654435761L)) % lit(1000000007L)).as("h"))
+            TextOps.knuthMix(col("doc_id")).as("h"))
           .withColumn("running", sum("n_tokens").over(w))
           .filter(col("running") <= 800)
           .select(col("doc_id"), col("source"), col("n_tokens"),
             col("running").cast("long").as("running"))
           .orderBy("source", "running")
       },
-      Some("""WITH t AS (SELECT doc_id, source,
+      Some(s"""WITH t AS (SELECT doc_id, source,
              |    CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens,
-             |    (doc_id * 2654435761) % 1000000007 AS h FROM documents),
+             |    ${QueryDef.knuthMixSql("doc_id")} AS h FROM documents),
              |r AS (SELECT *, sum(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
              |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running FROM t)
              |SELECT doc_id, source, n_tokens, CAST(running AS BIGINT) AS running
@@ -350,7 +350,7 @@ object TextQueries {
         table(s, dir, "documents")
           .select(col("doc_id"), col("source"),
             TextOps.tokenCount(col("text")).as("n_tokens"),
-            ((col("doc_id") * lit(2654435761L)) % lit(1000000007L)).as("h"))
+            TextOps.knuthMix(col("doc_id")).as("h"))
           .withColumn("cum", sum("n_tokens").over(w))
           .select(col("source"),
             expr("CAST((cum - n_tokens) DIV 512 AS BIGINT)").as("bin"),
@@ -361,9 +361,9 @@ object TextQueries {
             expr("CAST((1000 * bin_tokens) DIV 512 AS BIGINT)"))
           .orderBy("source", "bin")
       },
-      Some("""WITH t AS (SELECT doc_id, source,
+      Some(s"""WITH t AS (SELECT doc_id, source,
              |    CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens,
-             |    (doc_id * 2654435761) % 1000000007 AS h FROM documents),
+             |    ${QueryDef.knuthMixSql("doc_id")} AS h FROM documents),
              |r AS (SELECT *, sum(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
              |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM t),
              |b AS (SELECT source, (cum - n_tokens) // 512 AS bin, n_tokens FROM r)
@@ -380,7 +380,7 @@ object TextQueries {
     // (split, lang) per partition.
     "t11_split_assign" -> QueryDef(
       (s, dir) => {
-        val hv = (col("doc_id") * lit(2654435761L)) % lit(1000000007L)
+        val hv = TextOps.knuthMix(col("doc_id"))
         table(s, dir, "documents")
           .select(col("doc_id"), col("lang"),
             TextOps.tokenCount(col("text")).as("n_tokens"),
@@ -390,9 +390,9 @@ object TextQueries {
           .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"))
           .orderBy("split", "lang")
       },
-      Some("""WITH h AS (SELECT doc_id, lang,
+      Some(s"""WITH h AS (SELECT doc_id, lang,
              |    CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens,
-             |    (doc_id * 2654435761) % 1000000007 AS hv FROM documents),
+             |    ${QueryDef.knuthMixSql("doc_id")} AS hv FROM documents),
              |s AS (SELECT *, CASE WHEN hv % 10 < 8 THEN 'train'
              |                     WHEN hv % 10 = 8 THEN 'val' ELSE 'test' END AS split FROM h)
              |SELECT split, lang, count(*) AS n_docs, sum(n_tokens) AS n_tokens

@@ -103,13 +103,22 @@ object EventStream {
     import graft.operators.TextOps
     val stamped = docs.withColumn("ets", timestamp_micros(col("tsUs")))
     // batch-equivalent semantics, one function: in a stream the dedup is
-    // state-bounded by the watermark; on a static frame Spark rejects
-    // dropDuplicatesWithinWatermark, and plain dropDuplicates IS its
-    // batch meaning (EventStreamSpec pins stream==batch on one fixture)
+    // state-bounded by the watermark and keeps the FIRST ARRIVAL; on a
+    // static frame Spark rejects dropDuplicatesWithinWatermark, and the
+    // batch survivor must be DETERMINISTIC — dropDuplicates keeps an
+    // arbitrary row, which diverges from the stream whenever duplicates
+    // differ in time/text. Keep min-by (tsUs, text) instead: equal to
+    // first-arrival under in-order duplicate delivery (the streaming
+    // equivalence contract; EventStreamSpec pins stream==batch)
     val deduped =
       if (docs.isStreaming)
         stamped.withWatermark("ets", watermark).dropDuplicatesWithinWatermark("doc_id")
-      else stamped.dropDuplicates("doc_id")
+      else {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("doc_id").orderBy("tsUs", "text")
+        stamped.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1).drop("__rn")
+      }
     deduped
       .filter(TextOps.qualityPass(col("text"), length(col("text"))))
       .select(col("ets"), TextOps.langId(col("text")).as("lang"),

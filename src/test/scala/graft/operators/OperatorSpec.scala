@@ -197,6 +197,21 @@ class DedupSpec extends SparkTestBase {
       (3L, "", 0L, 1L)))
   }
 
+  test("both CC variants label a vertex whose only edge is a self-loop") {
+    val pairs = Seq((5L, 5L), (1L, 2L)).toDF("doc_a", "doc_b")
+    val a = Dedup.connectedComponents(pairs).as[(Long, Long)].collect().toSet
+    val b = Dedup.connectedComponentsStar(pairs).as[(Long, Long)].collect().toSet
+    assert(a == Set((1L, 1L), (2L, 1L), (5L, 5L)))
+    assert(b == a)
+  }
+
+  test("chunkDedup treats NULL text as empty text (no torn counts)") {
+    val d = Seq((1L, "a b"), (2L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val out = Dedup.chunkDedup(d, "doc_id", "text", k = 2)
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(out == Seq((1L, "a b", 1L, 0L), (2L, "", 1L, 0L)))
+  }
+
   test("chunkDedup dedups repeats WITHIN one document too") {
     val d = docs(1L -> "a b a b c d")
     val out = Dedup.chunkDedup(d, "doc_id", "text", k = 2)
