@@ -261,6 +261,42 @@ object Dedup {
 
   // ---- Transitive dedup clusters ---------------------------------------
 
+  /** Lineage-truncation strategy for the iterative operators: reliable
+    * cluster-storage `checkpoint()` when a `checkpointDir` is given
+    * (production — survives executor loss, lineage-free restart from
+    * storage), `localCheckpoint()` otherwise (executor-memory blocks,
+    * no replay on executor loss — the measured-fastest local/bench
+    * trade; PROBES.md).
+    */
+  private def truncator(like: DataFrame, checkpointDir: Option[String])
+      : DataFrame => DataFrame = checkpointDir match {
+    case Some(dir) =>
+      like.sparkSession.sparkContext.setCheckpointDir(dir)
+      df => df.checkpoint(eager = true)
+    case None =>
+      df => df.localCheckpoint(eager = true)
+  }
+
+  /** Release the storage behind a frame produced by the iterative
+    * operators. `Dataset.unpersist` alone is NOT enough: it only
+    * uncaches CacheManager entries, while a `localCheckpoint` frame's
+    * blocks are owned by its underlying RDD — so this also unpersists
+    * the RDD when the frame IS a checkpoint leaf (root plan is the
+    * `LogicalRDD`; deliberately root-only, so a frame whose plan merely
+    * READS other checkpoint leaves can never free blocks it does not
+    * own). No-op on plain frames. Reliable `checkpoint()` files on
+    * cluster storage are left to `ContextCleaner` /
+    * `spark.cleaner.referenceTracking.cleanCheckpoints`.
+    */
+  def release(df: DataFrame): Unit = {
+    df.unpersist()
+    df.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+  }
+
   /** Connected components over a near-dup pair graph: every document
     * labeled with the MINIMUM doc id reachable through pair edges —
     * the step that turns pairwise matches into actual dedup decisions
@@ -280,15 +316,22 @@ object Dedup {
     * Labels/edges are persisted per round and released on the next.
     *
     * @param pairs (doc_a, doc_b) — one row per undirected edge
+    * @param checkpointDir when set, every per-round lineage truncation
+    *        uses reliable `checkpoint()` to this cluster-storage path
+    *        instead of `localCheckpoint()` — the production mode that
+    *        survives executor loss
     * @return (id, rep) for every vertex that appears in `pairs`;
-    *         rep = min id of its component. The returned frame is
-    *         PERSISTED (its lineage is the whole round chain, whose
-    *         intermediates are already released) — the caller owns it
-    *         and must `unpersist()` when done (the query path stages
-    *         it under the session lifecycle).
+    *         rep = min id of its component. The returned frame is a
+    *         MATERIALIZED checkpoint leaf (its iterative lineage is
+    *         already released) — the caller owns it and must free it
+    *         with [[release]] when done (plain `unpersist()` does not
+    *         touch checkpoint blocks; the query path stages it under
+    *         the session lifecycle).
     * @throws IllegalStateException if maxIter rounds don't converge
     */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20,
+                          checkpointDir: Option[String] = None): DataFrame = {
+    val trunc = truncator(pairs, checkpointDir)
     val fwd = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
     // checkpoint (not just persist) the edge table: a persisted frame
     // still CARRIES its full logical plan (here: the whole upstream
@@ -296,59 +339,54 @@ object Dedup {
     // driver re-analyzes it each round even on cache hits. Truncating
     // to a leaf makes per-round planning O(round plan), not
     // O(pipeline plan). Measured on the star variant: 33.7 s -> 2.7 s.
-    val edges = fwd.union(fwd.select(col("dst"), col("src")))
-      .localCheckpoint(eager = true)
-    var labels = edges.select(col("src").as("id")).distinct()
-      .select(col("id"), col("id").as("rep"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val edges = trunc(fwd.union(fwd.select(col("dst"), col("src"))))
+    var labels = trunc(edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("rep")))
     var converged = false
     var it = 0
     while (!converged && it < maxIter) {
       // rep'(v) = min(rep(v), min over neighbors u of rep(u))
       val viaEdges = labels.join(edges, labels("id") === edges("src"))
         .select(col("dst").as("id"), col("rep"))
-      var next = labels.select(col("id"), col("rep")).union(viaEdges)
-        .groupBy("id").agg(min("rep").as("rep"))
-      // truncate lineage every few rounds: the plan otherwise deepens
+      // truncate lineage EVERY round: the plan otherwise deepens
       // linearly with rounds and the driver re-analyzes the whole chain
-      // each round. localCheckpoint materializes what the convergence
-      // count below pays anyway (see the end-of-function note for the
-      // fault-tolerance trade).
-      next =
-        if ((it + 1) % 5 == 0) next.localCheckpoint(eager = true)
-        else next.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // each round (the measured bottleneck — PROBES.md). Truncation
+      // materializes what the convergence count below pays anyway, and
+      // makes every round's frame a self-contained leaf, so the
+      // superseded round can be released eagerly (below) instead of
+      // waiting on driver GC + ContextCleaner.
+      val next = trunc(labels.select(col("id"), col("rep")).union(viaEdges)
+        .groupBy("id").agg(min("rep").as("rep")))
       val changed = next.as("n").join(labels.as("o"), col("n.id") === col("o.id"))
         .filter(col("n.rep") =!= col("o.rep")).count()
-      labels.unpersist()
+      release(labels) // next is materialized + compared; prev round's blocks die now
       labels = next
       converged = changed == 0
       it += 1
     }
+    release(edges)
     if (!converged) {
-      labels.unpersist() // don't leak the last round's cache on the throw path
+      release(labels) // don't leak the last round's blocks on the throw path
       throw new IllegalStateException(
         s"connectedComponents: no fixpoint after $maxIter rounds " +
           "(diameter exceeds budget — use connectedComponentsStar, whose " +
           "round count is logarithmic in component size)")
     }
-    // the frame handed to the caller must not be backed by the full
-    // iterative lineage: checkpoint it, then release the loop's own
-    // cache entry. NOTE the fault-tolerance trade, here and in the
-    // loops above: localCheckpoint blocks live in executor storage
-    // only — lose an executor and the frame is gone (a query over it
-    // throws; the operator must be re-run), there is NO lineage replay.
-    // That is the right local/bench trade (driver-side plan analysis
-    // was the measured bottleneck — PROBES.md); a long-lived production
-    // job would use reliable checkpoint() to cluster storage instead,
-    // same call shape, needs only a checkpoint dir.
-    val out = labels.localCheckpoint(eager = true)
-    labels.unpersist()
-    out
+    // NOTE the fault-tolerance trade of the default local mode, here
+    // and in the loop above: localCheckpoint blocks live in executor
+    // storage only — lose an executor and the frame is gone (a query
+    // over it throws; the operator must be re-run), there is NO lineage
+    // replay. That is the right local/bench trade (driver-side plan
+    // analysis was the measured bottleneck — PROBES.md); a long-lived
+    // production job passes `checkpointDir` to switch every truncation
+    // in this operator to reliable cluster-storage checkpoint().
+    labels
   }
 
   /** Connected components via ALTERNATING STAR CONTRACTION — same
     * contract as [[connectedComponents]] (same input/output schema,
-    * persisted result, min-id representative) but with round count
+    * materialized checkpoint-leaf result freed via [[release]], same
+    * `checkpointDir` reliable mode, min-id representative) but with round count
     * logarithmic in component size instead of linear in diameter, so it
     * is the variant to use when the pair graph can contain long chains
     * (adversarial near-dup graphs; transitive key-collision chains).
@@ -368,8 +406,10 @@ object Dedup {
     * Self-loops are dropped each round so the edge table shrinks as
     * components contract.
     */
-  def connectedComponentsStar(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
+  def connectedComponentsStar(pairs: DataFrame, maxIter: Int = 50,
+                              checkpointDir: Option[String] = None): DataFrame = {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val trunc = truncator(pairs, checkpointDir)
     // initial checkpoint: same reason as in [[connectedComponents]] —
     // and here it is CRITICAL, because each star round references the
     // previous round's frame ~6 times (bidir union + two star joins +
@@ -377,9 +417,8 @@ object Dedup {
     // MULTIPLICATIVELY and driver analysis dominated the wall clock
     // (measured at sf0.1: 33.7 s with %3 checkpointing -> 2.7 s with
     // initial + per-round truncation, on a 256-edge graph).
-    var edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .filter(col("src") =!= col("dst")).distinct()
-      .localCheckpoint(eager = true)
+    var edges = trunc(pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .filter(col("src") =!= col("dst")).distinct())
     // all vertices, captured from the UNFILTERED pairs (a vertex whose
     // only edge is a self-loop must still be labeled — the min-label
     // variant labels it, and the two variants share one contract) and
@@ -410,20 +449,23 @@ object Dedup {
       // per-round checkpoint (not every-3rd): each round's plan embeds
       // ~6 copies of the previous round's, so anything short of full
       // truncation lets driver-side analysis grow multiplicatively.
-      // Superseded rounds' checkpoint blocks are released by the
-      // ContextCleaner once unreferenced (we drop the only reference
-      // below); the edge table shrinks per round, so the transient
-      // residency is bounded by a few copies of the INITIAL edge set.
-      val next = small.localCheckpoint(eager = true)
+      val next = trunc(small)
       // fixpoint test: the edge set is unchanged (both anti-join counts
       // zero over the two checkpointed leaves)
       val grew = next.join(edges, Seq("src", "dst"), "left_anti").count()
       converged = grew == 0 &&
         edges.join(next, Seq("src", "dst"), "left_anti").count() == 0
+      // `next` is a materialized leaf and the anti-joins are counted:
+      // nothing references the superseded round — release its blocks
+      // NOW rather than waiting on driver GC to trigger ContextCleaner
+      // (under slow/absent GC the transient residency could otherwise
+      // exceed the few-copies-of-the-initial-edge-set bound).
+      release(edges)
       edges = next
       it += 1
     }
     if (!converged) {
+      release(edges)
       vertices.unpersist()
       throw new IllegalStateException(
         s"connectedComponentsStar: no fixpoint after $maxIter rounds")
@@ -431,10 +473,10 @@ object Dedup {
     // at the fixpoint every component is a star (v → min). Labels = the
     // star edges plus a self-label for every vertex not covered (roots,
     // and any vertex whose edges contracted away entirely).
-    val labels = vertices
+    val labels = trunc(vertices
       .join(edges.select(col("src").as("id"), col("dst").as("rep")), Seq("id"), "left")
-      .select(col("id"), coalesce(col("rep"), col("id")).as("rep"))
-      .localCheckpoint(eager = true)
+      .select(col("id"), coalesce(col("rep"), col("id")).as("rep")))
+    release(edges)
     vertices.unpersist()
     labels
   }

@@ -108,7 +108,11 @@ object DedupQueries {
     "d7_paragraph_dedup" -> QueryDef(
       (s, dir) => Dedup.chunkDedup(table(s, dir, "documents"), "doc_id", "text", k = 8)
         .orderBy("doc_id"),
-      Some("""WITH w AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+      // NULL contract mirrored from the engine (Dedup.chunkDedup
+      // coalesces NULL text to ''): string_split(NULL) would yield no
+      // unnest rows and the doc would vanish from `tot`, diverging the
+      // two sides on the exact case the coalesce targets.
+      Some("""WITH w AS (SELECT doc_id, string_split(coalesce(text,''),' ') AS w FROM documents),
              |ch AS (SELECT doc_id, i AS cidx, array_to_string(w[(i*8+1):(i*8+8)],' ') AS chunk
              |       FROM w, unnest(range(0, CAST(ceil(len(w)/8.0) AS BIGINT))) AS t(i)),
              |firsts AS (SELECT chunk, min(struct_pack(doc_id := doc_id, cidx := cidx)) AS f

@@ -167,7 +167,9 @@ object Staged {
     perSession.synchronized {
       val m = perSession.remove(s)
       if (m != null) m.values.foreach {
-        case d: DataFrame => d.unpersist()
+        // Dedup.release subsumes unpersist AND frees checkpoint-leaf
+        // blocks (the CC label frames), which unpersist alone misses
+        case d: DataFrame => graft.operators.Dedup.release(d)
         case f: DcaFrame  => f.unpersist()
         case _            => ()
       }

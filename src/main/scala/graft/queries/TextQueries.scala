@@ -288,19 +288,23 @@ object TextQueries {
             TextOps.redactPii(col("itext")).as("redacted"))
           .orderBy("doc_id")
       },
-      Some("""WITH inj AS (
+      // ONE SQL rendering: the oracle interpolates the very same
+      // TextOps regex constants the engine compiles (they are chosen to
+      // be Java-regex/RE2 identical), so a pattern tweak can never
+      // desynchronize the two sides — same convention as knuthMixSql.
+      Some(s"""WITH inj AS (
              |  SELECT doc_id,
              |    CASE WHEN doc_id % 3 = 0 THEN text
              |         ELSE text || ' contact user' || doc_id || '@mail.example.com ip 10.0.'
              |              || (doc_id % 250) || '.7 code ' || (doc_id*doc_id) END AS itext
              |  FROM documents)
              |SELECT doc_id,
-             |  CAST(len(regexp_extract_all(itext, '[a-z0-9]+@[a-z0-9.]+\.[a-z]+')) AS BIGINT) AS email_n,
-             |  CAST(len(regexp_extract_all(itext, '\d+\.\d+\.\d+\.\d+')) AS BIGINT) AS ip_n,
-             |  CAST(len(regexp_extract_all(itext, '\d{4,}')) AS BIGINT) AS digitrun_n,
+             |  CAST(len(regexp_extract_all(itext, '${TextOps.EmailRe}')) AS BIGINT) AS email_n,
+             |  CAST(len(regexp_extract_all(itext, '${TextOps.Ipv4Re}')) AS BIGINT) AS ip_n,
+             |  CAST(len(regexp_extract_all(itext, '${TextOps.DigitRunRe}')) AS BIGINT) AS digitrun_n,
              |  regexp_replace(regexp_replace(itext,
-             |    '[a-z0-9]+@[a-z0-9.]+\.[a-z]+', '<EMAIL>', 'g'),
-             |    '\d+\.\d+\.\d+\.\d+', '<IP>', 'g') AS redacted
+             |    '${TextOps.EmailRe}', '<EMAIL>', 'g'),
+             |    '${TextOps.Ipv4Re}', '<IP>', 'g') AS redacted
              |FROM inj ORDER BY doc_id""".stripMargin)),
 
     // Data mixing under a per-source token budget: docs are admitted
@@ -395,7 +399,7 @@ object TextQueries {
              |    ${QueryDef.knuthMixSql("doc_id")} AS hv FROM documents),
              |s AS (SELECT *, CASE WHEN hv % 10 < 8 THEN 'train'
              |                     WHEN hv % 10 = 8 THEN 'val' ELSE 'test' END AS split FROM h)
-             |SELECT split, lang, count(*) AS n_docs, sum(n_tokens) AS n_tokens
+             |SELECT split, lang, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens
              |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
     // polynomial rolling-hash fingerprint (exact-int, engine-portable).
