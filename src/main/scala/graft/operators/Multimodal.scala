@@ -1,19 +1,29 @@
 package graft.operators
 
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+
+import javax.imageio.ImageIO
+
 import org.apache.spark.sql.{Dataset, SparkSession}
 
 /** Multimodal column handling: image/audio/video as opaque `binary`
   * columns with typed metadata, processed per-partition in batches.
   *
-  * The actual media decode is STUBBED (this container has no image /
-  * audio codecs): [[decodeStub]] derives deterministic fake metadata
-  * from the bytes. Everything around it — schema, batched partition
-  * processing, the Dataset boundary — is real and is what would carry a
-  * true decoder (e.g. an Arrow-batched JNI call) at scale.
+  * IMAGE decode is REAL: [[decodeImage]] reads the codec header through
+  * JDK `javax.imageio` (PNG/JPEG/GIF/BMP ship with every JDK and work
+  * headless — no external deps). It is a header-only decode (ImageReader
+  * width/height/type, no full raster materialization), which is the
+  * production shape for metadata extraction at 100 TB: bytes stay in the
+  * partition, only the typed meta rows move.
+  *
+  * AUDIO/VIDEO decode remains STUBBED ([[decodeStub]] — this container
+  * has no audio/video codecs): deterministic fake metadata from the
+  * bytes, behind the same (bytes in, typed meta out) signature a real
+  * codec call would use.
   */
 object Multimodal {
 
-  /** Typed metadata a decoder would produce for one blob. */
+  /** Typed metadata a decoder produces for one blob. */
   final case class MediaMeta(
       id: Long,
       nBytes: Long,
@@ -22,10 +32,42 @@ object Multimodal {
       channels: Int,
       format: String)
 
-  /** STUB decode: deterministic fake dimensions from the first bytes.
-    * A real implementation would decode the codec header here; the
-    * signature (bytes in, typed meta out) and the partition-batched
-    * call pattern are the production shape.
+  /** Real image decode via JDK javax.imageio: header-only — reads
+    * (width, height, channels, format) from the codec header WITHOUT
+    * materializing the pixel raster (an `ImageIO.read` full decode of a
+    * 100-MP image allocates ~400 MB; `ImageReader.getWidth(0)` reads a
+    * few header bytes). Returns None when the bytes are not an image
+    * any registered reader recognizes (the caller routes those to the
+    * audio/video stub path).
+    */
+  def decodeImage(id: Long, bytes: Array[Byte]): Option[MediaMeta] = {
+    if (bytes.isEmpty) return None
+    try {
+      val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(bytes))
+      try {
+        val readers = ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) None
+        else {
+          val r = readers.next()
+          try {
+            r.setInput(iis, true, true)
+            val w = r.getWidth(0)
+            val h = r.getHeight(0)
+            val types = r.getImageTypes(0)
+            val channels =
+              if (types.hasNext) types.next().getNumComponents else 3
+            Some(MediaMeta(id, bytes.length.toLong, w, h, channels,
+              "image/" + r.getFormatName.toLowerCase))
+          } finally r.dispose()
+        }
+      } finally iis.close()
+    } catch { case _: Exception => None }
+  }
+
+  /** STUB decode for AUDIO/VIDEO blobs (no such codecs in this
+    * container): deterministic fake dimensions from the first bytes.
+    * The signature (bytes in, typed meta out) and the partition-batched
+    * call pattern are the production shape a real codec would fill.
     */
   def decodeStub(id: Long, bytes: Array[Byte]): MediaMeta = {
     val b0 = if (bytes.nonEmpty) bytes(0) & 0xff else 0
@@ -39,16 +81,52 @@ object Multimodal {
       format = "fake/raw")
   }
 
+  /** One-blob decode: real image decode when the bytes are a recognized
+    * image, stub (audio/video placeholder) otherwise.
+    */
+  def decode(id: Long, bytes: Array[Byte]): MediaMeta =
+    decodeImage(id, bytes).getOrElse(decodeStub(id, bytes))
+
   /** Batched per-partition decode: the Scala analog of `mapInPandas` —
-    * one iterator per partition, amortizing any per-batch setup
-    * (decoder init, native buffers) across rows. Narrow: no shuffle.
+    * one iterator per partition, amortizing per-batch setup across
+    * rows. Narrow: no shuffle; blobs never leave their partition.
     */
   def decodeAll(spark: SparkSession, blobs: Dataset[(Long, Array[Byte])]): Dataset[MediaMeta] = {
     import spark.implicits._
     blobs.mapPartitions { it =>
-      // per-partition decoder setup would go here (expensive init once)
-      it.map { case (id, bytes) => decodeStub(id, bytes) }
+      // per-partition decoder setup: never spill ImageInputStream
+      // caches to disk temp files (pure in-memory header reads)
+      ImageIO.setUseCache(false)
+      it.map { case (id, bytes) => decode(id, bytes) }
     }
+  }
+
+  /** Deterministic PNG encoder for specs/oracles: a real w×h 3-channel
+    * (TYPE_3BYTE_BGR — PNG truecolor, 3 components on re-read) image
+    * whose pixels are a cheap LCG of `seed`, written with the JDK PNG
+    * writer. Encode→decode round-trips through [[decodeImage]] exercise
+    * the REAL codec path with bytes whose ground-truth dims are known
+    * arithmetically — which is what lets a SQL oracle check the decode
+    * without itself decoding.
+    */
+  def encodePng(width: Int, height: Int, seed: Long): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    var p = seed
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        p = p * 6364136223846793005L + 1442695040888963407L // Knuth LCG
+        img.setRGB(x, y, (p >>> 40).toInt & 0xffffff)
+        x += 1
+      }
+      y += 1
+    }
+    val out = new ByteArrayOutputStream()
+    ImageIO.setUseCache(false)
+    ImageIO.write(img, "png", out)
+    out.toByteArray
   }
 
   /** Deterministic frame-sampling offsets for a blob of `nBytes`:

@@ -4,16 +4,47 @@ import org.apache.spark.sql.functions._
 
 import QueryDef.table
 
-/** Multimodal-column plumbing over `documents` (text bytes standing in
-  * for media blobs — the container has no codecs, see
-  * [[graft.operators.Multimodal]]): binary casting, byte-level metadata,
-  * content hashing, deterministic fake decode, frame sampling. The
-  * Column-expression paths here carry full DuckDB oracles; the
-  * `mapPartitions`-batched decode path is covered by MultimodalSpec.
+/** Multimodal-column plumbing over `documents`: binary casting,
+  * byte-level metadata, content hashing, frame sampling, and REAL image
+  * decode (mm3 — JDK javax.imageio, see [[graft.operators.Multimodal]]).
+  * The Column-expression paths carry full DuckDB oracles; mm3's oracle
+  * works because the PNG bytes are generated with arithmetically-known
+  * dims, so DuckDB recomputes the ground truth without decoding — a
+  * wrong decode hash-mismatches.
   */
 object MultimodalQueries {
 
   val defs: Map[String, QueryDef] = Map(
+
+    // REAL image decode: per-row deterministic PNG (dims derived from
+    // doc_id / n_chars) encoded AND header-decoded with JDK ImageIO
+    // inside one mapPartitions pass — bytes never leave the partition,
+    // only (id, meta) rows move. The oracle recomputes the dims
+    // arithmetically: a decode bug cannot hash-match.
+    "mm3_image_decode" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val docs = table(s, dir, "documents")
+          .select(col("doc_id").cast("long"), col("n_chars").cast("long"))
+          .as[(Long, Long)]
+        val blobs = docs.map { case (id, nChars) =>
+          (id, graft.operators.Multimodal.encodePng(
+            1 + (id % 16).toInt, 1 + (nChars % 16).toInt, id))
+        }
+        graft.operators.Multimodal.decodeAll(s, blobs).toDF()
+          .select(col("id").as("doc_id"),
+            col("width").cast("long").as("width"),
+            col("height").cast("long").as("height"),
+            col("channels").cast("long").as("channels"),
+            col("format"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+             |  CAST(1 + doc_id % 16 AS BIGINT) AS width,
+             |  CAST(1 + n_chars % 16 AS BIGINT) AS height,
+             |  CAST(3 AS BIGINT) AS channels,
+             |  'image/png' AS format
+             |FROM documents ORDER BY doc_id""".stripMargin)),
 
     // binary column + typed metadata + content hash + stub decode dims
     "mm1_binary_meta" -> QueryDef(

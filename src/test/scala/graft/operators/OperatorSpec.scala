@@ -494,12 +494,44 @@ class MultimodalSpec extends SparkTestBase {
     assert(m.nBytes == 11L && m.width >= 64 && m.width < 320 && m.channels == 3)
   }
 
+  test("decodeImage round-trips REAL PNG bytes written by ImageIO") {
+    val bytes = Multimodal.encodePng(37, 21, seed = 42L)
+    // sanity: actual PNG magic, not fabricated bytes
+    assert((bytes(0) & 0xff) == 0x89 && bytes(1) == 'P'.toByte)
+    val m = Multimodal.decodeImage(5L, bytes).get
+    assert(m.width == 37 && m.height == 21 && m.channels == 3)
+    assert(m.format == "image/png" && m.nBytes == bytes.length.toLong)
+  }
+
+  test("decodeImage reads JPEG and grayscale headers correctly") {
+    import java.awt.image.BufferedImage
+    def enc(img: BufferedImage, fmt: String): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, fmt, out)
+      out.toByteArray
+    }
+    val jpg = Multimodal.decodeImage(1L,
+      enc(new BufferedImage(64, 48, BufferedImage.TYPE_3BYTE_BGR), "jpg")).get
+    assert(jpg.width == 64 && jpg.height == 48 && jpg.format == "image/jpeg")
+    val gray = Multimodal.decodeImage(2L,
+      enc(new BufferedImage(8, 8, BufferedImage.TYPE_BYTE_GRAY), "png")).get
+    assert(gray.channels == 1 && gray.format == "image/png")
+  }
+
+  test("decode routes non-image bytes to the audio/video stub path") {
+    val m = Multimodal.decode(3L, "not an image".getBytes("UTF-8"))
+    assert(m.format == "fake/raw")
+    assert(Multimodal.decodeImage(3L, "not an image".getBytes("UTF-8")).isEmpty)
+    assert(Multimodal.decodeImage(4L, Array.empty[Byte]).isEmpty)
+  }
+
   test("decodeAll processes blobs per-partition (mapInPandas analog)") {
-    val blobs = spark.createDataset(
-      Seq((1L, "abc".getBytes("UTF-8")), (2L, Array.empty[Byte]), (3L, "zz".getBytes("UTF-8"))))
+    val blobs = spark.createDataset(Seq(
+      (1L, "abc".getBytes("UTF-8")), (2L, Array.empty[Byte]),
+      (3L, Multimodal.encodePng(10, 4, seed = 3L))))
     val metas = Multimodal.decodeAll(spark, blobs).collect().sortBy(_.id)
-    assert(metas.map(_.nBytes).toSeq == Seq(3L, 0L, 2L))
-    assert(metas.forall(_.format == "fake/raw"))
+    assert(metas.map(_.format).toSeq == Seq("fake/raw", "fake/raw", "image/png"))
+    assert(metas(2).width == 10 && metas(2).height == 4)
   }
 
   test("frameOffsets yields at least one in-range frame") {
