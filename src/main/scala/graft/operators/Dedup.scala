@@ -271,7 +271,26 @@ object Dedup {
   private def truncator(like: DataFrame, checkpointDir: Option[String])
       : DataFrame => DataFrame = checkpointDir match {
     case Some(dir) =>
-      like.sparkSession.sparkContext.setCheckpointDir(dir)
+      val sc = like.sparkSession.sparkContext
+      // `setCheckpointDir` is PROCESS-GLOBAL session state (and every
+      // call appends a fresh UUID subdir). Set it only when unset; if
+      // the session already points somewhere ELSE, refuse instead of
+      // silently clobbering the other caller's setting — two operators
+      // racing with different dirs would interleave their file-sets
+      // and outlive the operator that set them. One dir per session.
+      val want = {
+        val p = new org.apache.hadoop.fs.Path(dir)
+        p.getFileSystem(sc.hadoopConfiguration).makeQualified(p)
+      }
+      sc.getCheckpointDir match {
+        case None => sc.setCheckpointDir(dir)
+        case Some(cur) =>
+          // current value is want/<uuid> (setCheckpointDir appends one)
+          val curBase = new org.apache.hadoop.fs.Path(cur).getParent
+          require(curBase == want,
+            s"session checkpoint dir is already $curBase; refusing to " +
+              s"clobber it with $want — use one checkpointDir per session")
+      }
       df => df.checkpoint(eager = true)
     case None =>
       df => df.localCheckpoint(eager = true)
@@ -279,20 +298,37 @@ object Dedup {
 
   /** Release the storage behind a frame produced by the iterative
     * operators. `Dataset.unpersist` alone is NOT enough: it only
-    * uncaches CacheManager entries, while a `localCheckpoint` frame's
-    * blocks are owned by its underlying RDD — so this also unpersists
-    * the RDD when the frame IS a checkpoint leaf (root plan is the
+    * uncaches CacheManager entries, while a checkpoint frame's blocks
+    * are owned by its underlying RDD — so this also unpersists the RDD
+    * when the frame IS a checkpoint leaf (root plan is the
     * `LogicalRDD`; deliberately root-only, so a frame whose plan merely
     * READS other checkpoint leaves can never free blocks it does not
-    * own). No-op on plain frames. Reliable `checkpoint()` files on
-    * cluster storage are left to `ContextCleaner` /
-    * `spark.cleaner.referenceTracking.cleanCheckpoints`.
+    * own). No-op on plain frames.
+    *
+    * Reliable `checkpoint()` file-sets are DELETED here too:
+    * `ContextCleaner` only removes them when
+    * `spark.cleaner.referenceTracking.cleanCheckpoints=true` (default
+    * false), so a long production run would otherwise accumulate one
+    * file-set per round, unbounded, under the checkpoint dir.
+    *
+    * DESTROY semantics — this is permanent: a checkpoint leaf has no
+    * lineage to replay, so after release the frame's ONLY copy is gone
+    * and any in-flight query over it fails with block-/file-not-found
+    * rather than recomputing. Call it only on owned, end-of-life
+    * frames (superseded rounds, the returned result at teardown) —
+    * never on a frame another query may still read.
     */
   def release(df: DataFrame): Unit = {
     df.unpersist()
     df.queryExecution.analyzed match {
       case lr: org.apache.spark.sql.execution.LogicalRDD =>
         lr.rdd.unpersist(blocking = false)
+        lr.rdd.getCheckpointFile.foreach { f =>
+          val p = new org.apache.hadoop.fs.Path(f)
+          try p.getFileSystem(
+            df.sparkSession.sparkContext.hadoopConfiguration).delete(p, true)
+          catch { case _: java.io.IOException => () } // best-effort cleanup
+        }
       case _ => ()
     }
   }

@@ -212,6 +212,60 @@ class DedupSpec extends SparkTestBase {
     assert(out == Seq((1L, "a b", 1L, 0L), (2L, "", 1L, 0L)))
   }
 
+  // ---- reliable checkpointDir mode (the production fault-tolerance
+  // path: survives executor loss via cluster-storage checkpoint()) ----
+
+  private lazy val ckptDir =
+    java.nio.file.Files.createTempDirectory("graft-ckpt-").toString
+
+  private def ckptFiles(): Seq[java.nio.file.Path] = {
+    import scala.jdk.CollectionConverters._
+    val root = java.nio.file.Paths.get(ckptDir)
+    val s = java.nio.file.Files.walk(root)
+    try s.iterator().asScala.filter(java.nio.file.Files.isRegularFile(_)).toList
+    finally s.close()
+  }
+
+  private val ccExpected = Set(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+    10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L)
+
+  private def ccPairs = Seq((5L, 4L), (4L, 3L), (3L, 2L), (2L, 1L),
+    (10L, 11L), (11L, 12L), (10L, 12L), (21L, 20L)).toDF("doc_a", "doc_b")
+
+  test("connectedComponents reliable checkpointDir mode: same labels, real files, cleaned on release") {
+    val got = Dedup.connectedComponents(ccPairs, checkpointDir = Some(ckptDir))
+    val rows = got.as[(Long, Long)].collect().toSet
+    // the result is a reliable checkpoint leaf: its file-set must exist
+    // while the frame is alive...
+    assert(ckptFiles().nonEmpty, "no reliable checkpoint files were written")
+    Dedup.release(got)
+    // ...and release() must delete it (plus every superseded round's —
+    // ContextCleaner won't, cleanCheckpoints defaults to false)
+    assert(ckptFiles().isEmpty,
+      s"release() left checkpoint files behind: ${ckptFiles().take(3)}")
+    assert(rows == ccExpected)
+  }
+
+  test("connectedComponentsStar reliable checkpointDir mode: same labels, files cleaned") {
+    val got = Dedup.connectedComponentsStar(ccPairs, checkpointDir = Some(ckptDir))
+    val rows = got.as[(Long, Long)].collect().toSet
+    assert(ckptFiles().nonEmpty)
+    Dedup.release(got)
+    assert(ckptFiles().isEmpty)
+    assert(rows == ccExpected)
+  }
+
+  test("reliable mode refuses to clobber a different session checkpoint dir") {
+    // the session dir was pinned under ckptDir by the specs above; a
+    // different dir must throw, not silently redirect the whole session
+    val other = java.nio.file.Files.createTempDirectory("graft-ckpt-other-").toString
+    // ensure the session dir is actually set (spec ordering safety)
+    Dedup.release(Dedup.connectedComponents(ccPairs, checkpointDir = Some(ckptDir)))
+    intercept[IllegalArgumentException] {
+      Dedup.connectedComponents(ccPairs, checkpointDir = Some(other))
+    }
+  }
+
   test("chunkDedup dedups repeats WITHIN one document too") {
     val d = docs(1L -> "a b a b c d")
     val out = Dedup.chunkDedup(d, "doc_id", "text", k = 2)
