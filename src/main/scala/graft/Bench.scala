@@ -68,7 +68,24 @@ object Bench {
     val errs = names.filter(k => !best.contains(k)).map("\"" + _ + "\"")
       .mkString("[", ",", "]")
     val total = best.values.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"runs":$runs,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"runs":$runs,"sf":"$sfDir"}"""
+    println(line)
+    // Self-contained artifact: the stdout line is captured by the driver
+    // as a LOG TAIL, which truncated the first ~28 queries out of two
+    // rounds' BENCH artifacts. Persist the complete per-query JSON to a
+    // repo file so the record never depends on log capture. Accounting
+    // note, recorded here because it is a protocol property: staged
+    // artifacts (Staged.liFrame etc.) are built once per pass and shared
+    // across the dca family, so each staged build's first-touch cost is
+    // billed to the ALPHABETICALLY FIRST query that touches it in that
+    // pass (stable across rounds: iteration is sorted) — e.g. dca_m1
+    // pays liFlagFrame staging for dca_m2, dca_s9 pays its own.
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")),
+      line + "\n")
+    catch { case e: Exception =>
+      System.err.println(s"[bench] artifact write failed: ${e.getMessage}") }
     spark.stop()
   }
 }
