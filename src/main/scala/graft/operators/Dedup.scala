@@ -112,6 +112,68 @@ object Dedup {
       .distinct()
   }
 
+  // ---- LSH banding auto-tuner ------------------------------------------
+
+  /** One banding geometry with its MEASURED candidate volume on the
+    * tuning corpus plus the analytic recall at the similarity the
+    * caller cares about and the background similarity j₀ the volume
+    * implies (inverting p = 1−(1−j₀^rows)^bands at the observed
+    * collision rate — the corpus statistic PROBES.md sizes from).
+    */
+  final case class BandingChoice(
+      bands: Int, rows: Int, candidates: Long,
+      recall: Double, impliedJ0: Double,
+      recallOk: Boolean, withinBudget: Boolean)
+
+  /** Deterministic 1-in-`den` document sample of a (__id, __h)
+    * shingle-hash table: keeps a doc iff xxhash64(__id) mod den == 0 —
+    * stable across runs and partitionings, no RNG. Tune on the sample
+    * at production scale; candidate volume extrapolates as den²
+    * (collision RATE p is scale-free, pair count is n²·p/2).
+    */
+  def deterministicDocSample(hashed: DataFrame, den: Int): DataFrame =
+    hashed.filter(pmod(xxhash64(col("__id")), lit(den.toLong)) === 0)
+
+  /** j₀-driven banding auto-tuner — MEASUREMENT-based, not model-based:
+    * for each candidate geometry (all splitting the same ~64-hash
+    * signature budget by default), run the shipped candidate pipeline
+    * on `hashed` and count distinct candidates (count only — pairs are
+    * never materialized to the driver). At 100 TB run it on a
+    * [[deterministicDocSample]]; the measured collision rate transfers
+    * and expected full-corpus candidates = sample candidates × den².
+    *
+    * Returns every geometry, best first. Ordering: meets-recall
+    * strictly dominates (an LSH that drops true near-dups is wrong, not
+    * cheap), then fits-candidate-budget, then fewest candidates
+    * (candidate volume IS the verify-join cost). `head` is the
+    * recommendation.
+    *
+    * @param recallAt similarity at which recall must hold — the planted
+    *        / expected true-dup similarity (e.g. 0.9), or the threshold
+    *        itself for worst-case guarantees
+    * @param candidateBudget max acceptable candidate pairs on THIS
+    *        corpus (divide the production budget by den² when tuning on
+    *        a sample)
+    */
+  def tuneBanding(hashed: DataFrame, candidateBudget: Long, recallAt: Double,
+                  targetRecall: Double = 0.98,
+                  geometries: Seq[(Int, Int)] = Seq((32, 2), (21, 3), (16, 4)))
+      : Seq[BandingChoice] = {
+    val staged = hashed.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nDocs = staged.select("__id").distinct().count()
+    val allPairs = nDocs.toDouble * (nDocs - 1) / 2
+    val choices = geometries.map { case (b, r) =>
+      val cand = lshCandidatesFromHashes(staged, b, r).count()
+      val recall = 1 - math.pow(1 - math.pow(recallAt, r), b)
+      val p = if (allPairs > 0) cand / allPairs else 0.0
+      val j0 = math.pow(1 - math.pow(1 - p, 1.0 / b), 1.0 / r)
+      BandingChoice(b, r, cand, recall, j0,
+        recallOk = recall >= targetRecall, withinBudget = cand <= candidateBudget)
+    }
+    staged.unpersist()
+    choices.sortBy(c => (!c.recallOk, !c.withinBudget, c.candidates))
+  }
+
   /** Exact jaccard verification of candidate pairs against the shingle
     * table, with a rational (float-free) threshold test:
     * inter/union >= num/den  ⇔  den*inter >= num*union.

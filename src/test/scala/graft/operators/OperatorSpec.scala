@@ -212,6 +212,54 @@ class DedupSpec extends SparkTestBase {
     assert(out == Seq((1L, "a b", 1L, 0L), (2L, "", 1L, 0L)))
   }
 
+  test("banding auto-tuner reproduces PROBES volumes and picks by recall-then-budget") {
+    // the probe corpus (sf0.1 documents, 5,000 docs): PROBES.md measured
+    // 3,871 candidates at (32 bands × 2 rows) and 792 at (21 × 3) — the
+    // tuner must reproduce both from the same shipped pipeline
+    val hashed = graft.queries.Staged.docShingleHashes(spark, "/root/testdata/sf0.1")
+    val choices = Dedup.tuneBanding(hashed, candidateBudget = 1000L, recallAt = 0.9)
+    val byGeom = choices.map(c => (c.bands, c.rows) -> c).toMap
+    assert(byGeom((32, 2)).candidates == 3871L, s"got ${byGeom((32, 2))}")
+    assert(byGeom((21, 3)).candidates == 792L, s"got ${byGeom((21, 3))}")
+    // all three geometries keep j=0.9 near-dups with >= 98% probability
+    assert(choices.forall(_.recallOk))
+    // recommendation: fewest candidates among recall-feasible in-budget
+    val head = choices.head
+    assert(head.withinBudget && head.recallOk)
+    assert(head.candidates == choices.filter(c => c.recallOk && c.withinBudget)
+      .map(_.candidates).min)
+    assert(!byGeom((32, 2)).withinBudget) // 3,871 > 1,000
+    // implied background similarity is small and positive on this corpus
+    assert(byGeom((32, 2)).impliedJ0 > 0 && byGeom((32, 2)).impliedJ0 < 0.05)
+  }
+
+  test("banding auto-tuner: recall feasibility dominates budget") {
+    // demanding recall AT the 0.4 threshold itself: only (32, 2) reaches
+    // 98% there (recall(21,3) = 0.75, recall(16,4) = 0.34), so it must
+    // be recommended even though it blows the candidate budget
+    val hashed = graft.queries.Staged.docShingleHashes(spark, "/root/testdata/sf0.1")
+    val choices = Dedup.tuneBanding(hashed, candidateBudget = 1000L, recallAt = 0.4)
+    assert(choices.head.bands == 32 && choices.head.rows == 2)
+    assert(choices.head.recallOk && !choices.head.withinBudget)
+    assert(choices.tail.forall(!_.recallOk))
+  }
+
+  test("banding tuner on a deterministic half-sample estimates the same collision rate") {
+    val hashed = graft.queries.Staged.docShingleHashes(spark, "/root/testdata/sf0.1")
+    val half = Dedup.deterministicDocSample(hashed, den = 2)
+    val full = Dedup.tuneBanding(hashed, 1000L, recallAt = 0.9,
+      geometries = Seq((32, 2))).head
+    val sampled = Dedup.tuneBanding(half, 1000L, recallAt = 0.9,
+      geometries = Seq((32, 2))).head
+    // collision rate (and so implied j0) is scale-free: the half-sample
+    // estimate must land within 2x of the full-corpus value
+    assert(sampled.impliedJ0 > full.impliedJ0 / 2 && sampled.impliedJ0 < full.impliedJ0 * 2,
+      s"sampled j0 ${sampled.impliedJ0} vs full ${full.impliedJ0}")
+    // and extrapolated volume (x den^2) lands within 2x of the measured
+    assert(sampled.candidates * 4 > full.candidates / 2 &&
+      sampled.candidates * 4 < full.candidates * 2)
+  }
+
   // ---- reliable checkpointDir mode (the production fault-tolerance
   // path: survives executor loss via cluster-storage checkpoint()) ----
 
