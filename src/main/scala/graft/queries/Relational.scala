@@ -296,6 +296,15 @@ object Relational {
     // the window input is |distinct bal|, never the fact-table row
     // count. Same output as q23 (rows with n_poorer = 0 dropped, as
     // the inner theta join does).
+    // BOUNDED-DOMAIN ASSUMPTION (enforced, not just assumed): the
+    // no-partitionBy window is single-partition over |distinct(b)|
+    // rows; PlanShapeSpec asserts that count stays dimension-sized at
+    // the largest local SF and that the join back plans as a
+    // broadcast. If the domain ever grows fact-like, reformulate as a
+    // two-level prefix sum: bucket = floor(b/W); within-bucket cumsum
+    // windows partitioned by bucket + a global cumsum over the (small)
+    // per-bucket totals, joined back — no single-partition stage over
+    // the full domain.
     "q23b_rank_poorer" -> QueryDef(
       (s, dir) => {
         val sup = table(s, dir, "supplier")

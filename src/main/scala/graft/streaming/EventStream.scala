@@ -129,6 +129,32 @@ object EventStream {
         col("n_docs"), col("sum_tokens"))
   }
 
+  /** Batch twin of [[sessionize]]: the `q18_sessionize` lag/cumsum plan
+    * over a static frame, typed to the same [[Session]] rows (every
+    * session is final in batch — there is no watermark). One gap
+    * definition, two execution modes; EventStreamSpec pins
+    * stream == batch on a shared fixture.
+    */
+  def sessionizeBatch(spark: SparkSession, events: Dataset[Event],
+                      gapUs: Long): Dataset[Session] = {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val wOrd = Window.partitionBy("userId").orderBy("tsUs", "valueC")
+    events.toDF()
+      .withColumn("prev_t", lag("tsUs", 1).over(wOrd))
+      .withColumn("new_sess",
+        when(col("prev_t").isNull || col("tsUs") - col("prev_t") > gapUs, 1L)
+          .otherwise(0L))
+      .withColumn("sid", sum("new_sess").over(
+        wOrd.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("userId"), col("sid"))
+      .agg(min("tsUs").as("startUs"), max("tsUs").as("endUs"),
+        count(lit(1)).as("nEvents"), sum("valueC").as("valueC"))
+      .select(col("userId"), col("startUs"), col("endUs"),
+        col("nEvents"), col("valueC"))
+      .as[Session]
+  }
+
   /** Gap-based sessionization. State holds ALL open sessions for the
     * user (normally one; more when late data opens earlier sessions);
     * an event merges every session within `gapUs` of it — possibly

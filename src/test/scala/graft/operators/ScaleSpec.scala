@@ -62,6 +62,29 @@ class PlanShapeSpec extends SparkTestBase {
       plan.take(800))
   }
 
+  test("q23b: the bounded-domain assumption behind its global window HOLDS") {
+    // q23b's cumulative window runs over DISTINCT s_acctbal values with
+    // no partitionBy — safe only while that domain stays
+    // dimension-sized (it is the window's single-partition input AND
+    // the broadcast side of the join back). This guard turns the
+    // in-code comment into an enforced bound at the largest local SF:
+    // acctbal is a bounded value domain (money in a fixed range), so
+    // distinct count must stay <= supplier rows and far under broadcast
+    // limits even as the corpus scales (ScaleUp preserves value
+    // domains, like real corpus growth). If data evolution ever breaks
+    // this, the fix is a two-level bucketed prefix-sum — see the plan
+    // note at Relational.q23b.
+    val sup = spark.read.parquet("/root/testdata/sf0.1/supplier.parquet")
+    val distinctBal = sup.select("s_acctbal").distinct().count()
+    assert(distinctBal <= 20000L,
+      s"q23b's global-window domain grew to $distinctBal distinct balances — " +
+        "switch q23b to the two-level bucketed prefix-sum formulation")
+    // and the broadcast-side plan property: the window input is the
+    // aggregate, so the join back must plan as a broadcast join
+    val df = graft.SparkEntry.queries("q23b_rank_poorer")(spark, "/root/testdata/sf0.001")
+    assert(df.queryExecution.executedPlan.toString().contains("BroadcastHashJoin"))
+  }
+
   test("d7 chunk dedup: first-occurrence agg partially aggregates map-side") {
     // the skew defense: min(struct(id,pos)) per chunk must show a
     // partial_min BEFORE the chunk exchange (a final-only aggregation

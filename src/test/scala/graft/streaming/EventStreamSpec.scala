@@ -244,6 +244,74 @@ class EventStreamSpec extends SparkTestBase {
     assert(batch == Set((86400L, "en", 1L, 26L), (86400L, "de", 1L, 25L)))
   }
 
+  test("sessionize: finalized streaming sessions equal the q18-plan batch twin") {
+    implicit val sqlCtx = spark.sqlContext
+    val T0 = 86400L * 1000000L
+    // shared fixture: two users, three sessions, out-of-order arrival
+    // within a batch and a cross-batch extension — every event arrives
+    // ABOVE the watermark (a below-wm drop is stream-only semantics the
+    // batch twin cannot see; that path is pinned separately above)
+    val core = Seq(
+      Event(1L, T0 + 5 * Min, 20L), Event(1L, T0, 10L),        // batch 1 (out of order)
+      Event(2L, T0 + 30 * Min, 70L),
+      Event(1L, T0 + 10 * Min, 30L),                           // batch 2: extends session A
+      Event(1L, T0 + 130 * Min, 40L), Event(1L, T0 + 135 * Min, 50L))
+    val input = MemoryStream[Event]
+    val q = EventStream.sessionize(spark, input.toDS(), gapUs = 30 * Min)
+      .writeStream.format("memory").queryName("sess_eq")
+      .outputMode(OutputMode.Append).start()
+    val streamed = try {
+      input.addData(core(0), core(1), core(2)); q.processAllAvailable()
+      input.addData(core(3), core(4), core(5)); q.processAllAvailable()
+      // watermark pushers: finalize everything (wm lags a batch — tick
+      // twice); their own never-closed session must NOT be emitted and
+      // the batch twin never sees them
+      input.addData(Event(9L, T0 + 400 * Min, 1L)); q.processAllAvailable()
+      input.addData(Event(9L, T0 + 410 * Min, 1L)); q.processAllAvailable()
+      spark.table("sess_eq").as[Session].collect().toSet
+    } finally q.stop()
+    val batch = EventStream.sessionizeBatch(spark, core.toDS(), gapUs = 30 * Min)
+      .collect().toSet
+    assert(streamed == batch, s"stream/batch drift: streamed=$streamed batch=$batch")
+    assert(batch == Set(
+      Session(1L, T0, T0 + 10 * Min, 3L, 60L),
+      Session(1L, T0 + 130 * Min, T0 + 135 * Min, 2L, 90L),
+      Session(2L, T0 + 30 * Min, T0 + 30 * Min, 1L, 70L)))
+  }
+
+  test("streaming dedup: survivors equal the d1 exact-dedup batch twin") {
+    implicit val sqlCtx = spark.sqlContext
+    val T0 = 86400L * 1000000L
+    // the contract compared is AT-LEAST-ONCE RE-DELIVERY: duplicates
+    // are byte-identical re-sends of the same doc (same id, same text),
+    // delivered in order — so dedup-by-id (streaming) and d1's
+    // dedup-by-text (batch, min id per text) keep the same survivors
+    val core = Seq(
+      (10L, T0, "alpha doc text"),
+      (11L, T0 + Min, "beta doc text"),
+      (10L, T0 + 2 * Min, "alpha doc text"),  // same-batch re-delivery
+      (12L, T0 + 3 * Min, "gamma doc text"))
+    val late = (11L, T0 + 4 * Min, "beta doc text") // cross-batch re-delivery
+    val input = MemoryStream[(Long, Long, String)]
+    val q = EventStream.streamingDedup(
+        input.toDF().toDF("doc_id", "tsUs", "text"), "doc_id")
+      .writeStream.format("memory").queryName("dd_eq")
+      .outputMode(OutputMode.Append).start()
+    val streamed = try {
+      input.addData(core: _*); q.processAllAvailable()
+      input.addData(late); q.processAllAvailable()
+      spark.table("dd_eq").selectExpr("doc_id", "text")
+        .as[(Long, String)].collect().toSet
+    } finally q.stop()
+    val batchDocs = (core :+ late).toDF("doc_id", "tsUs", "text")
+    val batch = graft.operators.Dedup.exactSurvivors(batchDocs, "text", "doc_id")
+      .join(batchDocs.dropDuplicates("doc_id"), "doc_id")
+      .selectExpr("doc_id", "text").as[(Long, String)].collect().toSet
+    assert(streamed == batch, s"stream/batch drift: streamed=$streamed batch=$batch")
+    assert(batch == Set((10L, "alpha doc text"), (11L, "beta doc text"),
+      (12L, "gamma doc text")))
+  }
+
   test("windowed counts aggregate per tumbling hour (update mode)") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]
