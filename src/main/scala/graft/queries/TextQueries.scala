@@ -274,11 +274,16 @@ object TextQueries {
     // identically under Java regex and DuckDB's RE2.
     "t9_pii_scrub" -> QueryDef(
       (s, dir) => {
+        // the injected digit run squares doc_id REDUCED mod 1e6: ids at
+        // corpus scale are arbitrary 64-bit (sf1's key-shifted ids hit
+        // 9e9, whose square overflows Long — caught by the sf1 bench),
+        // and (id % 1e6)² <= 1e12 is overflow-safe for any corpus size
+        val codeBase = col("doc_id") % 1000000L
         val itext = when(col("doc_id") % 3 === 0, col("text"))
           .otherwise(concat(col("text"), lit(" contact user"),
             col("doc_id").cast("string"), lit("@mail.example.com ip 10.0."),
             (col("doc_id") % 250).cast("string"), lit(".7 code "),
-            (col("doc_id") * col("doc_id")).cast("string")))
+            (codeBase * codeBase).cast("string")))
         table(s, dir, "documents")
           .select(col("doc_id"), itext.as("itext"))
           .select(col("doc_id"),
@@ -296,7 +301,8 @@ object TextQueries {
              |  SELECT doc_id,
              |    CASE WHEN doc_id % 3 = 0 THEN text
              |         ELSE text || ' contact user' || doc_id || '@mail.example.com ip 10.0.'
-             |              || (doc_id % 250) || '.7 code ' || (doc_id*doc_id) END AS itext
+             |              || (doc_id % 250) || '.7 code '
+             |              || ((doc_id % 1000000)*(doc_id % 1000000)) END AS itext
              |  FROM documents)
              |SELECT doc_id,
              |  CAST(len(regexp_extract_all(itext, '${TextOps.EmailRe}')) AS BIGINT) AS email_n,
