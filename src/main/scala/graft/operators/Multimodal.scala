@@ -16,10 +16,15 @@ import org.apache.spark.sql.{Dataset, SparkSession}
   * production shape for metadata extraction at 100 TB: bytes stay in the
   * partition, only the typed meta rows move.
   *
-  * AUDIO/VIDEO decode remains STUBBED ([[decodeStub]] — this container
-  * has no audio/video codecs): deterministic fake metadata from the
-  * bytes, behind the same (bytes in, typed meta out) signature a real
-  * codec call would use.
+  * AUDIO header decode is REAL for the JDK-native containers:
+  * [[decodeAudio]] reads (channels, sample rate, frame count) from
+  * WAV/AIFF/AU headers through `javax.sound.sampled` — again header
+  * bytes only, no sample decode.
+  *
+  * VIDEO and compressed-audio (mp3/aac/…) decode remains STUBBED
+  * ([[decodeStub]] — no such codecs ship with the JDK): deterministic
+  * fake metadata from the bytes, behind the same (bytes in, typed meta
+  * out) signature a real codec call would use.
   */
 object Multimodal {
 
@@ -64,10 +69,72 @@ object Multimodal {
     } catch { case _: Exception => None }
   }
 
-  /** STUB decode for AUDIO/VIDEO blobs (no such codecs in this
-    * container): deterministic fake dimensions from the first bytes.
-    * The signature (bytes in, typed meta out) and the partition-batched
-    * call pattern are the production shape a real codec would fill.
+  /** Typed metadata an audio header decoder produces for one blob. */
+  final case class AudioMeta(
+      id: Long,
+      nBytes: Long,
+      channels: Int,
+      sampleRateHz: Int,
+      nFrames: Long,
+      format: String)
+
+  /** Real audio header decode via JDK `javax.sound.sampled` (WAV, AIFF
+    * and AU readers ship with every JDK): `getAudioFileFormat` parses
+    * the container header only — channels, sample rate and frame count
+    * without touching the sample payload. Returns None when no
+    * registered reader recognizes the bytes (video / compressed audio
+    * route to the stub path).
+    */
+  def decodeAudio(id: Long, bytes: Array[Byte]): Option[AudioMeta] = {
+    if (bytes.isEmpty) return None
+    try {
+      val aff = javax.sound.sampled.AudioSystem
+        .getAudioFileFormat(new ByteArrayInputStream(bytes))
+      val fmt = aff.getFormat
+      Some(AudioMeta(id, bytes.length.toLong, fmt.getChannels,
+        math.round(fmt.getSampleRate), aff.getFrameLength.toLong,
+        "audio/" + aff.getType.getExtension))
+    } catch { case _: Exception => None }
+  }
+
+  /** Batched per-partition audio header decode — same narrow
+    * `mapPartitions` shape as [[decodeAll]]; non-audio blobs are
+    * dropped (`flatMap` of the Option) rather than faked, so the output
+    * is exactly the decodable rows.
+    */
+  def decodeAudioAll(spark: SparkSession, blobs: Dataset[(Long, Array[Byte])]): Dataset[AudioMeta] = {
+    import spark.implicits._
+    blobs.mapPartitions(_.flatMap { case (id, bytes) => decodeAudio(id, bytes) })
+  }
+
+  /** Deterministic 16-bit PCM WAV encoder for specs/oracles: `nFrames`
+    * frames of `channels` LCG-generated samples at `sampleRateHz`,
+    * written with the JDK WAV writer. Ground truth is arithmetic
+    * (n_bytes = 44-byte RIFF header + nFrames·channels·2), so a SQL
+    * oracle can check the real decode without parsing audio.
+    */
+  def encodeWav(channels: Int, sampleRateHz: Int, nFrames: Int, seed: Long): Array[Byte] = {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    val pcm = new Array[Byte](nFrames * channels * 2)
+    var p = seed
+    var i = 0
+    while (i < pcm.length) {
+      p = p * 6364136223846793005L + 1442695040888963407L
+      pcm(i) = (p >>> 40).toByte
+      i += 1
+    }
+    val fmt = new AudioFormat(sampleRateHz.toFloat, 16, channels, true, false)
+    val ais = new AudioInputStream(new ByteArrayInputStream(pcm), fmt, nFrames.toLong)
+    val out = new ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  /** STUB decode for VIDEO / compressed-audio blobs (no such codecs
+    * ship with the JDK): deterministic fake dimensions from the first
+    * bytes. The signature (bytes in, typed meta out) and the
+    * partition-batched call pattern are the production shape a real
+    * codec would fill.
     */
   def decodeStub(id: Long, bytes: Array[Byte]): MediaMeta = {
     val b0 = if (bytes.nonEmpty) bytes(0) & 0xff else 0

@@ -46,6 +46,42 @@ object MultimodalQueries {
              |  'image/png' AS format
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // REAL audio header decode: per-row deterministic 16-bit PCM WAV
+    // (channels/rate/frames derived from doc_id / n_chars) encoded with
+    // the JDK WAV writer and header-decoded with javax.sound.sampled in
+    // one partition-local pass. The oracle recomputes every field
+    // arithmetically, including the RIFF byte size (44-byte header +
+    // frames*channels*2) — a decode bug cannot hash-match.
+    "mm4_audio_decode" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val docs = table(s, dir, "documents")
+          .select(col("doc_id").cast("long"), col("n_chars").cast("long"))
+          .as[(Long, Long)]
+        val metas = docs.mapPartitions(_.flatMap { case (id, nChars) =>
+          val bytes = graft.operators.Multimodal.encodeWav(
+            channels = 1 + (id % 2).toInt,
+            sampleRateHz = 8000 * (1 + (id % 3).toInt),
+            nFrames = 1 + (nChars % 500).toInt, seed = id)
+          graft.operators.Multimodal.decodeAudio(id, bytes)
+        })
+        metas.toDF()
+          .select(col("id").as("doc_id"),
+            col("nBytes").as("n_bytes"),
+            col("channels").cast("long").as("channels"),
+            col("sampleRateHz").cast("long").as("sample_rate_hz"),
+            col("nFrames").as("n_frames"),
+            col("format"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+             |  CAST(44 + (1 + n_chars % 500) * (1 + doc_id % 2) * 2 AS BIGINT) AS n_bytes,
+             |  CAST(1 + doc_id % 2 AS BIGINT) AS channels,
+             |  CAST(8000 * (1 + doc_id % 3) AS BIGINT) AS sample_rate_hz,
+             |  CAST(1 + n_chars % 500 AS BIGINT) AS n_frames,
+             |  'audio/wav' AS format
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
     // binary column + typed metadata + content hash + stub decode dims
     "mm1_binary_meta" -> QueryDef(
       (s, dir) => table(s, dir, "documents")

@@ -620,6 +620,39 @@ class MultimodalSpec extends SparkTestBase {
     assert(gray.channels == 1 && gray.format == "image/png")
   }
 
+  test("decodeAudio round-trips REAL WAV bytes written by the JDK encoder") {
+    val bytes = Multimodal.encodeWav(channels = 2, sampleRateHz = 16000,
+      nFrames = 333, seed = 11L)
+    // sanity: actual RIFF/WAVE container with the expected exact size
+    assert(new String(bytes.take(4), "US-ASCII") == "RIFF")
+    assert(bytes.length == 44 + 333 * 2 * 2)
+    val m = Multimodal.decodeAudio(9L, bytes).get
+    assert(m.channels == 2 && m.sampleRateHz == 16000 && m.nFrames == 333L)
+    assert(m.format == "audio/wav" && m.nBytes == bytes.length.toLong)
+  }
+
+  test("decodeAudio reads AIFF headers; rejects images and junk") {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    val pcm = new Array[Byte](100 * 2) // 100 mono 16-bit frames
+    val ais = new AudioInputStream(new java.io.ByteArrayInputStream(pcm),
+      new AudioFormat(8000f, 16, 1, true, true), 100L)
+    val out = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.AIFF, out)
+    val m = Multimodal.decodeAudio(1L, out.toByteArray).get
+    assert(m.channels == 1 && m.sampleRateHz == 8000 && m.nFrames == 100L)
+    assert(m.format == "audio/aif")
+    assert(Multimodal.decodeAudio(2L, Multimodal.encodePng(4, 4, 0L)).isEmpty)
+    assert(Multimodal.decodeAudio(3L, "not audio".getBytes("UTF-8")).isEmpty)
+  }
+
+  test("decodeAudioAll drops undecodable blobs instead of faking them") {
+    val blobs = spark.createDataset(Seq(
+      (1L, Multimodal.encodeWav(1, 8000, 10, seed = 1L)),
+      (2L, "junk".getBytes("UTF-8"))))
+    val metas = Multimodal.decodeAudioAll(spark, blobs).collect()
+    assert(metas.map(_.id).toSeq == Seq(1L) && metas.head.nFrames == 10L)
+  }
+
   test("decode routes non-image bytes to the audio/video stub path") {
     val m = Multimodal.decode(3L, "not an image".getBytes("UTF-8"))
     assert(m.format == "fake/raw")
