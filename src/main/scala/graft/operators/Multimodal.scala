@@ -21,10 +21,14 @@ import org.apache.spark.sql.{Dataset, SparkSession}
   * WAV/AIFF/AU headers through `javax.sound.sampled` — again header
   * bytes only, no sample decode.
   *
-  * VIDEO and compressed-audio (mp3/aac/…) decode remains STUBBED
-  * ([[decodeStub]] — no such codecs ship with the JDK): deterministic
-  * fake metadata from the bytes, behind the same (bytes in, typed meta
-  * out) signature a real codec call would use.
+  * VIDEO container metadata is REAL for MP4/MOV: [[decodeMp4]] walks
+  * the ISO-BMFF box tree (public ISO 14496-12 layout — pure byte
+  * arithmetic, no codec) for track dimensions and duration.
+  *
+  * Only compressed-STREAM decode (mp3/aac frames, h264 pictures, …)
+  * remains STUBBED ([[decodeStub]] — no such codecs ship with the
+  * JDK): deterministic fake metadata from the bytes, behind the same
+  * (bytes in, typed meta out) signature a real codec call would use.
   */
 object Multimodal {
 
@@ -130,8 +134,116 @@ object Multimodal {
     out.toByteArray
   }
 
-  /** STUB decode for VIDEO / compressed-audio blobs (no such codecs
-    * ship with the JDK): deterministic fake dimensions from the first
+  /** Typed metadata a video container parser produces for one blob. */
+  final case class VideoMeta(
+      id: Long,
+      nBytes: Long,
+      width: Int,
+      height: Int,
+      durationMs: Long,
+      format: String)
+
+  private def be32(b: Array[Byte], off: Int): Long =
+    ((b(off) & 0xffL) << 24) | ((b(off + 1) & 0xffL) << 16) |
+      ((b(off + 2) & 0xffL) << 8) | (b(off + 3) & 0xffL)
+
+  private def boxType(b: Array[Byte], off: Int): String =
+    new String(b, off + 4, 4, "US-ASCII")
+
+  /** Real MP4/MOV container metadata via a minimal ISO-BMFF box walk
+    * (layout per public ISO 14496-12; pure byte arithmetic, no codec):
+    * `moov/mvhd` yields timescale+duration, `moov/trak/tkhd` yields
+    * track width/height (16.16 fixed point; the first track with
+    * nonzero dims wins — audio tracks carry 0×0). Returns None unless
+    * the bytes open with a well-formed `ftyp` box and a `moov` tree
+    * with both headers is found. Handles version-1 (64-bit time)
+    * headers. Like the image/audio paths this reads HEADER bytes only —
+    * media payload (`mdat`) is never touched.
+    */
+  def decodeMp4(id: Long, bytes: Array[Byte]): Option[VideoMeta] = {
+    if (bytes.length < 16 || boxType(bytes, 0) != "ftyp") return None
+    var timescale = 0L
+    var duration = -1L
+    var w = 0
+    var h = 0
+    def walk(start: Int, end: Int): Unit = {
+      var off = start
+      while (off + 8 <= end) {
+        val size = be32(bytes, off)
+        val tpe = boxType(bytes, off)
+        if (size < 8 || off + size > end) return // malformed: stop
+        tpe match {
+          case "moov" | "trak" => walk(off + 8, off + size.toInt)
+          case "mvhd" if off + 8 + 20 <= end =>
+            val ver = bytes(off + 8) & 0xff
+            if (ver == 1) { // 64-bit ctime/mtime, 64-bit duration
+              timescale = be32(bytes, off + 8 + 4 + 16)
+              duration = (be32(bytes, off + 8 + 4 + 20) << 32) |
+                be32(bytes, off + 8 + 4 + 24)
+            } else {
+              timescale = be32(bytes, off + 8 + 4 + 8)
+              duration = be32(bytes, off + 8 + 4 + 12)
+            }
+          case "tkhd" if w == 0 && h == 0 =>
+            val ver = bytes(off + 8) & 0xff
+            // width/height are the LAST 8 payload bytes (16.16 fixed)
+            val dimOff = off + size.toInt - 8
+            if (dimOff >= off + 8 && ver <= 1) {
+              w = (be32(bytes, dimOff) >> 16).toInt
+              h = (be32(bytes, dimOff + 4) >> 16).toInt
+            }
+          case _ => ()
+        }
+        off += size.toInt
+      }
+    }
+    walk(0, bytes.length)
+    if (timescale <= 0 || duration < 0 || (w == 0 && h == 0)) None
+    else Some(VideoMeta(id, bytes.length.toLong, w, h,
+      duration * 1000L / timescale, "video/mp4"))
+  }
+
+  private def putBe32(b: java.io.ByteArrayOutputStream, v: Long): Unit = {
+    b.write(((v >> 24) & 0xff).toInt); b.write(((v >> 16) & 0xff).toInt)
+    b.write(((v >> 8) & 0xff).toInt); b.write((v & 0xff).toInt)
+  }
+
+  /** Deterministic minimal MP4 encoder for specs/oracles: a valid
+    * `ftyp` + `moov(mvhd + trak(tkhd))` box tree (ISO 14496-12 v0
+    * headers, timescale 1000 so duration == durationMs) and an empty
+    * `mdat`. Ground truth is the arguments, so oracles check
+    * [[decodeMp4]] arithmetically.
+    */
+  def encodeMp4(width: Int, height: Int, durationMs: Long): Array[Byte] = {
+    def box(tpe: String, payload: Array[Byte]): Array[Byte] = {
+      val b = new ByteArrayOutputStream()
+      putBe32(b, 8L + payload.length)
+      b.write(tpe.getBytes("US-ASCII")); b.write(payload)
+      b.toByteArray
+    }
+    val ftyp = box("ftyp", "isomiso2".getBytes("US-ASCII"))
+    val mvhd = { // v0: flags, ctime, mtime, timescale, duration, rest zero
+      val b = new ByteArrayOutputStream()
+      putBe32(b, 0L); putBe32(b, 0L); putBe32(b, 0L)
+      putBe32(b, 1000L); putBe32(b, durationMs)
+      b.write(new Array[Byte](80)) // rate..next_track_id
+      box("mvhd", b.toByteArray)
+    }
+    val tkhd = { // v0: 76 bytes then width/height as 16.16
+      val b = new ByteArrayOutputStream()
+      b.write(new Array[Byte](76))
+      putBe32(b, width.toLong << 16); putBe32(b, height.toLong << 16)
+      box("tkhd", b.toByteArray)
+    }
+    val moov = box("moov", mvhd ++ box("trak", tkhd))
+    val out = new ByteArrayOutputStream()
+    out.write(ftyp); out.write(moov); out.write(box("mdat", Array.empty))
+    out.toByteArray
+  }
+
+  /** STUB decode for blobs with no JDK-parseable container (compressed
+    * audio/video streams — mp3/aac/h264 need codecs this environment
+    * does not ship): deterministic fake dimensions from the first
     * bytes. The signature (bytes in, typed meta out) and the
     * partition-batched call pattern are the production shape a real
     * codec would fill.

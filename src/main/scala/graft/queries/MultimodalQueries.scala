@@ -82,6 +82,41 @@ object MultimodalQueries {
              |  'audio/wav' AS format
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // REAL video container metadata: per-row deterministic minimal MP4
+    // (ISO-BMFF ftyp+moov(mvhd+trak(tkhd))+mdat, dims/duration derived
+    // from doc_id / n_chars) parsed back by the box-walking decoder in
+    // one partition-local pass. Oracle recomputes all fields
+    // arithmetically (the box tree is fixed-size: 240 bytes).
+    "mm5_video_meta" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val docs = table(s, dir, "documents")
+          .select(col("doc_id").cast("long"), col("n_chars").cast("long"))
+          .as[(Long, Long)]
+        val metas = docs.mapPartitions(_.flatMap { case (id, nChars) =>
+          val bytes = graft.operators.Multimodal.encodeMp4(
+            width = 16 * (1 + (id % 32).toInt),
+            height = 16 * (1 + (nChars % 18).toInt),
+            durationMs = 1 + nChars % 100000)
+          graft.operators.Multimodal.decodeMp4(id, bytes)
+        })
+        metas.toDF()
+          .select(col("id").as("doc_id"),
+            col("nBytes").as("n_bytes"),
+            col("width").cast("long").as("width"),
+            col("height").cast("long").as("height"),
+            col("durationMs").as("duration_ms"),
+            col("format"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+             |  CAST(240 AS BIGINT) AS n_bytes,
+             |  CAST(16 * (1 + doc_id % 32) AS BIGINT) AS width,
+             |  CAST(16 * (1 + n_chars % 18) AS BIGINT) AS height,
+             |  CAST(1 + n_chars % 100000 AS BIGINT) AS duration_ms,
+             |  'video/mp4' AS format
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
     // binary column + typed metadata + content hash + stub decode dims
     "mm1_binary_meta" -> QueryDef(
       (s, dir) => table(s, dir, "documents")

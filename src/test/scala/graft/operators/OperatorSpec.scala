@@ -653,6 +653,31 @@ class MultimodalSpec extends SparkTestBase {
     assert(metas.map(_.id).toSeq == Seq(1L) && metas.head.nFrames == 10L)
   }
 
+  test("decodeMp4 round-trips a minimal ISO-BMFF box tree; audio-track 0x0 dims skipped") {
+    val bytes = Multimodal.encodeMp4(width = 640, height = 352, durationMs = 12345L)
+    assert(new String(bytes.slice(4, 8), "US-ASCII") == "ftyp")
+    val m = Multimodal.decodeMp4(3L, bytes).get
+    assert(m.width == 640 && m.height == 352 && m.durationMs == 12345L)
+    assert(m.format == "video/mp4" && m.nBytes == bytes.length.toLong)
+    // not an MP4: PNG, WAV, junk, truncated box tree all reject cleanly
+    assert(Multimodal.decodeMp4(1L, Multimodal.encodePng(4, 4, 0L)).isEmpty)
+    assert(Multimodal.decodeMp4(2L, Multimodal.encodeWav(1, 8000, 5, 0L)).isEmpty)
+    assert(Multimodal.decodeMp4(4L, "junk".getBytes("UTF-8")).isEmpty)
+    assert(Multimodal.decodeMp4(5L, bytes.take(40)).isEmpty)
+  }
+
+  test("corrupt media bytes fall through cleanly (valid magic, truncated body)") {
+    // PNG magic but the header chunk is cut off: reader init/getWidth
+    // throws inside decodeImage and must yield None, not propagate
+    val png = Multimodal.encodePng(20, 20, seed = 1L)
+    assert(Multimodal.decodeImage(1L, png.take(16)).isEmpty)
+    // RIFF magic but truncated before fmt: javax.sound rejects -> None
+    val wav = Multimodal.encodeWav(1, 8000, 10, seed = 1L)
+    assert(Multimodal.decodeAudio(2L, wav.take(10)).isEmpty)
+    // and both truncations route to the stub, never crash decode()
+    assert(Multimodal.decode(3L, png.take(16)).format == "fake/raw")
+  }
+
   test("decode routes non-image bytes to the audio/video stub path") {
     val m = Multimodal.decode(3L, "not an image".getBytes("UTF-8"))
     assert(m.format == "fake/raw")
