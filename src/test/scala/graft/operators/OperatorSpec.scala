@@ -666,6 +666,37 @@ class MultimodalSpec extends SparkTestBase {
     assert(Multimodal.decodeMp4(5L, bytes.take(40)).isEmpty)
   }
 
+  test("decodeMp4 parses layouts its own encoder never emits (v1 mvhd, free boxes, audio track first)") {
+    // hand-built box tree breaking every encodeMp4 assumption: a `free`
+    // box between top-level boxes, mvhd VERSION 1 (64-bit times,
+    // timescale 90000), an AUDIO trak (0x0 dims) BEFORE the video trak
+    // — the parser must skip the unknown box, read the v1 offsets, and
+    // take the first NONZERO-dim track
+    def be32(v: Long): Array[Byte] =
+      Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+        ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def box(t: String, p: Array[Byte]): Array[Byte] =
+      be32(8L + p.length) ++ t.getBytes("US-ASCII") ++ p
+    val mvhdV1 = box("mvhd",
+      Array[Byte](1, 0, 0, 0) ++ new Array[Byte](16) ++ // v1 + ctime/mtime 8+8
+        be32(90000L) ++ be32(0L) ++ be32(180000L) ++     // timescale, duration hi/lo
+        new Array[Byte](80))
+    def tkhd(w: Int, h: Int, ver: Byte) = box("tkhd",
+      Array[Byte](ver, 0, 0, 0) ++
+        new Array[Byte](if (ver == 1) 84 else 72) ++ // v1 times are 8 bytes
+        be32(w.toLong << 16) ++ be32(h.toLong << 16))
+    val bytes = box("ftyp", "isom".getBytes("US-ASCII")) ++
+      box("free", new Array[Byte](13)) ++
+      box("moov",
+        box("trak", tkhd(0, 0, 0)) ++      // audio track: 0x0, must be skipped
+          mvhdV1 ++
+          box("trak", tkhd(1280, 720, 1))) // v1 tkhd, dims still last 8 bytes
+    val m = Multimodal.decodeMp4(7L, bytes).get
+    assert(m.width == 1280 && m.height == 720,
+      s"wrong track picked: ${m.width}x${m.height}")
+    assert(m.durationMs == 2000L, s"v1 mvhd misread: ${m.durationMs}") // 180000/90000 s
+  }
+
   test("corrupt media bytes fall through cleanly (valid magic, truncated body)") {
     // PNG magic but the header chunk is cut off: reader init/getWidth
     // throws inside decodeImage and must yield None, not propagate
