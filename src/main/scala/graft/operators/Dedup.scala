@@ -159,7 +159,14 @@ object Dedup {
                   targetRecall: Double = 0.98,
                   geometries: Seq[(Int, Int)] = Seq((32, 2), (21, 3), (16, 4)))
       : Seq[BandingChoice] = {
-    val staged = hashed.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // stage the hash table across the per-geometry measurements — but
+    // only own (and later release) the cache if the CALLER had not
+    // already persisted it: unpersisting a caller-staged frame would
+    // evict shared session state (same ownership rule as release())
+    val callerOwned =
+      hashed.storageLevel != org.apache.spark.storage.StorageLevel.NONE
+    val staged = if (callerOwned) hashed
+      else hashed.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nDocs = staged.select("__id").distinct().count()
     val allPairs = nDocs.toDouble * (nDocs - 1) / 2
     val choices = geometries.map { case (b, r) =>
@@ -170,7 +177,7 @@ object Dedup {
       BandingChoice(b, r, cand, recall, j0,
         recallOk = recall >= targetRecall, withinBudget = cand <= candidateBudget)
     }
-    staged.unpersist()
+    if (!callerOwned) staged.unpersist()
     choices.sortBy(c => (!c.recallOk, !c.withinBudget, c.candidates))
   }
 
