@@ -77,6 +77,33 @@ object TextOps {
     }._1
   }
 
+  /** URL pattern, chosen to behave identically under Java regex and
+    * DuckDB's RE2 (no lookaround, no backrefs): scheme + a conservative
+    * URL character class (stops at whitespace and closing punctuation).
+    */
+  val UrlRe: String = "https?://[a-zA-Z0-9._/-]+"
+
+  /** Host-extraction pattern applied to a matched URL (group 1). */
+  val HostRe: String = "://([a-zA-Z0-9.-]+)"
+
+  /** All URLs in a document, as an array column (codegen'd regex —
+    * scan-side, the shape domain-level corpus filtering needs).
+    */
+  def urls(text: Column): Column =
+    regexp_extract_all(text, lit(UrlRe), lit(0))
+
+  /** Registrable-ish domain of one URL: the host's last two labels
+    * ("a.b.site.example.org" → "example.org") — the grouping key for
+    * per-domain corpus stats and blocklist filtering.
+    */
+  def urlDomain(url: Column): Column = {
+    val host = regexp_extract(url, HostRe, 1)
+    val parts = split(host, "\\.")
+    when(size(parts) >= 2,
+      concat_ws(".", element_at(parts, -2), element_at(parts, -1)))
+      .otherwise(host)
+  }
+
   /** Polynomial rolling-hash document fingerprint over characters:
     * acc = (acc * 31 + codepoint) mod 1e9+7. Deterministic, exact-int,
     * reproducible in any engine (the oracle recomputes it in SQL), and

@@ -313,6 +313,53 @@ object TextQueries {
              |    '${TextOps.Ipv4Re}', '<IP>', 'g') AS redacted
              |FROM inj ORDER BY doc_id""".stripMargin)),
 
+    // Per-domain URL statistics — the input signal for domain-level
+    // corpus filtering (blocklists, per-domain quotas à la CCNet /
+    // RefinedWeb). The synthetic corpus contains no URLs, so both
+    // engines inject identical deterministic URLs into 2/3 of the docs
+    // (same convention as t9), then extract → domain → aggregate.
+    // Scale shape: regex extraction is scan-side codegen; explode emits
+    // ~2 rows/doc; the domain aggregate map-side combines. The exact
+    // count_distinct(doc_id) shuffles (domain, doc_id) pairs — at
+    // 100 TB swap it for approx_count_distinct (q24/q37 family) if
+    // per-domain doc counts can tolerate ±2%.
+    "t13_url_stats" -> QueryDef(
+      (s, dir) => {
+        val itext = when(col("doc_id") % 3 === 0, col("text"))
+          .otherwise(concat(col("text"),
+            lit(" see https://w"), (col("doc_id") % 4).cast("string"),
+            lit(".site"), (col("doc_id") % 20).cast("string"),
+            lit(".org/p"), (col("doc_id") % 7).cast("string"),
+            lit(" or http://cdn.ref"), (col("doc_id") % 5).cast("string"),
+            lit(".net/x")))
+        table(s, dir, "documents")
+          .select(col("doc_id"), explode(TextOps.urls(itext)).as("url"))
+          .select(col("doc_id"), TextOps.urlDomain(col("url")).as("domain"))
+          .groupBy("domain")
+          .agg(count(lit(1)).as("n_urls"),
+            countDistinct(col("doc_id")).as("n_docs"))
+          .orderBy("domain")
+      },
+      // ONE SQL rendering: interpolates the SAME TextOps regex
+      // constants the engine compiles (t9 convention)
+      Some(s"""WITH inj AS (
+             |  SELECT doc_id,
+             |    CASE WHEN doc_id % 3 = 0 THEN text
+             |         ELSE text || ' see https://w' || (doc_id % 4) || '.site'
+             |              || (doc_id % 20) || '.org/p' || (doc_id % 7)
+             |              || ' or http://cdn.ref' || (doc_id % 5) || '.net/x'
+             |    END AS itext FROM documents),
+             |u AS (SELECT doc_id, unnest(regexp_extract_all(itext, '${TextOps.UrlRe}')) AS url
+             |      FROM inj),
+             |d AS (SELECT doc_id,
+             |        CASE WHEN len(p) >= 2 THEN p[-2] || '.' || p[-1] ELSE h END AS domain
+             |      FROM (SELECT doc_id, regexp_extract(url, '${TextOps.HostRe}', 1) AS h,
+             |              string_split(regexp_extract(url, '${TextOps.HostRe}', 1), '.') AS p
+             |            FROM u))
+             |SELECT domain, CAST(count(*) AS BIGINT) AS n_urls,
+             |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+             |FROM d GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // Data mixing under a per-source token budget: docs are admitted
     // in deterministic pseudo-random order (Knuth-mix of doc_id) until
     // each source's running token count exceeds the quota — the

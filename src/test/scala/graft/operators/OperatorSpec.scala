@@ -838,6 +838,15 @@ class AsOfJoinSpec extends SparkTestBase {
 class TextOpsSpec extends SparkTestBase {
   import spark.implicits._
 
+  test("urls + urlDomain: both schemes extracted, subdomains stripped, bare hosts kept") {
+    val d = Seq(("read https://a.b.example.org/x and http://cdn.ref2.net/y done", 1L),
+      ("no links here", 2L), ("bare http://localhost/z", 3L)).toDF("text", "id")
+    val got = d.select(col("id"), explode(TextOps.urls(col("text"))).as("u"))
+      .select(col("id"), TextOps.urlDomain(col("u")).as("dom"))
+      .as[(Long, String)].collect().toSet
+    assert(got == Set((1L, "example.org"), (1L, "ref2.net"), (3L, "localhost")))
+  }
+
   test("shingles: distinct n-grams; short docs empty") {
     val d = Seq(("a b c d", 1), ("a b", 2)).toDF("text", "id")
     val sh = d.orderBy("id").select(TextOps.shingles(col("text"), 3)).as[Seq[String]].collect()
