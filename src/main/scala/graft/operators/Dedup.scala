@@ -78,6 +78,33 @@ object Dedup {
     hashed.groupBy("__id").agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Scala-side mirror of the Column signature path ([[signatureColsFromHashes]]
+    * over xxhash64 shingle hashes): the SAME seed-42 xxhash64 and the
+    * same (aParam, bParam, P) permutations, evaluated per row — for
+    * streaming operators that need a signature before any groupBy
+    * exists ([[graft.streaming.EventStream.nearDupCandidates]]).
+    * Returns None for docs with no shingles (the batch path drops them
+    * too: explode of an empty array yields no group). Spec-pinned
+    * equal to the Column path.
+    */
+  def minhashSignatureLocal(shingles: Iterable[String], k: Int): Option[Array[Long]] = {
+    if (shingles.isEmpty) return None
+    val sig = Array.fill(k)(Long.MaxValue)
+    shingles.foreach { s =>
+      val h0 = org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s),
+        org.apache.spark.sql.types.StringType, 42L)
+      val f = java.lang.Math.floorMod(h0, P)
+      var i = 0
+      while (i < k) {
+        val v = java.lang.Math.floorMod(aParam(i) * f + bParam(i), P)
+        if (v < sig(i)) sig(i) = v
+        i += 1
+      }
+    }
+    Some(sig)
+  }
+
   /** LSH candidate pairs from signatures: split into `bands` bands of
     * `rows` values, hash each band, bucket-join within (band, hash).
     *

@@ -133,6 +133,18 @@ object TextOps {
   /** Word n-gram shingles (distinct), the input to MinHash/Jaccard. */
   def shingles(text: Column, n: Int): Column = array_distinct(ngrams(text, n))
 
+  /** Scala-side mirror of [[shingles]] for per-row use in streaming
+    * operators (split on single space KEEPING empty tokens — Java
+    * `split(" ", -1)` matches Spark's `split(text, " ")` — overlapping
+    * n-grams, order-preserving distinct, short docs empty).
+    * Spec-pinned equal to the Column path (OperatorSpec).
+    */
+  def shinglesLocal(text: String, n: Int): Seq[String] = {
+    val w = (if (text == null) "" else text).split(" ", -1)
+    if (w.length < n) Seq.empty
+    else (0 to w.length - n).map(i => w.slice(i, i + n).mkString(" ")).distinct
+  }
+
   /** Consecutive non-overlapping k-word chunks (the last chunk may be
     * shorter) — the "paragraph" segmentation for corpus-level chunk
     * dedup on text without newlines. Every document yields >= 1 chunk

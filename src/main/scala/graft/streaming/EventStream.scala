@@ -129,6 +129,88 @@ object EventStream {
         col("n_docs"), col("sum_tokens"))
   }
 
+  final case class DocEvent(docId: Long, tsUs: Long, text: String)
+  final case class BandHit(band: Int, key: String, docId: Long, tsUs: Long,
+                           ets: java.sql.Timestamp)
+  final case class BucketState(members: List[(Long, Long)])
+  final case class CandPair(docA: Long, docB: Long, tsUs: Long)
+
+  /** STREAMING near-dup candidate detection — the online face of the
+    * d2 MinHash-LSH pipeline: each arriving document's signature
+    * (computed per-row with the exact batch constants —
+    * [[graft.operators.Dedup.minhashSignatureLocal]]) is split into
+    * banded bucket keys; per-bucket state remembers earlier arrivals,
+    * and each arrival emits candidate pairs against its bucket's prior
+    * members. The ingest-time shape a 100 TB/day pipeline needs: a new
+    * document's near-dup candidates are known the moment it arrives,
+    * not at the next batch dedup run.
+    *
+    * Bucket keys carry the band VALUES (not a re-hash), so the
+    * collision structure equals the batch operator's bucket-join
+    * exactly (modulo murmur collisions that can only ADD batch
+    * candidates) — EventStreamSpec pins streaming == batch candidates
+    * on a shared fixture.
+    *
+    * Semantics/contract (same as batch d2): output is CANDIDATES at
+    * LSH recall; verify exactly downstream (`Dedup.verifyJaccard` over
+    * the candidate ids — candidates are tiny relative to the corpus).
+    * A pair colliding in several bands or batches may be emitted more
+    * than once — downstream verification/clustering is idempotent per
+    * pair, callers needing exactly-once distinct within the watermark.
+    *
+    * Scale shape: state is per-(band, bucket), bounded by the
+    * watermark (members older than the watermark are pruned each
+    * invocation and idle buckets die by event-time timeout); the only
+    * exchange is the groupByKey on short bucket keys — document text
+    * never shuffles, exactly like the batch plan.
+    */
+  def nearDupCandidates(spark: SparkSession, docs: Dataset[DocEvent],
+                        shingleN: Int = 3, bands: Int = 8, rows: Int = 2,
+                        watermarkDelay: String = "30 minutes"): Dataset[CandPair] = {
+    import spark.implicits._
+    import graft.operators.{Dedup, TextOps}
+    val k = bands * rows
+    val hits = docs.flatMap { d =>
+      Dedup.minhashSignatureLocal(TextOps.shinglesLocal(d.text, shingleN), k) match {
+        case None => Iterator.empty
+        case Some(sig) => (0 until bands).iterator.map { b =>
+          BandHit(b, sig.slice(b * rows, (b + 1) * rows).mkString(","),
+            d.docId, d.tsUs, new java.sql.Timestamp(d.tsUs / 1000L))
+        }
+      }
+    }
+    hits.withWatermark("ets", watermarkDelay)
+      .groupByKey(h => (h.band, h.key))
+      .flatMapGroupsWithState[BucketState, CandPair](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (_, rows_, state) =>
+          if (!rows_.hasNext) { state.remove(); Iterator.empty } // idle timeout
+          else {
+            val wmUs = state.getCurrentWatermarkMs() * 1000L
+            // members older than the watermark can no longer meet an
+            // above-watermark arrival they have not already met: prune
+            var members = state.getOption.map(_.members).getOrElse(Nil)
+              .filter(_._2 >= wmUs)
+            val out = scala.collection.mutable.LinkedHashSet[CandPair]()
+            rows_.toList.sortBy(_.tsUs).foreach { n =>
+              if (!members.exists(_._1 == n.docId)) { // re-delivery guard
+                members.foreach { case (mid, _) =>
+                  out += CandPair(math.min(mid, n.docId),
+                    math.max(mid, n.docId), n.tsUs)
+                }
+                members = (n.docId, n.tsUs) :: members
+              }
+            }
+            state.update(BucketState(members))
+            // die once every member is past the watermark horizon
+            state.setTimeoutTimestamp(math.max(
+              state.getCurrentWatermarkMs() + 1,
+              members.map(_._2).max / 1000L + 1))
+            out.iterator
+          }
+      }
+  }
+
   /** Batch twin of [[sessionize]]: the `q18_sessionize` lag/cumsum plan
     * over a static frame, typed to the same [[Session]] rows (every
     * session is final in batch — there is no watermark). One gap

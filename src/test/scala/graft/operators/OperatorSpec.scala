@@ -212,6 +212,24 @@ class DedupSpec extends SparkTestBase {
     assert(out == Seq((1L, "a b", 1L, 0L), (2L, "", 1L, 0L)))
   }
 
+  test("minhashSignatureLocal + shinglesLocal mirror the Column path bit-for-bit") {
+    val texts = Seq(
+      (1L, base), (2L, nearDup), (3L, unrelated),
+      (4L, "a b"),         // shorter than shingle width: no signature
+      (5L, "x  y z w"))    // double space: empty token must match split semantics
+    val d = texts.toDF("doc_id", "text")
+      .select(col("doc_id"), TextOps.shingles(col("text"), 3).as("__sh"))
+    val k = 16
+    val colSig = Dedup.signatureColsFromHashes(
+        Dedup.shingleHashTable(d, "doc_id", "__sh"), k)
+      .collect().map(r => r.getLong(0) -> (1 to k).map(r.getLong).toSeq).toMap
+    texts.foreach { case (id, t) =>
+      val local = Dedup.minhashSignatureLocal(TextOps.shinglesLocal(t, 3), k)
+      assert(local.map(_.toSeq) == colSig.get(id),
+        s"doc $id: local=$local column=${colSig.get(id)}")
+    }
+  }
+
   test("banding auto-tuner reproduces PROBES volumes and picks by recall-then-budget") {
     // the probe corpus (sf0.1 documents, 5,000 docs): PROBES.md measured
     // 3,871 candidates at (32 bands × 2 rows) and 792 at (21 × 3) — the

@@ -312,6 +312,43 @@ class EventStreamSpec extends SparkTestBase {
       (12L, "gamma doc text")))
   }
 
+  test("streaming near-dup candidates equal the batch d2 LSH candidates") {
+    import EventStream.{CandPair, DocEvent}
+    implicit val sqlCtx = spark.sqlContext
+    val T0 = 86400L * 1000000L
+    // planted near-dup corpus: 1~2 near-identical, 3 unrelated, 4 an
+    // exact copy of 1 arriving in a LATER batch (cross-batch pairing),
+    // 5 too short for a signature (must vanish on both sides)
+    val base = "the quick brown fox jumps over the lazy dog while rain falls on the green hills"
+    val near = "the quick brown fox jumps over the lazy dog while rain falls on the green coast"
+    val other = "completely different words about spark plans shuffles and broadcast joins at scale"
+    val batch1 = Seq(DocEvent(1L, T0, base), DocEvent(2L, T0 + Min, near),
+      DocEvent(3L, T0 + 2 * Min, other))
+    val batch2 = Seq(DocEvent(4L, T0 + 3 * Min, base), DocEvent(5L, T0 + 4 * Min, "a b"))
+    val input = MemoryStream[DocEvent]
+    val q = EventStream.nearDupCandidates(spark, input.toDS(), bands = 8, rows = 2)
+      .writeStream.format("memory").queryName("nd_cand")
+      .outputMode(OutputMode.Append).start()
+    val streamed = try {
+      input.addData(batch1: _*); q.processAllAvailable()
+      input.addData(batch2: _*); q.processAllAvailable()
+      spark.table("nd_cand").as[CandPair].collect()
+        .map(p => (p.docA, p.docB)).toSet
+    } finally q.stop()
+    // batch twin: the SHIPPED d2 candidate pipeline over the same docs
+    import org.apache.spark.sql.functions.col
+    import graft.operators.{Dedup, TextOps}
+    val docsDf = (batch1 ++ batch2).map(d => (d.docId, d.text)).toDF("doc_id", "text")
+      .select(col("doc_id"), TextOps.shingles(col("text"), 3).as("__sh"))
+    val batch = Dedup.lshCandidatesFromHashes(
+        Dedup.shingleHashTable(docsDf, "doc_id", "__sh"), bands = 8, rows = 2)
+      .as[(Long, Long)].collect().toSet
+    assert(streamed == batch, s"stream/batch drift: streamed=$streamed batch=$batch")
+    // the planted structure is present: 1~2, 1~4 (exact copy), 2~4
+    assert(Set((1L, 2L), (1L, 4L), (2L, 4L)).subsetOf(batch))
+    assert(!batch.exists(p => p._1 == 3L || p._2 == 3L || p._1 == 5L || p._2 == 5L))
+  }
+
   test("windowed counts aggregate per tumbling hour (update mode)") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]
