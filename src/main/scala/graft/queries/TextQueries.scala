@@ -360,6 +360,48 @@ object TextQueries {
              |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
              |FROM d GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // Domain-blocklist filter audit — t13's enforcement companion: the
+    // (doc, domain) pairs a blocklist would drop. The membership test
+    // runs scan-side against a literal list (the realistic manual-
+    // blocklist size; a crawl-scale blocklist swaps isInCollection for
+    // a broadcast semi-join — same d8 broadcast shape), so the filter
+    // costs one codegen'd projection and the only exchange is the
+    // final distinct on the tiny dropped set.
+    "t14_domain_blocklist" -> QueryDef(
+      (s, dir) => {
+        val blocklist = Seq("site3.org", "site15.org", "ref2.net")
+        val itext = when(col("doc_id") % 3 === 0, col("text"))
+          .otherwise(concat(col("text"),
+            lit(" see https://w"), (col("doc_id") % 4).cast("string"),
+            lit(".site"), (col("doc_id") % 20).cast("string"),
+            lit(".org/p"), (col("doc_id") % 7).cast("string"),
+            lit(" or http://cdn.ref"), (col("doc_id") % 5).cast("string"),
+            lit(".net/x")))
+        table(s, dir, "documents")
+          .select(col("doc_id"), explode(TextOps.urls(itext)).as("url"))
+          .select(col("doc_id"), TextOps.urlDomain(col("url")).as("domain"))
+          .filter(col("domain").isInCollection(blocklist))
+          .distinct()
+          .orderBy("doc_id", "domain")
+      },
+      Some(s"""WITH inj AS (
+             |  SELECT doc_id,
+             |    CASE WHEN doc_id % 3 = 0 THEN text
+             |         ELSE text || ' see https://w' || (doc_id % 4) || '.site'
+             |              || (doc_id % 20) || '.org/p' || (doc_id % 7)
+             |              || ' or http://cdn.ref' || (doc_id % 5) || '.net/x'
+             |    END AS itext FROM documents),
+             |u AS (SELECT doc_id, unnest(regexp_extract_all(itext, '${TextOps.UrlRe}')) AS url
+             |      FROM inj),
+             |d AS (SELECT doc_id,
+             |        CASE WHEN len(p) >= 2 THEN p[-2] || '.' || p[-1] ELSE h END AS domain
+             |      FROM (SELECT doc_id, regexp_extract(url, '${TextOps.HostRe}', 1) AS h,
+             |              string_split(regexp_extract(url, '${TextOps.HostRe}', 1), '.') AS p
+             |            FROM u))
+             |SELECT DISTINCT doc_id, domain FROM d
+             |WHERE domain IN ('site3.org', 'site15.org', 'ref2.net')
+             |ORDER BY doc_id, domain""".stripMargin)),
+
     // Data mixing under a per-source token budget: docs are admitted
     // in deterministic pseudo-random order (Knuth-mix of doc_id) until
     // each source's running token count exceeds the quota — the
