@@ -50,6 +50,33 @@ object StreamDemo {
     val rows = out.collect()
     println(s"[stream-demo] windows=${rows.length}")
     rows.take(8).foreach(r => println(s"[stream-demo] $r"))
+
+    // second pipeline: STREAMING NEAR-DUP over the documents table via
+    // the same file source — per-row minhash+banding, stateful bucket
+    // pairing, exact-verify of the emitted candidates batch-side
+    // (the d2 contract: candidates at LSH recall, verified output)
+    import spark.implicits._
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    val docStream = spark.readStream.schema(docSchema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(dir)
+      .select(col("doc_id").as("docId"),
+        (col("doc_id") * 1000000L).as("tsUs"), col("text"))
+      .as[graft.streaming.EventStream.DocEvent]
+    val nd = graft.streaming.EventStream.nearDupCandidates(spark, docStream)
+      .writeStream.format("memory").queryName("nd_pairs")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    nd.awaitTermination()
+    val cands = spark.table("nd_pairs")
+      .select(col("docA").as("doc_a"), col("docB").as("doc_b")).distinct()
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), graft.operators.TextOps.shingles(col("text"), 3).as("__sh"))
+    val verified = graft.operators.Dedup.verifyJaccard(
+      cands, docs, "doc_id", "__sh", num = 2, den = 5).count()
+    println(s"[stream-demo] neardup candidates=${cands.count()} verified=$verified")
     spark.stop()
   }
 }

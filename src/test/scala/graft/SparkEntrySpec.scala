@@ -24,6 +24,17 @@ class SparkEntrySpec extends SparkTestBase {
     assert(unknown.isEmpty, s"oracles without queries: $unknown")
   }
 
+  test("every query carries an oracle, except the documented q24 exemption") {
+    // q24_approx_distinct is oracle-less BY DESIGN (native HLL++
+    // registers are engine-internal; q37_hll_portable is its exactly-
+    // oracled twin — COVERAGE.md). Any OTHER oracle-less query would
+    // silently downgrade the driver's check to rows-only: fail loudly.
+    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(missing == Set("q24_approx_distinct"),
+      s"queries without oracles beyond the documented exemption: " +
+        s"${missing - "q24_approx_distinct"}")
+  }
+
   test("entry returns rows (driver smoke)") {
     assert(SparkEntry.entry(spark).count() > 0)
   }

@@ -85,6 +85,22 @@ class PlanShapeSpec extends SparkTestBase {
     assert(df.queryExecution.executedPlan.toString().contains("BroadcastHashJoin"))
   }
 
+  test("t14 blocklist filter runs scan-side (no exchange before the membership test)") {
+    // the 100 TB property: a blocklisted document must die in the scan
+    // stage's codegen, not survive a shuffle first — the membership
+    // filter (IN on the domain expression) has to appear BEFORE any
+    // Exchange in the plan
+    val df = graft.SparkEntry.queries("t14_domain_blocklist")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString()
+    val filterAt = plan.indexOf("site3.org")
+    val exchangeAt = plan.indexOf("Exchange")
+    assert(filterAt >= 0, plan.take(800))
+    assert(exchangeAt < 0 || filterAt > exchangeAt,
+      s"membership test not scan-side (filter@$filterAt exchange@$exchangeAt)")
+    // (executedPlan prints leaves LAST, so scan-side = AFTER the
+    // exchanges in the string — hence '>')
+  }
+
   test("d7 chunk dedup: first-occurrence agg partially aggregates map-side") {
     // the skew defense: min(struct(id,pos)) per chunk must show a
     // partial_min BEFORE the chunk exchange (a final-only aggregation
