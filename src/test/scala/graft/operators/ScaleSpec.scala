@@ -101,6 +101,33 @@ class PlanShapeSpec extends SparkTestBase {
     // exchanges in the string — hence '>')
   }
 
+  test("GLOBAL: no query plans a Cartesian product; BNLJ only where labeled") {
+    // the whole-registry scale guard: an accidental missing join
+    // condition (or a Catalyst fallback) shows up as CartesianProduct /
+    // BroadcastNestedLoopJoin in SOME query's physical plan long before
+    // it shows up as a 100 TB incident. Every BNLJ below is AUDITED:
+    // its broadcast side is bounded by construction, so the plan is a
+    // replicate-small-side scan, not a product blow-up. Anything new
+    // must be audited into this list, not waved through.
+    val bnljAllowed = Set(
+      "q22_range_join",    // non-equi range join; broadcast side = 3 bins
+      "q23_theta_join",    // the labeled O(n²) capability demo (twin: q23b)
+      "dca_s5_broadcast",  // broadcast_to: crossJoin with the NEW-DIM range —
+      "dca_v1_vectorize",  //   dimension-sized by the op's semantics
+      "dca_v3_extradims",  //   (same broadcastTo path inside vectorize)
+      "sim1_cosine_topk",  // brute-force ANN baseline: corpus × broadcast QUERY set
+      "t6_tfidf_topterms") // scalar total-doc-count broadcast into IDF
+    val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val plan = fn(spark, sf).queryExecution.executedPlan.toString()
+        val cart = plan.contains("CartesianProduct")
+        val bnlj = plan.contains("BroadcastNestedLoopJoin") && !bnljAllowed(name)
+        if (cart || bnlj) Some(s"$name${if (cart) ":cartesian" else ":bnlj"}")
+        else None
+    }
+    assert(offenders.isEmpty, s"unplanned product joins in: $offenders")
+  }
+
   test("d7 chunk dedup: first-occurrence agg partially aggregates map-side") {
     // the skew defense: min(struct(id,pos)) per chunk must show a
     // partial_min BEFORE the chunk exchange (a final-only aggregation
