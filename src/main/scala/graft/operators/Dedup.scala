@@ -251,10 +251,11 @@ object Dedup {
     *
     * Sizing at scale (measured, PROBES.md): candidate volume is
     * n²·p with p = 1−(1−j₀^rows)^bands fixed by the background
-    * similarity j₀ of unrelated documents — pick (bands, rows) from
-    * the corpus' measured j₀ so the candidate budget is ~n·k (e.g.
-    * rows=3 cut candidates 5× on the probe corpus at unchanged recall
-    * for true near-dups).
+    * similarity j₀ of unrelated documents — pick (bands, rows) with
+    * [[tuneBanding]] over a [[deterministicDocSample]] (it measures
+    * each geometry's volume and holds recall first; e.g. rows=3 cut
+    * candidates 5× on the probe corpus at unchanged recall for true
+    * near-dups).
     */
   def nearDupPairsFromShingles(shingled: DataFrame, idCol: String, shinglesCol: String,
                                bands: Int = 32, rows: Int = 2,

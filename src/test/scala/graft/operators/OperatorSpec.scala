@@ -230,6 +230,33 @@ class DedupSpec extends SparkTestBase {
     }
   }
 
+  test("signature mirror property: random corpora, weird whitespace, unicode") {
+    // the streaming operator's correctness rests on the per-row mirror
+    // staying bit-equal to the Column path — fuzz it beyond the fixed
+    // fixture: random vocab docs plus adversarial shapes (leading /
+    // trailing / doubled spaces, unicode, single char, empty)
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector("a1", "b2", "c3", "ü4", "e5", "漢6")
+    val random = (0 until 20).map { i =>
+      val n = rnd.nextInt(12)
+      (i.toLong, Vector.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    val adversarial = Seq(
+      (100L, " leading space"), (101L, "trailing space "), (102L, "a  b   c d"),
+      (103L, ""), (104L, "x"), (105L, "ü 漢 ü 漢 ü"))
+    val corpus = random ++ adversarial
+    val k = 8
+    val d = corpus.toDF("doc_id", "text")
+      .select(col("doc_id"), TextOps.shingles(col("text"), 3).as("__sh"))
+    val colSig = Dedup.signatureColsFromHashes(
+        Dedup.shingleHashTable(d, "doc_id", "__sh"), k)
+      .collect().map(r => r.getLong(0) -> (1 to k).map(r.getLong).toSeq).toMap
+    corpus.foreach { case (id, t) =>
+      val local = Dedup.minhashSignatureLocal(TextOps.shinglesLocal(t, 3), k)
+      assert(local.map(_.toSeq) == colSig.get(id), s"divergence at doc $id: '$t'")
+    }
+  }
+
   test("banding auto-tuner reproduces PROBES volumes and picks by recall-then-budget") {
     // the probe corpus (sf0.1 documents, 5,000 docs): PROBES.md measured
     // 3,871 candidates at (32 bands × 2 rows) and 792 at (21 × 3) — the
