@@ -349,6 +349,35 @@ class EventStreamSpec extends SparkTestBase {
     assert(!batch.exists(p => p._1 == 3L || p._2 == 3L || p._1 == 5L || p._2 == 5L))
   }
 
+  test("streaming near-dup state is watermark-bounded: evicted members stop pairing") {
+    import EventStream.{CandPair, DocEvent}
+    implicit val sqlCtx = spark.sqlContext
+    val T0 = 86400L * 1000000L
+    val base = "the quick brown fox jumps over the lazy dog while rain falls on the green hills"
+    val far = "completely different words about spark plans shuffles and broadcast joins at scale"
+    val input = MemoryStream[DocEvent]
+    val q = EventStream.nearDupCandidates(spark, input.toDS(),
+        bands = 8, rows = 2, watermarkDelay = "30 minutes")
+      .writeStream.format("memory").queryName("nd_evict")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(DocEvent(1L, T0, base)); q.processAllAvailable()
+      // push the watermark hours past T0 + delay (unrelated doc)
+      input.addData(DocEvent(9L, T0 + 600 * Min, far)); q.processAllAvailable()
+      input.addData(DocEvent(8L, T0 + 610 * Min, far)); q.processAllAvailable()
+      // an exact copy of doc 1 arrives NOW: doc 1's bucket entries are
+      // below the watermark and must have been pruned — no pair
+      input.addData(DocEvent(2L, T0 + 620 * Min, base)); q.processAllAvailable()
+      val pairs = spark.table("nd_evict").as[CandPair].collect()
+        .map(p => (p.docA, p.docB)).toSet
+      assert(!pairs.contains((1L, 2L)),
+        s"evicted member still paired: $pairs")
+      // the two contemporaneous far docs DO pair (they are exact dups
+      // of each other, within the watermark)
+      assert(pairs.contains((8L, 9L)), s"live members failed to pair: $pairs")
+    } finally q.stop()
+  }
+
   test("windowed counts aggregate per tumbling hour (update mode)") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]
