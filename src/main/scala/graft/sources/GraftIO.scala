@@ -54,4 +54,33 @@ object GraftIO {
     val w = df.write.mode(SaveMode.Overwrite)
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).orc(path)
   }
+
+  /** Raw text read — the entry point for line-oriented corpora
+    * (one row per line, column `value`) or whole-file documents
+    * (`wholeFile = true`: one row per FILE — right for doc-per-file
+    * corpora, wrong for multi-GB files, which should be line-split
+    * upstream).
+    */
+  def readText(spark: SparkSession, path: String,
+               wholeFile: Boolean = false): DataFrame =
+    spark.read.option("wholetext", wholeFile.toString).text(path)
+
+  def writeText(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).text(path)
+
+  /** Binary-file read — the ingestion entry point for MULTIMODAL blobs
+    * (`path`, `modificationTime`, `length`, `content`): feed `content`
+    * straight into [[graft.operators.Multimodal]]'s partition-batched
+    * decoders. `pathGlob` filters by filename (e.g. "*.png");
+    * `maxBytes` guards against a single oversized blob blowing an
+    * executor (binaryFile loads each file as ONE row — shard huge
+    * media upstream).
+    */
+  def readBinaryFiles(spark: SparkSession, path: String,
+                      pathGlob: String = "*",
+                      maxBytes: Long = 512L * 1024 * 1024): DataFrame =
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", pathGlob)
+      .load(path)
+      .where(org.apache.spark.sql.functions.col("length") <= maxBytes)
 }

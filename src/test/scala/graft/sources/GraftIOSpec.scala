@@ -46,6 +46,35 @@ class GraftIOSpec extends SparkTestBase {
     assert(plan.contains("PartitionFilters") && plan.contains("part"), plan.take(500))
   }
 
+  test("text source: line mode and whole-file mode round-trip") {
+    val dir = Files.createTempDirectory("graft_text").toFile.getAbsolutePath
+    GraftIO.writeText(Seq("line one", "line two", "line three").toDF("value"), dir)
+    assert(GraftIO.readText(spark, dir).as[String].collect().sorted.toSeq ==
+      Seq("line one", "line three", "line two"))
+    // whole-file: every written part becomes ONE document row whose
+    // text contains its lines (doc-per-file corpus ingestion)
+    val whole = GraftIO.readText(spark, dir, wholeFile = true).as[String].collect()
+    assert(whole.mkString("\n").split("\n").count(_.nonEmpty) == 3)
+  }
+
+  test("binaryFile source feeds the multimodal decoders end-to-end") {
+    import graft.operators.Multimodal
+    val dir = Files.createTempDirectory("graft_blobs")
+    Files.write(dir.resolve("a.png"), Multimodal.encodePng(24, 9, seed = 1L))
+    Files.write(dir.resolve("b.png"), Multimodal.encodePng(7, 31, seed = 2L))
+    Files.write(dir.resolve("notes.txt"), "not an image".getBytes("UTF-8"))
+    // glob filters to the media extension; content decodes for real
+    val blobs = GraftIO.readBinaryFiles(spark, dir.toFile.getAbsolutePath, "*.png")
+      .selectExpr("cast(0L as long)", "content")
+      .as[(Long, Array[Byte])]
+    val dims = Multimodal.decodeAll(spark, blobs).collect()
+      .map(m => (m.width, m.height)).toSet
+    assert(dims == Set((24, 9), (7, 31)))
+    // the size guard drops oversized blobs at the scan
+    assert(GraftIO.readBinaryFiles(spark, dir.toFile.getAbsolutePath, "*.png",
+      maxBytes = 10L).count() == 0)
+  }
+
   test("FAILFAST surfaces malformed csv rows instead of silent nulls") {
     val base = Files.createTempDirectory("graft_io_bad").toFile.getAbsolutePath
     Files.writeString(java.nio.file.Paths.get(s"$base/bad.csv"), "id,name,v\nnot_a_long,a,1.5\n")
