@@ -41,6 +41,30 @@ object EventQueries {
              |  CAST(max(CAST(regexp_extract(props, '[0-9]+') AS BIGINT)) AS BIGINT) AS k_max
              |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // q21's idiomatic twin: NATIVE JSON parsing of the semi-structured
+    // props column via from_json with an explicit schema (codegen'd
+    // JacksonParser, no regex fragility; the production path when props
+    // is actual JSON, not merely regex-extractable). Same aggregate as
+    // q21, so the two parses cross-check each other; PERMISSIVE nulls
+    // on malformed rows are counted explicitly rather than dropped.
+    "q21b_json_extract" -> QueryDef(
+      (s, dir) => {
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("k",
+            org.apache.spark.sql.types.LongType)))
+        Relational.eventsRaw(s, dir)
+          .select(col("event_type"),
+            from_json(col("props"), schema).getField("k").as("k"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"), sum("k").as("k_sum"),
+            count(when(col("k").isNull, 1)).as("n_bad"))
+          .orderBy("event_type")
+      },
+      Some("""SELECT event_type, count(*) AS n,
+             |  CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS k_sum,
+             |  CAST(count(CASE WHEN props->>'$.k' IS NULL THEN 1 END) AS BIGINT) AS n_bad
+             |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // Backward as-of join: each event picks the latest order (per
     // customer) at-or-before its time. Right side pre-deduplicated to
     // one row per (custkey, orderdate) for determinism.
