@@ -77,6 +77,28 @@ object StreamDemo {
     val verified = graft.operators.Dedup.verifyJaccard(
       cands, docs, "doc_id", "__sh", num = 2, den = 5).count()
     println(s"[stream-demo] neardup candidates=${cands.count()} verified=$verified")
+
+    // third pipeline: the DURABLE sink path — writeStream to parquet
+    // with a checkpointLocation (exactly-once file sink via the commit
+    // log; the memory sink above is a test surface, THIS is how a
+    // production job lands results in the lake). Re-read and count to
+    // prove the committed output is a plain readable table.
+    val outDir = java.nio.file.Files.createTempDirectory("graft_sink_").toString
+    val ckDir = java.nio.file.Files.createTempDirectory("graft_sink_ck_").toString
+    val fileQ = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+      .withColumn("ets", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("ets", "30 minutes")
+      .groupBy(window(col("ets"), "6 hours"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("w_start"), col("event_type"), col("n"))
+      .writeStream.format("parquet")
+      .option("path", outDir).option("checkpointLocation", ckDir)
+      .outputMode("append") // file sink: finalized windows only
+      .trigger(Trigger.AvailableNow()).start()
+    fileQ.awaitTermination()
+    val landed = spark.read.parquet(outDir).count()
+    println(s"[stream-demo] parquet-sink rows=$landed (finalized windows only)")
     spark.stop()
   }
 }
