@@ -57,7 +57,8 @@ object AsOfJoin {
       leftTime: String, rightTime: String,
       valueCols: Seq[String],
       inner: Boolean = true,
-      dedupRightBy: Option[Column] = None): DataFrame = {
+      dedupRightBy: Option[Column] = None,
+      toleranceUs: Option[Long] = None): DataFrame = {
 
     val leftCols = left.columns.toSeq
     val unioned = tagAndUnion(left, right, leftKey, rightKey, leftTime, rightTime,
@@ -65,7 +66,7 @@ object AsOfJoin {
     val w = Window.partitionBy("__k").orderBy(col("__t"), col("__tag"))
       .rowsBetween(Window.unboundedPreceding, 0)
     val filled = unioned.withColumn("__rv", last(col("__rv"), ignoreNulls = true).over(w))
-    selectMatched(filled, leftCols, valueCols, inner)
+    selectMatched(filled, leftCols, valueCols, inner, toleranceUs)
   }
 
   /** Forward as-of join: for each left row, attach the EARLIEST right
@@ -83,7 +84,8 @@ object AsOfJoin {
       leftTime: String, rightTime: String,
       valueCols: Seq[String],
       inner: Boolean = true,
-      dedupRightBy: Option[Column] = None): DataFrame = {
+      dedupRightBy: Option[Column] = None,
+      toleranceUs: Option[Long] = None): DataFrame = {
     val leftCols = left.columns.toSeq
     val unioned = tagAndUnion(left, right, leftKey, rightKey, leftTime, rightTime,
       valueCols, rightTag = 2, dedupRightBy)
@@ -92,7 +94,7 @@ object AsOfJoin {
     val w = Window.partitionBy("__k").orderBy(col("__t").desc, col("__tag").desc)
       .rowsBetween(Window.unboundedPreceding, 0)
     val filled = unioned.withColumn("__rv", last(col("__rv"), ignoreNulls = true).over(w))
-    selectMatched(filled, leftCols, valueCols, inner)
+    selectMatched(filled, leftCols, valueCols, inner, toleranceUs)
   }
 
   /** Nearest as-of join: the closer of the backward and forward
@@ -114,7 +116,8 @@ object AsOfJoin {
       leftTime: String, rightTime: String,
       valueCols: Seq[String],
       inner: Boolean = true,
-      dedupRightBy: Option[Column] = None): DataFrame = {
+      dedupRightBy: Option[Column] = None,
+      toleranceUs: Option[Long] = None): DataFrame = {
     val leftCols = left.columns.toSeq
     val unioned = tagAndUnion(left, right, leftKey, rightKey, leftTime, rightTime,
       valueCols, rightTag = 0, dedupRightBy)
@@ -135,14 +138,26 @@ object AsOfJoin {
           .when(us(col("__t")) - us(col("__b.asof_time")) <=
             us(col("__f.asof_time")) - us(col("__t")), col("__b"))
           .otherwise(col("__f")))
-    selectMatched(filled, leftCols, valueCols, inner)
+    selectMatched(filled, leftCols, valueCols, inner, toleranceUs)
   }
 
-  /** Shared output tail: inner-filter on the matched struct, keep only
-    * left rows, unpack `__rv` next to the left payload.
+  /** Shared output tail: optional tolerance gate (a match farther than
+    * `toleranceUs` microseconds from the left time counts as NO match —
+    * the standard max-lookback/lookahead contract of time-series as-of
+    * APIs; |distance| works unchanged for all three directions), then
+    * inner-filter on the matched struct, keep only left rows, unpack
+    * `__rv` next to the left payload.
     */
-  private def selectMatched(filled: DataFrame, leftCols: Seq[String],
-      valueCols: Seq[String], inner: Boolean): DataFrame = {
+  private def selectMatched(filled0: DataFrame, leftCols: Seq[String],
+      valueCols: Seq[String], inner: Boolean,
+      toleranceUs: Option[Long] = None): DataFrame = {
+    def us(c: Column): Column = unix_micros(c.cast("timestamp"))
+    val filled = toleranceUs match {
+      case None => filled0
+      case Some(tol) => filled0.withColumn("__rv",
+        when(col("__rv").isNotNull &&
+          abs(us(col("__t")) - us(col("__rv.asof_time"))) <= tol, col("__rv")))
+    }
     val matchedOnly = if (inner) filled.filter(col("__rv").isNotNull) else filled
     matchedOnly.filter(col("__tag") === 1)
       .select(leftCols.map(col) ++

@@ -790,6 +790,30 @@ class AsOfJoinSpec extends SparkTestBase {
     assert(out == Map("e1" -> 100L, "e2" -> 200L, "e3" -> 400L)) // e4: no match, inner drops
   }
 
+  test("as-of tolerance: matches beyond the lookback window count as no match") {
+    // times are integer SECONDS (cast to timestamp); tolerance in µs.
+    // key 1: match 15 s old — within 20 s tolerance, beyond 5 s.
+    val left = Seq((1L, 100L, "e1"), (2L, 100L, "e2")).toDF("k", "t", "ev")
+    val right = Seq((1L, 85L, 10L), (2L, 99L, 20L)).toDF("rk", "rt", "v")
+    def run(tolUs: Option[Long], inner: Boolean) =
+      AsOfJoin.backward(left, right, "k", "rk", "t", "rt", Seq("v"),
+        inner = inner, toleranceUs = tolUs)
+    assert(run(Some(20000000L), inner = true).select("ev", "v")
+      .as[(String, Long)].collect().toMap == Map("e1" -> 10L, "e2" -> 20L))
+    // 5 s tolerance: e1's 15 s-old match is rejected; inner drops it,
+    // outer keeps the row with a NULL fill
+    assert(run(Some(5000000L), inner = true).select("ev", "v")
+      .as[(String, Long)].collect().toMap == Map("e2" -> 20L))
+    val outer = run(Some(5000000L), inner = false)
+      .select("ev", "v").collect().map(r => r.getString(0) -> r.isNullAt(1)).toMap
+    assert(outer == Map("e1" -> true, "e2" -> false))
+    // nearest honors the same gate in both directions
+    val near = AsOfJoin.nearest(left, right, "k", "rk", "t", "rt", Seq("v"),
+      toleranceUs = Some(5000000L)).select("ev", "v")
+      .as[(String, Long)].collect().toMap
+    assert(near == Map("e2" -> 20L))
+  }
+
   test("forward as-of picks earliest right >= left time; exact tie matches") {
     val left = Seq((1L, 10L, "e1"), (1L, 25L, "e2"), (1L, 31L, "e3"), (2L, 20L, "e4"))
       .toDF("k", "t", "ev")
