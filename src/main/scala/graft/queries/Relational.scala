@@ -855,6 +855,95 @@ object Relational {
              |  count(*) AS n
              |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // ---- interval-overlap join (interval × interval) ----------------
+    // Both sides are interval SETS (urgent vs low-priority order spans
+    // on a day axis). The naive plan is a BNLJ theta join; the operator
+    // decomposes intervals into width-7 bins and equi-joins on the bin
+    // with first-overlap-bin dedup — a plain shuffle join at any scale
+    // (operators/IntervalJoin.scala). Output aggregated per 30-day
+    // window of the overlap start, so result size stays bounded.
+    "q43_interval_overlap" -> QueryDef(
+      (s, dir) => {
+        def iv(prio: String, p: String) = table(s, dir, "orders")
+          .filter(col("o_orderpriority") === prio)
+          .select(col("o_orderkey").as(s"${p}_key"),
+            datediff(to_date(col("o_orderdate")), lit("1995-01-01")).cast("long").as(s"${p}_lo"))
+          .withColumn(s"${p}_hi",
+            col(s"${p}_lo") + lit(1L) + pmod(col(s"${p}_key"), lit(7L)))
+        val pairs = graft.operators.IntervalJoin.overlapJoin(
+          iv("1-URGENT", "a"), iv("5-LOW", "b"),
+          "a_lo", "a_hi", "b_lo", "b_hi", binWidth = 7L)
+        pairs
+          .withColumn("ostart", greatest(col("a_lo"), col("b_lo")))
+          .withColumn("oend", least(col("a_hi"), col("b_hi")))
+          .groupBy((col("ostart") / 30).cast("long").as("win30"))
+          .agg(count(lit(1)).as("n_pairs"),
+            sum(col("oend") - col("ostart") + 1).as("overlap_days"))
+          .orderBy("win30")
+      },
+      Some("""WITH a AS (
+             |  SELECT o_orderkey AS ak,
+             |    CAST(date_diff('day', DATE '1995-01-01', o_orderdate) AS BIGINT) AS lo
+             |  FROM orders WHERE o_orderpriority = '1-URGENT'),
+             |a2 AS (SELECT ak, lo, lo + 1 + ak % 7 AS hi FROM a),
+             |b AS (
+             |  SELECT o_orderkey AS bk,
+             |    CAST(date_diff('day', DATE '1995-01-01', o_orderdate) AS BIGINT) AS lo
+             |  FROM orders WHERE o_orderpriority = '5-LOW'),
+             |b2 AS (SELECT bk, lo, lo + 1 + bk % 7 AS hi FROM b),
+             |p AS (SELECT greatest(a2.lo, b2.lo) AS ostart,
+             |        least(a2.hi, b2.hi) AS oend
+             |      FROM a2 JOIN b2 ON a2.lo <= b2.hi AND b2.lo <= a2.hi)
+             |SELECT CAST(floor(ostart / 30.0) AS BIGINT) AS win30,
+             |  count(*) AS n_pairs,
+             |  CAST(sum(oend - ostart + 1) AS BIGINT) AS overlap_days
+             |FROM p GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ---- CDC merge / upsert (snapshot maintenance) ------------------
+    // The training-corpus refresh primitive: apply a change feed
+    // (upserts + deletes) to a base snapshot. Spark-first shape: union
+    // base rows (version 0) with change rows (version 1+) and take
+    // max_by(version) per key — ONE map-side-combining aggregation, no
+    // window, no full-outer join; delete markers drop in the same pass.
+    // Change feed derived deterministically from orders: each customer
+    // with ≥1 urgent order gets an upsert (new balance = cents of their
+    // max urgent total), custkey % 10 == 3 of those become deletes.
+    "q44_merge_upsert" -> QueryDef(
+      (s, dir) => {
+        val base = table(s, dir, "customer")
+          .select(col("c_custkey").as("k"), col("c_name").as("name"),
+            cents(col("c_acctbal")).as("bal_c"),
+            lit(0L).as("v"), lit(false).as("del"))
+        val changes = table(s, dir, "orders")
+          .filter(col("o_orderpriority") === "1-URGENT")
+          .groupBy(col("o_custkey").as("k"))
+          .agg(max(cents(col("o_totalprice"))).as("bal_c"))
+          .select(col("k"), concat(lit("upd#"), col("k")).as("name"),
+            col("bal_c"), lit(1L).as("v"),
+            (pmod(col("k"), lit(10L)) === 3).as("del"))
+        base.unionByName(changes)
+          .groupBy("k")
+          .agg(max_by(struct(col("name"), col("bal_c"), col("del")), col("v")).as("m"))
+          .filter(!col("m.del"))
+          .select(col("k"), col("m.name").as("name"), col("m.bal_c").as("bal_c"))
+          .orderBy("k")
+      },
+      Some("""WITH base AS (
+             |  SELECT c_custkey AS k, c_name AS name,
+             |    CAST(round(c_acctbal*100) AS BIGINT) AS bal_c,
+             |    0 AS v, false AS del
+             |  FROM customer),
+             |changes AS (
+             |  SELECT o_custkey AS k,
+             |    'upd#' || CAST(o_custkey AS VARCHAR) AS name,
+             |    CAST(max(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS bal_c,
+             |    1 AS v, (o_custkey % 10 = 3) AS del
+             |  FROM orders WHERE o_orderpriority = '1-URGENT' GROUP BY 1, 2, 4, 5),
+             |u AS (SELECT * FROM base UNION ALL SELECT * FROM changes)
+             |SELECT k, arg_max(name, v) AS name, arg_max(bal_c, v) AS bal_c
+             |FROM u GROUP BY k HAVING NOT arg_max(del, v)
+             |ORDER BY k""".stripMargin)),
+
     // ---- tumbling event-time window aggregation ---------------------
     // events.ts is parquet TIMESTAMP(NANOS) which Spark has no native
     // type for: read it as raw nanos (legacy long mode) and window with

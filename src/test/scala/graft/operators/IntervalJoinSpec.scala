@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.core.SparkTestBase
+
+/** IntervalJoin semantics: the binned equi-join must produce exactly
+  * the brute-force overlap pair set, each pair exactly once, for every
+  * bin width — and its plan must be a shuffle join, never a BNLJ.
+  */
+class IntervalJoinSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // deterministic interval fixtures: mixed lengths (0-length points,
+  // spans crossing many bins), duplicates, negative coordinates
+  private def mk(n: Int, seed: Int, pref: String) = {
+    val rows = (0 until n).map { i =>
+      val lo = ((i * 37 + seed * 11) % 83) - 20L      // negatives included
+      val len = (i * 13 + seed) % 17                   // 0..16
+      (i.toLong + seed * 1000, lo, lo + len)
+    }
+    rows.toDF(s"${pref}_id", s"${pref}_lo", s"${pref}_hi")
+  }
+
+  private def bruteForce(a: org.apache.spark.sql.DataFrame,
+                         b: org.apache.spark.sql.DataFrame) =
+    a.crossJoin(b)
+      .filter(col("a_lo") <= col("b_hi") && col("b_lo") <= col("a_hi"))
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSeq
+
+  test("overlapJoin equals brute force, once per pair, across bin widths") {
+    val a = mk(40, 1, "a")
+    val b = mk(35, 2, "b")
+    val expect = bruteForce(a, b)
+    assert(expect.nonEmpty && expect.size < 40 * 35, "fixture must be non-trivial")
+    for (w <- Seq(1L, 3L, 7L, 100L)) {
+      val got = IntervalJoin.overlapJoin(a, b, "a_lo", "a_hi", "b_lo", "b_hi", w)
+        .select("a_id", "b_id").as[(Long, Long)].collect().toSeq
+      assert(got.sorted == expect.sorted, s"binWidth=$w: pair set mismatch")
+      assert(got.size == got.distinct.size, s"binWidth=$w: duplicate pairs")
+    }
+  }
+
+  test("overlapJoin plan is an equi join on the bin, not a BNLJ") {
+    val a = mk(40, 1, "a")
+    val b = mk(35, 2, "b")
+    val plan = IntervalJoin.overlapJoin(a, b, "a_lo", "a_hi", "b_lo", "b_hi", 7L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"interval join must not fall back to a nested loop:\n$plan")
+  }
+
+  test("touching endpoints count as overlap; disjoint do not") {
+    val a = Seq((1L, 0L, 5L)).toDF("a_id", "a_lo", "a_hi")
+    val b = Seq((10L, 5L, 9L), (11L, 6L, 9L)).toDF("b_id", "b_lo", "b_hi")
+    val got = IntervalJoin.overlapJoin(a, b, "a_lo", "a_hi", "b_lo", "b_hi", 4L)
+      .select("b_id").as[Long].collect().toSeq
+    assert(got == Seq(10L))
+  }
+}
