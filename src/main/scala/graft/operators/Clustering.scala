@@ -1,0 +1,105 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distributed k-means clustering over an embedding column — the
+  * corpus-organization primitive of a training-data pipeline (topic
+  * balancing, mixture construction, per-cluster dedup budgets).
+  *
+  * Exactness design: all arithmetic is integer. Vectors are quantized
+  * once (`round(x·scale)` as LONG — exact after a float→double cast on
+  * both engines), distances are integer sums of squares, and centroid
+  * updates are `floor(sum/count)` (exact via `Math.floorDiv`; sums stay
+  * < 2^53 so the SQL mirror's double floor agrees). Every iteration is
+  * therefore bit-reproducible and the whole chain has an exact DuckDB
+  * oracle — unlike float Lloyd ([[Similarity.refineCentroids]]) where
+  * accumulation order matters.
+  *
+  * Scale shape (the classic k-means loop, nothing quadratic):
+  *   - centroids live on the driver (k·dims longs — KBs even at 64k
+  *     cells) and enter the plan as a broadcast literal array;
+  *   - assignment is ONE narrow codegen'd projection over the corpus
+  *     (array_min over per-centroid integer distances — ties break to
+  *     the lowest cell id);
+  *   - the update is ONE map-side-combining aggregation keyed on
+  *     (cell, dim) — k·dims groups regardless of corpus size;
+  *   - per iteration the driver collects k·dims rows, never corpus rows.
+  *
+  * Reference analog: batched vector math over typed array fields
+  * (reference `array_dataclass.py` vectorization); clustering is the
+  * north-star extension over the `embeddings` table.
+  */
+object Clustering {
+
+  /** Quantized vector column: `round(cast(x as double) * scale)` per
+    * element, LONG. The double cast is load-bearing for oracle parity:
+    * float→double is exact, and both engines then round the same double.
+    */
+  def quantize(vec: Column, scale: Int): Column =
+    transform(vec, x => round(x.cast("double") * scale).cast("long"))
+
+  /** Integer squared L2 distance between two quantized vectors. */
+  private def sqDist(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), _ + _)
+
+  /** Literal array<struct<cell, cv>> of the centroids — ships with the
+    * serialized plan (KBs even at 64k cells; the expression-level
+    * analog of a broadcast variable, as in [[Similarity]]).
+    */
+  private def centArray(cents: Seq[(Long, Array[Long])]): Column =
+    array(cents.sortBy(_._1).map { case (cell, cv) =>
+      struct(lit(cell).as("cell"), typedlit(cv.toSeq).as("cv"))
+    }: _*)
+
+  /** Nearest-centroid struct (dist, cell) for a quantized vector —
+    * each centroid scored exactly once via transform; array_min's
+    * lexicographic struct ordering gives min distance with ties to the
+    * lowest cell id.
+    */
+  private def nearest(qv: Column, cents: Seq[(Long, Array[Long])]): Column =
+    array_min(transform(centArray(cents), c =>
+      struct(sqDist(qv, c.getField("cv")).as("dist"),
+        c.getField("cell").as("cell"))))
+
+  /** Run `iters` Lloyd iterations from deterministic seeds (the k rows
+    * with the lowest ids — exact-arithmetic analog of
+    * [[Similarity.bootstrapCentroids]]'s stride sample) and return the
+    * final assignment: (idCol, cluster LONG, dist LONG).
+    *
+    * Cells that lose all members carry their previous centroid forward.
+    */
+  def kmeansAssign(df: DataFrame, idCol: String, vecCol: String,
+                   k: Int, iters: Int, quantScale: Int = 1000): DataFrame = {
+    require(k > 0 && iters >= 0, s"need k>0, iters>=0; got k=$k iters=$iters")
+    val qdf = df.select(col(idCol), quantize(col(vecCol), quantScale).as("__qv"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // deterministic seeds: the k lowest-id vectors, cell = seed rank
+      var cents: Seq[(Long, Array[Long])] =
+        qdf.orderBy(col(idCol)).limit(k).collect().zipWithIndex.map {
+          case (row, i) => (i.toLong, row.getSeq[Long](1).toArray)
+        }.toSeq
+      for (_ <- 0 until iters) {
+        val sums = qdf
+          .select(nearest(col("__qv"), cents).getField("cell").as("__cell"),
+            posexplode(col("__qv")).as(Seq("__pos", "__x")))
+          .groupBy("__cell", "__pos")
+          .agg(sum(col("__x")).as("__s"), count(lit(1)).as("__n"))
+          .collect()
+        val byCell = sums.groupBy(_.getLong(0))
+        cents = cents.map { case (cell, prev) =>
+          byCell.get(cell) match {
+            case Some(rows) =>
+              (cell, rows.sortBy(_.getInt(1))
+                .map(r => Math.floorDiv(r.getLong(2), r.getLong(3))).toArray)
+            case None => (cell, prev)
+          }
+        }
+      }
+      val near = nearest(col("__qv"), cents)
+      qdf.select(col(idCol), near.getField("cell").as("cluster"),
+        near.getField("dist").as("dist"))
+    } finally qdf.unpersist(blocking = false)
+  }
+}

@@ -153,7 +153,67 @@ object SimilarityQueries {
        |  JOIN embeddings qe ON qe.vec_id = cands.qid)
        |$rerankSql""".stripMargin
 
+  // sim4 k-means geometry — interpolated into BOTH engines
+  private val KmK = 10
+  private val KmIters = 2
+  private val KmScale = 1000
+
+  /** DuckDB CTE triple (d→a→next c) for ONE exact-integer Lloyd
+    * iteration: distances against centroid set `cN`, argmin assignment
+    * (ties to lowest cell), floor-mean update with empty-cell
+    * carry-forward — the ONE SQL rendering of
+    * [[graft.operators.Clustering.kmeansAssign]]'s loop body.
+    */
+  private def lloydIterSql(n: Int): String = {
+    val (c, d, a, s, c1) = (s"c$n", s"d$n", s"a$n", s"s$n", s"c${n + 1}")
+    s"""$d AS (SELECT q.vec_id, c.cell,
+       |    list_sum(list_transform(range(1, ${Dims + 1}),
+       |      i -> (q.v[i] - c.cv[i]) * (q.v[i] - c.cv[i]))) AS dist
+       |  FROM qv q CROSS JOIN $c c),
+       |$a AS (SELECT vec_id, cell FROM (
+       |    SELECT vec_id, cell,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
+       |    FROM $d) WHERE rn = 1),
+       |$s AS (SELECT a.cell, t.i, sum(q.v[t.i]) AS s, count(*) AS n
+       |  FROM $a a JOIN qv q USING (vec_id) CROSS JOIN range(1, ${Dims + 1}) AS t(i)
+       |  GROUP BY 1, 2),
+       |$c1 AS (SELECT c.cell, coalesce(u.cv, c.cv) AS cv
+       |  FROM $c c LEFT JOIN (
+       |    SELECT cell, list(CAST(floor(s * 1.0 / n) AS BIGINT) ORDER BY i) AS cv
+       |    FROM $s GROUP BY 1) u USING (cell))""".stripMargin
+  }
+
   val defs: Map[String, QueryDef] = Map(
+
+    // exact-integer distributed k-means: quantize once, 2 Lloyd
+    // iterations (broadcast-literal centroids, (cell,dim) map-side
+    // aggs), final assignment — every step integer arithmetic, so the
+    // DuckDB oracle reproduces the clustering bit-for-bit
+    "sim4_kmeans" -> QueryDef(
+      (s, dir) => {
+        graft.operators.Clustering.kmeansAssign(
+          table(s, dir, "embeddings"), "vec_id", "embedding",
+          k = KmK, iters = KmIters, quantScale = KmScale)
+          .orderBy("vec_id")
+      },
+      Some(s"""WITH qv AS (
+             |  SELECT vec_id, list_transform(embedding,
+             |    x -> CAST(round(CAST(x AS DOUBLE) * $KmScale) AS BIGINT)) AS v
+             |  FROM embeddings),
+             |c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cell,
+             |    v AS cv
+             |  FROM (SELECT vec_id, v FROM qv ORDER BY vec_id LIMIT $KmK)),
+             |${(0 until KmIters).map(lloydIterSql).mkString(",\n")},
+             |df AS (SELECT q.vec_id, c.cell,
+             |    list_sum(list_transform(range(1, ${Dims + 1}),
+             |      i -> (q.v[i] - c.cv[i]) * (q.v[i] - c.cv[i]))) AS dist
+             |  FROM qv q CROSS JOIN c$KmIters c)
+             |SELECT vec_id, CAST(cell AS BIGINT) AS cluster,
+             |  CAST(dist AS BIGINT) AS dist
+             |FROM (SELECT vec_id, cell, dist,
+             |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
+             |  FROM df) WHERE rn = 1
+             |ORDER BY vec_id""".stripMargin)),
 
     "sim1_cosine_topk" -> QueryDef(
       (s, dir) => {
