@@ -26,13 +26,28 @@ def main():
     con = duckdb.connect()
     for t in TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")
-        if os.path.exists(p):
+        if os.path.isdir(p):  # Spark-written table: directory of parts
+            p = os.path.join(p, "*.parquet")
+        if glob.glob(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
+    # ScaleUp-written sf dirs store events.ts as raw BIGINT nanos (Spark 4
+    # cannot write TIMESTAMP(NANOS)); the oracles assume the driver's
+    # TIMESTAMP(NANOS) column. epoch_ns(ts) IS the nanos value and
+    # epoch_us(ts) its floor-division by 1000, so the rewrite is exact.
+    ts_is_long = False
+    try:
+        ts_is_long = str(con.execute(
+            "SELECT typeof(ts) FROM events LIMIT 1").fetchone()[0]) == "BIGINT"
+    except Exception:
+        pass
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
         if only and name not in only:
             continue
+        if ts_is_long:
+            sql = sql.replace("epoch_ns(ts)", "ts").replace(
+                "epoch_us(ts)", "(ts // 1000)")
         qdir = os.path.join(out_dir, name)
         files = glob.glob(os.path.join(qdir, "*.parquet"))
         if not files:
