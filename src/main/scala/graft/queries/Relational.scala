@@ -944,6 +944,26 @@ object Relational {
              |FROM u GROUP BY k HAVING NOT arg_max(del, v)
              |ORDER BY k""".stripMargin)),
 
+    // ---- Z-order (Morton) layout key --------------------------------
+    // The data-layout primitive behind writeZOrdered (GraftIO): bit-
+    // interleave (custkey, order-day) so files/row-groups get narrow
+    // min-max ranges in BOTH dimensions. Pure codegen'd bit arithmetic;
+    // the oracle renders the same interleave loop in SQL
+    // (functions/ZOrder.scala keeps the two in one generator).
+    "q45_zorder_key" -> QueryDef(
+      (s, dir) => {
+        val day = datediff(to_date(col("o_orderdate")), lit("1995-01-01")).cast("long")
+        table(s, dir, "orders")
+          .select(col("o_orderkey"),
+            graft.functions.ZOrder.zValue(
+              Seq(col("o_custkey"), day), bits = 16).as("zkey"))
+          .orderBy("o_orderkey")
+      },
+      Some(s"""SELECT o_orderkey,
+             |  ${graft.functions.ZOrder.zValueSql(Seq("o_custkey",
+                  "date_diff('day', DATE '1995-01-01', o_orderdate)"), 16)} AS zkey
+             |FROM orders ORDER BY o_orderkey""".stripMargin)),
+
     // ---- tumbling event-time window aggregation ---------------------
     // events.ts is parquet TIMESTAMP(NANOS) which Spark has no native
     // type for: read it as raw nanos (legacy long mode) and window with

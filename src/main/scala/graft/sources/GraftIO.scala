@@ -36,6 +36,25 @@ object GraftIO {
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
   }
 
+  /** Z-order-clustered parquet write: compute the Morton key of
+    * `zCols` ([[graft.functions.ZOrder]]), range-partition into
+    * `nFiles` splits on it, sort within each split, drop the key,
+    * write. Every output file then covers a narrow range of EVERY
+    * zCol — min-max stats (parquet row-group pruning, table-format
+    * file skipping) become selective in all clustered dimensions, not
+    * just a sort prefix. The shuffle is ONE range exchange on a LONG —
+    * the same cost as any global sort-write at 100 TB.
+    */
+  def writeZOrdered(df: DataFrame, path: String, zCols: Seq[String],
+                    bits: Int = 16, nFiles: Int = 8): Unit = {
+    val z = graft.functions.ZOrder.zValue(zCols.map(df.col), bits)
+    df.withColumn("__z", z)
+      .repartitionByRange(nFiles, org.apache.spark.sql.functions.col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode(SaveMode.Overwrite).parquet(path)
+  }
+
   def writeCsv(df: DataFrame, path: String, header: Boolean = true): Unit =
     df.write.mode(SaveMode.Overwrite).option("header", header.toString).csv(path)
 
