@@ -402,6 +402,69 @@ object TextQueries {
              |WHERE domain IN ('site3.org', 'site15.org', 'ref2.net')
              |ORDER BY doc_id, domain""".stripMargin)),
 
+    // Domain link centrality — PageRank-style prior for corpus curation
+    // (weight crawl data by citation structure). Edge list from the
+    // t13/t14 injected links: owner domain site{id%7}.org cites the
+    // extracted registrable domains (self-loops dropped). Two exact
+    // integer fixed-point iterations (operators/GraphRank.scala), so
+    // the unrolled SQL oracle reproduces the ranks bit-for-bit.
+    "t15_domain_rank" -> QueryDef(
+      (s, dir) => {
+        val itext = when(col("doc_id") % 3 === 0, col("text"))
+          .otherwise(concat(col("text"),
+            lit(" see https://w"), (col("doc_id") % 4).cast("string"),
+            lit(".site"), (col("doc_id") % 20).cast("string"),
+            lit(".org/p"), (col("doc_id") % 7).cast("string"),
+            lit(" or http://cdn.ref"), (col("doc_id") % 5).cast("string"),
+            lit(".net/x")))
+        val own = concat(lit("site"), (col("doc_id") % 7).cast("string"), lit(".org"))
+        val edges = table(s, dir, "documents")
+          .select(col("doc_id"), own.as("src"), explode(TextOps.urls(itext)).as("url"))
+          .select(col("src"), TextOps.urlDomain(col("url")).as("dst"))
+          .filter(col("src") =!= col("dst"))
+          .groupBy("src", "dst").agg(count(lit(1)).as("w"))
+        graft.operators.GraphRank.pageRankInt(edges, "src", "dst", "w", iters = 2)
+          .select(col("node").as("domain"), col("rank"))
+          .orderBy("domain")
+      },
+      Some {
+        def iter(i: Int): String = {
+          val (r0, c1, r1) = (s"r$i", s"c${i + 1}", s"r${i + 1}")
+          s"""$c1 AS (SELECT e.dst AS node,
+             |    sum((85 * r.rank * e.w) // (100 * ow.outw)) AS c
+             |  FROM e JOIN $r0 r ON r.node = e.src JOIN ow ON ow.src = e.src
+             |  GROUP BY 1),
+             |$r1 AS (SELECT nodes.node,
+             |    (SELECT (15 * 1000000) // (100 * n) FROM nn) + coalesce($c1.c, 0) AS rank
+             |  FROM nodes LEFT JOIN $c1 USING (node))""".stripMargin
+        }
+        s"""WITH inj AS (
+           |  SELECT doc_id,
+           |    CASE WHEN doc_id % 3 = 0 THEN text
+           |         ELSE text || ' see https://w' || (doc_id % 4) || '.site'
+           |              || (doc_id % 20) || '.org/p' || (doc_id % 7)
+           |              || ' or http://cdn.ref' || (doc_id % 5) || '.net/x'
+           |    END AS itext FROM documents),
+           |u AS (SELECT doc_id, unnest(regexp_extract_all(itext, '${TextOps.UrlRe}')) AS url
+           |      FROM inj),
+           |d AS (SELECT doc_id,
+           |        CASE WHEN len(p) >= 2 THEN p[-2] || '.' || p[-1] ELSE h END AS dst
+           |      FROM (SELECT doc_id, regexp_extract(url, '${TextOps.HostRe}', 1) AS h,
+           |              string_split(regexp_extract(url, '${TextOps.HostRe}', 1), '.') AS p
+           |            FROM u)),
+           |e AS (SELECT 'site' || (doc_id % 7) || '.org' AS src, dst,
+           |        CAST(count(*) AS BIGINT) AS w
+           |      FROM d WHERE dst <> 'site' || (doc_id % 7) || '.org' GROUP BY 1, 2),
+           |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+           |nn AS (SELECT count(*) AS n FROM nodes),
+           |ow AS (SELECT src, sum(w) AS outw FROM e GROUP BY 1),
+           |r0 AS (SELECT node, (SELECT 1000000 // n FROM nn) AS rank FROM nodes),
+           |${iter(0)},
+           |${iter(1)}
+           |SELECT node AS domain, CAST(rank AS BIGINT) AS rank
+           |FROM r2 ORDER BY domain""".stripMargin
+      }),
+
     // Data mixing under a per-source token budget: docs are admitted
     // in deterministic pseudo-random order (Knuth-mix of doc_id) until
     // each source's running token count exceeds the quota — the
