@@ -308,6 +308,69 @@ object Multimodal {
     out.toByteArray
   }
 
+  /** Position-addressable deterministic pixel: unlike [[encodePng]]'s
+    * sequential LCG, the value at raster position `pos` is a direct
+    * function of (id, pos) — which is what lets a SQL oracle recompute
+    * any SAMPLED pixel without replaying the whole raster. The id is
+    * reduced mod 1e6+3 before the multiply so the product stays far
+    * under 2^63 for any corpus size (same overflow discipline as t9).
+    */
+  def addrPixel(id: Long, pos: Long): Int =
+    ((((id % 1000003L) * 31L + pos) * 2654435761L) % (1L << 24)).toInt
+
+  /** Deterministic PNG whose pixel raster is [[addrPixel]] — the
+    * resize-oracle counterpart of [[encodePng]].
+    */
+  def encodePngAddr(width: Int, height: Int, id: Long): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        img.setRGB(x, y, addrPixel(id, y.toLong * width + x))
+        x += 1
+      }
+      y += 1
+    }
+    val out = new ByteArrayOutputStream()
+    ImageIO.setUseCache(false)
+    ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  /** REAL full-raster decode + nearest-neighbor resample: `ImageIO.read`
+    * materializes the pixel raster (PNG is lossless, so values round-
+    * trip exactly), then the output grid samples source pixel
+    * `(ox·w div outW, oy·h div outH)` — explicit integer index
+    * arithmetic, no Graphics2D interpolation (whose kernels are
+    * implementation-defined and would break cross-engine determinism).
+    * Returns (inWidth, inHeight, checksum) where checksum is the sum of
+    * the resampled 24-bit pixels — 64·16M per pixel keeps any practical
+    * grid far under 2^63. None when the bytes decode to no image.
+    */
+  def resizeNearest(bytes: Array[Byte], outW: Int, outH: Int): Option[(Int, Int, Long)] = {
+    if (bytes.isEmpty) return None
+    try {
+      val img = ImageIO.read(new ByteArrayInputStream(bytes))
+      if (img == null) return None
+      val (w, h) = (img.getWidth, img.getHeight)
+      var sum = 0L
+      var oy = 0
+      while (oy < outH) {
+        val sy = oy * h / outH
+        var ox = 0
+        while (ox < outW) {
+          val sx = ox * w / outW
+          sum += (img.getRGB(sx, sy) & 0xffffff).toLong
+          ox += 1
+        }
+        oy += 1
+      }
+      Some((w, h, sum))
+    } catch { case _: Exception => None }
+  }
+
   /** Deterministic frame-sampling offsets for a blob of `nBytes`:
     * stride chosen so every blob yields >= 1 frame. Mirrors video
     * frame-sampling plumbing (offset list → per-frame rows).

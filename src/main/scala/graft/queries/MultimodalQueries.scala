@@ -82,6 +82,41 @@ object MultimodalQueries {
              |  'audio/wav' AS format
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // REAL pixel processing: full-raster ImageIO decode + nearest-
+    // neighbor resample to 4x4 in one partition-local pass. The PNGs
+    // use the position-addressable pixel pattern (Multimodal.addrPixel),
+    // so the oracle recomputes the resampled checksum arithmetically
+    // without decoding — a raster or index-arithmetic bug cannot
+    // hash-match. This is the op beyond header decode: actual pixels.
+    "mm6_image_resize" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val docs = table(s, dir, "documents")
+          .select(col("doc_id").cast("long"), col("n_chars").cast("long"))
+          .as[(Long, Long)]
+        val rows = docs.mapPartitions(_.flatMap { case (id, nChars) =>
+          val bytes = graft.operators.Multimodal.encodePngAddr(
+            1 + (id % 16).toInt, 1 + (nChars % 16).toInt, id)
+          graft.operators.Multimodal.resizeNearest(bytes, 4, 4)
+            .map { case (w, h, sum) => (id, w.toLong, h.toLong, sum) }
+        })
+        rows.toDF("doc_id", "in_w", "in_h", "checksum")
+          .orderBy("doc_id")
+      },
+      Some("""WITH dims AS (
+             |  SELECT doc_id, 1 + doc_id % 16 AS w, 1 + n_chars % 16 AS h
+             |  FROM documents),
+             |px AS (
+             |  SELECT doc_id, w, h,
+             |    (((doc_id % 1000003) * 31
+             |      + ((j.j * h // 4) * w + (i.i * w // 4))) * 2654435761)
+             |      % 16777216 AS p
+             |  FROM dims CROSS JOIN range(0, 4) i(i) CROSS JOIN range(0, 4) j(j))
+             |SELECT doc_id, CAST(any_value(w) AS BIGINT) AS in_w,
+             |  CAST(any_value(h) AS BIGINT) AS in_h,
+             |  CAST(sum(p) AS BIGINT) AS checksum
+             |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
     // REAL video container metadata: per-row deterministic minimal MP4
     // (ISO-BMFF ftyp+moov(mvhd+trak(tkhd))+mdat, dims/duration derived
     // from doc_id / n_chars) parsed back by the box-walking decoder in

@@ -665,6 +665,23 @@ class MultimodalSpec extends SparkTestBase {
     assert(gray.channels == 1 && gray.format == "image/png")
   }
 
+  test("resizeNearest decodes the REAL raster and samples exact pixels") {
+    // identity resize = sum of ALL addrPixel values (PNG is lossless,
+    // so a full-raster decode must reproduce the pattern exactly)
+    val (w, h, id) = (11, 7, 123L)
+    val bytes = Multimodal.encodePngAddr(w, h, id)
+    val all = (0L until w.toLong * h).map(Multimodal.addrPixel(id, _)).map(_.toLong).sum
+    assert(Multimodal.resizeNearest(bytes, w, h) == Some((w, h, all)))
+    // 4x4 downsample = the 16 nearest-neighbor source indices
+    val expect = (for (oy <- 0 until 4; ox <- 0 until 4) yield
+      Multimodal.addrPixel(id, (oy * h / 4).toLong * w + (ox * w / 4)).toLong).sum
+    assert(Multimodal.resizeNearest(bytes, 4, 4) == Some((w, h, expect)))
+    // upsample replicates pixels; junk decodes to None
+    assert(Multimodal.resizeNearest(Multimodal.encodePngAddr(1, 1, 5L), 3, 3) ==
+      Some((1, 1, 9L * Multimodal.addrPixel(5L, 0L))))
+    assert(Multimodal.resizeNearest("not a png".getBytes("UTF-8"), 4, 4).isEmpty)
+  }
+
   test("decodeAudio round-trips REAL WAV bytes written by the JDK encoder") {
     val bytes = Multimodal.encodeWav(channels = 2, sampleRateHz = 16000,
       nFrames = 333, seed = 11L)
