@@ -214,6 +214,44 @@ object EventQueries {
              |SELECT user_id, session_id, count(*) AS n_events,
              |  CAST(sum(value_c) AS BIGINT) AS value_c,
              |  CAST((max(t_us) - min(t_us)) // 1000000 AS BIGINT) AS dur_s
-             |FROM sess GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+             |FROM sess GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // Native session_window twin of q18: Spark's built-in session
+    // windows (one hash-agg with window merging — no lag/cumsum window
+    // pair, the shape Structured Streaming state uses). Boundary
+    // semantics differ from q18 BY DESIGN: the built-in merges events
+    // strictly closer than the gap ([t, t+gap) overlap), so an exact
+    // 30-min gap STARTS a session here and continues one in q18 — the
+    // oracle mirrors `>=`.
+    "q46_session_window" -> QueryDef(
+      (s, dir) => {
+        val ev = Relational.eventsRaw(s, dir)
+          .select(col("user_id"), cents(col("value")).as("value_c"),
+            expr("ts div 1000").as("t_us"))
+          .withColumn("tss", timestamp_micros(col("t_us")))
+        ev.groupBy(col("user_id"), session_window(col("tss"), "30 minutes").as("w"))
+          .agg(count(lit(1)).as("n_events"), sum("value_c").as("value_c"))
+          .select(col("user_id"),
+            unix_micros(col("w.start")).as("start_us"),
+            unix_micros(col("w.end")).as("end_us"),
+            col("n_events"), col("value_c"))
+          .orderBy("user_id", "start_us")
+      },
+      Some("""WITH ev AS (
+             |  SELECT user_id, CAST(round(value*100) AS BIGINT) AS value_c,
+             |    epoch_us(ts) AS t_us
+             |  FROM events),
+             |     flagged AS (
+             |  SELECT *, CASE WHEN lag(t_us) OVER w IS NULL
+             |      OR t_us - lag(t_us) OVER w >= 1800 * 1000000 THEN 1 ELSE 0 END AS new_sess
+             |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY t_us)),
+             |     sess AS (
+             |  SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY t_us
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+             |  FROM flagged)
+             |SELECT user_id, CAST(min(t_us) AS BIGINT) AS start_us,
+             |  CAST(max(t_us) + 1800 * 1000000 AS BIGINT) AS end_us,
+             |  count(*) AS n_events, CAST(sum(value_c) AS BIGINT) AS value_c
+             |FROM sess GROUP BY user_id, sid ORDER BY 1, 2""".stripMargin))
   )
 }
