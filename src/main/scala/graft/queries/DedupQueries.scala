@@ -221,6 +221,23 @@ object DedupQueries {
              |  CAST(bit_count(xor(a.sim, b.sim)) AS BIGINT) AS hamming
              |FROM sims a JOIN sims b ON a.doc_id < b.doc_id
              |WHERE bit_count(xor(a.sim, b.sim)) <= 3
+             |ORDER BY 1, 2""".stripMargin)),
+
+    // Exact edit-distance-1 similarity join over part names via FastSS
+    // deletion neighborhoods (operators/EditDistance.scala): variants
+    // equi-join on 64-bit hashes, levenshtein verify on candidates
+    // only — never the all-pairs DP the oracle runs. Entity matching
+    // for names/titles where token-set jaccard (d5) misses single-
+    // character edits.
+    "d9_editdist_join" -> QueryDef(
+      (s, dir) => graft.operators.EditDistance.editDistanceJoin(
+          table(s, dir, "part"), "p_partkey", "p_name")
+        .orderBy("ka", "kb"),
+      Some("""SELECT a.p_partkey AS ka, b.p_partkey AS kb,
+             |  CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+             |FROM part a JOIN part b ON a.p_partkey < b.p_partkey
+             |  AND abs(length(a.p_name) - length(b.p_name)) <= 1
+             |  AND levenshtein(a.p_name, b.p_name) <= 1
              |ORDER BY 1, 2""".stripMargin))
   )
 }
