@@ -183,6 +183,32 @@ object SimilarityQueries {
        |    FROM $s GROUP BY 1) u USING (cell))""".stripMargin
   }
 
+  /** The ONE DuckDB CTE chain replaying [[graft.operators.Clustering
+    * .kmeansAssign]] (seeds → KmIters Lloyd iterations → final
+    * assignment CTE `af`(vec_id, cell, dist)) — shared by sim4 and the
+    * t16 balanced-sampling composition so the clustering cannot drift
+    * between them.
+    */
+  private def kmeansCtes: String =
+    s"""qv AS (
+       |  SELECT vec_id, list_transform(embedding,
+       |    x -> CAST(round(CAST(x AS DOUBLE) * $KmScale) AS BIGINT)) AS v
+       |  FROM embeddings),
+       |c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cell,
+       |    v AS cv
+       |  FROM (SELECT vec_id, v FROM qv ORDER BY vec_id LIMIT $KmK)),
+       |${(0 until KmIters).map(lloydIterSql).mkString(",\n")},
+       |adf AS (SELECT q.vec_id, c.cell,
+       |    list_sum(list_transform(range(1, ${Dims + 1}),
+       |      i -> (q.v[i] - c.cv[i]) * (q.v[i] - c.cv[i]))) AS dist
+       |  FROM qv q CROSS JOIN c$KmIters c),
+       |af AS (SELECT vec_id, cell, dist
+       |  FROM (SELECT vec_id, cell, dist,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
+       |    FROM adf) WHERE rn = 1)""".stripMargin
+
+  private val QuotaM = 10
+
   val defs: Map[String, QueryDef] = Map(
 
     // exact-integer distributed k-means: quantize once, 2 Lloyd
@@ -196,24 +222,51 @@ object SimilarityQueries {
           k = KmK, iters = KmIters, quantScale = KmScale)
           .orderBy("vec_id")
       },
-      Some(s"""WITH qv AS (
-             |  SELECT vec_id, list_transform(embedding,
-             |    x -> CAST(round(CAST(x AS DOUBLE) * $KmScale) AS BIGINT)) AS v
-             |  FROM embeddings),
-             |c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cell,
-             |    v AS cv
-             |  FROM (SELECT vec_id, v FROM qv ORDER BY vec_id LIMIT $KmK)),
-             |${(0 until KmIters).map(lloydIterSql).mkString(",\n")},
-             |df AS (SELECT q.vec_id, c.cell,
-             |    list_sum(list_transform(range(1, ${Dims + 1}),
-             |      i -> (q.v[i] - c.cv[i]) * (q.v[i] - c.cv[i]))) AS dist
-             |  FROM qv q CROSS JOIN c$KmIters c)
+      Some(s"""WITH $kmeansCtes
              |SELECT vec_id, CAST(cell AS BIGINT) AS cluster,
              |  CAST(dist AS BIGINT) AS dist
-             |FROM (SELECT vec_id, cell, dist,
-             |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
-             |  FROM df) WHERE rn = 1
-             |ORDER BY vec_id""".stripMargin)),
+             |FROM af ORDER BY vec_id""".stripMargin)),
+
+    // Cluster-balanced corpus sampling: k-means assignment + a fixed
+    // per-cluster quota taken in deterministic pseudo-random order
+    // (scrambled-hash bottom-m via the bounded-state TopKAgg — O(m)
+    // mergeable state per cluster, skew-safe where a per-cluster window
+    // sort is not). The mixture-construction primitive: equal topical
+    // representation regardless of cluster size skew.
+    "t16_cluster_balanced_sample" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        import graft.functions.{KMinAgg, ScoredId, TopKAgg}
+        graft.functions.VectorExpressions.register(s)
+        val assign = graft.operators.Clustering.kmeansAssign(
+          table(s, dir, "embeddings"), "vec_id", "embedding",
+          k = KmK, iters = KmIters, quantScale = KmScale)
+        val withH = assign.select(col("vec_id"), col("cluster"),
+            KMinAgg.scramble(call_function("poly_hash",
+              col("vec_id").cast("string"))).as("h"))
+          .as[(Long, Long, Long)]
+        withH.groupByKey(_._2)
+          // score = -hash: TopKAgg's (score desc, id asc) = (hash asc,
+          // id asc) — hashes < 2^30 are exact in double (q34 pattern)
+          .mapValues { case (id, _, h) => ScoredId(id, -h.toDouble) }
+          .agg(new TopKAgg(QuotaM).toColumn.name("sample"))
+          .flatMap { case (cell, sample) =>
+            sample.zipWithIndex.map { case (si, i) =>
+              (cell, (i + 1).toLong, si.id)
+            }
+          }
+          .toDF("cluster", "rk", "vec_id")
+          .orderBy("cluster", "rk")
+      },
+      Some(s"""WITH $kmeansCtes,
+             |${QueryDef.scrambledHashCtes("(SELECT vec_id, cell FROM af)",
+                Seq("vec_id", "cell"), "CAST(vec_id AS VARCHAR)")},
+             |r AS (SELECT vec_id, cell,
+             |    row_number() OVER (PARTITION BY cell ORDER BY hv, vec_id) AS rk
+             |  FROM h)
+             |SELECT CAST(cell AS BIGINT) AS cluster, CAST(rk AS BIGINT) AS rk,
+             |  vec_id
+             |FROM r WHERE rk <= $QuotaM ORDER BY 1, 2""".stripMargin)),
 
     "sim1_cosine_topk" -> QueryDef(
       (s, dir) => {
