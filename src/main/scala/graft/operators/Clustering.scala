@@ -81,9 +81,13 @@ object Clustering {
           case (row, i) => (i.toLong, row.getSeq[Long](1).toArray)
         }.toSeq
       for (_ <- 0 until iters) {
+        // assignment FIRST, explode SECOND: a generator in the same
+        // select would hoist the argmin above the Generate and evaluate
+        // it once per exploded element — a dims-fold amplification
+        // (measured 16 s vs 0.9 s at sf0.1)
         val sums = qdf
-          .select(nearest(col("__qv"), cents).getField("cell").as("__cell"),
-            posexplode(col("__qv")).as(Seq("__pos", "__x")))
+          .withColumn("__cell", nearest(col("__qv"), cents).getField("cell"))
+          .select(col("__cell"), posexplode(col("__qv")).as(Seq("__pos", "__x")))
           .groupBy("__cell", "__pos")
           .agg(sum(col("__x")).as("__s"), count(lit(1)).as("__n"))
           .collect()

@@ -228,16 +228,33 @@ object DedupQueries {
     // equi-join on 64-bit hashes, levenshtein verify on candidates
     // only — never the all-pairs DP the oracle runs. Entity matching
     // for names/titles where token-set jaccard (d5) misses single-
-    // character edits.
+    // character edits. The join runs over DISTINCT names (the entity
+    // set — keyed by min partkey, multiplicities carried alongside):
+    // row-level pairing would emit |group_a|·|group_b| rows per matched
+    // name pair, quadratic in duplication, while the entity view is
+    // bounded by the name vocabulary at any corpus size.
     "d9_editdist_join" -> QueryDef(
-      (s, dir) => graft.operators.EditDistance.editDistanceJoin(
-          table(s, dir, "part"), "p_partkey", "p_name")
-        .orderBy("ka", "kb"),
-      Some("""SELECT a.p_partkey AS ka, b.p_partkey AS kb,
-             |  CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
-             |FROM part a JOIN part b ON a.p_partkey < b.p_partkey
-             |  AND abs(length(a.p_name) - length(b.p_name)) <= 1
-             |  AND levenshtein(a.p_name, b.p_name) <= 1
+      (s, dir) => {
+        val names = table(s, dir, "part")
+          .groupBy(col("p_name").as("s"))
+          .agg(min("p_partkey").as("k"), count(lit(1)).as("n"))
+        val pairs = graft.operators.EditDistance.editDistanceJoin(
+          names.select("k", "s"), "k", "s")
+        pairs
+          .join(broadcast(names.select(col("k").as("ka"), col("n").as("na"))), "ka")
+          .join(broadcast(names.select(col("k").as("kb"), col("n").as("nb"))), "kb")
+          .select("ka", "kb", "dist", "na", "nb")
+          .orderBy("ka", "kb")
+      },
+      Some("""WITH nm AS (
+             |  SELECT p_name AS s, min(p_partkey) AS k, count(*) AS n
+             |  FROM part GROUP BY 1)
+             |SELECT a.k AS ka, b.k AS kb,
+             |  CAST(levenshtein(a.s, b.s) AS BIGINT) AS dist,
+             |  CAST(a.n AS BIGINT) AS na, CAST(b.n AS BIGINT) AS nb
+             |FROM nm a JOIN nm b ON a.k < b.k
+             |  AND abs(length(a.s) - length(b.s)) <= 1
+             |  AND levenshtein(a.s, b.s) <= 1
              |ORDER BY 1, 2""".stripMargin))
   )
 }
