@@ -39,8 +39,14 @@ object GraphRank {
                   dampNum: Long = 85, dampDen: Long = 100): DataFrame = {
     require(iters >= 0 && scale > 0 && dampDen > 0 && dampNum >= 0 &&
       dampNum <= dampDen, s"bad config iters=$iters scale=$scale damp=$dampNum/$dampDen")
+    // the edge list is read 2× per iteration plus twice at setup —
+    // stage it once (at 100 TB recomputing the upstream edge
+    // aggregation per reference would dominate the iterations); both
+    // frames stay cached for the returned lazy plan, session teardown
+    // (or the caller) cleans up
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
       col(wCol).cast("long").as("w"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
