@@ -252,6 +252,46 @@ object EventQueries {
              |SELECT user_id, CAST(min(t_us) AS BIGINT) AS start_us,
              |  CAST(max(t_us) + 1800 * 1000000 AS BIGINT) AS end_us,
              |  count(*) AS n_events, CAST(sum(value_c) AS BIGINT) AS value_c
-             |FROM sess GROUP BY user_id, sid ORDER BY 1, 2""".stripMargin))
+             |FROM sess GROUP BY user_id, sid ORDER BY 1, 2""".stripMargin)),
+
+    // Time-series resample + forward fill: daily per-user totals on a
+    // dense day grid over each user's span, gaps carrying the last
+    // observation forward — the feature-engineering gap-filler. Shape:
+    // one (user, day) agg, a narrow sequence-explode for the grid, one
+    // left join, and a per-user running window (partition size bounded
+    // by the span, never the corpus) — no as-of machinery needed when
+    // the grid is dense.
+    "q47_resample_ffill" -> QueryDef(
+      (s, dir) => {
+        val ev = Relational.eventsRaw(s, dir)
+          .select(col("user_id"), expr("ts div 86400000000000").as("day"),
+            cents(col("value")).as("v"))
+        val daily = ev.groupBy("user_id", "day").agg(sum("v").as("day_v"))
+        val grid = daily.groupBy("user_id")
+          .agg(min("day").as("d0"), max("day").as("d1"))
+          .select(col("user_id"), explode(sequence(col("d0"), col("d1"))).as("day"))
+        val wFill = Window.partitionBy("user_id").orderBy("day")
+          .rowsBetween(Window.unboundedPreceding, 0)
+        grid.join(daily, Seq("user_id", "day"), "left")
+          .select(col("user_id"), col("day"),
+            last("day_v", ignoreNulls = true).over(wFill).as("value_c"),
+            when(col("day_v").isNotNull, 1L).otherwise(0L).as("observed"))
+          .orderBy("user_id", "day")
+      },
+      Some("""WITH ev AS (
+             |  SELECT user_id, epoch_ns(ts) // 86400000000000 AS day,
+             |    CAST(round(value*100) AS BIGINT) AS v
+             |  FROM events),
+             |daily AS (SELECT user_id, day, sum(v) AS day_v FROM ev GROUP BY 1, 2),
+             |grid AS (SELECT user_id, unnest(range(min(day), max(day) + 1)) AS day
+             |         FROM daily GROUP BY user_id),
+             |j AS (SELECT g.user_id, g.day, d.day_v
+             |      FROM grid g LEFT JOIN daily d USING (user_id, day))
+             |SELECT user_id, CAST(day AS BIGINT) AS day,
+             |  CAST(last_value(day_v IGNORE NULLS) OVER (PARTITION BY user_id
+             |    ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |    AS BIGINT) AS value_c,
+             |  CAST(CASE WHEN day_v IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS observed
+             |FROM j ORDER BY 1, 2""".stripMargin))
   )
 }
