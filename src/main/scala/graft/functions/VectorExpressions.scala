@@ -84,6 +84,77 @@ case class DotF32(left: Expression, right: Expression) extends BinaryExpression 
   override def prettyName: String = "dot_f32"
 }
 
+/** Native codegen'd integer squared-L2 distance between two
+  * array<long> vectors — the k-means hot path
+  * ([[graft.operators.Clustering]]): evaluated k times per row per
+  * iteration, where the `aggregate(zip_with(...))` formulation
+  * allocates an intermediate array and boxes every element. Exact
+  * integer arithmetic, so swapping it in changes nothing the oracle
+  * can see. NULL on length mismatch or any NULL element, like
+  * [[DotF32]].
+  */
+case class SqDistI64(left: Expression, right: Expression) extends BinaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    (left.dataType, right.dataType) match {
+      case (ArrayType(org.apache.spark.sql.types.LongType, _),
+            ArrayType(org.apache.spark.sql.types.LongType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case _ =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"sq_dist_i64 needs two array<bigint> args, got ${left.dataType} / ${right.dataType}")
+    }
+  }
+
+  override def nullable: Boolean = true
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (n != y.numElements()) null
+    else {
+      var s = 0L
+      var i = 0
+      while (i < n) {
+        if (x.isNullAt(i) || y.isNullAt(i)) return null
+        val d = x.getLong(i) - y.getLong(i)
+        s += d * d
+        i += 1
+      }
+      s
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      val d = ctx.freshName("d")
+      s"""
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  long $s = 0L;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    long $d = $a.getLong($i) - $b.getLong($i);
+         |    $s += $d * $d;
+         |  }
+         |  if (!${ev.isNull}) { ${ev.value} = $s; }
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "sq_dist_i64"
+}
+
 /** Native codegen'd polynomial rolling hash over a string's characters:
   * acc = (acc * base + codepoint) mod `mod`, left-to-right
   * (defaults base=31, mod=1e9+7).
@@ -153,6 +224,11 @@ object VectorExpressions {
     DotF32(exprs.head, exprs(1))
   }
 
+  private[functions] val sqDistI64Builder: Seq[Expression] => Expression = exprs => {
+    require(exprs.length == 2, s"sq_dist_i64 takes 2 args, got ${exprs.length}")
+    SqDistI64(exprs.head, exprs(1))
+  }
+
   private[functions] val polyHashBuilder: Seq[Expression] => Expression = exprs => {
     require(exprs.length == 1 || exprs.length == 3,
       s"poly_hash takes 1 arg or (str, base, mod), got ${exprs.length}")
@@ -177,6 +253,10 @@ object VectorExpressions {
       new ExpressionInfo(classOf[DotF32].getName, "dot_f32"),
       dotF32Builder)
     spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("sq_dist_i64"),
+      new ExpressionInfo(classOf[SqDistI64].getName, "sq_dist_i64"),
+      sqDistI64Builder)
+    spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("poly_hash"),
       new ExpressionInfo(classOf[PolyHash].getName, "poly_hash"),
       polyHashBuilder)
@@ -195,6 +275,10 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       FunctionIdentifier("dot_f32"),
       new ExpressionInfo(classOf[DotF32].getName, "dot_f32"),
       VectorExpressions.dotF32Builder))
+    e.injectFunction((
+      FunctionIdentifier("sq_dist_i64"),
+      new ExpressionInfo(classOf[SqDistI64].getName, "sq_dist_i64"),
+      VectorExpressions.sqDistI64Builder))
     e.injectFunction((
       FunctionIdentifier("poly_hash"),
       new ExpressionInfo(classOf[PolyHash].getName, "poly_hash"),

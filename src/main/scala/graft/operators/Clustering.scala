@@ -39,9 +39,14 @@ object Clustering {
   def quantize(vec: Column, scale: Int): Column =
     transform(vec, x => round(x.cast("double") * scale).cast("long"))
 
-  /** Integer squared L2 distance between two quantized vectors. */
+  /** Integer squared L2 distance between two quantized vectors — the
+    * native codegen'd expression ([[graft.functions.SqDistI64]]); the
+    * HOF formulation `aggregate(zip_with(...))` allocates and boxes per
+    * element and is evaluated k times per row per iteration. Identical
+    * integer semantics, so the oracle is unaffected.
+    */
   private def sqDist(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), _ + _)
+    call_function("sq_dist_i64", a, b)
 
   /** Literal array<struct<cell, cv>> of the centroids — ships with the
     * serialized plan (KBs even at 64k cells; the expression-level
@@ -72,6 +77,7 @@ object Clustering {
   def kmeansAssign(df: DataFrame, idCol: String, vecCol: String,
                    k: Int, iters: Int, quantScale: Int = 1000): DataFrame = {
     require(k > 0 && iters >= 0, s"need k>0, iters>=0; got k=$k iters=$iters")
+    graft.functions.VectorExpressions.register(df.sparkSession)
     val qdf = df.select(col(idCol), quantize(col(vecCol), quantScale).as("__qv"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {

@@ -495,6 +495,27 @@ class SimilaritySpec extends SparkTestBase {
     assert(viaSql > 0.0)
   }
 
+  test("native sq_dist_i64 equals the HOF fold; NULL semantics match dot_f32") {
+    graft.functions.VectorExpressions.register(spark)
+    def hof(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), _ + _)
+    val df = Seq(
+      (Seq(1L, -5L, 3L), Seq(4L, 0L, 3L)),
+      (Seq(0L, 0L, 0L), Seq(0L, 0L, 0L)),
+      (Seq(1000L, -1000L, 7L), Seq(-1000L, 1000L, 7L))).toDF("a", "b")
+    val rows = df.select(hof(col("a"), col("b")).as("h"),
+      call_function("sq_dist_i64", col("a"), col("b")).as("n")).collect()
+    rows.foreach(r => assert(r.getLong(0) == r.getLong(1), r.toString))
+    assert(rows.head.getLong(1) == 9L + 25L + 0L)
+    // length mismatch and NULL elements -> NULL, like dot_f32
+    val bad = Seq((Seq(1L, 2L), Seq(1L))).toDF("a", "b")
+      .select(call_function("sq_dist_i64", col("a"), col("b"))).collect().head
+    assert(bad.isNullAt(0))
+    val withNull = Seq((Seq(Some(1L), None), Seq(Some(1L), Some(2L)))).toDF("a", "b")
+      .select(call_function("sq_dist_i64", col("a"), col("b"))).collect().head
+    assert(withNull.isNullAt(0))
+  }
+
   test("IVF ANN achieves high recall vs brute force") {
     val c = corpus()
     val q = c.filter(col("vec_id").isin(0L, 1L, 2L))
