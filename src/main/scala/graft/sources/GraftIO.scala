@@ -14,6 +14,15 @@ object GraftIO {
   def readParquet(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** Schema-evolution read: union the schemas of every file footer
+    * (columns added by newer producers surface as NULL in older files).
+    * Costs a footer pass per file — off by default in Spark for that
+    * reason, so keep it an explicit opt-in entry point, not the
+    * default read path.
+    */
+  def readParquetEvolving(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(path)
+
   /** Schema-explicit CSV read (never infer at scale: inference is a
     * full extra pass over 100 TB).
     */

@@ -75,6 +75,20 @@ class GraftIOSpec extends SparkTestBase {
       maxBytes = 10L).count() == 0)
   }
 
+  test("schema-evolution read unions drifted file schemas") {
+    val dir = Files.createTempDirectory("graft_io_evolve").toFile.getAbsolutePath
+    // old producer: (id, v); new producer adds a quality column
+    Seq((1L, 10L), (2L, 20L)).toDF("id", "v")
+      .write.parquet(s"$dir/batch=old")
+    Seq((3L, 30L, 0.9)).toDF("id", "v", "quality")
+      .write.parquet(s"$dir/batch=new")
+    val merged = GraftIO.readParquetEvolving(spark, dir)
+    assert(merged.columns.toSet == Set("id", "v", "quality", "batch"))
+    val rows = merged.select("id", "quality").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(rows == Map(1L -> None, 2L -> None, 3L -> Some(0.9)))
+  }
+
   test("FAILFAST surfaces malformed csv rows instead of silent nulls") {
     val base = Files.createTempDirectory("graft_io_bad").toFile.getAbsolutePath
     Files.writeString(java.nio.file.Paths.get(s"$base/bad.csv"), "id,name,v\nnot_a_long,a,1.5\n")
