@@ -465,6 +465,44 @@ object TextQueries {
            |FROM r2 ORDER BY domain""".stripMargin
       }),
 
+    // LM-fluency proxy score (CCNet-style perplexity filtering without
+    // the LM): per-doc mean conditional bigram probability against the
+    // corpus's own bigram statistics, in exact integer permille
+    // (floor(1000·c(w1,w2)/c(w1,·)), doc score = floor-mean) — log-free
+    // like t6's rational idf, so the oracle is exact. Scale shape: one
+    // narrow bigram explode, two corpus aggs (bigram/left-word counts,
+    // vocabulary-bounded), one join back, one per-doc agg.
+    "t17_lm_score" -> QueryDef(
+      (s, dir) => {
+        val words = table(s, dir, "documents")
+          .select(col("doc_id"), split(col("text"), " ").as("w"))
+        val bg = words.select(col("doc_id"),
+          explode(expr(
+            "transform(sequence(0, size(w) - 2), i -> struct(w[i] AS w1, w[i+1] AS w2))"))
+            .as("b"))
+          .select(col("doc_id"), col("b.w1"), col("b.w2"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val cnt = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c"))
+        val c1 = bg.groupBy("w1").agg(count(lit(1)).as("c1"))
+        bg.join(cnt, Seq("w1", "w2")).join(c1, Seq("w1"))
+          .withColumn("pm", expr("(1000 * c) div c1"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_bigrams"),
+            expr("sum(pm) div count(1)").as("lm_permille"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH words AS (
+             |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+             |bg AS (SELECT doc_id, w[i] AS w1, w[i + 1] AS w2
+             |       FROM words, UNNEST(range(1, len(w))) AS t(i)),
+             |cnt AS (SELECT w1, w2, count(*) AS c FROM bg GROUP BY 1, 2),
+             |c1 AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY 1),
+             |per AS (SELECT doc_id, (1000 * c) // c1 AS pm
+             |        FROM bg JOIN cnt USING (w1, w2) JOIN c1 USING (w1))
+             |SELECT doc_id, count(*) AS n_bigrams,
+             |  CAST(sum(pm) // count(*) AS BIGINT) AS lm_permille
+             |FROM per GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // Data mixing under a per-source token budget: docs are admitted
     // in deterministic pseudo-random order (Knuth-mix of doc_id) until
     // each source's running token count exceeds the quota — the
