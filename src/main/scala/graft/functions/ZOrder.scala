@@ -3,7 +3,8 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
-/** Z-order (Morton) keys for multi-dimensional data layout.
+/** Z-order (Morton, 1966 — public) keys for multi-dimensional data
+  * layout.
   *
   * At 100 TB, scan pruning is the difference between reading a table
   * and reading a slice: writers cluster rows so per-file / per-row-group

@@ -3,7 +3,8 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-/** Distributed k-means clustering over an embedding column — the
+/** Distributed k-means clustering (Lloyd 1957/1982, public) over an
+  * embedding column — the
   * corpus-organization primitive of a training-data pipeline (topic
   * balancing, mixture construction, per-cluster dedup budgets).
   *

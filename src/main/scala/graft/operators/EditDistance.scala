@@ -4,7 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Exact edit-distance similarity join via the deletion-neighborhood
-  * (FastSS) method — entity matching over names/titles where token-set
+  * (FastSS) method — Bocek, Hunt, Stiller, "Fast Similarity Search in
+  * Large Dictionaries" (U. Zurich TR ifi-2007.02, public) — entity matching over names/titles where token-set
   * similarity (d5's jaccard) is blind to single-character edits.
   *
   * The naive plan is all-pairs levenshtein — O(n²) string DP, the worst

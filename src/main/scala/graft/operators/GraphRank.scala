@@ -3,7 +3,8 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-/** PageRank-style link centrality over a weighted edge list — the
+/** PageRank-style link centrality (Brin & Page 1998, public) over a
+  * weighted edge list — the
   * corpus-curation prior (rank domains by citation structure to weight
   * crawl data) and the classic iterative-join workload.
   *
