@@ -22,6 +22,22 @@ object Dedup {
       .groupBy("__h").agg(min(idCol).as(idCol))
       .select(idCol)
 
+  /** Incremental-ingest dedup: keep an incoming row iff its text is
+    * new against the EXISTING corpus (hash anti-join) and it is the
+    * first occurrence within the incoming batch (min-id per hash).
+    * The daily-crawl shape: both the anti-join and the in-batch
+    * first-occurrence shuffle 64-bit hashes only — text never moves,
+    * and the existing corpus is never re-deduplicated.
+    */
+  def incrementalSurvivors(existing: DataFrame, incoming: DataFrame,
+                           textCol: String, idCol: String): DataFrame = {
+    val exH = existing.select(xxhash64(col(textCol)).as("__h")).distinct()
+    incoming.select(xxhash64(col(textCol)).as("__h"), col(idCol))
+      .join(exH, Seq("__h"), "left_anti")
+      .groupBy("__h").agg(min(idCol).as(idCol))
+      .select(idCol)
+  }
+
   // ---- MinHash + LSH ----------------------------------------------------
 
   /** Prime modulus for the permutation hashes: fits 32 bits so

@@ -28,6 +28,35 @@ object DedupQueries {
              |  SELECT * FROM documents UNION ALL SELECT * FROM documents)
              |SELECT min(doc_id) AS doc_id FROM doubled GROUP BY text ORDER BY 1""".stripMargin)),
 
+    // Incremental-ingest dedup (the daily-crawl shape): existing corpus
+    // = docs < 250; incoming = the rest ∪ a re-crawl of old docs under
+    // new ids ∪ a second copy of some new docs. Survivors: new text at
+    // its minimal incoming id; re-crawled text dropped against the
+    // existing hashes. Anti-join + min-id both shuffle 64-bit hashes
+    // only; the existing corpus is never re-deduplicated.
+    "d10_incremental_dedup" -> QueryDef(
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+        val existing = docs.filter(col("doc_id") < 250)
+        val incoming = docs.filter(col("doc_id") >= 250)
+          .unionByName(docs.filter(col("doc_id") >= 250 && col("doc_id") < 300)
+            .withColumn("doc_id", col("doc_id") + 30000))
+          .unionByName(docs.filter(col("doc_id") < 100)
+            .withColumn("doc_id", col("doc_id") + 10000))
+        Dedup.incrementalSurvivors(existing, incoming, "text", "doc_id")
+          .orderBy("doc_id")
+      },
+      Some("""WITH inc AS (
+             |  SELECT doc_id, text FROM documents WHERE doc_id >= 250
+             |  UNION ALL
+             |  SELECT doc_id + 30000, text FROM documents
+             |  WHERE doc_id >= 250 AND doc_id < 300
+             |  UNION ALL
+             |  SELECT doc_id + 10000, text FROM documents WHERE doc_id < 100)
+             |SELECT min(doc_id) AS doc_id FROM inc
+             |WHERE text NOT IN (SELECT text FROM documents WHERE doc_id < 250)
+             |GROUP BY text ORDER BY 1""".stripMargin)),
+
     // MinHash + LSH near-dup pairs, exact-verified at jaccard >= 0.4
     // (pair table staged — the transitive-cluster query d6 shares it)
     "d2_minhash_lsh" -> QueryDef(

@@ -465,6 +465,39 @@ object TextQueries {
            |FROM r2 ORDER BY domain""".stripMargin
       }),
 
+    // Canonical text normalization + dedup on the normal form: lower,
+    // strip non-alphanumerics, collapse whitespace — the preprocessor
+    // that turns case/punctuation variants of one document into exact
+    // duplicates. Fixture injects a noisy twin (uppercase + punct) for
+    // every 5th doc; survivors are the original ids. Normalization is
+    // scan-side codegen'd string ops; the dedup shuffles hashes of the
+    // NORMAL form only.
+    "t18_normalize_dedup" -> QueryDef(
+      (s, dir) => {
+        def norm(c: org.apache.spark.sql.Column) =
+          trim(regexp_replace(regexp_replace(lower(c), "[^a-z0-9 ]", " "), " +", " "))
+        val docs = table(s, dir, "documents")
+        val noisy = docs.filter(col("doc_id") % 5 === 0)
+          .select((col("doc_id") + 50000).as("doc_id"),
+            concat(upper(col("text")), lit(" !!")).as("text"))
+        val all = docs.select(col("doc_id"), col("text")).unionByName(noisy)
+        graft.operators.Dedup.exactSurvivors(
+          all.withColumn("text", norm(col("text"))), "text", "doc_id")
+          .orderBy("doc_id")
+      },
+      Some("""WITH all_docs AS (
+             |  SELECT doc_id, text FROM documents
+             |  UNION ALL
+             |  SELECT doc_id + 50000, upper(text) || ' !!' FROM documents
+             |  WHERE doc_id % 5 = 0),
+             |normed AS (
+             |  SELECT doc_id,
+             |    trim(regexp_replace(regexp_replace(lower(text),
+             |      '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS ntext
+             |  FROM all_docs)
+             |SELECT min(doc_id) AS doc_id FROM normed GROUP BY ntext
+             |ORDER BY 1""".stripMargin)),
+
     // LM-fluency proxy score (CCNet-style perplexity filtering without
     // the LM): per-doc mean conditional bigram probability against the
     // corpus's own bigram statistics, in exact integer permille
