@@ -964,6 +964,47 @@ object Relational {
                   "date_diff('day', DATE '1995-01-01', o_orderdate)"), 16)} AS zkey
              |FROM orders ORDER BY o_orderkey""".stripMargin)),
 
+    // ---- snapshot diff (corpus change audit) ------------------------
+    // What changed between two ingests: full-outer join on the key
+    // comparing content hashes → added / removed / changed / unchanged
+    // counts. The twin snapshot is derived deterministically (drop
+    // id%7==0, rewrite text of id%11==0, append shifted new ids). ONE
+    // hash-partitioned full-outer join of (key, hash) pairs — content
+    // never moves, output is the audit aggregate.
+    "q48_snapshot_diff" -> QueryDef(
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+        val a = docs.select(col("doc_id"), xxhash64(col("text")).as("h"))
+        val b = docs.filter(col("doc_id") % 7 =!= 0)
+          .select(col("doc_id"),
+            xxhash64(when(col("doc_id") % 11 === 0,
+              concat(col("text"), lit(" v2"))).otherwise(col("text"))).as("h"))
+          .unionByName(docs.filter(col("doc_id") % 13 === 0)
+            .select((col("doc_id") + 90000).as("doc_id"), xxhash64(col("text")).as("h")))
+        a.withColumnRenamed("h", "ha")
+          .join(b.withColumnRenamed("h", "hb"), Seq("doc_id"), "full_outer")
+          .select(when(col("ha").isNull, "added")
+            .when(col("hb").isNull, "removed")
+            .when(col("ha") =!= col("hb"), "changed")
+            .otherwise("unchanged").as("status"))
+          .groupBy("status").agg(count(lit(1)).as("n"))
+          .orderBy("status")
+      },
+      Some("""WITH a AS (SELECT doc_id, hash(text) AS h FROM documents),
+             |b AS (
+             |  SELECT doc_id,
+             |    hash(CASE WHEN doc_id % 11 = 0 THEN text || ' v2' ELSE text END) AS h
+             |  FROM documents WHERE doc_id % 7 <> 0
+             |  UNION ALL
+             |  SELECT doc_id + 90000, hash(text) FROM documents WHERE doc_id % 13 = 0)
+             |SELECT CASE WHEN a.doc_id IS NULL THEN 'added'
+             |            WHEN b.doc_id IS NULL THEN 'removed'
+             |            WHEN a.h <> b.h THEN 'changed'
+             |            ELSE 'unchanged' END AS status,
+             |  count(*) AS n
+             |FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // ---- tumbling event-time window aggregation ---------------------
     // events.ts is parquet TIMESTAMP(NANOS) which Spark has no native
     // type for: read it as raw nanos (legacy long mode) and window with
