@@ -254,6 +254,35 @@ object EventQueries {
              |  count(*) AS n_events, CAST(sum(value_c) AS BIGINT) AS value_c
              |FROM sess GROUP BY user_id, sid ORDER BY 1, 2""".stripMargin)),
 
+    // Sliding (hop) event-time windows in BATCH via the native window()
+    // generator: 1-hour windows every 30 min, so each event lands in
+    // exactly two windows — the batch twin of EventStream's sliding
+    // aggregation. The oracle derives both covering window starts
+    // arithmetically (starts are epoch-aligned multiples of the slide,
+    // matching Spark's alignment).
+    "q49_hop_window" -> QueryDef(
+      (s, dir) => {
+        val ev = Relational.eventsRaw(s, dir)
+          .select(col("event_type"), cents(col("value")).as("v"),
+            timestamp_micros(expr("ts div 1000")).as("tss"))
+        ev.groupBy(window(col("tss"), "1 hour", "30 minutes").as("w"), col("event_type"))
+          .agg(count(lit(1)).as("n"), sum("v").as("value_c"))
+          .select(unix_micros(col("w.start")).as("wstart_us"),
+            col("event_type"), col("n"), col("value_c"))
+          .orderBy("wstart_us", "event_type")
+      },
+      Some("""WITH ev AS (
+             |  SELECT event_type, CAST(round(value*100) AS BIGINT) AS v,
+             |    epoch_us(ts) AS t_us
+             |  FROM events),
+             |hop AS (
+             |  SELECT ((t_us // 1800000000) - j) * 1800000000 AS wstart_us,
+             |    event_type, v
+             |  FROM ev CROSS JOIN UNNEST([0, 1]) AS t(j))
+             |SELECT CAST(wstart_us AS BIGINT) AS wstart_us, event_type,
+             |  count(*) AS n, CAST(sum(v) AS BIGINT) AS value_c
+             |FROM hop GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
     // Time-series resample + forward fill: daily per-user totals on a
     // dense day grid over each user's span, gaps carrying the last
     // observation forward — the feature-engineering gap-filler. Shape:
