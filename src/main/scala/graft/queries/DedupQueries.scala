@@ -57,6 +57,60 @@ object DedupQueries {
              |WHERE text NOT IN (SELECT text FROM documents WHERE doc_id < 250)
              |GROUP BY text ORDER BY 1""".stripMargin)),
 
+    // Semantic dedup (SemDeDup): k-means the embedding space (sim4's
+    // exact-integer Lloyd, same geometry constants), then prune
+    // within-cluster near-duplicates at cos >= 19/20, keeping the
+    // member farther from its centroid. Fixture plants a perturbed
+    // copy of every 4th vector (dim0 += 0.05 — cosine ~0.995 to its
+    // source, so it co-clusters and one of the pair is pruned).
+    // Oracle replays the shared kmeans CTE chain over the fixture plus
+    // the integer cosine dominance prune bit-for-bit:
+    // 400 = tauDen², 1444 = 4·tauNum² for tau = 19/20.
+    "d11_semdedup" -> QueryDef(
+      (s, dir) => {
+        val base = table(s, dir, "embeddings")
+          .select(col("vec_id"), col("embedding"))
+        val noisy = base.filter(col("vec_id") % 4 === 0)
+          .select((col("vec_id") + 30000).as("vec_id"),
+            transform(col("embedding"), (x, i) =>
+              when(i === 0, x + lit(0.05f)).otherwise(x)).as("embedding"))
+        graft.operators.SemDedup.semDedup(base.unionByName(noisy),
+            "vec_id", "embedding", dims = 64,
+            k = SimilarityQueries.KmK, iters = SimilarityQueries.KmIters,
+            tauNum = 19, tauDen = 20,
+            kmScale = SimilarityQueries.KmScale)
+          .orderBy("vec_id")
+      },
+      Some(s"""WITH allv AS (
+             |  SELECT vec_id, embedding FROM embeddings
+             |  UNION ALL
+             |  SELECT vec_id + 30000, list_transform(range(1, 65),
+             |      i -> CASE WHEN i = 1 THEN embedding[i] + CAST(0.05 AS REAL)
+             |           ELSE embedding[i] END)
+             |  FROM embeddings WHERE vec_id % 4 = 0),
+             |${SimilarityQueries.kmeansCtes("allv")},
+             |qc AS (SELECT vec_id, list_transform(embedding,
+             |    x -> CAST(round(CAST(x AS DOUBLE) * 100) AS BIGINT)) AS v
+             |  FROM allv),
+             |nn AS (SELECT vec_id, CAST(list_sum(list_transform(range(1, 65),
+             |    i -> v[i] * v[i])) AS BIGINT) AS n FROM qc),
+             |pr AS (SELECT a.vec_id AS ia, a.dist AS da,
+             |    b.vec_id AS ib, b.dist AS db, na.n AS na, nb.n AS nb,
+             |    na.n + nb.n - CAST(list_sum(list_transform(range(1, 65),
+             |      i -> (qa.v[i] - qb.v[i]) * (qa.v[i] - qb.v[i])))
+             |      AS BIGINT) AS twodot
+             |  FROM af a JOIN af b ON a.cell = b.cell AND a.vec_id <> b.vec_id
+             |  JOIN qc qa ON qa.vec_id = a.vec_id
+             |  JOIN qc qb ON qb.vec_id = b.vec_id
+             |  JOIN nn na ON na.vec_id = a.vec_id
+             |  JOIN nn nb ON nb.vec_id = b.vec_id),
+             |dom AS (SELECT DISTINCT ia FROM pr
+             |  WHERE twodot > 0 AND 400 * twodot * twodot >= 1444 * na * nb
+             |    AND (db > da OR (db = da AND ib < ia)))
+             |SELECT f.vec_id, CAST(f.cell AS BIGINT) AS cluster
+             |FROM af f WHERE f.vec_id NOT IN (SELECT ia FROM dom)
+             |ORDER BY 1""".stripMargin)),
+
     // MinHash + LSH near-dup pairs, exact-verified at jaccard >= 0.4
     // (pair table staged — the transitive-cluster query d6 shares it)
     "d2_minhash_lsh" -> QueryDef(

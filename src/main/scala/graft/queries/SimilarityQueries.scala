@@ -153,10 +153,11 @@ object SimilarityQueries {
        |  JOIN embeddings qe ON qe.vec_id = cands.qid)
        |$rerankSql""".stripMargin
 
-  // sim4 k-means geometry — interpolated into BOTH engines
-  private val KmK = 10
-  private val KmIters = 2
-  private val KmScale = 1000
+  // sim4 k-means geometry — interpolated into BOTH engines (shared
+  // with d11_semdedup, which clusters the same way before pruning)
+  private[queries] val KmK = 10
+  private[queries] val KmIters = 2
+  private[queries] val KmScale = 1000
 
   /** DuckDB CTE triple (d→a→next c) for ONE exact-integer Lloyd
     * iteration: distances against centroid set `cN`, argmin assignment
@@ -189,11 +190,11 @@ object SimilarityQueries {
     * t16 balanced-sampling composition so the clustering cannot drift
     * between them.
     */
-  private def kmeansCtes: String =
+  private[queries] def kmeansCtes(src: String = "embeddings"): String =
     s"""qv AS (
        |  SELECT vec_id, list_transform(embedding,
        |    x -> CAST(round(CAST(x AS DOUBLE) * $KmScale) AS BIGINT)) AS v
-       |  FROM embeddings),
+       |  FROM $src),
        |c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cell,
        |    v AS cv
        |  FROM (SELECT vec_id, v FROM qv ORDER BY vec_id LIMIT $KmK)),
@@ -222,7 +223,7 @@ object SimilarityQueries {
           k = KmK, iters = KmIters, quantScale = KmScale)
           .orderBy("vec_id")
       },
-      Some(s"""WITH $kmeansCtes
+      Some(s"""WITH ${kmeansCtes()}
              |SELECT vec_id, CAST(cell AS BIGINT) AS cluster,
              |  CAST(dist AS BIGINT) AS dist
              |FROM af ORDER BY vec_id""".stripMargin)),
@@ -258,7 +259,7 @@ object SimilarityQueries {
           .toDF("cluster", "rk", "vec_id")
           .orderBy("cluster", "rk")
       },
-      Some(s"""WITH $kmeansCtes,
+      Some(s"""WITH ${kmeansCtes()},
              |${QueryDef.scrambledHashCtes("(SELECT vec_id, cell FROM af)",
                 Seq("vec_id", "cell"), "CAST(vec_id AS VARCHAR)")},
              |r AS (SELECT vec_id, cell,
