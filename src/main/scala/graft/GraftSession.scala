@@ -22,4 +22,8 @@ object GraftSession {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // bucketed-table writes (GraftIO.writeBucketed) land under
+      // target/, not a spark-warehouse dir at the repo root
+      .config("spark.sql.warehouse.dir",
+        new java.io.File("target/warehouse").getAbsolutePath)
 }

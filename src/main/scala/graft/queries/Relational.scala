@@ -1005,6 +1005,28 @@ object Relational {
              |FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
              |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // ---- bucketed co-located join ----------------------------------
+    // lineitem + orders staged once per session as 8-bucket tables on
+    // the order key (Staged.bucketedLiOrd): the recurring-join pattern
+    // at 100 TB — pay one bucketed write, then every subsequent join
+    // reads pre-partitioned buckets and plans ZERO exchanges on the
+    // join key (GraftIOSpec asserts the plan shape). The merge hint
+    // pins SMJ so the demonstration doesn't ride on broadcast sizing;
+    // results are identical to the plain join, which is the oracle.
+    "q50_bucketed_join" -> QueryDef(
+      (s, dir) => {
+        val (li, ord) = Staged.bucketedLiOrd(s, dir)
+        li.hint("merge").join(ord, col("l_orderkey") === col("o_orderkey"))
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n_items"),
+            sum(cents(col("l_quantity"))).as("sum_qty_c"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority, count(*) AS n_items,
+             |  CAST(sum(CAST(round(l_quantity*100) AS BIGINT)) AS BIGINT) AS sum_qty_c
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // ---- tumbling event-time window aggregation ---------------------
     // events.ts is parquet TIMESTAMP(NANOS) which Spark has no native
     // type for: read it as raw nanos (legacy long mode) and window with

@@ -8,6 +8,7 @@ import org.apache.spark.storage.StorageLevel
 
 import graft.core.DcaFrame
 import graft.operators.TextOps
+import graft.sources.GraftIO
 import QueryDef.{table, cents}
 
 /** Session-scoped staged artifacts shared across queries: the indexed
@@ -154,6 +155,27 @@ object Staged {
         .simhashColsFromHashes(docShingleHashesPortable(s, dir), 60)
         .persist(StorageLevel.MEMORY_AND_DISK)
     }).asInstanceOf[DataFrame]
+
+  /** lineitem + orders staged ONCE per (session, dir) as 8-bucket
+    * parquet TABLES on the order key ([[graft.sources.GraftIO
+    * .writeBucketed]]) — the warehouse pattern for recurring joins at
+    * 100 TB: pay one bucketed write, then every join over the pair
+    * reads co-located buckets and plans zero exchanges on the join
+    * key. Table names carry a dir tag so scales never collide. The
+    * tables are disk-backed (nothing to unpersist at release; the next
+    * session overwrites them).
+    */
+  def bucketedLiOrd(s: SparkSession, dir: String): (DataFrame, DataFrame) =
+    cacheFor(s).getOrElseUpdate(s"bkt:$dir", {
+      val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+      GraftIO.writeBucketed(table(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_quantity")),
+        s"li_bkt_$tag", "l_orderkey", buckets = 8)
+      GraftIO.writeBucketed(table(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority")),
+        s"ord_bkt_$tag", "o_orderkey", buckets = 8)
+      (s.table(s"li_bkt_$tag"), s.table(s"ord_bkt_$tag"))
+    }).asInstanceOf[(DataFrame, DataFrame)]
 
   /** Release every staged artifact for this session: the memoized
     * frames/tables above AND all dense-index staging caches created by

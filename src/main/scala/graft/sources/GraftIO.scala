@@ -45,6 +45,33 @@ object GraftIO {
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
   }
 
+  /** Bucketed parquet table write — the shuffle-elimination primitive
+    * for RECURRING joins at scale: write both sides of a repeated join
+    * bucketed on the join key with the same bucket count, and every
+    * subsequent join reads back pre-partitioned (the bucketed scan
+    * reports HashPartitioning(key, n)), planning ZERO exchanges on the
+    * fact tables (GraftIOSpec asserts the plan). The up-front
+    * `repartition(n, key)` makes each bucket exactly ONE file (bucketBy
+    * alone writes one file per task per bucket), which is also what
+    * lets the `sortBy` metadata feed sorted scans.
+    */
+  def writeBucketed(df: DataFrame, tableName: String, key: String,
+                    buckets: Int): Unit = {
+    val spark = df.sparkSession
+    // reclaim stale state: Overwrite replaces a table the CATALOG
+    // knows, but a fresh in-memory-catalog session refuses to create a
+    // managed table over an orphaned location a previous JVM left in
+    // the warehouse dir — drop both the entry and the directory
+    spark.sql(s"DROP TABLE IF EXISTS `$tableName`")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), tableName.toLowerCase)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
+    df.repartition(buckets, df(key))
+      .write.mode(SaveMode.Overwrite).format("parquet")
+      .bucketBy(buckets, key).sortBy(key).saveAsTable(tableName)
+  }
+
   /** Z-order-clustered parquet write: compute the Morton key of
     * `zCols` ([[graft.functions.ZOrder]]), range-partition into
     * `nFiles` splits on it, sort within each split, drop the key,

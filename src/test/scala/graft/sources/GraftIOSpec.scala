@@ -33,6 +33,31 @@ class GraftIOSpec extends SparkTestBase {
     assert(plan.contains("PartitionFilters") && plan.contains("name"), plan.take(500))
   }
 
+  test("bucketed tables join and aggregate with ZERO exchanges") {
+    import org.apache.spark.sql.functions._
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      GraftIO.writeBucketed(
+        spark.range(1000).selectExpr("id % 100 AS k", "id AS v"),
+        "t_li_bkt", "k", buckets = 4)
+      GraftIO.writeBucketed(
+        spark.range(100).selectExpr("id AS k2", "id * 10 AS w"),
+        "t_ord_bkt", "k2", buckets = 4)
+      val j = spark.table("t_li_bkt")
+        .join(spark.table("t_ord_bkt"), col("k") === col("k2"))
+        .groupBy("k").agg(count(lit(1)).as("n"), sum("w").as("sw"))
+      val rows = j.collect()
+      assert(rows.length == 100)
+      assert(rows.forall(r => r.getLong(1) == 10 && r.getLong(2) == r.getLong(0) * 100))
+      // join AND aggregation both reuse the bucket partitioning: not a
+      // single shuffle anywhere in the executed plan
+      val plan = j.queryExecution.executedPlan.toString()
+      assert(plan.contains("SortMergeJoin"), plan.take(800))
+      assert(!plan.contains("Exchange hashpartitioning"), plan.take(800))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("orc round-trips with partition pruning, like parquet") {
     import org.apache.spark.sql.functions.col
     val base = Files.createTempDirectory("graft_io_orc").toFile.getAbsolutePath
