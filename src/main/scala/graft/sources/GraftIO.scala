@@ -91,6 +91,44 @@ object GraftIO {
       .write.mode(SaveMode.Overwrite).parquet(path)
   }
 
+  /** Small-file compaction — the table-maintenance primitive every
+    * long-running ingest needs at scale: streaming micro-batches and
+    * per-task writers accumulate thousands of KB-sized files whose
+    * metadata (footers, listings, driver split planning) eventually
+    * costs more than the data. Rewrites `src` into ceil(bytes /
+    * targetFileBytes) files at `dest` (total size from ONE driver-side
+    * recursive listing — no data pass), optionally re-sorted on
+    * `sortCols` to restore clustering that interleaved appends
+    * destroyed. Round-robin repartition (not coalesce: coalesce merges
+    * partitions without a shuffle, so parent skew survives into the
+    * output files; a compaction's whole point is evenly-sized files).
+    * In-place rewrite (src == dest) is refused — Spark cannot read and
+    * overwrite the same location in one job; write to a new location
+    * and swap, which is also what makes production compaction safely
+    * atomic.
+    */
+  def compact(spark: SparkSession, src: String, dest: String,
+              targetFileBytes: Long = 128L << 20,
+              sortCols: Seq[String] = Nil): Int = {
+    require(targetFileBytes > 0, "targetFileBytes must be positive")
+    require(new org.apache.hadoop.fs.Path(src).toUri.getPath !=
+      new org.apache.hadoop.fs.Path(dest).toUri.getPath,
+      "in-place compaction is unsafe (read+overwrite of one location); " +
+        "write to a new path and swap")
+    val p = new org.apache.hadoop.fs.Path(src)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes = fs.getContentSummary(p).getLength
+    val nFiles = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
+    val df = spark.read.parquet(src)
+    val out =
+      if (sortCols.nonEmpty)
+        df.repartitionByRange(nFiles, sortCols.map(df.col): _*)
+          .sortWithinPartitions(sortCols.map(df.col): _*)
+      else df.repartition(nFiles)
+    out.write.mode(SaveMode.Overwrite).parquet(dest)
+    nFiles
+  }
+
   def writeCsv(df: DataFrame, path: String, header: Boolean = true): Unit =
     df.write.mode(SaveMode.Overwrite).option("header", header.toString).csv(path)
 

@@ -58,6 +58,47 @@ class GraftIOSpec extends SparkTestBase {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("compact rewrites a small-file mess into size-targeted files") {
+    import org.apache.spark.sql.functions.col
+    val base = Files.createTempDirectory("graft_compact").toFile.getAbsolutePath
+    // 64 tiny files
+    spark.range(10000).selectExpr("id", "id % 7 AS k")
+      .repartition(64).write.parquet(s"$base/src")
+    def parquetFiles(d: String) = new java.io.File(d).listFiles()
+      .count(f => f.getName.endsWith(".parquet"))
+    assert(parquetFiles(s"$base/src") == 64)
+    val srcBytes = new java.io.File(s"$base/src").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.length).sum
+    val n = GraftIO.compact(spark, s"$base/src", s"$base/dst",
+      targetFileBytes = srcBytes / 4)
+    // ~4-5 depending on listing overhead (_SUCCESS, local-FS checksums)
+    assert(n >= 4 && n <= 6, s"expected ~bytes/(bytes/4) files, got $n")
+    assert(parquetFiles(s"$base/dst") == n)
+    // content survives exactly
+    assert(spark.read.parquet(s"$base/dst").count() == 10000)
+    assert(spark.read.parquet(s"$base/dst").agg(org.apache.spark.sql.functions.sum("id"))
+      .head.getLong(0) == 10000L * 9999 / 2)
+    // sorted variant restores clustering: each output file covers a
+    // narrow id range (min-max spans don't overlap across files)
+    GraftIO.compact(spark, s"$base/src", s"$base/sorted",
+      targetFileBytes = srcBytes / 4, sortCols = Seq("id"))
+    val spans = new java.io.File(s"$base/sorted").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map { f =>
+        val d = spark.read.parquet(f.getAbsolutePath)
+        val r = d.agg(org.apache.spark.sql.functions.min("id"),
+          org.apache.spark.sql.functions.max("id")).head
+        (r.getLong(0), r.getLong(1))
+      }.sortBy(_._1)
+    assert(spans.sliding(2).forall {
+      case Array((_, hi), (lo, _)) => hi < lo
+      case _ => true
+    }, spans.mkString(", "))
+    // in-place refusal
+    intercept[IllegalArgumentException] {
+      GraftIO.compact(spark, s"$base/src", s"$base/src")
+    }
+  }
+
   test("orc round-trips with partition pruning, like parquet") {
     import org.apache.spark.sql.functions.col
     val base = Files.createTempDirectory("graft_io_orc").toFile.getAbsolutePath
