@@ -498,6 +498,52 @@ object TextQueries {
              |SELECT min(doc_id) AS doc_id FROM normed GROUP BY ntext
              |ORDER BY 1""".stripMargin)),
 
+    // EXACT per-group quantiles from a value histogram — the corpus
+    // length-distribution report (p50/p90/p99 token count per lang)
+    // every curation pass starts from. Scale shape: the ONLY full-data
+    // op is a map-side-combining groupBy(lang, n) count; the windows
+    // (cumulative + total) then run over the HISTOGRAM — langs ×
+    // distinct-lengths rows, dimension-sized — never a distributed
+    // sort of raw rows (approx_percentile trades exactness for one
+    // pass; the histogram trick keeps both when the value domain is
+    // bounded, as token counts are). Nearest-rank definition, integer
+    // cross-multiplied: p-quantile = min n with 100·cum ≥ p·total.
+    "t19_length_quantiles" -> QueryDef(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val hist = table(s, dir, "documents")
+          .select(col("lang"), TextOps.tokenCount(col("text")).as("n"))
+          .groupBy("lang", "n").agg(count(lit(1)).as("c"))
+        val cum = hist
+          .withColumn("cum", sum("c").over(Window.partitionBy("lang")
+            .orderBy("n").rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .withColumn("total", sum("c").over(Window.partitionBy("lang")))
+        cum.groupBy("lang").agg(
+          min(when(col("cum") * 2 >= col("total"), col("n"))).as("p50"),
+          min(when(col("cum") * 10 >= col("total") * 9, col("n"))).as("p90"),
+          min(when(col("cum") * 100 >= col("total") * 99, col("n"))).as("p99"),
+          max("n").as("p100"),
+          sum("c").as("n_docs"))
+          .orderBy("lang")
+      },
+      Some("""WITH h AS (
+             |  SELECT lang, CAST(len(string_split(text, ' ')) AS BIGINT) AS n,
+             |    count(*) AS c
+             |  FROM documents GROUP BY 1, 2),
+             |cum AS (
+             |  SELECT lang, n, c,
+             |    sum(c) OVER (PARTITION BY lang ORDER BY n
+             |      ROWS UNBOUNDED PRECEDING) AS cum,
+             |    sum(c) OVER (PARTITION BY lang) AS total
+             |  FROM h)
+             |SELECT lang,
+             |  CAST(min(CASE WHEN cum * 2 >= total THEN n END) AS BIGINT) AS p50,
+             |  CAST(min(CASE WHEN cum * 10 >= total * 9 THEN n END) AS BIGINT) AS p90,
+             |  CAST(min(CASE WHEN cum * 100 >= total * 99 THEN n END) AS BIGINT) AS p99,
+             |  CAST(max(n) AS BIGINT) AS p100,
+             |  CAST(sum(c) AS BIGINT) AS n_docs
+             |FROM cum GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // LM-fluency proxy score (CCNet-style perplexity filtering without
     // the LM): per-doc mean conditional bigram probability against the
     // corpus's own bigram statistics, in exact integer permille
