@@ -136,17 +136,27 @@ object Dedup {
     lshCandidatesFromHashes(shingleHashTable(docs, idCol, shinglesCol), bands, rows)
 
   /** Candidates from a pre-staged (__id, __h) shingle-hash table. */
-  def lshCandidatesFromHashes(hashed: DataFrame, bands: Int, rows: Int): DataFrame = {
-    val k = bands * rows
-    val sig = signatureColsFromHashes(hashed, k)
+  /** Band-bucket table (__id, band, bh) of a shingle-hash table — the
+    * LSH index rows themselves. At scale this is the PERSISTED artifact
+    * an incremental pipeline maintains: append the new batch's rows,
+    * probe with an equi-join on the short (band, bh) key — see
+    * [[incrementalNearDupSurvivors]].
+    */
+  def bandBuckets(hashed: DataFrame, bands: Int, rows: Int): DataFrame = {
+    val sig = signatureColsFromHashes(hashed, bands * rows)
     val bandStructs = (0 until bands).map { j =>
       val bandCols = (0 until rows).map(r => col(s"__m${j * rows + r}"))
       struct(lit(j).as("band"), hash(bandCols: _*).as("bh"))
     }
-    val buckets = sig.select(col("__id"), explode(array(bandStructs: _*)).as("b"))
-      .select(col("__id"), col("b.band"), col("b.bh"))
-    // pair up within buckets: self-join on (band, bh) — the shuffle key
-    // is the short bucket id, and the join explodes only within buckets
+    sig.select(col("__id"), explode(array(bandStructs: _*)).as("b"))
+      .select(col("__id"), col("b.band").as("band"), col("b.bh").as("bh"))
+  }
+
+  /** Candidate pairs from a band-bucket table: self-join on (band, bh)
+    * — the shuffle key is the short bucket id, and the join explodes
+    * only within buckets.
+    */
+  def pairsFromBuckets(buckets: DataFrame): DataFrame = {
     val l = buckets.as("l")
     val r = buckets.as("r")
     l.join(r, col("l.band") === col("r.band") && col("l.bh") === col("r.bh") &&
@@ -154,6 +164,9 @@ object Dedup {
       .select(col("l.__id").as("doc_a"), col("r.__id").as("doc_b"))
       .distinct()
   }
+
+  def lshCandidatesFromHashes(hashed: DataFrame, bands: Int, rows: Int): DataFrame =
+    pairsFromBuckets(bandBuckets(hashed, bands, rows))
 
   // ---- LSH banding auto-tuner ------------------------------------------
 
@@ -280,6 +293,53 @@ object Dedup {
     val h = hashed.getOrElse(shingleHashTable(shingled, idCol, shinglesCol))
     val cands = lshCandidatesFromHashes(h, bands, rows)
     verifyJaccard(cands, shingled, idCol, shinglesCol, thresholdNum, thresholdDen)
+  }
+
+  /** Incremental NEAR-dup admission — the LSH twin of
+    * [[incrementalSurvivors]] (which only catches byte-identical
+    * re-crawls): survivors of `incoming` after near-duplicate checks
+    * against the EXISTING corpus and within the batch, at jaccard ≥
+    * num/den. The corpus is never re-deduplicated — its
+    * [[bandBuckets]] table is the persisted index of an incremental
+    * pipeline (append new rows per batch; here it is rebuilt because
+    * the local fixture has no cross-run storage), the incoming batch
+    * probes it with ONE equi-join on the short (band, bh) key, and
+    * only candidate pairs are exactly verified against the shingle
+    * sets.
+    *
+    * Drop rule (deterministic, one-shot): an incoming doc is dropped
+    * iff a verified pair links it to ANY corpus doc or to a
+    * smaller-id incoming doc. One-shot like [[SemDedup.semDedup]] —
+    * a chain a~b~c with a≁c keeps a and can drop both b and c;
+    * transitive grouping is [[connectedComponents]]' job over the
+    * pair output. CONTRACT: corpus and incoming id spaces are
+    * disjoint, with corpus ids below incoming ids (the natural
+    * monotone-ingest numbering; d10's fixture shape).
+    */
+  def incrementalNearDupSurvivors(corpus: DataFrame, incoming: DataFrame,
+                                  textCol: String, idCol: String,
+                                  shingleN: Int = 3, bands: Int = 32, rows: Int = 2,
+                                  thresholdNum: Int = 2, thresholdDen: Int = 5): DataFrame = {
+    val cSh = corpus.select(col(idCol), TextOps.shingles(col(textCol), shingleN).as("__sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val iSh = incoming.select(col(idCol), TextOps.shingles(col(textCol), shingleN).as("__sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cB = bandBuckets(shingleHashTable(cSh, idCol, "__sh"), bands, rows)
+    val iB = bandBuckets(shingleHashTable(iSh, idCol, "__sh"), bands, rows)
+    // probe the corpus index: equi-join on (band, bh), corpus id on the
+    // doc_a side (always the smaller id under the contract)
+    val crossCand = iB.as("i")
+      .join(cB.as("c"), col("i.band") === col("c.band") && col("i.bh") === col("c.bh"))
+      .select(col("c.__id").as("doc_a"), col("i.__id").as("doc_b"))
+      .distinct()
+    val inBatchCand = pairsFromBuckets(iB)
+    val allSh = cSh.unionByName(iSh)
+    val dropped = verifyJaccard(crossCand, allSh, idCol, "__sh", thresholdNum, thresholdDen)
+      .select(col("doc_b").as(idCol))
+      .unionByName(verifyJaccard(inBatchCand, iSh, idCol, "__sh", thresholdNum, thresholdDen)
+        .select(col("doc_b").as(idCol)))
+      .distinct()
+    iSh.select(col(idCol)).join(dropped, Seq(idCol), "left_anti")
   }
 
   // ---- Exact n-gram Jaccard join (prefix filtering / AllPairs) ---------

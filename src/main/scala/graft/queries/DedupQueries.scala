@@ -57,6 +57,46 @@ object DedupQueries {
              |WHERE text NOT IN (SELECT text FROM documents WHERE doc_id < 250)
              |GROUP BY text ORDER BY 1""".stripMargin)),
 
+    // Incremental NEAR-dup admission (the LSH twin of d10): new-crawl
+    // batch probed against the existing corpus's band-bucket index +
+    // one-shot smaller-id rule within the batch; corpus never
+    // re-deduplicated. Fixture plants re-crawls of corpus docs with an
+    // appended suffix (near-dup, not byte-identical — d10 would admit
+    // them) and in-batch near-copies. Oracle = EXACT all-pairs jaccard
+    // over the fixture: drop rule reduces to "some qualifying pair has
+    // this incoming doc on its larger side" because corpus ids sit
+    // below incoming ids (the contract) and qp orders da < db.
+    "d12_incremental_neardup" -> QueryDef(
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+        val corpus = docs.filter(col("doc_id") < 250).select("doc_id", "text")
+        val incoming = docs.filter(col("doc_id") >= 250).select("doc_id", "text")
+          .unionByName(docs.filter(col("doc_id") < 100)
+            .select((col("doc_id") + 20000).as("doc_id"),
+              concat(col("text"), lit(" updated crawl snapshot")).as("text")))
+          .unionByName(docs.filter(col("doc_id") >= 250 && col("doc_id") < 300)
+            .select((col("doc_id") + 40000).as("doc_id"),
+              concat(col("text"), lit(" minor edit")).as("text")))
+        Dedup.incrementalNearDupSurvivors(corpus, incoming, "text", "doc_id")
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH corpus AS (
+             |  SELECT doc_id, text FROM documents WHERE doc_id < 250),
+             |inc AS (
+             |  SELECT doc_id, text FROM documents WHERE doc_id >= 250
+             |  UNION ALL
+             |  SELECT doc_id + 20000, text || ' updated crawl snapshot'
+             |  FROM documents WHERE doc_id < 100
+             |  UNION ALL
+             |  SELECT doc_id + 40000, text || ' minor edit'
+             |  FROM documents WHERE doc_id >= 250 AND doc_id < 300),
+             |alld AS (SELECT * FROM corpus UNION ALL SELECT * FROM inc),
+             |${QueryDef.shingleCtes(src = "alld")},
+             |${QueryDef.jaccardPairCtes(2, 5)}
+             |SELECT i.doc_id FROM inc i
+             |WHERE i.doc_id NOT IN (SELECT db FROM qp)
+             |ORDER BY 1""".stripMargin)),
+
     // Semantic dedup (SemDeDup): k-means the embedding space (sim4's
     // exact-integer Lloyd, same geometry constants), then prune
     // within-cluster near-duplicates at cos >= 19/20, keeping the

@@ -43,8 +43,8 @@ object QueryDef {
     * [[graft.operators.TextOps.shingles]] shared by every dedup oracle
     * (distinct n-grams; docs shorter than n words yield no rows).
     */
-  def shingleCtes(n: Int = 3): String =
-    s"""words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+  def shingleCtes(n: Int = 3, src: String = "documents"): String =
+    s"""words AS (SELECT doc_id, string_split(text, ' ') AS w FROM $src),
        |sh AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+${n - 1}], ' ') AS s
        |       FROM words, UNNEST(range(1, len(w) - ${n - 2})) AS t(i))""".stripMargin
 

@@ -22,6 +22,20 @@ class DedupSpec extends SparkTestBase {
   private val nearDup = base.replace("lazy", "sleepy")   // tiny edit
   private val unrelated = "completely different content with no overlap whatsoever at all " * 5
 
+  test("incremental near-dup: corpus hit and smaller-id batch hit drop; novel survives") {
+    val corpus = docs(1L -> base, 2L -> ("distinct corpus article about mountains rivers " +
+      "and weather patterns observed over decades " * 3))
+    val novel = "a genuinely new piece of writing about spacecraft telemetry analysis " * 5
+    val incoming = docs(
+      10L -> (base + " appended re-crawl banner"), // near-dup of corpus 1 -> dropped
+      11L -> novel,                                // survives
+      12L -> (novel + " trailing edit"),           // near-dup of 11 (smaller id) -> dropped
+      13L -> unrelated)                            // survives
+    val out = Dedup.incrementalNearDupSurvivors(corpus, incoming, "text", "doc_id")
+      .as[Long].collect().sorted
+    assert(out.toSeq == Seq(11L, 13L))
+  }
+
   test("minhash LSH finds planted near-dups and skips unrelated docs") {
     val d = docs(1L -> base, 2L -> nearDup, 3L -> unrelated)
     val pairs = Dedup.nearDupPairs(d, "text", "doc_id")
