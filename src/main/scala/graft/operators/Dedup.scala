@@ -862,8 +862,14 @@ object Dedup {
     // yields size(NULL) = NULL, emitting (id, '', 0, NULL) — a torn row
     // that breaks downstream arithmetic on `dropped`
     val text = coalesce(col(textCol), lit(""))
-    val ch = docs.select(col(idCol).as("__id"),
-      posexplode(TextOps.wordChunks(text, k)).as(Seq("__cidx", "__chunk")))
+    // Hoist the tokenization into its own projection: `__w` reaches the
+    // chunking lambda as an attribute, so the interpreted HOF slices a
+    // ready array instead of re-splitting the document once per chunk
+    // (CollapseProject keeps the barrier — the alias is non-cheap and
+    // referenced more than once, so Catalyst does not inline it back).
+    val docsW = docs.select(col(idCol).as("__id"), TextOps.words(text).as("__w"))
+    val ch = docsW.select(col("__id"),
+      posexplode(TextOps.wordChunksFromWords(col("__w"), k)).as(Seq("__cidx", "__chunk")))
     val firsts = ch.groupBy("__chunk")
       .agg(min(struct(col("__id"), col("__cidx"))).as("__f"))
       .select(col("__f.__id").as("__id"), col("__f.__cidx").as("__cidx"),
@@ -876,8 +882,8 @@ object Dedup {
         count(lit(1)).as("kept"))
     // per-doc chunk totals as a NARROW scan-side projection (size of
     // the chunk array) — no explode, no exchange on this branch
-    val totals = docs.select(col(idCol).as("__id"),
-      size(TextOps.wordChunks(text, k)).cast("long").as("__total"))
+    val totals = docsW.select(col("__id"),
+      size(TextOps.wordChunksFromWords(col("__w"), k)).cast("long").as("__total"))
     totals.join(rebuilt, Seq("__id"), "left")
       .select(col("__id").as(idCol),
         coalesce(col("clean_text"), lit("")).as("clean_text"),

@@ -149,12 +149,24 @@ object TextOps {
     * shorter) — the "paragraph" segmentation for corpus-level chunk
     * dedup on text without newlines. Every document yields >= 1 chunk
     * (an empty text is one empty chunk), so reassembly is total.
+    *
+    * `w` must be an already-materialized words ARRAY column (an
+    * attribute, not `words(text)` inline): higher-order functions are
+    * CodegenFallback and evaluate their lambda interpreted per element
+    * with no subexpression elimination, so an inline split here would
+    * re-tokenize the whole document once per chunk — O(len²/k) per doc
+    * (measured ~4x wall on d7 before the hoist).
     */
-  def wordChunks(text: Column, k: Int): Column = {
-    val w = words(text)
+  def wordChunksFromWords(w: Column, k: Int): Column =
     transform(sequence(lit(0), ceil(size(w) / lit(k.toDouble)).cast("int") - 1),
       j => concat_ws(" ", slice(w, j * k + 1, lit(k))))
-  }
+
+  /** Convenience form over raw text — only for single-evaluation
+    * contexts (tests, probes); operators should hoist `words(text)`
+    * into its own projection and call [[wordChunksFromWords]].
+    */
+  def wordChunks(text: Column, k: Int): Column =
+    wordChunksFromWords(words(text), k)
 
   /** Deterministic id scrambler for split/sampling order: Knuth
     * multiplicative mix mod 1e9+7. The id is reduced mod p BEFORE the

@@ -1,20 +1,28 @@
-// Quick single-query timing harness: sbt "runMain graft.tools.BenchSome q1 q2 ..."
+// Quick single-query timing harness:
+//   sbt "runMain graft.tools.BenchSome [--sf=DIR] [--cpus=N] q1 q2 ..."
+// Flags beat env (SPARK_GRAFT_SF_DIR / SPARK_GRAFT_CPUS): under
+// `run / fork := true` a forked JVM inherits the SBT SERVER's
+// environment, so env set on an `sbt --client` command line silently
+// does not reach here — pass flags instead.
 package graft.tools
-
-import org.apache.spark.sql.SparkSession
 
 object BenchSome {
   def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val (flags, names) = args.partition(_.startsWith("--"))
+    def flag(k: String, envK: String, dflt: String): String =
+      flags.collectFirst { case f if f.startsWith(s"--$k=") => f.drop(k.length + 3) }
+        .orElse(sys.env.get(envK)).getOrElse(dflt)
+    val sfDir = flag("sf", "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = flag("cpus", "SPARK_GRAFT_CPUS", "8")
     val spark = graft.GraftSession.builder(s"local[$cpus]", cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    println(s"[bench] sf=$sfDir cpus=$cpus")
     // warm-up, then noop sink per query (count() would let Catalyst
     // prune output expressions and under-measure — same as Bench).
     // upper() forces the one-time ICU case-mapping load (~14 s) out of
     // the first measured query — same warm-up as Bench.
     spark.range(1000).selectExpr("sum(id)", "upper('x')").write.format("noop").mode("overwrite").save()
-    args.foreach { name =>
+    names.foreach { name =>
       val df = graft.SparkEntry.queries(name)(spark, sfDir)
       val t0 = System.nanoTime()
       df.write.format("noop").mode("overwrite").save()
