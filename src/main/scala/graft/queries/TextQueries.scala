@@ -544,6 +544,40 @@ object TextQueries {
              |  CAST(sum(c) AS BIGINT) AS n_docs
              |FROM cum GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // Model-based quality filtering: fastText-style linear classifier
+    // inference over hashed bag-of-ngram features (unigrams + bigrams,
+    // occurrence-preserving, poly-hashed into 4096 buckets). The
+    // weight table is dimension-sized so it BROADCASTS; inference is
+    // explode -> hash -> broadcast join -> one map-side-combining
+    // per-doc sum. Deterministic stand-in weights (Knuth mix, range
+    // [-1000, 1000]) keep both engines bit-identical; a real trained
+    // model drops in as the same (bucket, w) table without changing
+    // the plan.
+    "t20_quality_classifier" -> QueryDef(
+      (s, dir) => {
+        graft.functions.VectorExpressions.register(s)
+        graft.operators.QualityModel.score(
+          table(s, dir, "documents"), "doc_id", "text",
+          graft.operators.QualityModel.syntheticWeights(s, 4096), buckets = 4096)
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH w AS (SELECT doc_id, string_split(coalesce(text,''),' ') AS w
+             |           FROM documents),
+             |uni AS (SELECT doc_id, unnest(w) AS f FROM w),
+             |bi AS (SELECT doc_id, array_to_string(w[i:i+1], ' ') AS f
+             |       FROM w, unnest(range(1, len(w))) AS t(i) WHERE len(w) >= 2),
+             |feats AS (SELECT * FROM uni UNION ALL SELECT * FROM bi),
+             |wt AS (SELECT CAST(b AS BIGINT) AS bucket,
+             |         CAST(${QueryDef.knuthMixSql("b")} % 2001 - 1000 AS BIGINT) AS wgt
+             |       FROM range(0, 4096) t(b)),
+             |fb AS (SELECT doc_id, ${QueryDef.polyHashSql("f")} % 4096 AS bucket
+             |       FROM feats)
+             |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+             |  CAST(sum(wgt) AS BIGINT) AS score,
+             |  CAST(CASE WHEN sum(wgt) > 0 THEN 1 ELSE 0 END AS BIGINT) AS keep
+             |FROM fb JOIN wt USING (bucket)
+             |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
     // LM-fluency proxy score (CCNet-style perplexity filtering without
     // the LM): per-doc mean conditional bigram probability against the
     // corpus's own bigram statistics, in exact integer permille

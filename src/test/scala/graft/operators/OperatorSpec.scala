@@ -959,6 +959,35 @@ class AsOfJoinSpec extends SparkTestBase {
 class TextOpsSpec extends SparkTestBase {
   import spark.implicits._
 
+  test("quality classifier: bag semantics, exact score under a 1-bucket model") {
+    graft.functions.VectorExpressions.register(spark)
+    // buckets=1 pins every feature to bucket 0, whose synthetic weight
+    // is knuthMix(0) % 2001 - 1000 = -1000 — so score = -1000 * n_feats
+    // exactly, and n_feats = unigrams + bigrams = 2*words - 1.
+    val docs = Seq((1L, "a b c a"), (2L, "solo"), (3L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val w1 = graft.operators.QualityModel.syntheticWeights(spark, 1)
+    val got = graft.operators.QualityModel.score(docs, "doc_id", "text", w1, 1)
+      .orderBy("doc_id").as[(Long, Long, Long, Long)].collect()
+    assert(got(0) == ((1L, 7L, -7000L, 0L)))   // 4 words + 3 bigrams, repeats counted
+    assert(got(1) == ((2L, 1L, -1000L, 0L)))   // 1 word, no bigram
+    assert(got(2) == ((3L, 1L, -1000L, 0L)))   // NULL text -> one empty-string token
+  }
+
+  test("quality classifier: synthetic weights bounded and keep tracks score sign") {
+    graft.functions.VectorExpressions.register(spark)
+    val w = graft.operators.QualityModel.syntheticWeights(spark, 4096)
+    val (lo, hi, n) = w.agg(min("w"), max("w"), count(lit(1)))
+      .as[(Long, Long, Long)].head()
+    assert(n == 4096 && lo >= -1000 && hi <= 1000)
+    val docs = Seq((1L, "x y z"), (2L, "p q")).toDF("doc_id", "text")
+    val out = graft.operators.QualityModel.score(docs, "doc_id", "text", w, 4096)
+      .as[(Long, Long, Long, Long)].collect()
+    out.foreach { case (_, _, score, keep) =>
+      assert(keep == (if (score > 0) 1L else 0L))
+    }
+  }
+
   test("urls + urlDomain: both schemes extracted, subdomains stripped, bare hosts kept") {
     val d = Seq(("read https://a.b.example.org/x and http://cdn.ref2.net/y done", 1L),
       ("no links here", 2L), ("bare http://localhost/z", 3L)).toDF("text", "id")
