@@ -893,6 +893,86 @@ object Dedup {
 
   // ---- benchmark-contamination report --------------------------------
 
+  /** Substring-level exact dedup (the ExactSubstr policy of Lee et
+    * al. 2022, "Deduplicating Training Data Makes Language Models
+    * Better", arXiv:2107.06499 — re-expressed relationally instead of
+    * via their single-node suffix array): every word position covered
+    * by a non-FIRST occurrence of any duplicated k-word window is
+    * removed; first occurrences keep their text, so exactly one copy
+    * of every duplicated passage survives corpus-wide. Overlapping
+    * windows (stride 1) catch duplicated passages at ANY alignment —
+    * the property [[chunkDedup]]'s non-overlapping chunks give up.
+    *
+    * Scale shape: windows are keyed by their engine-portable 60-bit
+    * hash, so the global first-occurrence pass is a map-side-combining
+    * `min(struct)+count` agg over (hash) — gram TEXT never enters an
+    * exchange anywhere. Duplicate occurrences expand to covered (doc,
+    * pos) pairs (×k rows on the duplicated fraction only), and the
+    * rebuild is one anti-join plus a per-doc agg on integer keys.
+    * Hash collisions (2^-60-scale) would merge distinct grams; the
+    * oracle replays the same hash, so the contract is exact w.r.t.
+    * the keyed windows.
+    *
+    * Output: (idCol, clean_text, n_words, n_removed), one row per
+    * input document.
+    */
+  def substringDedup(docs: DataFrame, idCol: String, textCol: String,
+                     k: Int): DataFrame =
+    substringDedupFromGrams(docs, windowHashTable(docs, idCol, textCol, k),
+      idCol, textCol, k)
+
+  /** (__id, __i, __h): every overlapping k-word window keyed by its
+    * engine-portable 60-bit hash — the input [[substringDedupFromGrams]]
+    * consumes TWICE (global first-occurrence agg + per-occurrence
+    * probe). Stage/persist it when running the full dedup so the
+    * ngram+hash pipeline runs once, not once per consumer (the local
+    * analog of materializing the window table to parquet in a 100 TB
+    * pipeline).
+    */
+  def windowHashTable(docs: DataFrame, idCol: String, textCol: String,
+                      k: Int): DataFrame = {
+    val text = coalesce(col(textCol), lit(""))
+    docs.select(col(idCol).as("__id"), TextOps.words(text).as("__w"))
+      // ngrams is ordered by start position, so posexplode yields the
+      // window's word offset directly
+      .select(col("__id"),
+        posexplode(TextOps.ngramsFromWords(col("__w"), k)).as(Seq("__i", "__g")))
+      .select(col("__id"), col("__i"), portableHash60(col("__g")).as("__h"))
+  }
+
+  /** [[substringDedup]] from a pre-built (possibly persisted) window
+    * hash table — see [[windowHashTable]].
+    */
+  def substringDedupFromGrams(docs: DataFrame, grams: DataFrame,
+                              idCol: String, textCol: String, k: Int): DataFrame = {
+    val text = coalesce(col(textCol), lit(""))
+    val docsW = docs.select(col(idCol).as("__id"), TextOps.words(text).as("__w"))
+    val firsts = grams.groupBy("__h")
+      .agg(min(struct(col("__id"), col("__i"))).as("__f"), count(lit(1)).as("__cnt"))
+    // non-first occurrences of duplicated windows
+    val dups = grams.join(firsts.filter(col("__cnt") > 1), "__h")
+      .filter(!(col("__id") === col("__f.__id") && col("__i") === col("__f.__i")))
+      .select(col("__id"), col("__i"))
+    // covered word positions (distinct: overlapping dup windows merge)
+    val covered = dups
+      .select(col("__id"), explode(sequence(col("__i"), col("__i") + lit(k - 1))).as("__p"))
+      .distinct()
+    val wordsPos = docsW.select(col("__id"),
+      posexplode(col("__w")).as(Seq("__p", "__word")))
+    val survivors = wordsPos.join(covered, Seq("__id", "__p"), "left_anti")
+      .groupBy("__id")
+      .agg(array_join(transform(
+          array_sort(collect_list(struct(col("__p"), col("__word")))),
+          c => c.getField("__word")), " ").as("clean_text"),
+        count(lit(1)).as("__kept"))
+    val totals = docsW.select(col("__id"), size(col("__w")).cast("long").as("__total"))
+    totals.join(survivors, Seq("__id"), "left")
+      .select(col("__id").as(idCol),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        col("__total").as("n_words"),
+        (col("__total") - coalesce(col("__kept"), lit(0L))).as("n_removed"))
+  }
+
   /** Train/eval n-gram contamination: for every training document,
     * count its distinct word n-grams that also appear anywhere in the
     * eval split. The production shape for "did benchmark text leak

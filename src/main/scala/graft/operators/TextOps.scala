@@ -122,6 +122,18 @@ object TextOps {
     * list (the sequence() guard: Spark generates a DESCENDING sequence
     * when start > stop, which would index out of range).
     */
+  /** Overlapping word n-grams (ordered by start position) from an
+    * already-materialized words ARRAY column — `w` must be an
+    * attribute or lambda variable, not an inline `words(text)` (see
+    * [[wordChunksFromWords]] for why: HOF lambdas re-evaluate captured
+    * subtrees per element).
+    */
+  def ngramsFromWords(w: Column, n: Int): Column =
+    when(size(w) >= n,
+      transform(sequence(lit(0), size(w) - n),
+        i => concat_ws(" ", slice(w, i + 1, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+
   def ngrams(text: Column, n: Int): Column =
     // Let-bind the tokenization: the single-element outer transform
     // evaluates words(text) ONCE per row and exposes it as a lambda
@@ -130,11 +142,7 @@ object TextOps {
     // re-split the whole document once per gram — higher-order
     // functions are CodegenFallback with no subexpression elimination
     // (measured 4-17x wall on the shingle-family operators).
-    element_at(transform(array(words(text)), w =>
-      when(size(w) >= n,
-        transform(sequence(lit(0), size(w) - n),
-          i => concat_ws(" ", slice(w, i + 1, lit(n)))))
-        .otherwise(array().cast("array<string>"))), 1)
+    element_at(transform(array(words(text)), w => ngramsFromWords(w, n)), 1)
 
   /** Word n-gram shingles (distinct), the input to MinHash/Jaccard. */
   def shingles(text: Column, n: Int): Column = array_distinct(ngrams(text, n))

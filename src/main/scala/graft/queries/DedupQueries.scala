@@ -249,6 +249,52 @@ object DedupQueries {
              |  CAST(t.total - coalesce(a.kept,0) AS BIGINT) AS dropped
              |FROM tot t LEFT JOIN agg a USING (doc_id) ORDER BY doc_id""".stripMargin)),
 
+    // Substring-level exact dedup (Lee et al. ExactSubstr policy over
+    // overlapping 8-word windows): non-first occurrences of duplicated
+    // windows are removed word-by-word, first occurrences survive, so
+    // exactly one copy of every duplicated passage remains corpus-wide.
+    // Windows are keyed by the engine-portable 60-bit hash on BOTH
+    // engines (gram text never shuffles); the oracle replays windows,
+    // hashes, first-occurrence rule, span cover, and reassembly.
+    "d13_substring_dedup" -> QueryDef(
+      (s, dir) => {
+        graft.functions.VectorExpressions.register(s)
+        Dedup.substringDedupFromGrams(table(s, dir, "documents"),
+            Staged.substrGrams(s, dir, 8), "doc_id", "text", k = 8)
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH w AS (SELECT doc_id, string_split(coalesce(text,''),' ') AS w
+             |           FROM documents),
+             |g AS (SELECT doc_id, CAST(i AS BIGINT) AS i,
+             |        array_to_string(w[(CAST(i AS INTEGER)+1):(CAST(i AS INTEGER)+8)], ' ') AS g
+             |      FROM w, unnest(range(0, len(w) - 7)) AS t(i)
+             |      WHERE len(w) >= 8),
+             |hh AS (SELECT doc_id, i,
+             |  ${QueryDef.polyHashSql("g")}
+             |  + ${QueryDef.polyHashSql("g", 37, 1073741789L)} * 1073741824 AS hv
+             |  FROM g),
+             |f AS (SELECT hv, min(struct_pack(doc_id := doc_id, i := i)) AS fst,
+             |        count(*) AS cnt
+             |      FROM hh GROUP BY 1),
+             |dup AS (SELECT hh.doc_id, hh.i FROM hh JOIN f USING (hv)
+             |        WHERE cnt > 1
+             |          AND NOT (hh.doc_id = fst.doc_id AND hh.i = fst.i)),
+             |cov AS (SELECT DISTINCT doc_id, i + u AS p
+             |        FROM dup, unnest(range(0, 8)) AS t(u)),
+             |wp AS (SELECT doc_id, CAST(p AS BIGINT) AS p,
+             |         w[CAST(p AS INTEGER) + 1] AS word
+             |       FROM w, unnest(range(0, len(w))) AS t(p)),
+             |surv AS (SELECT wp.doc_id,
+             |           string_agg(word, ' ' ORDER BY wp.p) AS clean_text,
+             |           count(*) AS kept
+             |         FROM wp LEFT JOIN cov ON wp.doc_id = cov.doc_id AND wp.p = cov.p
+             |         WHERE cov.doc_id IS NULL GROUP BY 1),
+             |tot AS (SELECT doc_id, len(w) AS total FROM w)
+             |SELECT t.doc_id, coalesce(s.clean_text, '') AS clean_text,
+             |  CAST(t.total AS BIGINT) AS n_words,
+             |  CAST(t.total - coalesce(s.kept, 0) AS BIGINT) AS n_removed
+             |FROM tot t LEFT JOIN surv s USING (doc_id) ORDER BY doc_id""".stripMargin)),
+
     // Benchmark-contamination report: training docs sharing any word
     // 4-gram with the eval split (doc_id % 50 == 0). The eval gram set
     // is tiny by construction (a benchmark suite vs a corpus), so it

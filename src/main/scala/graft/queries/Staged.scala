@@ -109,6 +109,19 @@ object Staged {
       graft.operators.Dedup.connectedComponentsStar(docNearDupPairs(s, dir))
     }).asInstanceOf[DataFrame]
 
+  /** documents overlapping k-word window hash table (__id, __i, __h),
+    * persisted — [[graft.operators.Dedup.substringDedupFromGrams]]
+    * consumes it twice (first-occurrence agg + per-occurrence probe);
+    * staging makes the ngram+hash pipeline run once.
+    */
+  def substrGrams(s: SparkSession, dir: String, k: Int): DataFrame =
+    cacheFor(s).getOrElseUpdate(s"sgrams:$dir:$k", {
+      graft.functions.VectorExpressions.register(s)
+      graft.operators.Dedup.windowHashTable(
+          table(s, dir, "documents"), "doc_id", "text", k)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    }).asInstanceOf[DataFrame]
+
   /** documents word-token table (doc_id, term) — one row per non-empty
     * token occurrence, persisted; shared by the TF-IDF and Count-Min
     * queries (each would otherwise re-scan and re-explode the corpus).

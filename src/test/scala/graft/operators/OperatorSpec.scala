@@ -448,6 +448,34 @@ class DedupSpec extends SparkTestBase {
   }
 }
 
+class SubstringDedupSpec extends SparkTestBase {
+  import spark.implicits._
+  graft.functions.VectorExpressions.register(spark)
+
+  test("substringDedup: overlapping dup windows merge their cover; first occurrence survives") {
+    val docs = Seq(
+      (1L, "a b c d e"),          // windows (k=4): [a b c d], [b c d e] — both first
+      (2L, "z a b c d e y"),      // pos1 and pos2 windows duplicate doc1's -> cover 1..5
+      (3L, "hi"),                 // shorter than k: no windows, untouched
+      (4L, null.asInstanceOf[String])) // NULL text -> one empty token, untouched
+      .toDF("doc_id", "text")
+    val got = graft.operators.Dedup.substringDedup(docs, "doc_id", "text", k = 4)
+      .orderBy("doc_id").as[(Long, String, Long, Long)].collect()
+    assert(got(0) == ((1L, "a b c d e", 5L, 0L)))
+    assert(got(1) == ((2L, "z y", 7L, 5L)))
+    assert(got(2) == ((3L, "hi", 1L, 0L)))
+    assert(got(3) == ((4L, "", 1L, 0L)))
+  }
+
+  test("substringDedup: within-doc repeat keeps exactly the first copy") {
+    val docs = Seq((7L, "p q r s p q r s")).toDF("doc_id", "text")
+    val got = graft.operators.Dedup.substringDedup(docs, "doc_id", "text", k = 4)
+      .as[(Long, String, Long, Long)].head()
+    // window at pos 4 duplicates pos 0; covers 4..7
+    assert(got == ((7L, "p q r s", 8L, 4L)))
+  }
+}
+
 class SimilaritySpec extends SparkTestBase {
   import spark.implicits._
 
