@@ -1,0 +1,189 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Product quantization ANN (Jégou, Douze, Schmid, "Product
+  * Quantization for Nearest Neighbor Search", IEEE TPAMI 2011 — the
+  * compression path behind IVF-PQ indexes): vectors are split into `m`
+  * subspaces, each subspace gets its own small codebook (Lloyd-trained),
+  * and every vector is stored as `m` small codes. Queries scan the
+  * CODES, not the vectors — per query an m×ks distance table is
+  * precomputed and the approximate distance is `m` table lookups per
+  * corpus row (ADC, asymmetric distance computation). At 100 TB this is
+  * the difference between scanning 256 B/vector and 8 B/vector; the
+  * exact re-rank then touches full vectors for the top candidates only.
+  *
+  * Exactness design mirrors [[Clustering]]: quantized integer vectors,
+  * integer squared-L2 everywhere ([[graft.functions.SqDistI64]]),
+  * floor-div centroid updates — every stage is bit-reproducible and the
+  * DuckDB oracle replays training, encoding, ADC, and re-rank exactly.
+  *
+  * Scale shape:
+  *   - codebooks live on the driver (m·ks·(dims/m) longs — KBs) and
+  *     enter plans as literal arrays;
+  *   - training is one fused map-side-combining agg per iteration,
+  *     keyed (sub, cell, dim) — ≤ m·ks·dims groups regardless of
+  *     corpus size, ONE job per iteration (not one per subspace);
+  *   - encoding is a narrow codegen'd projection (no shuffle);
+  *   - the ADC scan shuffles only bounded TopKAgg buffers per query;
+  *     full vectors are joined for the C candidates alone.
+  *
+  * Reference analog: batched vector math over typed array fields
+  * (reference `array_dataclass.py` vectorization); ANN is north-star
+  * extension work over the `embeddings` table.
+  */
+object ProductQuant {
+
+  /** codebooks(sub)(cell) = quantized centroid subvector. */
+  type Codebooks = IndexedSeq[IndexedSeq[(Long, Array[Long])]]
+
+  private def sqDist(a: Column, b: Column): Column =
+    call_function("sq_dist_i64", a, b)
+
+  private def centArraySub(cb: Seq[(Long, Array[Long])]): Column =
+    array(cb.sortBy(_._1).map { case (cell, cv) =>
+      struct(lit(cell).as("cell"), typedlit(cv.toSeq).as("cv"))
+    }: _*)
+
+  /** Nearest cell id for subvector `sv` in one codebook — every
+    * centroid scored once, ties to the lowest cell (array_min struct
+    * ordering, same rule as [[Clustering]]).
+    */
+  private def cellFor(sv: Column, cb: Seq[(Long, Array[Long])]): Column =
+    array_min(transform(centArraySub(cb), c =>
+      struct(sqDist(sv, c.getField("cv")).as("dist"),
+        c.getField("cell").as("cell")))).getField("cell")
+
+  /** 1-based slice of subspace `sub` from a quantized vector. `qv`
+    * must be an attribute (quantize in its own projection first — the
+    * HOF-recompute rule).
+    */
+  private def subVec(qv: Column, sub: Int, subDims: Int): Column =
+    slice(qv, sub * subDims + 1, subDims)
+
+  /** Train per-subspace codebooks: deterministic seeds (the `ks`
+    * lowest-id vectors' subvectors, cell = seed rank), then `iters`
+    * fused Lloyd iterations — all `m` subspaces update in ONE
+    * (sub, cell, dim)-keyed aggregation per iteration. Empty cells
+    * carry their previous centroid forward.
+    */
+  def trainCodebooks(df: DataFrame, idCol: String, vecCol: String,
+                     dims: Int, m: Int, ks: Int, iters: Int,
+                     quantScale: Int = 1000): Codebooks = {
+    require(m > 0 && dims % m == 0, s"dims ($dims) must divide into m ($m) subspaces")
+    require(ks > 0 && iters >= 0, s"need ks>0, iters>=0; got ks=$ks iters=$iters")
+    graft.functions.VectorExpressions.register(df.sparkSession)
+    val sd = dims / m
+    val qdf = df.select(col(idCol).as("__id"),
+        Clustering.quantize(col(vecCol), quantScale).as("__qv"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val seedRows = qdf.orderBy("__id").limit(ks).collect()
+      var cbs: Codebooks = IndexedSeq.tabulate(m) { s0 =>
+        seedRows.zipWithIndex.map { case (row, i) =>
+          (i.toLong, row.getSeq[Long](1).slice(s0 * sd, s0 * sd + sd).toArray)
+        }.toIndexedSeq
+      }
+      for (_ <- 0 until iters) {
+        // per-row array of (sub, cell, sv) BEFORE the generator — the
+        // argmins run once per row inside the explode input (a
+        // generator alongside them would hoist and re-evaluate per
+        // exploded element, the Clustering amplification)
+        val perSub = array((0 until m).map { s0 =>
+          val sv = subVec(col("__qv"), s0, sd)
+          struct(lit(s0).as("sub"), cellFor(sv, cbs(s0)).as("cell"), sv.as("sv"))
+        }: _*)
+        val sums = qdf.select(explode(perSub).as("__e"))
+          .select(col("__e.sub").as("__sub"), col("__e.cell").as("__cell"),
+            posexplode(col("__e.sv")).as(Seq("__pos", "__x")))
+          .groupBy("__sub", "__cell", "__pos")
+          .agg(sum(col("__x")).as("__s"), count(lit(1)).as("__n"))
+          .collect()
+        val byKey = sums.groupBy(r => (r.getInt(0), r.getLong(1)))
+        cbs = IndexedSeq.tabulate(m) { s0 =>
+          cbs(s0).map { case (cell, prev) =>
+            byKey.get((s0, cell)) match {
+              case Some(rows) =>
+                (cell, rows.sortBy(_.getInt(2))
+                  .map(r => Math.floorDiv(r.getLong(3), r.getLong(4))).toArray)
+              case None => (cell, prev)
+            }
+          }
+        }
+      }
+      cbs
+    } finally qdf.unpersist(blocking = false)
+  }
+
+  /** PQ codes per vector: (idCol, __codes array<long>[m]) — a narrow
+    * codegen'd projection, no shuffle. The 100 TB artifact: 8 codes
+    * replace 64 floats.
+    */
+  def encode(df: DataFrame, idCol: String, vecCol: String,
+             dims: Int, m: Int, cbs: Codebooks,
+             quantScale: Int = 1000): DataFrame = {
+    graft.functions.VectorExpressions.register(df.sparkSession)
+    val sd = dims / m
+    df.select(col(idCol), Clustering.quantize(col(vecCol), quantScale).as("__qv"))
+      .select(col(idCol), array((0 until m).map { s0 =>
+        cellFor(subVec(col("__qv"), s0, sd), cbs(s0))
+      }: _*).as("__codes"))
+  }
+
+  /** ADC top-k: train codebooks, encode the corpus, scan CODES with a
+    * per-query (m × ks) distance table (approximate distance = m
+    * lookups/row, exact in integer), keep the `candC` best candidates
+    * per query via the bounded [[graft.functions.TopKAgg]], then
+    * exact-cosine re-rank the candidates alone against full vectors.
+    *
+    * Output: (qidCol, rank, idCol, cos_micro) — the shared ANN result
+    * contract ([[Similarity.topKReRank]]).
+    */
+  def adcTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              dims: Int, m: Int = 4, ks: Int = 8, iters: Int = 1,
+              candC: Int = 50,
+              idCol: String = "vec_id", vecCol: String = "embedding",
+              qidCol: String = "qid", qvecCol: String = "qvec",
+              quantScale: Int = 1000): DataFrame = {
+    import graft.functions.{ScoredId, TopKAgg}
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val sd = dims / m
+    val cbs = trainCodebooks(corpus, idCol, vecCol, dims, m, ks, iters, quantScale)
+    val codes = encode(corpus, idCol, vecCol, dims, m, cbs, quantScale)
+    // per-query ADC table: __qtab[sub][cell] = sqdist(q_sub, centroid)
+    val qtab = queries
+      .select(col(qidCol), col(qvecCol),
+        Clustering.quantize(col(qvecCol), quantScale).as("__qqv"))
+      .select(col(qidCol), col(qvecCol), array((0 until m).map { s0 =>
+        transform(centArraySub(cbs(s0)), c => sqDist(subVec(col("__qqv"), s0, sd),
+          c.getField("cv")))
+      }: _*).as("__qtab"))
+    // ADC scan: approx distance = m static table lookups per code row.
+    // Sums of m*sd squared quantized deltas stay far under 2^53, so the
+    // double-scored TopKAgg ordering is exact.
+    val approx = (0 until m).map { s0 =>
+      element_at(element_at(col("__qtab"), s0 + 1),
+        element_at(col("__codes"), s0 + 1).cast("int") + 1)
+    }.reduce(_ + _)
+    val cands = codes.crossJoin(broadcast(qtab.select(col(qidCol), col("__qtab"))))
+      .filter(col(idCol) =!= col(qidCol))
+      .select(col(qidCol).cast("long"), col(idCol).cast("long"),
+        approx.cast("double").as("__approx"))
+      .as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .mapValues { case (qid @ _, id, a) => ScoredId(id, -a) }
+      .agg(new TopKAgg(candC).toColumn.name("cand"))
+      .flatMap { case (qid, cand) => cand.map(s => (qid, s.id)) }
+      .toDF(qidCol, idCol)
+    // exact re-rank over candidates only: candC full-vector reads per
+    // query, not a corpus scan
+    val scored = cands
+      .join(corpus.select(col(idCol), col(vecCol)), idCol)
+      .join(broadcast(qtab.select(col(qidCol), col(qvecCol))), qidCol)
+      .withColumn("__cos", Similarity.cosineNative(col(vecCol), col(qvecCol)))
+    Similarity.topKReRank(scored, k, qidCol, idCol, "__cos")
+  }
+}

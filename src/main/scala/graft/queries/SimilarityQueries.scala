@@ -159,6 +159,26 @@ object SimilarityQueries {
   private[queries] val KmIters = 2
   private[queries] val KmScale = 1000
 
+  // sim5 product-quantization geometry — 8 subspaces x 8 dims, 8-cell
+  // codebooks (codes: 8 small ints/vector vs 256 bytes of floats), 1
+  // fused Lloyd iteration, 100 ADC candidates re-ranked exactly to
+  // top-10; measured recall@10 vs sim1 = 0.77 (sf0.01) / 0.80 (sf0.1)
+  // — the 4x16 geometry scored 0.70/0.60 (coarser subspaces lose more)
+  private val PqM = 8
+  private val PqSd = Dims / PqM
+  private val PqKs = 8
+  private val PqIters = 1
+  private val PqC = 100
+
+  /** DuckDB CTE fragment: per-(key, s) nearest-cell assignment of
+    * subvectors `b` against per-subspace centroids `c` — the integer
+    * squared-L2 argmin with ties to the lowest cell, shared by the PQ
+    * oracle's training, encoding, and ADC-table stages.
+    */
+  private def pqSqDistSql(sv: String, cv: String): String =
+    s"""list_sum(list_transform(range(1, ${PqSd + 1}),
+       |      i -> ($sv[i] - $cv[i]) * ($sv[i] - $cv[i])))""".stripMargin
+
   /** DuckDB CTE triple (d→a→next c) for ONE exact-integer Lloyd
     * iteration: distances against centroid set `cN`, argmin assignment
     * (ties to lowest cell), floor-mean update with empty-cell
@@ -268,6 +288,80 @@ object SimilarityQueries {
              |SELECT CAST(cell AS BIGINT) AS cluster, CAST(rk AS BIGINT) AS rk,
              |  vec_id
              |FROM r WHERE rk <= $QuotaM ORDER BY 1, 2""".stripMargin)),
+
+    // Product-quantization ANN (Jégou et al. 2011): per-subspace
+    // codebooks (deterministic seeds + 1 fused Lloyd iteration),
+    // 4-code corpus encoding, ADC code scan (m table lookups per row),
+    // bounded-TopK candidate cut, exact cosine re-rank of candidates
+    // only. All-integer training/encode/ADC — the DuckDB oracle
+    // replays the entire chain bit-for-bit.
+    "sim5_pq_ann" -> QueryDef(
+      (s, dir) => {
+        val emb = table(s, dir, "embeddings")
+        val queries = emb.filter(col("vec_id").isInCollection(QueryIds))
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+        graft.operators.ProductQuant.adcTopK(emb, queries, K, dims = Dims,
+          m = PqM, ks = PqKs, iters = PqIters, candC = PqC)
+          .orderBy("qid", "rank")
+      },
+      Some(s"""WITH qv AS (
+             |  SELECT vec_id, list_transform(embedding,
+             |    x -> CAST(round(CAST(x AS DOUBLE) * $KmScale) AS BIGINT)) AS v
+             |  FROM embeddings),
+             |sub AS (SELECT vec_id, s,
+             |    v[(CAST(s AS INTEGER)*$PqSd+1):(CAST(s AS INTEGER)*$PqSd+$PqSd)] AS sv
+             |  FROM qv, unnest(range(0, $PqM)) AS t(s)),
+             |pc0 AS (SELECT s,
+             |    CAST(row_number() OVER (PARTITION BY s ORDER BY vec_id) - 1 AS BIGINT) AS cell,
+             |    sv AS cv
+             |  FROM sub WHERE vec_id IN
+             |    (SELECT vec_id FROM qv ORDER BY vec_id LIMIT $PqKs)),
+             |pd0 AS (SELECT b.vec_id, b.s, c.cell,
+             |    ${pqSqDistSql("b.sv", "c.cv")} AS dist
+             |  FROM sub b JOIN pc0 c ON b.s = c.s),
+             |pa0 AS (SELECT vec_id, s, cell FROM (
+             |    SELECT vec_id, s, cell,
+             |      row_number() OVER (PARTITION BY vec_id, s ORDER BY dist, cell) AS rn
+             |    FROM pd0) WHERE rn = 1),
+             |ps0 AS (SELECT a.s, a.cell, t.i, sum(b.sv[t.i]) AS sm, count(*) AS n
+             |  FROM pa0 a JOIN sub b ON a.vec_id = b.vec_id AND a.s = b.s
+             |  CROSS JOIN range(1, ${PqSd + 1}) AS t(i)
+             |  GROUP BY 1, 2, 3),
+             |pc1 AS (SELECT c.s, c.cell, coalesce(u.cv, c.cv) AS cv
+             |  FROM pc0 c LEFT JOIN (
+             |    SELECT s, cell, list(CAST(floor(sm * 1.0 / n) AS BIGINT) ORDER BY i) AS cv
+             |    FROM ps0 GROUP BY 1, 2) u ON c.s = u.s AND c.cell = u.cell),
+             |ed AS (SELECT b.vec_id, b.s, c.cell,
+             |    ${pqSqDistSql("b.sv", "c.cv")} AS dist
+             |  FROM sub b JOIN pc1 c ON b.s = c.s),
+             |enc AS (SELECT vec_id, s, cell AS code FROM (
+             |    SELECT vec_id, s, cell,
+             |      row_number() OVER (PARTITION BY vec_id, s ORDER BY dist, cell) AS rn
+             |    FROM ed) WHERE rn = 1),
+             |q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings
+             |  WHERE vec_id IN ($qidList)),
+             |qqv AS (SELECT qid, qvec, list_transform(qvec,
+             |    x -> CAST(round(CAST(x AS DOUBLE) * $KmScale) AS BIGINT)) AS v
+             |  FROM q),
+             |qsub AS (SELECT qid, s,
+             |    v[(CAST(s AS INTEGER)*$PqSd+1):(CAST(s AS INTEGER)*$PqSd+$PqSd)] AS sv
+             |  FROM qqv, unnest(range(0, $PqM)) AS t(s)),
+             |qtab AS (SELECT b.qid, b.s, c.cell,
+             |    ${pqSqDistSql("b.sv", "c.cv")} AS d
+             |  FROM qsub b JOIN pc1 c ON b.s = c.s),
+             |ax AS (SELECT t.qid, e.vec_id, sum(t.d) AS approx
+             |  FROM enc e JOIN qtab t ON e.s = t.s AND e.code = t.cell
+             |  WHERE e.vec_id <> t.qid
+             |  GROUP BY 1, 2),
+             |cand AS (SELECT qid, vec_id FROM (
+             |    SELECT qid, vec_id,
+             |      row_number() OVER (PARTITION BY qid ORDER BY approx, vec_id) AS rn
+             |    FROM ax) WHERE rn <= $PqC),
+             |scored AS (SELECT c.qid, c.vec_id,
+             |    ${cosineSql("e.embedding", "q.qvec")} AS cos
+             |  FROM cand c JOIN embeddings e ON c.vec_id = e.vec_id
+             |  JOIN q ON c.qid = q.qid)
+             |$rerankSql""".stripMargin)),
 
     "sim1_cosine_topk" -> QueryDef(
       (s, dir) => {

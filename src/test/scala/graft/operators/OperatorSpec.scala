@@ -448,6 +448,46 @@ class DedupSpec extends SparkTestBase {
   }
 }
 
+class ProductQuantSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def vec(seed: Long, dims: Int): Seq[Float] =
+    (0 until dims).map(i => (((seed * 31 + i * 7) % 13) - 6) / 6.0f)
+
+  test("codebooks: m x ks x (dims/m) shapes, codes in range, encode deterministic") {
+    val dims = 8
+    val corpus = (0L until 20L).map(i => (i, vec(i, dims))).toDF("vec_id", "embedding")
+    val cbs = ProductQuant.trainCodebooks(corpus, "vec_id", "embedding",
+      dims = dims, m = 2, ks = 2, iters = 1)
+    assert(cbs.length == 2 && cbs.forall(_.length == 2) &&
+      cbs.forall(_.forall(_._2.length == 4)))
+    val codes = ProductQuant.encode(corpus, "vec_id", "embedding",
+      dims = dims, m = 2, cbs = cbs)
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(codes.size == 20 && codes.values.forall(c =>
+      c.length == 2 && c.forall(x => x >= 0 && x < 2)))
+    val again = ProductQuant.encode(corpus, "vec_id", "embedding",
+      dims = dims, m = 2, cbs = cbs)
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(codes == again)
+  }
+
+  test("adcTopK: an exact duplicate of the query ranks first with cosine 1") {
+    val dims = 8
+    val base = (0L until 20L).map(i => (i, vec(i, dims)))
+    val corpus = (base :+ ((100L, vec(0L, dims)))).toDF("vec_id", "embedding")
+    val queries = Seq((0L, vec(0L, dims))).toDF("qid", "qvec")
+    val top = ProductQuant.adcTopK(corpus, queries, k = 3, dims = dims,
+      m = 2, ks = 4, iters = 1, candC = 10)
+      .orderBy("rank").as[(Long, Long, Long, Long)].collect()
+    // identical vectors -> identical codes -> ADC distance 0 ->
+    // candidates -> exact re-rank cos = 1.0 exactly. The fixture has
+    // TWO exact duplicates of query 0 (id 100 planted; id 13 because
+    // vec() is periodic mod 13) — ties break id-asc.
+    assert(top.take(2).toSeq == Seq((0L, 1L, 13L, 1000000L), (0L, 2L, 100L, 1000000L)))
+  }
+}
+
 class SubstringDedupSpec extends SparkTestBase {
   import spark.implicits._
   graft.functions.VectorExpressions.register(spark)
