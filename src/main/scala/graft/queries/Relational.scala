@@ -25,6 +25,47 @@ object Relational {
   private val HllP = 8
   private val HllG = 30
   private val HllMaxRho = 23
+
+  /** DuckDB CTE chain `b → rho → regs → agg → vs → fin` rendering the
+    * portable-HLL register build + estimator over a hashed CTE `h`
+    * (carrying `keys` + `hv`) — the ONE SQL mirror of
+    * [[graft.operators.SketchState]], shared by q37 and q51 so the
+    * estimator cannot drift between the one-shot and incremental paths.
+    */
+  private def hllEstCtes(keys: Seq[String]): String = {
+    val ks = keys.mkString(", ")
+    val gbReg = (1 to keys.size + 1).mkString(", ")
+    val gbKey = (1 to keys.size).mkString(", ")
+    val mD = s"CAST('${(1 << HllP).toDouble}' AS DOUBLE)"
+    val alpha = s"CAST('0.7213' AS DOUBLE)\n        / (CAST('1.0' AS DOUBLE) + CAST('1.079' AS DOUBLE) / $mD)"
+    val scale = s"CAST('${((1 << HllP).toDouble * (1 << HllP).toDouble) * (1L << HllG).toDouble}' AS DOUBLE)"
+    s"""b AS (SELECT $ks, hv % ${1 << HllP} AS bucket,
+       |    hv >> $HllP AS x FROM h),
+       |rho AS (SELECT $ks, bucket,
+       |    CASE WHEN x = 0 THEN $HllMaxRho
+       |      ELSE bit_count((x & (-x)) - 1) + 1 END AS rho FROM b),
+       |regs AS (SELECT $ks, bucket, max(rho) AS M
+       |  FROM rho GROUP BY $gbReg),
+       |agg AS (SELECT $ks,
+       |    CAST(sum(CAST(1 AS BIGINT) << CAST($HllG - M AS INTEGER)) AS BIGINT) AS s_present,
+       |    count(*) AS nb
+       |  FROM regs GROUP BY $gbKey),
+       |vs AS (SELECT $ks,
+       |    s_present + (${1 << HllP} - nb) * (CAST(1 AS BIGINT) << $HllG) AS S,
+       |    ${1 << HllP} - nb AS V
+       |  FROM agg),
+       |fin AS (SELECT $ks,
+       |    CASE WHEN $alpha
+       |        * $scale
+       |        / CAST(S AS DOUBLE) <= CAST('${2.5 * (1 << HllP)}' AS DOUBLE) AND V > 0
+       |      THEN $mD
+       |        * ln($mD / CAST(V AS DOUBLE))
+       |      ELSE $alpha
+       |        * $scale
+       |        / CAST(S AS DOUBLE) END AS est
+       |  FROM vs)""".stripMargin
+  }
+
   private val SampleK = 101
   /** q38 per-stratum keep-rates in permille, interpolated into both
     * engines' arithmetic (threshold test AND rescale divisor).
@@ -632,71 +673,87 @@ object Relational {
       (s, dir) => {
         graft.functions.VectorExpressions.register(s)
         import graft.functions.KMinAgg
-        val (p, g, maxRho) = (HllP, HllG, HllMaxRho)
-        val m = 1 << p
+        // register build + estimator live in operators/SketchState (the
+        // ONE Scala rendering, shared with q51's incremental merge);
+        // this oracle predates the extraction and pins it bit-for-bit
         val li = table(s, dir, "lineitem")
         val hashed = li.select(col("l_returnflag"),
           KMinAgg.scramble(call_function("poly_hash",
             col("l_partkey").cast("string"))).as("hv"))
-        val withRho = hashed.select(col("l_returnflag"),
-          (col("hv") % m).as("bucket"),
-          shiftright(col("hv"), p).as("x"))
-          .select(col("l_returnflag"), col("bucket"),
-            when(col("x") === 0, lit(maxRho))
-              .otherwise(bit_count(col("x").bitwiseAND(-col("x")) - 1) + 1).as("rho"))
-        val regs = withRho.groupBy("l_returnflag", "bucket")
-          .agg(max("rho").as("M"))
-        val grouped = regs.groupBy("l_returnflag").agg(
-          sum(expr(s"shiftleft(CAST(1 AS BIGINT), $g - M)")).as("s_present"),
-          count(lit(1)).as("nb"))
-        val withS = grouped.select(col("l_returnflag"),
-          (col("s_present") + (lit(m.toLong) - col("nb")) * lit(1L << g)).as("S"),
-          (lit(m.toLong) - col("nb")).as("V"))
-        val alpha = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(m.toDouble))
-        val rawEst = alpha * lit((m.toDouble * m.toDouble) * (1L << g).toDouble) /
-          col("S").cast("double")
-        val lcEst = lit(m.toDouble) * log(lit(m.toDouble) / col("V").cast("double"))
-        val est = when(rawEst <= lit(2.5 * m) && col("V") > 0, lcEst).otherwise(rawEst)
+        val regs = graft.operators.SketchState.hllRegisters(
+          hashed, Seq("l_returnflag"), "hv", HllP, HllMaxRho)
         val exact = li.groupBy("l_returnflag")
           .agg(countDistinct("l_partkey").as("n_exact"))
-        withS.select(col("l_returnflag"), floor(est).cast("long").as("est_distinct"))
+        graft.operators.SketchState.estimateDistinct(
+            regs, Seq("l_returnflag"), HllP, HllG)
           .join(broadcast(exact), "l_returnflag")
           .orderBy("l_returnflag")
       },
       Some(s"""WITH ${QueryDef.scrambledHashCtes("lineitem", Seq("l_returnflag"),
                  "CAST(l_partkey AS VARCHAR)")},
-             |b AS (SELECT l_returnflag, hv % ${1 << HllP} AS bucket,
-             |    hv >> $HllP AS x FROM h),
-             |rho AS (SELECT l_returnflag, bucket,
-             |    CASE WHEN x = 0 THEN $HllMaxRho
-             |      ELSE bit_count((x & (-x)) - 1) + 1 END AS rho FROM b),
-             |regs AS (SELECT l_returnflag, bucket, max(rho) AS M
-             |  FROM rho GROUP BY 1, 2),
-             |agg AS (SELECT l_returnflag,
-             |    CAST(sum(CAST(1 AS BIGINT) << CAST($HllG - M AS INTEGER)) AS BIGINT) AS s_present,
-             |    count(*) AS nb
-             |  FROM regs GROUP BY 1),
-             |vs AS (SELECT l_returnflag,
-             |    s_present + (${1 << HllP} - nb) * (CAST(1 AS BIGINT) << $HllG) AS S,
-             |    ${1 << HllP} - nb AS V
-             |  FROM agg),
-             |fin AS (SELECT l_returnflag,
-             |    CASE WHEN CAST('0.7213' AS DOUBLE)
-             |        / (CAST('1.0' AS DOUBLE) + CAST('1.079' AS DOUBLE) / CAST('${(1 << HllP).toDouble}' AS DOUBLE))
-             |        * CAST('${((1 << HllP).toDouble * (1 << HllP).toDouble) * (1L << HllG).toDouble}' AS DOUBLE)
-             |        / CAST(S AS DOUBLE) <= CAST('${2.5 * (1 << HllP)}' AS DOUBLE) AND V > 0
-             |      THEN CAST('${(1 << HllP).toDouble}' AS DOUBLE)
-             |        * ln(CAST('${(1 << HllP).toDouble}' AS DOUBLE) / CAST(V AS DOUBLE))
-             |      ELSE CAST('0.7213' AS DOUBLE)
-             |        / (CAST('1.0' AS DOUBLE) + CAST('1.079' AS DOUBLE) / CAST('${(1 << HllP).toDouble}' AS DOUBLE))
-             |        * CAST('${((1 << HllP).toDouble * (1 << HllP).toDouble) * (1L << HllG).toDouble}' AS DOUBLE)
-             |        / CAST(S AS DOUBLE) END AS est
-             |  FROM vs)
+             |${hllEstCtes(Seq("l_returnflag"))}
              |SELECT f.l_returnflag, CAST(floor(f.est) AS BIGINT) AS est_distinct,
              |  x.n_exact
              |FROM fin f JOIN (SELECT l_returnflag, count(DISTINCT l_partkey) AS n_exact
              |  FROM lineitem GROUP BY 1) x USING (l_returnflag)
              |ORDER BY 1""".stripMargin)),
+
+    // ---- incremental aggregate-state maintenance: per-(source, lang)
+    // corpus stats kept as MERGEABLE state. The engine computes via the
+    // incremental path — the base batch (doc_id % 10 != 0) builds
+    // state, the delta batch (doc_id % 10 == 0) aggregates separately,
+    // states merge (sums add, HLL registers take per-bucket max). The
+    // oracle recomputes from the FULL corpus in one pass, so
+    // hash-equality PROVES merge(build(A), build(B)) == build(A ∪ B) —
+    // the law that lets a 100 TB pipeline maintain yesterday's stats
+    // table against today's delta without rescanning history.
+    "q51_incremental_stats" -> QueryDef(
+      (s, dir) => {
+        graft.functions.VectorExpressions.register(s)
+        import graft.functions.KMinAgg
+        import graft.operators.{SketchState, TextOps}
+        val keys = Seq("source", "lang")
+        val docs = table(s, dir, "documents")
+        val base = docs.filter(col("doc_id") % 10 =!= 0)
+        val delta = docs.filter(col("doc_id") % 10 === 0)
+        def hashedTerms(df: org.apache.spark.sql.DataFrame) = df
+          .select(col("source"), col("lang"),
+            explode(TextOps.words(col("text"))).as("term"))
+          .filter(length(col("term")) > 0)
+          .select(col("source"), col("lang"),
+            KMinAgg.scramble(call_function("poly_hash", col("term"))).as("hv"))
+        def stats(df: org.apache.spark.sql.DataFrame) = df
+          .groupBy(keys.map(col): _*)
+          .agg(count(lit(1)).as("n_docs"),
+            sum(TextOps.tokenCount(col("text"))).as("n_tokens"))
+        val mergedRegs = SketchState.mergeRegisters(
+          SketchState.hllRegisters(hashedTerms(base), keys, "hv", HllP, HllMaxRho),
+          SketchState.hllRegisters(hashedTerms(delta), keys, "hv", HllP, HllMaxRho),
+          keys)
+        val mergedStats = stats(base).unionByName(stats(delta))
+          .groupBy(keys.map(col): _*)
+          .agg(sum("n_docs").as("n_docs"), sum("n_tokens").as("n_tokens"))
+        mergedStats.join(
+            SketchState.estimateDistinct(mergedRegs, keys, HllP, HllG),
+            keys, "left")
+          .select(col("source"), col("lang"), col("n_docs"), col("n_tokens"),
+            coalesce(col("est_distinct"), lit(0L)).as("est_terms"))
+          .orderBy("source", "lang")
+      },
+      Some(s"""WITH tk AS (
+             |  SELECT source, lang, unnest(string_split(text, ' ')) AS term
+             |  FROM documents),
+             |${QueryDef.scrambledHashCtes("(SELECT * FROM tk WHERE len(term) > 0)",
+                Seq("source", "lang"), "term")},
+             |${hllEstCtes(Seq("source", "lang"))},
+             |st AS (SELECT source, lang, count(*) AS n_docs,
+             |    sum(len(string_split(text, ' '))) AS n_tokens
+             |  FROM documents GROUP BY 1, 2)
+             |SELECT st.source, st.lang, CAST(st.n_docs AS BIGINT) AS n_docs,
+             |  CAST(st.n_tokens AS BIGINT) AS n_tokens,
+             |  CAST(coalesce(floor(f.est), 0) AS BIGINT) AS est_terms
+             |FROM st LEFT JOIN fin f USING (source, lang)
+             |ORDER BY 1, 2""".stripMargin)),
 
     // ---- stratified Bernoulli sample (sampleBy's deterministic
     // analog): per-stratum keep-rates via a hash THRESHOLD — keep the

@@ -448,6 +448,34 @@ class DedupSpec extends SparkTestBase {
   }
 }
 
+class SketchStateSpec extends SparkTestBase {
+  import spark.implicits._
+  graft.functions.VectorExpressions.register(spark)
+
+  private def hashed(ids: Range) = ids.map(i => ("g", i.toLong)).toDF("k", "v")
+    .select(col("k"), graft.functions.KMinAgg.scramble(
+      call_function("poly_hash", col("v").cast("string"))).as("hv"))
+
+  test("HLL merge law: merge(build(A), build(B)) == build(A union B); merge idempotent") {
+    val (p, maxRho) = (8, 23)
+    val ra = SketchState.hllRegisters(hashed(0 until 600), Seq("k"), "hv", p, maxRho)
+    val rb = SketchState.hllRegisters(hashed(400 until 1000), Seq("k"), "hv", p, maxRho)
+    val rall = SketchState.hllRegisters(hashed(0 until 1000), Seq("k"), "hv", p, maxRho)
+    def asSet(df: org.apache.spark.sql.DataFrame) =
+      df.as[(String, Long, Int)].collect().toSet
+    val merged = SketchState.mergeRegisters(ra, rb, Seq("k"))
+    assert(asSet(merged) == asSet(rall))
+    assert(asSet(SketchState.mergeRegisters(merged, merged, Seq("k"))) == asSet(rall))
+  }
+
+  test("estimateDistinct tracks the true cardinality within HLL error") {
+    val regs = SketchState.hllRegisters(hashed(0 until 1000), Seq("k"), "hv", 8, 23)
+    val est = SketchState.estimateDistinct(regs, Seq("k"), 8, 30)
+      .as[(String, Long)].head()._2
+    assert(math.abs(est - 1000) < 150, s"est $est vs true 1000")
+  }
+}
+
 class ProductQuantSpec extends SparkTestBase {
   import spark.implicits._
 
