@@ -371,6 +371,40 @@ object Multimodal {
     } catch { case _: Exception => None }
   }
 
+  /** REAL decode + difference hash (dHash, the public
+    * perceptual-image-hash technique: gray 9×8 downsample, bit =
+    * left-pixel < right-pixel, 64-bit pack) — the image analog of
+    * SimHash for near-duplicate image detection: re-encodes and mild
+    * crops move few bits, so hamming distance over these hashes
+    * buckets visually-identical images. Sampling is the same explicit
+    * nearest-neighbor index arithmetic as [[resizeNearest]]; luma is
+    * integer milli-luma 299r+587g+114b (no division — exact). Returns
+    * (width, height, hash); None when the bytes decode to no image.
+    */
+  def dHash(bytes: Array[Byte]): Option[(Int, Int, Long)] = {
+    if (bytes.isEmpty) return None
+    try {
+      val img = ImageIO.read(new ByteArrayInputStream(bytes))
+      if (img == null) return None
+      val (w, h) = (img.getWidth, img.getHeight)
+      def luma(ox: Int, oy: Int): Long = {
+        val p = img.getRGB(ox * w / 9, oy * h / 8) & 0xffffff
+        299L * ((p >> 16) & 0xff) + 587L * ((p >> 8) & 0xff) + 114L * (p & 0xff)
+      }
+      var hash = 0L
+      var r = 0
+      while (r < 8) {
+        var c = 0
+        while (c < 8) {
+          if (luma(c, r) < luma(c + 1, r)) hash |= 1L << (r * 8 + c)
+          c += 1
+        }
+        r += 1
+      }
+      Some((w, h, hash))
+    } catch { case _: Exception => None }
+  }
+
   /** Deterministic frame-sampling offsets for a blob of `nBytes`:
     * stride chosen so every blob yields >= 1 frame. Mirrors video
     * frame-sampling plumbing (offset list → per-frame rows).

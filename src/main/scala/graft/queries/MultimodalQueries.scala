@@ -117,6 +117,63 @@ object MultimodalQueries {
              |  CAST(sum(p) AS BIGINT) AS checksum
              |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
+    // REAL perceptual image hash (dHash) over decoded rasters: the
+    // image near-dup primitive — generate the addressable PNG, decode
+    // it with ImageIO for real, gray-downsample 9x8 by nearest-neighbor
+    // index arithmetic, difference-hash to 64 bits. Emitted as two
+    // 32-bit halves so the oracle's register arithmetic never touches
+    // the BIGINT sign bit. Oracle recomputes the sampled pixels, integer
+    // milli-luma, and bit pack from the addrPixel formula — the decode
+    // path is real, the pixels are arithmetic.
+    "mm7_image_phash" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val docs = table(s, dir, "documents")
+          .select(col("doc_id").cast("long"), col("n_chars").cast("long"))
+          .as[(Long, Long)]
+        val rows = docs.mapPartitions(_.flatMap { case (id, nChars) =>
+          val bytes = graft.operators.Multimodal.encodePngAddr(
+            1 + (id % 16).toInt, 1 + (nChars % 16).toInt, id)
+          graft.operators.Multimodal.dHash(bytes).map { case (w, h, hash) =>
+            (id, w.toLong, h.toLong, hash >>> 32, hash & 0xffffffffL)
+          }
+        })
+        rows.toDF("doc_id", "w", "h", "phash_hi", "phash_lo")
+          .orderBy("doc_id")
+      },
+      Some("""WITH dims AS (
+             |  SELECT doc_id, 1 + doc_id % 16 AS w, 1 + n_chars % 16 AS h
+             |  FROM documents),
+             |px AS (
+             |  SELECT doc_id, j.r AS r, i.c AS c,
+             |    (((doc_id % 1000003) * 31
+             |      + ((j.r * h // 8) * w + (i.c * w // 9))) * 2654435761)
+             |      % 16777216 AS p
+             |  FROM dims CROSS JOIN range(0, 9) i(c) CROSS JOIN range(0, 8) j(r)),
+             |lum AS (
+             |  SELECT doc_id, r, c,
+             |    299 * ((p // 65536) % 256) + 587 * ((p // 256) % 256)
+             |      + 114 * (p % 256) AS l
+             |  FROM px),
+             |bits AS (
+             |  SELECT a.doc_id, a.r, a.c,
+             |    CASE WHEN a.l < b.l THEN 1 ELSE 0 END AS bit
+             |  FROM lum a JOIN lum b
+             |    ON a.doc_id = b.doc_id AND a.r = b.r AND b.c = a.c + 1
+             |  WHERE a.c < 8),
+             |hs AS (
+             |  SELECT doc_id,
+             |    sum(CASE WHEN r * 8 + c >= 32
+             |      THEN bit * (CAST(1 AS BIGINT) << CAST(r * 8 + c - 32 AS INTEGER))
+             |      ELSE 0 END) AS hi,
+             |    sum(CASE WHEN r * 8 + c < 32
+             |      THEN bit * (CAST(1 AS BIGINT) << CAST(r * 8 + c AS INTEGER))
+             |      ELSE 0 END) AS lo
+             |  FROM bits GROUP BY 1)
+             |SELECT d.doc_id, CAST(d.w AS BIGINT) AS w, CAST(d.h AS BIGINT) AS h,
+             |  CAST(hs.hi AS BIGINT) AS phash_hi, CAST(hs.lo AS BIGINT) AS phash_lo
+             |FROM dims d JOIN hs USING (doc_id) ORDER BY doc_id""".stripMargin)),
+
     // REAL video container metadata: per-row deterministic minimal MP4
     // (ISO-BMFF ftyp+moov(mvhd+trak(tkhd))+mdat, dims/duration derived
     // from doc_id / n_chars) parsed back by the box-walking decoder in

@@ -766,6 +766,33 @@ class TopKAggSpec extends SparkTestBase {
 class MultimodalSpec extends SparkTestBase {
   import spark.implicits._
 
+  test("dHash: identical rasters hash equal; JPEG re-encode of a smooth image moves few bits") {
+    val a = Multimodal.encodePngAddr(16, 12, id = 5L)
+    val b = Multimodal.encodePngAddr(16, 12, id = 5L)
+    val Some((w, h, ha)) = Multimodal.dHash(a)
+    assert((w, h) == ((16, 12)) && Multimodal.dHash(b).get._3 == ha)
+    // perceptual robustness: the SAME smooth gradient through PNG
+    // (lossless) and JPEG (lossy) must land within a small hamming
+    // distance — the property that makes dHash a near-dup key
+    val img = new java.awt.image.BufferedImage(64, 64,
+      java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    for (y <- 0 until 64; x <- 0 until 64)
+      img.setRGB(x, y, (x * 4 << 16) | (x * 4 << 8) | (x * 4))
+    def enc(fmt: String): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, fmt, out); out.toByteArray
+    }
+    val Some((_, _, hp)) = Multimodal.dHash(enc("png"))
+    val Some((_, _, hj)) = Multimodal.dHash(enc("jpg"))
+    val hamming = java.lang.Long.bitCount(hp ^ hj)
+    // monotone gradient: every left<right bit set
+    assert(hp == -1L, s"gradient dHash should be all-ones, got $hp")
+    assert(hamming <= 8, s"JPEG re-encode moved $hamming bits")
+    // corrupt bytes fall through as None, not an exception
+    assert(Multimodal.dHash(Array[Byte](1, 2, 3)).isEmpty)
+    assert(Multimodal.dHash(Array.emptyByteArray).isEmpty)
+  }
+
   test("decodeStub is deterministic and bounded") {
     val m = Multimodal.decodeStub(7L, "hello world".getBytes("UTF-8"))
     assert(m == Multimodal.decodeStub(7L, "hello world".getBytes("UTF-8")))
