@@ -319,11 +319,19 @@ object Dedup {
   def incrementalNearDupSurvivors(corpus: DataFrame, incoming: DataFrame,
                                   textCol: String, idCol: String,
                                   shingleN: Int = 3, bands: Int = 32, rows: Int = 2,
-                                  thresholdNum: Int = 2, thresholdDen: Int = 5): DataFrame = {
-    val cSh = corpus.select(col(idCol), TextOps.shingles(col(textCol), shingleN).as("__sh"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val iSh = incoming.select(col(idCol), TextOps.shingles(col(textCol), shingleN).as("__sh"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+                                  thresholdNum: Int = 2, thresholdDen: Int = 5,
+                                  stagedShingles: Option[(DataFrame, DataFrame)] = None): DataFrame = {
+    // each shingle frame has 2-3 consumers (banding, union for verify,
+    // final anti-join) — callers that can manage lifecycle should pass
+    // session-staged frames (Staged.cached) so the blocks are RELEASED
+    // with the session; the self-contained default persists with no
+    // release path (bounded: two frames per invocation)
+    val (cSh, iSh) = stagedShingles.getOrElse {
+      (corpus.select(col(idCol), TextOps.shingles(col(textCol), shingleN).as("__sh"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
+       incoming.select(col(idCol), TextOps.shingles(col(textCol), shingleN).as("__sh"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    }
     val cB = bandBuckets(shingleHashTable(cSh, idCol, "__sh"), bands, rows)
     val iB = bandBuckets(shingleHashTable(iSh, idCol, "__sh"), bands, rows)
     // probe the corpus index: equi-join on (band, bh), corpus id on the

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.Dedup
+import graft.operators.{Dedup, TextOps}
 import QueryDef.table
 
 /** Deduplication operators over the `documents` table. The MinHash-LSH
@@ -77,7 +77,12 @@ object DedupQueries {
           .unionByName(docs.filter(col("doc_id") >= 250 && col("doc_id") < 300)
             .select((col("doc_id") + 40000).as("doc_id"),
               concat(col("text"), lit(" minor edit")).as("text")))
-        Dedup.incrementalNearDupSurvivors(corpus, incoming, "text", "doc_id")
+        val cSh = Staged.cached(s, s"d12csh:$dir")(
+          corpus.select(col("doc_id"), TextOps.shingles(col("text"), 3).as("__sh")))
+        val iSh = Staged.cached(s, s"d12ish:$dir")(
+          incoming.select(col("doc_id"), TextOps.shingles(col("text"), 3).as("__sh")))
+        Dedup.incrementalNearDupSurvivors(corpus, incoming, "text", "doc_id",
+            stagedShingles = Some((cSh, iSh)))
           .orderBy("doc_id")
       },
       Some(s"""WITH corpus AS (

@@ -109,6 +109,16 @@ object Staged {
       graft.operators.Dedup.connectedComponentsStar(docNearDupPairs(s, dir))
     }).asInstanceOf[DataFrame]
 
+  /** Generic session-scoped staged DataFrame: persisted on first
+    * build, released with the session lifecycle ([[release]]) like
+    * every named entry — for query-specific intermediates (fixtures,
+    * per-query derived tables) that would otherwise persist inside an
+    * operator with no release path.
+    */
+  def cached(s: SparkSession, key: String)(build: => DataFrame): DataFrame =
+    cacheFor(s).getOrElseUpdate(key,
+      build.persist(StorageLevel.MEMORY_AND_DISK)).asInstanceOf[DataFrame]
+
   /** documents overlapping k-word window hash table (__id, __i, __h),
     * persisted — [[graft.operators.Dedup.substringDedupFromGrams]]
     * consumes it twice (first-occurrence agg + per-occurrence probe);
