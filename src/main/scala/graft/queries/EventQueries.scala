@@ -179,6 +179,57 @@ object EventQueries {
     // Gap-based sessionization (30-min inactivity): lag + running sum of
     // session-start flags — one shuffle on user_id; the batch mirror of
     // streaming flatMapGroupsWithState sessionization.
+    // Ordered-sequence funnel (view → click → purchase, strictly
+    // increasing time per user): the event-analytics staple. ONE
+    // exchange + one per-user sort, then running-min windows express
+    // the state machine — a click counts only after the user's first
+    // view, a purchase only after the first qualifying click; no
+    // self-joins, no per-user collect (hot-user bound = the same
+    // per-user sort q18's sessionizer already carries). Output: one
+    // audit row with per-stage user counts + integer conversion.
+    "q52_funnel" -> QueryDef(
+      (s, dir) => {
+        val ev = Relational.eventsRaw(s, dir)
+          .select(col("user_id"), col("event_type"), col("event_id"),
+            expr("ts div 1000").as("t_us"))
+        graft.operators.Funnel.report(ev, "user_id", "event_type", "t_us",
+            "event_id", Seq("view", "click", "purchase"))
+          .select(col("n_users"), col("n_stage1").as("n_view"),
+            col("n_stage2").as("n_view_click"), col("n_stage3").as("n_funnel"),
+            col("conv_permille"))
+      },
+      Some("""WITH ev AS (
+             |  SELECT user_id, event_type, event_id, epoch_us(ts) AS t_us
+             |  FROM events),
+             |st AS (
+             |  SELECT *, min(CASE WHEN event_type = 'view' THEN t_us END)
+             |      OVER w AS mv
+             |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY t_us, event_id
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+             |st2 AS (
+             |  SELECT *, CASE WHEN event_type = 'click' AND t_us > mv
+             |    THEN t_us END AS qc
+             |  FROM st),
+             |st3 AS (
+             |  SELECT *, min(qc) OVER w AS mqc
+             |  FROM st2 WINDOW w AS (PARTITION BY user_id ORDER BY t_us, event_id
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+             |st4 AS (
+             |  SELECT *, CASE WHEN event_type = 'purchase' AND t_us > mqc
+             |    THEN t_us END AS qp
+             |  FROM st3),
+             |pu AS (
+             |  SELECT user_id,
+             |    min(CASE WHEN event_type = 'view' THEN t_us END) AS s1,
+             |    min(qc) AS s2, min(qp) AS s3
+             |  FROM st4 GROUP BY 1)
+             |SELECT CAST(count(*) AS BIGINT) AS n_users,
+             |  CAST(count(s1) AS BIGINT) AS n_view,
+             |  CAST(count(s2) AS BIGINT) AS n_view_click,
+             |  CAST(count(s3) AS BIGINT) AS n_funnel,
+             |  CAST((1000 * count(s3)) // count(s1) AS BIGINT) AS conv_permille
+             |FROM pu""".stripMargin)),
+
     "q18_sessionize" -> QueryDef(
       (s, dir) => {
         val ev = Relational.eventsRaw(s, dir)

@@ -448,6 +448,47 @@ class DedupSpec extends SparkTestBase {
   }
 }
 
+class FunnelSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("stageTimes: order-sensitive, strict-after, first-qualifying semantics") {
+    val ev = Seq(
+      // user 1: clean conversion
+      (1L, "view", 1L, 10L), (1L, "click", 2L, 11L), (1L, "purchase", 3L, 12L),
+      // user 2: everything present but in REVERSE order -> view only
+      (2L, "purchase", 1L, 20L), (2L, "click", 2L, 21L), (2L, "view", 3L, 22L),
+      // user 3: no click -> purchase cannot qualify
+      (3L, "view", 1L, 30L), (3L, "purchase", 2L, 31L),
+      // user 4: click at the SAME ts as the first view -> strict > rejects
+      (4L, "view", 1L, 40L), (4L, "click", 1L, 41L),
+      // user 5: pre-view click ignored; later click qualifies
+      (5L, "click", 1L, 50L), (5L, "view", 2L, 51L), (5L, "click", 3L, 52L),
+      (5L, "purchase", 4L, 53L))
+      .toDF("user_id", "event_type", "t", "eid")
+    val got = graft.operators.Funnel.stageTimes(ev, "user_id", "event_type",
+        "t", "eid", Seq("view", "click", "purchase"))
+      .orderBy("user_id")
+      .as[(Long, Option[Long], Option[Long], Option[Long])].collect()
+    assert(got(0) == ((1L, Some(1L), Some(2L), Some(3L))))
+    assert(got(1) == ((2L, Some(3L), None, None)))
+    assert(got(2) == ((3L, Some(1L), None, None)))
+    assert(got(3) == ((4L, Some(1L), None, None)))
+    assert(got(4) == ((5L, Some(2L), Some(3L), Some(4L))))
+  }
+
+  test("report: counts and conversion permille") {
+    val ev = Seq(
+      (1L, "view", 1L, 1L), (1L, "click", 2L, 2L), (1L, "purchase", 3L, 3L),
+      (2L, "view", 1L, 4L), (2L, "click", 2L, 5L),
+      (3L, "signup", 1L, 6L))
+      .toDF("user_id", "event_type", "t", "eid")
+    val r = graft.operators.Funnel.report(ev, "user_id", "event_type", "t",
+        "eid", Seq("view", "click", "purchase"))
+      .as[(Long, Long, Long, Long, Long)].head()
+    assert(r == ((3L, 2L, 2L, 1L, 500L)))
+  }
+}
+
 class SketchStateSpec extends SparkTestBase {
   import spark.implicits._
   graft.functions.VectorExpressions.register(spark)
