@@ -230,6 +230,42 @@ object EventQueries {
              |  CAST((1000 * count(s3)) // count(s1) AS BIGINT) AS conv_permille
              |FROM pu""".stripMargin)),
 
+    // Cohort retention (the other event-analytics staple): users
+    // cohorted by first-signup week, activity bucketed by week, output
+    // = the (cohort_week, week_offset, n_users) retention triangle.
+    // Scale shape: one map-side min-agg for cohorts, one distinct on
+    // (user, week) — both keyed small —, a user-keyed join, and a
+    // dimension-sized final agg; no windows, no per-user state.
+    "q53_retention" -> QueryDef(
+      (s, dir) => {
+        val WeekUs = 7L * 86400L * 1000000L
+        val ev = Relational.eventsRaw(s, dir)
+          .select(col("user_id"), col("event_type"),
+            (expr("ts div 1000") / WeekUs).cast("long").as("wk"))
+        val cohorts = ev.filter(col("event_type") === "signup")
+          .groupBy("user_id").agg(min("wk").as("cohort_wk"))
+        val active = ev.select("user_id", "wk").distinct()
+        active.join(cohorts, "user_id")
+          .filter(col("wk") >= col("cohort_wk"))
+          .groupBy(col("cohort_wk"), (col("wk") - col("cohort_wk")).as("offset_wk"))
+          .agg(count(lit(1)).as("n_users"))
+          .orderBy("cohort_wk", "offset_wk")
+      },
+      Some("""WITH ev AS (
+             |  SELECT user_id, event_type,
+             |    epoch_us(ts) // (CAST(7 AS BIGINT) * 86400 * 1000000) AS wk
+             |  FROM events),
+             |cohorts AS (
+             |  SELECT user_id, min(wk) AS cohort_wk FROM ev
+             |  WHERE event_type = 'signup' GROUP BY 1),
+             |active AS (SELECT DISTINCT user_id, wk FROM ev)
+             |SELECT c.cohort_wk AS cohort_wk,
+             |  CAST(a.wk - c.cohort_wk AS BIGINT) AS offset_wk,
+             |  CAST(count(*) AS BIGINT) AS n_users
+             |FROM active a JOIN cohorts c USING (user_id)
+             |WHERE a.wk >= c.cohort_wk
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
     "q18_sessionize" -> QueryDef(
       (s, dir) => {
         val ev = Relational.eventsRaw(s, dir)
