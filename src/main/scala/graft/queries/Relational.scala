@@ -1084,6 +1084,31 @@ object Relational {
              |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
              |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // ---- manifest-pruned range scan: the data-skipping pattern behind
+    // modern table formats. lineitem is staged once as a
+    // range-clustered table with a per-file min/max manifest
+    // (GraftIO.writeWithManifest); the key-range query consults the
+    // tiny manifest driver-side and OPENS only intersecting files
+    // (GraftIOSpec asserts <= 2 of 8 for a 10% range). The oracle is
+    // the plain filter over the source table: skipping must be
+    // result-invisible.
+    "q54_manifest_scan" -> QueryDef(
+      (s, dir) => {
+        val path = Staged.manifestedLineitem(s, dir)
+        graft.sources.GraftIO.readPruned(s, path, "l_orderkey", 100L, 900L)
+          .groupBy()
+          .agg(count(lit(1)).as("n_rows"),
+            countDistinct("l_orderkey").as("n_orders"),
+            sum("price_c").as("sum_price_c"))
+          .select(col("n_rows"), col("n_orders"), col("sum_price_c"))
+      },
+      Some("""SELECT CAST(count(*) AS BIGINT) AS n_rows,
+             |  CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
+             |  CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT)
+             |    AS sum_price_c
+             |FROM lineitem
+             |WHERE l_orderkey BETWEEN 100 AND 900""".stripMargin)),
+
     // ---- tumbling event-time window aggregation ---------------------
     // events.ts is parquet TIMESTAMP(NANOS) which Spark has no native
     // type for: read it as raw nanos (legacy long mode) and window with

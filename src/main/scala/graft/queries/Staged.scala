@@ -188,6 +188,24 @@ object Staged {
     * tables are disk-backed (nothing to unpersist at release; the next
     * session overwrites them).
     */
+  /** lineitem written ONCE per (session, dir) as a range-clustered
+    * manifested table ([[graft.sources.GraftIO.writeWithManifest]] on
+    * l_orderkey) under target/ — the data-skipping pattern: pay one
+    * clustered write, then every key-range query consults the tiny
+    * manifest and opens only intersecting files. Returns the path.
+    * Disk-backed like the bucketed tables (nothing to unpersist).
+    */
+  def manifestedLineitem(s: SparkSession, dir: String): String =
+    cacheFor(s).getOrElseUpdate(s"mfli:$dir", {
+      val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val path = s"target/manifest_li_$tag"
+      GraftIO.writeWithManifest(table(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
+          cents(col("l_extendedprice")).as("price_c")),
+        path, "l_orderkey", nFiles = 16)
+      path
+    }).asInstanceOf[String]
+
   def bucketedLiOrd(s: SparkSession, dir: String): (DataFrame, DataFrame) =
     cacheFor(s).getOrElseUpdate(s"bkt:$dir", {
       val tag = dir.replaceAll("[^A-Za-z0-9]", "_")

@@ -129,6 +129,60 @@ object GraftIO {
     nFiles
   }
 
+  /** Range-clustered write + file-level min/max MANIFEST — the
+    * data-skipping primitive behind every modern table format: a query
+    * with a key-range predicate consults the (tiny) manifest and opens
+    * only the files whose [lo, hi] intersects the range, instead of
+    * footer-probing every file of a 100 TB table. Files are
+    * range-partitioned and sorted on the key so per-file ranges are
+    * tight and disjoint; the manifest is built by ONE aggregation over
+    * the written files (input_file_name groupBy — nFiles rows) and
+    * stored as parquet under `_manifest`, which underscore-prefix
+    * hides from normal reads (same convention as _SUCCESS).
+    */
+  def writeWithManifest(df: DataFrame, path: String, keyCol: String,
+                        nFiles: Int = 8): Unit = {
+    import org.apache.spark.sql.functions._
+    df.repartitionByRange(nFiles, df.col(keyCol))
+      .sortWithinPartitions(keyCol)
+      .write.mode(SaveMode.Overwrite).parquet(path)
+    val spark = df.sparkSession
+    spark.read.parquet(path)
+      .select(input_file_name().as("file"), col(keyCol))
+      .groupBy("file")
+      .agg(min(keyCol).as("lo"), max(keyCol).as("hi"),
+        count(lit(1)).as("n_rows"))
+      .coalesce(1)
+      .write.mode(SaveMode.Overwrite).parquet(s"$path/_manifest")
+  }
+
+  /** Files of a manifested table whose [lo, hi] range intersects
+    * [lo, hi] — the driver-side skip decision (manifest is nFiles
+    * rows; the collect is file names, never data).
+    */
+  def prunedFiles(spark: SparkSession, path: String,
+                  lo: Long, hi: Long): Seq[String] = {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    spark.read.parquet(s"$path/_manifest")
+      .filter(col("hi") >= lo && col("lo") <= hi)
+      .select("file").as[String].collect().toSeq
+  }
+
+  /** Manifest-pruned range read: scans ONLY the intersecting files,
+    * then applies the exact predicate — result-identical to a full
+    * scan with the same filter, minus the skipped I/O.
+    */
+  def readPruned(spark: SparkSession, path: String, keyCol: String,
+                 lo: Long, hi: Long): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val files = prunedFiles(spark, path, lo, hi)
+    val base =
+      if (files.isEmpty) spark.read.parquet(path).limit(0)
+      else spark.read.parquet(files: _*)
+    base.filter(col(keyCol) >= lo && col(keyCol) <= hi)
+  }
+
   def writeCsv(df: DataFrame, path: String, header: Boolean = true): Unit =
     df.write.mode(SaveMode.Overwrite).option("header", header.toString).csv(path)
 

@@ -12,6 +12,31 @@ class GraftIOSpec extends SparkTestBase {
     StructField("id", LongType), StructField("name", StringType),
     StructField("v", DoubleType)))
 
+  test("manifest write/read: range query opens only intersecting files, result identical") {
+    val base = Files.createTempDirectory("graft_manifest").toFile.getAbsolutePath
+    val df = (0L until 1000L).map(i => (i, s"row$i")).toDF("k", "payload")
+    GraftIO.writeWithManifest(df, s"$base/t", "k", nFiles = 8)
+    // manifest: one entry per file, ranges cover all rows
+    val mf = spark.read.parquet(s"$base/t/_manifest")
+      .as[(String, Long, Long, Long)].collect()
+    assert(mf.length == 8 && mf.map(_._4).sum == 1000L)
+    // range-partitioned + sorted => per-file ranges are disjoint, so a
+    // narrow range hits few files
+    val kept = GraftIO.prunedFiles(spark, s"$base/t", 100L, 199L)
+    assert(kept.nonEmpty && kept.length <= 2,
+      s"expected <=2 files for a 10% range over 8 range-partitioned files, got ${kept.length}")
+    // pruned read == full scan + filter, exactly
+    val pruned = GraftIO.readPruned(spark, s"$base/t", "k", 100L, 199L)
+      .as[(Long, String)].collect().toSet
+    val full = spark.read.parquet(s"$base/t")
+      .filter($"k" >= 100L && $"k" <= 199L)
+      .as[(Long, String)].collect().toSet
+    assert(pruned == full && pruned.size == 100)
+    // empty intersection: no files opened, schema preserved, zero rows
+    assert(GraftIO.prunedFiles(spark, s"$base/t", 5000L, 6000L).isEmpty)
+    assert(GraftIO.readPruned(spark, s"$base/t", "k", 5000L, 6000L).count() == 0)
+  }
+
   test("csv and json round-trip with explicit schema; partitioned parquet prunes") {
     val base = Files.createTempDirectory("graft_io").toFile.getAbsolutePath
     val df = Seq((1L, "a", 1.5), (2L, "b", 2.5), (3L, "a", 3.5)).toDF("id", "name", "v")
