@@ -258,6 +258,69 @@ object EventStream {
     * until the next watermark advance fires the timeout, keeping
     * emission final.
     */
+  final case class TypedEvent(userId: Long, tsUs: Long, eventType: String)
+  final case class FunnelBufState(stageTimes: Seq[Long],
+                                  buffer: Seq[(Long, String)], done: Boolean)
+  final case class FunnelDone(userId: Long, stageTimes: Seq[Long])
+
+  /** Streaming twin of the batch funnel ([[graft.operators.Funnel]]):
+    * per-user ordered-sequence state machine over an out-of-order
+    * stream. Events BUFFER until the watermark passes them, then fold
+    * into the stage machine in event-time order — so arrival order
+    * never changes the result and finalized completions equal the
+    * batch plan exactly (spec-pinned). A completion is emitted once,
+    * when the final stage first qualifies (stage i strictly after the
+    * first completion of stage i-1 — same strict rule as batch, which
+    * also makes same-timestamp ties order-independent).
+    *
+    * State: per-user stage times + the watermark-bounded buffer of
+    * not-yet-final events; converted users keep a tombstone flag so
+    * re-deliveries cannot re-emit.
+    */
+  def streamingFunnel(spark: SparkSession, events: Dataset[TypedEvent],
+                      stages: Seq[String],
+                      watermarkDelay: String = "30 minutes"): Dataset[FunnelDone] = {
+    import spark.implicits._
+    require(stages.nonEmpty, "need at least one funnel stage")
+    events
+      .withColumn("ets", timestamp_micros(col("tsUs")))
+      .withWatermark("ets", watermarkDelay)
+      .as[TypedEvent]
+      .groupByKey(_.userId)
+      .flatMapGroupsWithState[FunnelBufState, FunnelDone](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, rows: Iterator[TypedEvent], state: GroupState[FunnelBufState]) =>
+          val st0 = state.getOption.getOrElse(
+            FunnelBufState(Seq.fill(stages.size)(-1L), Nil, done = false))
+          if (st0.done) { rows.foreach(_ => ()); Iterator.empty }
+          else {
+            val wmUs = state.getCurrentWatermarkMs() * 1000L
+            // ts-order fold; events at/above the watermark hold (a
+            // same-or-earlier sibling could still arrive)
+            val buf = (st0.buffer ++ rows.map(e => (e.tsUs, e.eventType))).sorted
+            val (ready, hold) = buf.partition(_._1 < wmUs)
+            val times = st0.stageTimes.toArray
+            ready.foreach { case (t, tp) =>
+              val i = stages.indexOf(tp)
+              if (i >= 0 && times(i) < 0 &&
+                (i == 0 || (times(i - 1) >= 0 && t > times(i - 1))))
+                times(i) = t
+            }
+            if (times.last >= 0) {
+              state.update(FunnelBufState(times.toSeq, Nil, done = true))
+              Iterator.single(FunnelDone(uid, times.toSeq))
+            } else {
+              state.update(FunnelBufState(times.toSeq, hold, done = false))
+              if (hold.nonEmpty)
+                state.setTimeoutTimestamp(math.max(
+                  state.getCurrentWatermarkMs() + 1,
+                  hold.map(_._1).min / 1000L + 1))
+              Iterator.empty
+            }
+          }
+      }
+  }
+
   def sessionize(spark: SparkSession, events: Dataset[Event],
                  gapUs: Long, watermarkDelay: String = "30 minutes"): Dataset[Session] = {
     import spark.implicits._

@@ -10,6 +10,56 @@ class EventStreamSpec extends SparkTestBase {
 
   private val Min = 60L * 1000000L // one minute in µs
 
+  test("streaming funnel: out-of-order delivery, finalized completions equal the batch plan") {
+    implicit val sqlCtx = spark.sqlContext
+    import EventStream.{TypedEvent, FunnelDone}
+    val input = MemoryStream[TypedEvent]
+    val out = EventStream.streamingFunnel(spark, input.toDS(),
+      Seq("view", "click", "purchase"), watermarkDelay = "10 minutes")
+    val q = out.writeStream.format("memory").queryName("funnel")
+      .outputMode(OutputMode.Append).start()
+    try {
+      val T0 = 86400L * 1000000L
+      // user 1 converts; its CLICK is delivered out of order (after the
+      // purchase) but within the watermark — buffering must restore
+      // event-time order. user 2 has purchase BEFORE click: no
+      // conversion. user 3 never purchases.
+      input.addData(
+        TypedEvent(1L, T0 + Min, "view"),
+        TypedEvent(1L, T0 + 5 * Min, "purchase"),
+        TypedEvent(2L, T0 + Min, "purchase"),
+        TypedEvent(2L, T0 + 2 * Min, "view"),
+        TypedEvent(3L, T0 + Min, "view"), TypedEvent(3L, T0 + 2 * Min, "click"))
+      q.processAllAvailable()
+      input.addData(TypedEvent(1L, T0 + 3 * Min, "click"),
+        TypedEvent(2L, T0 + 3 * Min, "click"))
+      q.processAllAvailable()
+      // advance the watermark far past every event so buffers finalize
+      input.addData(TypedEvent(99L, T0 + 120 * Min, "view"))
+      q.processAllAvailable()
+      input.addData(TypedEvent(99L, T0 + 240 * Min, "view"))
+      q.processAllAvailable()
+      val got = spark.table("funnel").as[FunnelDone].collect()
+        .map(f => f.userId -> f.stageTimes).toMap
+      // only user 1 converts: view@+1, click@+3 (late-delivered), purchase@+5
+      assert(got == Map(1L -> Seq(T0 + Min, T0 + 3 * Min, T0 + 5 * Min)), s"got $got")
+      // batch twin agrees on the SAME fixture (completed users only)
+      val ev = Seq(
+        (1L, "view", T0 + Min, 1L), (1L, "purchase", T0 + 5 * Min, 2L),
+        (2L, "purchase", T0 + Min, 3L), (2L, "view", T0 + 2 * Min, 4L),
+        (3L, "view", T0 + Min, 5L), (3L, "click", T0 + 2 * Min, 6L),
+        (1L, "click", T0 + 3 * Min, 7L), (2L, "click", T0 + 3 * Min, 8L),
+        (99L, "view", T0 + 120 * Min, 9L), (99L, "view", T0 + 240 * Min, 10L))
+        .toDF("user_id", "event_type", "t", "eid")
+      val batch = graft.operators.Funnel.stageTimes(ev, "user_id", "event_type",
+          "t", "eid", Seq("view", "click", "purchase"))
+        .filter(org.apache.spark.sql.functions.col("s3").isNotNull)
+        .as[(Long, Long, Long, Long)].collect()
+        .map(r => r._1 -> Seq(r._2, r._3, r._4)).toMap
+      assert(batch == got, s"batch $batch vs streaming $got")
+    } finally q.stop()
+  }
+
   test("sessionize closes a session when the gap is exceeded") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]
