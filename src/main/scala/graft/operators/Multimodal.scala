@@ -371,6 +371,81 @@ object Multimodal {
     } catch { case _: Exception => None }
   }
 
+  /** Position-addressable deterministic 16-bit sample — the audio
+    * analog of [[addrPixel]]: the value at flat sample index `i` is a
+    * direct function of (id, i), which is what lets a SQL oracle
+    * recompute any frame's energy without replaying the stream. Same
+    * mod-1e6+3 overflow discipline.
+    */
+  def addrSample(id: Long, i: Long): Int =
+    (((((id % 1000003L) * 37L + i) * 2654435761L) % 65536L) - 32768L).toInt
+
+  /** Deterministic WAV whose PCM payload is [[addrSample]] (16-bit
+    * signed little-endian, `channels` interleaved) — the
+    * fingerprint-oracle counterpart of [[encodeWav]].
+    */
+  def encodeWavAddr(channels: Int, sampleRateHz: Int, nFrames: Int,
+                    id: Long): Array[Byte] = {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    val n = nFrames * channels
+    val pcm = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val s = addrSample(id, i.toLong)
+      pcm(2 * i) = (s & 0xff).toByte
+      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new AudioFormat(sampleRateHz.toFloat, 16, channels, true, false)
+    val ais = new AudioInputStream(new ByteArrayInputStream(pcm), fmt, nFrames.toLong)
+    val out = new ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  /** REAL PCM decode + energy-contour fingerprint — the audio analog
+    * of [[dHash]] for near-duplicate audio detection: decode the
+    * stream with javax.sound for real, bin frames into `nBins`
+    * contiguous windows, integer energy (sum of sample²) per bin, and
+    * an (nBins-1)-bit rising/falling contour (bit b = energy[b] <
+    * energy[b+1]) — re-encodes and level shifts move few bits. 16-bit
+    * signed little-endian PCM only (our WAV profile); anything else
+    * returns None rather than guessing. Energy stays far under 2^63
+    * for any practical clip (32768² · frames · channels).
+    * Returns (channels, nFrames, contour, totalEnergy).
+    */
+  def audioFingerprint(bytes: Array[Byte], nBins: Int = 9): Option[(Int, Long, Long, Long)] = {
+    if (bytes.isEmpty) return None
+    try {
+      val ais = javax.sound.sampled.AudioSystem
+        .getAudioInputStream(new ByteArrayInputStream(bytes))
+      val fmt = ais.getFormat
+      if (fmt.getSampleSizeInBits != 16 || fmt.isBigEndian ||
+        fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED)
+        return None
+      val ch = fmt.getChannels
+      val nF = ais.getFrameLength.toInt
+      if (nF < nBins) return None
+      val pcm = ais.readAllBytes()
+      val bins = new Array[Long](nBins)
+      var i = 0
+      val n = nF * ch
+      while (i < n) {
+        val s = ((pcm(2 * i + 1) << 8) | (pcm(2 * i) & 0xff)).toLong
+        val b = ((i / ch).toLong * nBins / nF).toInt
+        bins(b) += s * s
+        i += 1
+      }
+      var contour = 0L
+      var b = 0
+      while (b < nBins - 1) {
+        if (bins(b) < bins(b + 1)) contour |= 1L << b
+        b += 1
+      }
+      Some((ch, nF.toLong, contour, bins.sum))
+    } catch { case _: Exception => None }
+  }
+
   /** REAL decode + difference hash (dHash, the public
     * perceptual-image-hash technique: gray 9×8 downsample, bit =
     * left-pixel < right-pixel, 64-bit pack) — the image analog of

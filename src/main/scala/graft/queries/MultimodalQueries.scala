@@ -174,6 +174,57 @@ object MultimodalQueries {
              |  CAST(hs.hi AS BIGINT) AS phash_hi, CAST(hs.lo AS BIGINT) AS phash_lo
              |FROM dims d JOIN hs USING (doc_id) ORDER BY doc_id""".stripMargin)),
 
+    // REAL audio fingerprint over decoded PCM: generate the
+    // addressable WAV, decode it with javax.sound for real, bin the
+    // frames into 9 windows, integer energy per bin, 8-bit
+    // rising/falling contour — the audio near-dup primitive. Oracle
+    // recomputes samples, bin assignment, energies, and the contour
+    // from the addrSample formula; the decode path is real, the
+    // samples are arithmetic.
+    "mm8_audio_fingerprint" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val docs = table(s, dir, "documents")
+          .select(col("doc_id").cast("long"), col("n_chars").cast("long"))
+          .as[(Long, Long)]
+        val rows = docs.mapPartitions(_.flatMap { case (id, nChars) =>
+          val ch = 1 + (id % 2).toInt
+          val nf = 64 + (nChars % 256).toInt
+          val bytes = graft.operators.Multimodal.encodeWavAddr(ch, 8000, nf, id)
+          graft.operators.Multimodal.audioFingerprint(bytes).map {
+            case (c, f, contour, energy) => (id, c.toLong, f, contour, energy)
+          }
+        })
+        rows.toDF("doc_id", "channels", "n_frames", "contour", "energy")
+          .orderBy("doc_id")
+      },
+      Some("""WITH dims AS (
+             |  SELECT doc_id, 1 + doc_id % 2 AS cc, 64 + n_chars % 256 AS nf
+             |  FROM documents),
+             |smp AS (
+             |  SELECT doc_id, cc, nf, i,
+             |    ((((doc_id % 1000003) * 37 + i) * 2654435761) % 65536)
+             |      - 32768 AS s,
+             |    ((i // cc) * 9) // nf AS b
+             |  FROM dims, unnest(range(0, nf * cc)) AS t(i)),
+             |eb AS (
+             |  SELECT doc_id, b, sum(s * s) AS e
+             |  FROM smp GROUP BY 1, 2),
+             |ct AS (
+             |  SELECT a.doc_id,
+             |    sum(CASE WHEN a.e < c.e
+             |      THEN CAST(1 AS BIGINT) << CAST(a.b AS INTEGER) ELSE 0 END)
+             |      AS contour
+             |  FROM eb a JOIN eb c ON a.doc_id = c.doc_id AND c.b = a.b + 1
+             |  WHERE a.b < 8 GROUP BY 1),
+             |tot AS (SELECT doc_id, sum(e) AS energy FROM eb GROUP BY 1)
+             |SELECT d.doc_id, CAST(d.cc AS BIGINT) AS channels,
+             |  CAST(d.nf AS BIGINT) AS n_frames,
+             |  CAST(ct.contour AS BIGINT) AS contour,
+             |  CAST(tot.energy AS BIGINT) AS energy
+             |FROM dims d JOIN ct USING (doc_id) JOIN tot USING (doc_id)
+             |ORDER BY doc_id""".stripMargin)),
+
     // REAL video container metadata: per-row deterministic minimal MP4
     // (ISO-BMFF ftyp+moov(mvhd+trak(tkhd))+mdat, dims/duration derived
     // from doc_id / n_chars) parsed back by the box-walking decoder in

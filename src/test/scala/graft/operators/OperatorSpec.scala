@@ -834,6 +834,41 @@ class MultimodalSpec extends SparkTestBase {
     assert(Multimodal.dHash(Array.emptyByteArray).isEmpty)
   }
 
+  test("audioFingerprint: real decode, level-invariant contour, guarded fallthrough") {
+    val bytes = Multimodal.encodeWavAddr(2, 8000, 100, id = 11L)
+    // actual RIFF container, not fabricated bytes
+    assert(bytes(0) == 'R'.toByte && bytes(1) == 'I'.toByte)
+    val Some((ch, nf, contour, energy)) = Multimodal.audioFingerprint(bytes)
+    assert(ch == 2 && nf == 100L && energy > 0L)
+    assert(Multimodal.audioFingerprint(bytes).get == ((ch, nf, contour, energy)))
+    // HALF-VOLUME copy: energies scale by ~1/4 uniformly, so the
+    // rising/falling contour — the fingerprint — is unchanged
+    val half = {
+      import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+      val n = 100 * 2
+      val pcm = new Array[Byte](n * 2)
+      for (i <- 0 until n) {
+        val s = Multimodal.addrSample(11L, i.toLong) / 2
+        pcm(2 * i) = (s & 0xff).toByte
+        pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      }
+      val fmt = new AudioFormat(8000f, 16, 2, true, false)
+      val out = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(new AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, 100L),
+        AudioFileFormat.Type.WAVE, out)
+      out.toByteArray
+    }
+    val Some((_, _, halfContour, halfEnergy)) = Multimodal.audioFingerprint(half)
+    assert(halfContour == contour, "level shift must not move the contour")
+    assert(halfEnergy < energy)
+    // guarded fallthrough: corrupt, empty, and too-short clips
+    assert(Multimodal.audioFingerprint(Array[Byte](1, 2, 3)).isEmpty)
+    assert(Multimodal.audioFingerprint(Array.emptyByteArray).isEmpty)
+    assert(Multimodal.audioFingerprint(
+      Multimodal.encodeWavAddr(1, 8000, 4, id = 1L)).isEmpty)
+  }
+
   test("decodeStub is deterministic and bounded") {
     val m = Multimodal.decodeStub(7L, "hello world".getBytes("UTF-8"))
     assert(m == Multimodal.decodeStub(7L, "hello world".getBytes("UTF-8")))
