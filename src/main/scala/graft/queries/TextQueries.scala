@@ -544,6 +544,67 @@ object TextQueries {
              |  CAST(sum(c) AS BIGINT) AS n_docs
              |FROM cum GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // Temperature-based source mixing (the multilingual/multi-source
+    // rebalancing rule used by large-LM data pipelines: sample source i
+    // with probability ∝ n_i^alpha, alpha = 0.5, so big sources are
+    // tempered and small ones boosted): per-source keep-rate
+    // ppm_i = floor(1e6·sqrt(n_min/n_i)) — 1.0 for the smallest
+    // source, kept mass ∝ sqrt(n_i) — applied as the q38-style
+    // deterministic hash threshold. The rate table derives IN-PLAN
+    // from a dimension-sized count agg joined back broadcast (no
+    // driver collect); sqrt is IEEE-identical on both engines over the
+    // same exact-integer ratio.
+    "t21_temperature_mix" -> QueryDef(
+      (s, dir) => {
+        graft.functions.VectorExpressions.register(s)
+        import graft.functions.KMinAgg
+        // testdata sources are uniform (nothing to temper) — remap 3/4
+        // of the corpus onto one dominant 'web' source so the rule has
+        // real skew to rebalance; the oracle mirrors the remap
+        val docs = table(s, dir, "documents")
+          .withColumn("source",
+            when(col("doc_id") % 4 < 3, lit("web")).otherwise(col("source")))
+        val counts = docs.groupBy("source").agg(count(lit(1)).as("n_src"))
+        val minN = counts.agg(min("n_src").as("n_min"))
+        val rates = counts.crossJoin(broadcast(minN))
+          .select(col("source"), col("n_src"),
+            floor(lit(1e6) * sqrt(col("n_min").cast("double") /
+              col("n_src").cast("double"))).cast("long").as("ppm"))
+        val hv = KMinAgg.scramble(call_function("poly_hash",
+          col("doc_id").cast("string")))
+        docs.select(col("source"), col("doc_id"),
+            TextOps.tokenCount(col("text")).as("__tok"))
+          .withColumn("__hv", hv)
+          .join(broadcast(rates), "source")
+          .filter(col("__hv") * 1000000L < col("ppm") * lit(1000000007L))
+          .groupBy("source")
+          .agg(max("n_src").as("n_src"), max("ppm").as("rate_ppm"),
+            count(lit(1)).as("n_kept"), sum("__tok").as("kept_tokens"))
+          .orderBy("source")
+      },
+      Some(s"""WITH counts AS (
+             |  SELECT CASE WHEN doc_id % 4 < 3 THEN 'web' ELSE source END AS source,
+             |    count(*) AS n_src
+             |  FROM documents GROUP BY 1),
+             |rates AS (
+             |  SELECT source, n_src,
+             |    CAST(floor(1e6 * sqrt(CAST((SELECT min(n_src) FROM counts) AS DOUBLE)
+             |      / CAST(n_src AS DOUBLE))) AS BIGINT) AS ppm
+             |  FROM counts),
+             |${QueryDef.scrambledHashCtes(
+                 "(SELECT CASE WHEN doc_id % 4 < 3 THEN 'web' ELSE source END " +
+                   "AS source, CAST(len(string_split(text, ' ')) AS BIGINT) AS tok, " +
+                   "CAST(doc_id AS VARCHAR) AS rk FROM documents)",
+                 Seq("source", "tok"), "rk")},
+             |smp AS (SELECT h.source, h.tok, r.n_src, r.ppm FROM h
+             |  JOIN rates r USING (source)
+             |  WHERE h.hv * 1000000 < r.ppm * 1000000007)
+             |SELECT source, CAST(max(n_src) AS BIGINT) AS n_src,
+             |  CAST(max(ppm) AS BIGINT) AS rate_ppm,
+             |  CAST(count(*) AS BIGINT) AS n_kept,
+             |  CAST(sum(tok) AS BIGINT) AS kept_tokens
+             |FROM smp GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // Model-based quality filtering: fastText-style linear classifier
     // inference over hashed bag-of-ngram features (unigrams + bigrams,
     // occurrence-preserving, poly-hashed into 4096 buckets). The
