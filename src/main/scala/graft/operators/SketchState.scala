@@ -48,6 +48,25 @@ object SketchState {
       .groupBy((keys :+ "bucket").map(col): _*)
       .agg(max("M").as("M"))
 
+  /** Count-Min sketch cell table (r, bucket, c) over a term column:
+    * d=|bases| portable polynomial hashes into w buckets, ONE
+    * map-side-combining aggregation — ≤ d·w cells per partition before
+    * the exchange regardless of corpus size. The ONE Scala rendering
+    * shared by the batch heavy-hitters query (t7) and the streaming
+    * sketch maintenance path; works unchanged on a STREAMING input in
+    * Update mode (cells are a pure running aggregation).
+    */
+  def cmsCells(terms: DataFrame, termCol: String,
+               bases: Seq[Int], w: Int): DataFrame = {
+    graft.functions.VectorExpressions.register(terms.sparkSession)
+    val bucketExprs = array(bases.map(b =>
+      pmod(call_function("poly_hash", col(termCol), lit(b.toLong),
+        lit(1000000007L)), lit(w.toLong))): _*)
+    terms.select(posexplode(bucketExprs))
+      .toDF("r", "bucket")
+      .groupBy("r", "bucket").agg(count(lit(1)).as("c"))
+  }
+
   /** (keys..., est_distinct BIGINT) from a register table — raw HLL
     * estimate with linear counting below 2.5·m (the standard
     * small-range correction).

@@ -178,12 +178,15 @@ object TextQueries {
       (s, dir) => {
         graft.functions.VectorExpressions.register(s)
         val toks = Staged.docTerms(s, dir).select("term")
+        // probe-side bucket exprs; the CELL build is delegated to the
+        // ONE rendering shared with the streaming sketch path
+        // (SketchState.cmsCells) — this oracle predates the extraction
+        // and pins it bit-for-bit
         def bucketExprs = array(CmsBases.map(b =>
           pmod(call_function("poly_hash", col("term"), lit(b.toLong), lit(1000000007L)),
             lit(CmsW.toLong))): _*)
-        val cells = toks.select(posexplode(bucketExprs))
-          .toDF("r", "bucket")
-          .groupBy("r", "bucket").agg(count(lit(1)).as("c"))
+        val cells = graft.operators.SketchState.cmsCells(
+          toks, "term", CmsBases, CmsW)
         val top = toks.groupBy("term").agg(count(lit(1)).as("true_cnt"))
           .orderBy(col("true_cnt").desc, col("term")).limit(20)
         val candR = top.select(col("term"), col("true_cnt"), posexplode(bucketExprs))

@@ -258,6 +258,23 @@ object EventStream {
     * until the next watermark advance fires the timeout, keeping
     * emission final.
     */
+  /** Streaming Count-Min maintenance: the heavy-hitters sketch cells
+    * (t7's geometry) as a running Update-mode aggregation over a
+    * document stream — the SAME [[graft.operators.SketchState.cmsCells]]
+    * rendering as batch, so the streamed sketch provably equals the
+    * batch sketch over the same corpus (spec-pinned). State is the
+    * d·w cell table — constant-bounded regardless of stream length,
+    * which is the whole point of sketch maintenance.
+    */
+  def streamingCmsCells(docs: DataFrame,
+                        bases: Seq[Int] = Seq(31, 37, 41, 43),
+                        w: Int = 1024): DataFrame = {
+    val terms = docs
+      .select(explode(graft.operators.TextOps.words(col("text"))).as("term"))
+      .filter(length(col("term")) > 0)
+    graft.operators.SketchState.cmsCells(terms, "term", bases, w)
+  }
+
   final case class TypedEvent(userId: Long, tsUs: Long, eventType: String)
   final case class FunnelBufState(stageTimes: Seq[Long],
                                   buffer: Seq[(Long, String)], done: Boolean)

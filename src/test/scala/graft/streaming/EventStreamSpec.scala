@@ -10,6 +10,36 @@ class EventStreamSpec extends SparkTestBase {
 
   private val Min = 60L * 1000000L // one minute in µs
 
+  test("streaming CMS cells equal the batch sketch over the same corpus") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.{col, explode, length, max}
+    val input = MemoryStream[(Long, String)]
+    val cells = EventStream.streamingCmsCells(
+      input.toDF().toDF("docId", "text"), bases = Seq(31, 37), w = 64)
+    val q = cells.writeStream.format("memory").queryName("cms")
+      .outputMode(OutputMode.Update).start()
+    val batch1 = Seq((1L, "apple banana apple"), (2L, "cherry apple"))
+    val batch2 = Seq((3L, "banana banana date"), (4L, "apple"))
+    try {
+      input.addData(batch1: _*)
+      q.processAllAvailable()
+      input.addData(batch2: _*)
+      q.processAllAvailable()
+      // Update sink logs every cell revision; the final value per cell
+      // is the max (counts only grow)
+      val streamed = spark.table("cms").groupBy("r", "bucket")
+        .agg(max("c").as("c"))
+        .as[(Int, Long, Long)].collect().toSet
+      val batchTerms = (batch1 ++ batch2).toDF("docId", "text")
+        .select(explode(graft.operators.TextOps.words(col("text"))).as("term"))
+        .filter(length(col("term")) > 0)
+      val expected = graft.operators.SketchState
+        .cmsCells(batchTerms, "term", Seq(31, 37), 64)
+        .as[(Int, Long, Long)].collect().toSet
+      assert(streamed == expected, s"streamed $streamed vs batch $expected")
+    } finally q.stop()
+  }
+
   test("streaming funnel: out-of-order delivery, finalized completions equal the batch plan") {
     implicit val sqlCtx = spark.sqlContext
     import EventStream.{TypedEvent, FunnelDone}
