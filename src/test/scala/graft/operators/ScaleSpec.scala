@@ -118,7 +118,9 @@ class PlanShapeSpec extends SparkTestBase {
       "sim1_cosine_topk",  // brute-force ANN baseline: corpus × broadcast QUERY set
       "sim5_pq_ann",       // ADC scan: corpus CODES × broadcast per-query distance
                            //   tables (|queries| × m × ks ints — KBs by construction)
-      "t6_tfidf_topterms") // scalar total-doc-count broadcast into IDF
+      "t6_tfidf_topterms", // scalar total-doc-count broadcast into IDF
+      "t21_temperature_mix") // scalar global-min source count (ONE row)
+                           //   broadcast into the dimension-sized rate table
     val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val plan = fn(spark, sf).queryExecution.executedPlan.toString()
