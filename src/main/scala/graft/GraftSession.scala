@@ -6,10 +6,12 @@ import org.apache.spark.sql.SparkSession
   * configuration belongs at BUILD time, not inside query functions
   * (a query mutating session conf is global, order-dependent state).
   *
-  *  - `nanosAsLong`: events.parquet carries TIMESTAMP(NANOS), which
-  *    Spark 4 cannot read natively; reading it as raw epoch-nanos
-  *    LongType keeps arithmetic exact (ns epochs exceed 2^53, so
-  *    doubles would corrupt them).
+  *  - `nanosAsLong`: an events.parquet written with TIMESTAMP(NANOS)
+  *    (older generator versions) cannot be read natively by Spark 4;
+  *    the conf reads it as raw epoch-nanos LongType, which keeps
+  *    arithmetic exact (ns epochs exceed 2^53, so doubles would
+  *    corrupt them). Harmless for the current micros files —
+  *    Relational.eventsRaw normalizes either form to nanos-long.
   *  - UTC: date/timestamp functions must agree with the DuckDB oracle.
   *  - shuffle.partitions sized to the local core count (not the 200
   *    default) — on a real cluster this is AQE + explicit tuning.

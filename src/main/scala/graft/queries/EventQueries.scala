@@ -13,9 +13,9 @@ import QueryDef.{table, cents}
   */
 object EventQueries {
 
-  /** events with microsecond-exact `ets` timestamp (ns truncated — see
-    * Relational.eventsRaw for why) shifted back 29 years to overlap the
-    * orders date range.
+  /** events with microsecond-exact `ets` timestamp (eventsRaw's nanos
+    * long truncated to micros — exact for micros-sourced data) shifted
+    * back 29 years to overlap the orders date range.
     */
   private def eventsShifted(s: SparkSession, dir: String): DataFrame =
     Relational.eventsRaw(s, dir)

@@ -1110,8 +1110,7 @@ object Relational {
              |WHERE l_orderkey BETWEEN 100 AND 900""".stripMargin)),
 
     // ---- tumbling event-time window aggregation ---------------------
-    // events.ts is parquet TIMESTAMP(NANOS) which Spark has no native
-    // type for: read it as raw nanos (legacy long mode) and window with
+    // eventsRaw normalizes ts to epoch-nanos long; bucketing is then
     // exact integer arithmetic — also what you'd do at 100 TB to keep
     // the bucket computation codegen'd and cast-free.
     "q16_event_window" -> QueryDef(
@@ -1129,25 +1128,35 @@ object Relational {
              |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
   )
 
-  /** events with `ts` as raw epoch-nanos LongType (Spark 4 cannot read
-    * parquet TIMESTAMP(NANOS) natively). Exact integer arithmetic on
-    * nanos avoids any double-precision loss (ns epochs exceed 2^53).
+  /** events with `ts` normalized to raw epoch-nanos LongType, whatever
+    * the file carries:
     *
-    * The conf belongs at session build ([[graft.GraftSession]] sets
-    * it); for sessions built elsewhere (the SparkEntry contract allows
-    * any session) it is set here ONLY when absent — an idempotent
-    * default, not order-dependent state. An explicit `false` is an
-    * error rather than something to silently override.
+    *  - parquet TIMESTAMP(NANOS): Spark 4 cannot read it natively, so
+    *    the `nanosAsLong` legacy conf (set idempotently here and at
+    *    [[graft.GraftSession]] build) reads it as the raw long.
+    *  - parquet TIMESTAMP(MICROS) (what the current generator writes,
+    *    surfacing as TIMESTAMP_NTZ): converted with exact integer
+    *    arithmetic, `unix_micros * 1000` — micros epochs are ~2^51, so
+    *    the multiply cannot overflow and nothing round-trips through
+    *    doubles (ns epochs exceed 2^53, so doubles would corrupt them).
+    *
+    * Downstream event queries do exact integer bucket/shift arithmetic
+    * on the nanos long — also what you'd do at 100 TB to keep the hot
+    * expressions codegen'd and cast-free.
     */
   def eventsRaw(s: SparkSession, dir: String): DataFrame = {
     val key = "spark.sql.legacy.parquet.nanosAsLong"
-    s.conf.getOption(key) match {
-      case Some("true") => ()
-      case None => s.conf.set(key, "true")
-      case Some(other) => throw new IllegalArgumentException(
-        s"$key=$other: events.parquet is TIMESTAMP(NANOS) and needs the conf true " +
-          "(see graft.GraftSession)")
+    if (s.conf.getOption(key).isEmpty) s.conf.set(key, "true")
+    val df = table(s, dir, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => df
+      case _: org.apache.spark.sql.types.TimestampNTZType |
+           _: org.apache.spark.sql.types.TimestampType =>
+        // cast NTZ→TZ is identity under the UTC session timezone the
+        // engine pins (GraftSession); unix_micros is then exact
+        df.withColumn("ts", unix_micros(col("ts").cast("timestamp")) * lit(1000L))
+      case other => throw new IllegalArgumentException(
+        s"events.ts has unsupported type $other (expected nanos-long or timestamp)")
     }
-    table(s, dir, "events")
   }
 }

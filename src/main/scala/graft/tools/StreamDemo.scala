@@ -21,9 +21,9 @@ object StreamDemo {
     val spark = graft.GraftSession.builder("local[4]", "4").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // file streaming source needs an explicit schema (ts = raw nanos)
+    // file streaming source needs an explicit schema (ts = micros NTZ)
     val schema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("event_id", LongType), StructField("ts", TimestampNTZType),
       StructField("user_id", LongType), StructField("event_type", StringType),
       StructField("value", DoubleType), StructField("props", StringType)))
 
@@ -31,7 +31,7 @@ object StreamDemo {
     val stream = spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-      .withColumn("ets", timestamp_micros(expr("ts div 1000")))
+      .withColumn("ets", col("ts").cast("timestamp"))
       .withWatermark("ets", "30 minutes")
       .groupBy(window(col("ets"), "6 hours"), col("event_type"))
       .agg(count(lit(1)).as("n"))
@@ -87,7 +87,7 @@ object StreamDemo {
     val ckDir = java.nio.file.Files.createTempDirectory("graft_sink_ck_").toString
     val fileQ = spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(dir)
-      .withColumn("ets", timestamp_micros(expr("ts div 1000")))
+      .withColumn("ets", col("ts").cast("timestamp"))
       .withWatermark("ets", "30 minutes")
       .groupBy(window(col("ets"), "6 hours"), col("event_type"))
       .agg(count(lit(1)).as("n"))
