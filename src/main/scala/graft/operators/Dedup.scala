@@ -1011,4 +1011,79 @@ object Dedup {
       .select(col("__id").as(idCol), col("n_overlap"), col("n_grams"),
         expr("CAST((1000 * n_overlap) DIV n_grams AS BIGINT)").as("permille"))
   }
+
+  /** Span-level benchmark decontamination: WHERE the contamination sits,
+    * not just which documents carry it. For every training document,
+    * every overlapping word n-gram POSITION whose gram appears in the
+    * eval set is a hit; the report aggregates hits per document
+    * (count, first/last position, distinct grams matched) — the
+    * surgical-removal shape (cut the spans, keep the document) versus
+    * [[contaminationReport]]'s drop-the-document shape.
+    *
+    * Same scale contract as d8: the eval gram set is deduplicated and
+    * BROADCAST (eval suites are bounded — thousands of docs — while
+    * the train side is the 100 TB one); train grams are generated and
+    * filtered scan-side by the broadcast hash join, so the only
+    * exchange carries matched (doc, pos, gram) hit rows into the
+    * per-doc aggregate. Positions are 0-based gram start offsets in
+    * words. Uses positional [[TextOps.ngramsFromWords]] (duplicates
+    * kept — a gram repeated in a document is multiple spans to cut),
+    * with the words array let-bound once per row.
+    */
+  def spanContamination(docs: DataFrame, idCol: String, textCol: String,
+                        n: Int, evalPred: Column => Column): DataFrame = {
+    val grams = docs
+      .select(col(idCol).as("__id"), TextOps.words(col(textCol)).as("__w"))
+      .select(col("__id"),
+        posexplode(TextOps.ngramsFromWords(col("__w"), n)).as(Seq("__pos", "__s")))
+    val ev = grams.filter(evalPred(col("__id"))).select("__s").distinct()
+    val hits = grams.filter(!evalPred(col("__id"))).join(broadcast(ev), "__s")
+    hits.groupBy("__id").agg(
+        count(lit(1)).as("n_spans"),
+        min("__pos").cast("long").as("first_pos"),
+        max("__pos").cast("long").as("last_pos"),
+        countDistinct("__s").as("n_grams_hit"))
+      .select(col("__id").as(idCol), col("n_spans"), col("first_pos"),
+        col("last_pos"), col("n_grams_hit"))
+  }
+
+  // ---- Bloom-prefiltered incremental membership ------------------------
+
+  /** Bloom-prefiltered incremental dedup admission (the daily-crawl
+    * membership test at 100 TB): build a Bloom filter over the EXISTING
+    * corpus content hashes (one tree-aggregated pass; the sketch is
+    * kilobytes-to-MBs and ships to every executor), probe it SCAN-SIDE
+    * on the incoming batch, and run the exact semi-join verification
+    * only over probe survivors — true dups plus the `fpp` share of
+    * false positives. The verdict is EXACT: the bloom never decides,
+    * it only prunes the verify join's probe side (a false positive is
+    * dropped by the join; a false negative cannot occur — the no-FN
+    * guarantee is what makes the prefilter sound). Contrast with
+    * [[incrementalSurvivors]], which ships the WHOLE incoming batch
+    * into the anti-join.
+    *
+    * Returns (idCol, is_dup: 0/1 long) for every incoming row. NULL
+    * text hashes as empty (the d7 contract). The `mightContainLong`
+    * probe is a JVM lambda over the broadcast sketch — off the codegen
+    * path by necessity (the sketch is driver-built state, not an
+    * expression), and the cheapest possible row test: two multiplies
+    * and `numHashFunctions` bit loads.
+    */
+  def bloomMembership(existing: DataFrame, incoming: DataFrame,
+                      textCol: String, idCol: String,
+                      fpp: Double = 0.01): DataFrame = {
+    val h = xxhash64(coalesce(col(textCol), lit("")))
+    val exH = existing.select(h.as("__h"))
+    val expected = math.max(1L, exH.count())
+    val bf = exH.stat.bloomFilter("__h", expected, fpp)
+    val spark = incoming.sparkSession
+    val bfB = spark.sparkContext.broadcast(bf)
+    val mightContain = udf((hv: Long) => bfB.value.mightContainLong(hv))
+    val inc = incoming.select(col(idCol), h.as("__h"))
+    val confirmed = inc.filter(mightContain(col("__h")))
+      .join(exH.distinct(), Seq("__h"), "left_semi")
+      .select(col(idCol), lit(1L).as("__dup"))
+    inc.select(idCol).join(confirmed, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("__dup"), lit(0L)).as("is_dup"))
+  }
 }

@@ -339,6 +339,52 @@ object Multimodal {
     out.toByteArray
   }
 
+  /** Position-DEcorrelated pixel for the phash near-dup corpus. The
+    * affine [[addrPixel]] makes any two same-dims rasters constant-
+    * offset relatives mod 2^24 (f(x + 31d) = f(x) + 31d·K), which
+    * leaves their dHashes correlated and the near-dup pair count
+    * super-linear in corpus size (measured 914 pairs over 1,000
+    * images at Hamming <= 3). Mixing the position in by XOR before
+    * the multiply breaks the affine structure — the multiply does not
+    * commute with XOR — so unrelated images hash ~independently and
+    * only planted twins pair up.
+    */
+  def mixedPixel(id: Long, pos: Long): Int =
+    (((((id % 1000003L) * 2654435761L) ^ (pos * 40503L)) & 0xffffffL)
+      * 2654435761L % (1L << 24)).toInt
+
+  /** Deterministic PNG over [[mixedPixel]]; with `invertFirst` the
+    * pixel at position 0 is inverted — the planted near-duplicate
+    * TWIN for the phash near-dup operator. For rasters at least 9
+    * wide and 8 tall, the 9x8 dHash grid samples position 0 exactly
+    * once (cell (0,0): `0*h div 8 = 0`, `0*w div 9 = 0`; every other
+    * cell indexes a strictly positive position), so the twin's dHash
+    * is within Hamming distance 1 of the base image's — a planted
+    * near-dup whose distance the oracle recomputes arithmetically.
+    */
+  def encodePngMixed(width: Int, height: Int, id: Long,
+                     invertFirst: Boolean = false): Array[Byte] = {
+    require(width >= 9 && height >= 8,
+      s"twin perturbation needs >= 9x8 rasters, got ${width}x$height")
+    val img = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        val pos = y.toLong * width + x
+        val p = mixedPixel(id, pos)
+        img.setRGB(x, y, if (invertFirst && pos == 0L) p ^ 0xffffff else p)
+        x += 1
+      }
+      y += 1
+    }
+    val out = new ByteArrayOutputStream()
+    ImageIO.setUseCache(false)
+    ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
   /** REAL full-raster decode + nearest-neighbor resample: `ImageIO.read`
     * materializes the pixel raster (PNG is lossless, so values round-
     * trip exactly), then the output grid samples source pixel

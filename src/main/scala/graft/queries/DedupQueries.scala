@@ -318,6 +318,59 @@ object DedupQueries {
              |  CAST((1000*n_overlap) // n_grams AS BIGINT) AS permille
              |FROM ov JOIN tot USING (doc_id) ORDER BY doc_id""".stripMargin)),
 
+    // Span-level decontamination: d8's drop-the-document report tells
+    // you WHICH documents are contaminated; this one tells you WHERE —
+    // per-document hit count, first/last gram position, distinct grams
+    // matched — the input to surgical span removal. Eval grams
+    // broadcast; train gram-positions generated and filtered scan-side
+    // (see Dedup.spanContamination).
+    "d14_span_decontam" -> QueryDef(
+      (s, dir) => Dedup.spanContamination(table(s, dir, "documents"),
+          "doc_id", "text", n = 4, evalPred = id => id % 50 === 0)
+        .orderBy("doc_id"),
+      Some("""WITH words AS (SELECT doc_id, string_split(text, ' ') AS w
+             |  FROM documents),
+             |gr AS (SELECT doc_id, i - 1 AS pos, array_to_string(w[i:i+3], ' ') AS s
+             |       FROM words, UNNEST(range(1, len(w) - 2)) AS t(i)),
+             |ev AS (SELECT DISTINCT s FROM gr WHERE doc_id % 50 = 0),
+             |hits AS (SELECT g.doc_id, g.pos, g.s FROM gr g JOIN ev USING (s)
+             |         WHERE g.doc_id % 50 <> 0)
+             |SELECT doc_id, count(*) AS n_spans,
+             |  CAST(min(pos) AS BIGINT) AS first_pos,
+             |  CAST(max(pos) AS BIGINT) AS last_pos,
+             |  count(DISTINCT s) AS n_grams_hit
+             |FROM hits GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Bloom-prefiltered membership admission: existing corpus = ids
+    // not divisible by 10; incoming = the id%10=0 docs (new) plus a
+    // re-crawl of the id%10=3 docs under shifted ids (dups). The Bloom
+    // sketch over existing content hashes is built once and probed
+    // scan-side; the exact semi-join verification sees only probe
+    // survivors. Verdicts are exact — the oracle mirrors them with
+    // plain text membership (see Dedup.bloomMembership).
+    "d15_bloom_membership" -> QueryDef(
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+        val existing = docs.filter(col("doc_id") % 10 =!= 0)
+        val incoming = docs.filter(col("doc_id") % 10 === 0)
+          .unionByName(docs.filter(col("doc_id") % 10 === 3)
+            .withColumn("doc_id", col("doc_id") + 1000000))
+        Dedup.bloomMembership(existing, incoming, "text", "doc_id")
+          .orderBy("doc_id")
+      },
+      Some("""WITH ex AS (SELECT coalesce(text, '') AS text FROM documents
+             |  WHERE doc_id % 10 <> 0),
+             |inc AS (
+             |  SELECT doc_id, coalesce(text, '') AS text FROM documents
+             |  WHERE doc_id % 10 = 0
+             |  UNION ALL
+             |  SELECT doc_id + 1000000, coalesce(text, '') FROM documents
+             |  WHERE doc_id % 10 = 3)
+             |SELECT doc_id,
+             |  CAST(CASE WHEN text IN (SELECT text FROM ex) THEN 1 ELSE 0 END
+             |    AS BIGINT) AS is_dup
+             |FROM inc ORDER BY doc_id""".stripMargin)),
+
     // Embedding-cosine near-dup at cosine >= 0.98 — planted dup pairs
     // (a x2-scaled copy: the scaling cancels exactly through the fold
     // since powers of two commute with fp rounding, leaving cosine

@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import QueryDef.table
+import graft.queries.Staged
 
 /** Multimodal-column plumbing over `documents`: binary casting,
   * byte-level metadata, content hashing, frame sampling, and REAL image
@@ -299,6 +300,101 @@ object MultimodalQueries {
              |  CAST(ascii(substr(text, CAST((t.i * 997) % n_chars + 1 AS INTEGER), 1)) AS BIGINT)
              |    AS sample_code
              |FROM f, UNNEST(range(0, n_frames)) AS t(i)
-             |ORDER BY doc_id, frame_i""".stripMargin))
+             |ORDER BY doc_id, frame_i""".stripMargin)),
+
+    // IMAGE near-dup JOIN over real decoded rasters: every document
+    // yields a base image (>= 9x8, so the dHash grid is informative —
+    // degenerate 1-wide rasters all hash to 0 and would pair
+    // quadratically; pixels use the position-DEcorrelated mixedPixel,
+    // see its scaladoc for why addrPixel's affine structure would make
+    // pair counts super-linear) plus a planted twin whose first pixel
+    // is inverted (Hamming distance <= 1 by construction).
+    // Encode + REAL ImageIO decode + dHash happen partition-local; only
+    // (id, 64-bit sketch) rows move. Pairing is the same pigeonhole
+    // chunk banding as d3 (4 even 16-bit chunks for distance <= 3 →
+    // banding recall 1.0), exact Hamming verify over candidates only.
+    // The oracle recomputes both sketches from the mixedPixel formula
+    // and brute-forces all pairs with xor/bit_count — the decode path
+    // is real, the pixels are arithmetic, and a raster, hash-pack, or
+    // banding bug cannot hash-match.
+    "mm9_phash_neardup" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val docs = table(s, dir, "documents")
+          .select(col("doc_id").cast("long"), col("n_chars").cast("long"))
+          .as[(Long, Long)]
+        def bits64(h: Long): String = {
+          val sb = new java.lang.StringBuilder(64)
+          var j = 0
+          while (j < 64) { sb.append(if (((h >>> j) & 1L) != 0) '1' else '0'); j += 1 }
+          sb.toString // bit j at string position j — matches the oracle's r*8+c index
+        }
+        // the sketch table feeds FOUR consumers inside the pair join
+        // (both band sides + both verify re-joins) — and each sketch
+        // row costs a PNG encode + a real ImageIO decode, so stage it
+        // once under the session lifecycle rather than re-rasterizing
+        // per consumer (unstaged, the sf0.1 run measured 38.7 s vs
+        // 5.7 s staged)
+        val sketches = Staged.cached(s, s"mm9sketch:$dir") {
+          docs.mapPartitions(_.flatMap { case (id, nChars) =>
+            val w = 9 + (id % 8).toInt
+            val h = 8 + (nChars % 8).toInt
+            val base = graft.operators.Multimodal.dHash(
+              graft.operators.Multimodal.encodePngMixed(w, h, id))
+            val twin = graft.operators.Multimodal.dHash(
+              graft.operators.Multimodal.encodePngMixed(w, h, id, invertFirst = true))
+            base.map(b => (id, bits64(b._3))) ++
+              twin.map(t => (id + 1000000L, bits64(t._3)))
+          }).toDF("__id", "__sim")
+        }
+        graft.operators.Dedup.simhashPairsFromShingles(
+            sketches, "__id", "__sim", maxHamming = 3, sketches = Some(sketches))
+          .orderBy("doc_a", "doc_b")
+      },
+      Some("""WITH dims AS (
+             |  SELECT doc_id, 9 + doc_id % 8 AS w, 8 + n_chars % 8 AS h
+             |  FROM documents),
+             |sides AS (SELECT 0 AS twin UNION ALL SELECT 1),
+             |px AS (
+             |  SELECT d.doc_id, s.twin, j.r AS r, i.c AS c,
+             |    CASE WHEN s.twin = 1 AND (j.r * h // 8) * w + (i.c * w // 9) = 0
+             |      THEN xor(((xor((d.doc_id % 1000003) * 2654435761, 0) % 16777216)
+             |        * 2654435761) % 16777216, 16777215)
+             |      ELSE ((xor((d.doc_id % 1000003) * 2654435761,
+             |          ((j.r * h // 8) * w + (i.c * w // 9)) * 40503) % 16777216)
+             |        * 2654435761) % 16777216 END AS p
+             |  FROM dims d CROSS JOIN sides s
+             |    CROSS JOIN range(0, 9) i(c) CROSS JOIN range(0, 8) j(r)),
+             |lum AS (
+             |  SELECT doc_id, twin, r, c,
+             |    299 * ((p // 65536) % 256) + 587 * ((p // 256) % 256)
+             |      + 114 * (p % 256) AS l
+             |  FROM px),
+             |bits AS (
+             |  SELECT a.doc_id, a.twin, a.r, a.c,
+             |    CASE WHEN a.l < b.l THEN 1 ELSE 0 END AS bit
+             |  FROM lum a JOIN lum b
+             |    ON a.doc_id = b.doc_id AND a.twin = b.twin
+             |      AND a.r = b.r AND b.c = a.c + 1
+             |  WHERE a.c < 8),
+             |hs AS (
+             |  SELECT doc_id, twin,
+             |    sum(CASE WHEN r * 8 + c >= 32
+             |      THEN bit * (CAST(1 AS BIGINT) << CAST(r * 8 + c - 32 AS INTEGER))
+             |      ELSE 0 END) AS hi,
+             |    sum(CASE WHEN r * 8 + c < 32
+             |      THEN bit * (CAST(1 AS BIGINT) << CAST(r * 8 + c AS INTEGER))
+             |      ELSE 0 END) AS lo
+             |  FROM bits GROUP BY 1, 2),
+             |ids AS (
+             |  SELECT doc_id + CASE WHEN twin = 1 THEN 1000000 ELSE 0 END AS id,
+             |    hi, lo
+             |  FROM hs)
+             |SELECT a.id AS doc_a, b.id AS doc_b,
+             |  CAST(bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo))
+             |    AS BIGINT) AS hamming
+             |FROM ids a JOIN ids b ON a.id < b.id
+             |WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3
+             |ORDER BY 1, 2""".stripMargin))
   )
 }

@@ -1109,6 +1109,86 @@ object Relational {
              |FROM lineitem
              |WHERE l_orderkey BETWEEN 100 AND 900""".stripMargin)),
 
+    // ---- SCD2 history build (validity intervals) --------------------
+    // The slowly-changing-dimension shape: per customer, each order
+    // opens a version valid until the NEXT order's date — one lead()
+    // window partitioned by the key (no global sort; each customer's
+    // history sorts within its hash partition, the same plan at 100 TB
+    // with AQE handling stragglers). NULL valid_to marks the current
+    // version; ties on date break by orderkey so the interval chain is
+    // deterministic.
+    "q55_scd2_intervals" -> QueryDef(
+      (s, dir) => {
+        val w = Window.partitionBy("o_custkey")
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+        table(s, dir, "orders")
+          .select(col("o_custkey"), col("o_orderkey"),
+            cents(col("o_totalprice")).as("price_c"),
+            date_format(col("o_orderdate"), "yyyy-MM-dd").as("valid_from"),
+            date_format(lead(col("o_orderdate"), 1).over(w), "yyyy-MM-dd")
+              .as("valid_to"),
+            when(lead(col("o_orderdate"), 1).over(w).isNull, 1L).otherwise(0L)
+              .as("is_current"))
+          .orderBy("o_custkey", "valid_from", "o_orderkey")
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+             |  CAST(round(o_totalprice*100) AS BIGINT) AS price_c,
+             |  strftime(o_orderdate, '%Y-%m-%d') AS valid_from,
+             |  strftime(lead(o_orderdate, 1) OVER w, '%Y-%m-%d') AS valid_to,
+             |  CAST(CASE WHEN lead(o_orderdate, 1) OVER w IS NULL
+             |    THEN 1 ELSE 0 END AS BIGINT) AS is_current
+             |FROM orders
+             |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+             |ORDER BY o_custkey, valid_from, o_orderkey""".stripMargin)),
+
+    // ---- table profiling ("ANALYZE"-style column summary) -----------
+    // One scan computes count/nulls/min/max/ndv for three measure
+    // columns, emitted long-format via stack(). The three exact
+    // countDistinct aggregates expand the scan 3x (Spark's
+    // distinct-agg EXPAND) — the documented cost of exactness; the
+    // approximate twin of this query is q24's HLL. All aggregation is
+    // map-side partial; only 3 tiny state rows shuffle.
+    "q56_profile" -> QueryDef(
+      (s, dir) => {
+        val li = table(s, dir, "lineitem")
+        def prof(c: String) = Seq(
+          count(col(c)).as(s"${c}_n"),
+          sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nulls"),
+          min(cents(col(c))).as(s"${c}_min_c"),
+          max(cents(col(c))).as(s"${c}_max_c"),
+          countDistinct(cents(col(c))).as(s"${c}_ndv"))
+        val cols = Seq("l_quantity", "l_extendedprice", "l_discount")
+        val aggs = cols.flatMap(prof)
+        li.agg(aggs.head, aggs.tail: _*)
+          .select(expr(
+            "stack(3, " + cols.map(c =>
+              s"'$c', ${c}_n, ${c}_nulls, ${c}_min_c, ${c}_max_c, ${c}_ndv")
+              .mkString(", ") +
+            ") AS (col_name, n_rows, n_nulls, min_c, max_c, ndv)"))
+          .orderBy("col_name")
+      },
+      Some("""SELECT 'l_quantity' AS col_name, count(l_quantity) AS n_rows,
+             |  CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+             |  CAST(min(round(l_quantity*100)) AS BIGINT) AS min_c,
+             |  CAST(max(round(l_quantity*100)) AS BIGINT) AS max_c,
+             |  count(DISTINCT CAST(round(l_quantity*100) AS BIGINT)) AS ndv
+             |FROM lineitem
+             |UNION ALL
+             |SELECT 'l_extendedprice', count(l_extendedprice),
+             |  CAST(sum(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+             |  CAST(min(round(l_extendedprice*100)) AS BIGINT),
+             |  CAST(max(round(l_extendedprice*100)) AS BIGINT),
+             |  count(DISTINCT CAST(round(l_extendedprice*100) AS BIGINT))
+             |FROM lineitem
+             |UNION ALL
+             |SELECT 'l_discount', count(l_discount),
+             |  CAST(sum(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+             |  CAST(min(round(l_discount*100)) AS BIGINT),
+             |  CAST(max(round(l_discount*100)) AS BIGINT),
+             |  count(DISTINCT CAST(round(l_discount*100) AS BIGINT))
+             |FROM lineitem
+             |ORDER BY col_name""".stripMargin)),
+
     // ---- tumbling event-time window aggregation ---------------------
     // eventsRaw normalizes ts to epoch-nanos long; bucketing is then
     // exact integer arithmetic — also what you'd do at 100 TB to keep

@@ -446,6 +446,81 @@ class DedupSpec extends SparkTestBase {
       assert(got == model, s"trial $trial n=$n")
     }
   }
+
+  test("spanContamination reports positions: duplicates kept, 0-based offsets") {
+    // eval doc 10 contributes gram "q r"; train doc 1 hits it TWICE
+    // (positions 0 and 3 — a repeated gram is two spans to cut) and
+    // hits nothing else; doc 2 is clean
+    val d = docs(
+      10L -> "q r",
+      1L -> "q r s q r z",
+      2L -> "completely different words here")
+    val out = Dedup.spanContamination(d, "doc_id", "text", n = 2,
+        evalPred = id => id % 10 === 0)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq((1L, 2L, 0L, 3L, 1L))) // 2 spans, pos 0..3, 1 distinct gram
+  }
+
+  test("spanContamination matches a driver-side positional model") {
+    val vocab = Vector("a", "b", "c", "d")
+    val rng = new scala.util.Random(7)
+    val n = 2
+    val corpus = (0L until 20L).map { id =>
+      val len = rng.nextInt(12)
+      id -> Seq.fill(len)(vocab(rng.nextInt(vocab.size))).mkString(" ")
+    }
+    def grams(text: String): Seq[String] = {
+      val w = text.split(" ", -1)
+      if (w.length < n) Seq.empty else w.sliding(n).map(_.mkString(" ")).toSeq
+    }
+    val evalGrams = corpus.filter(_._1 % 5 == 0).flatMap(d => grams(d._2)).toSet
+    val model = corpus.filter(_._1 % 5 != 0).flatMap { case (id, text) =>
+      val hits = grams(text).zipWithIndex.filter(g => evalGrams(g._1))
+      if (hits.isEmpty) None
+      else Some((id, hits.size.toLong, hits.map(_._2).min.toLong,
+        hits.map(_._2).max.toLong, hits.map(_._1).distinct.size.toLong))
+    }.sortBy(_._1)
+    val got = Dedup.spanContamination(docs(corpus: _*), "doc_id", "text",
+        n = n, evalPred = id => id % 5 === 0)
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got == model)
+  }
+
+  test("bloomMembership: exact verdicts (no FN possible, FPs dropped by verify)") {
+    val existing = docs(1L -> "alpha beta", 2L -> "gamma delta", 3L -> "epsilon zeta")
+    val incoming = docs(
+      10L -> "alpha beta",      // dup of 1
+      11L -> "brand new text",  // new
+      12L -> "gamma delta",     // dup of 2
+      13L -> "another novel")   // new
+    val out = Dedup.bloomMembership(existing, incoming, "text", "doc_id")
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(10L -> 1L, 11L -> 0L, 12L -> 1L, 13L -> 0L))
+  }
+
+  test("bloomMembership prefilter prunes: verify join sees only probe survivors") {
+    // 200 existing docs, 200 incoming of which 10 are dups — at fpp
+    // 0.01 the bloom probe must pass the 10 dups (no-FN guarantee) and
+    // only a handful of the 190 novels (binomial fpp tail), so the
+    // exact verify join's probe side is a small fraction of incoming
+    val existing = docs((0L until 200L).map(i => i -> s"existing document number $i"): _*)
+    val incoming = docs((0L until 200L).map { i =>
+      if (i < 10) (1000L + i) -> s"existing document number $i" // dups
+      else (1000L + i) -> s"fresh incoming document $i"
+    }: _*)
+    // exercise the shipped path end-to-end first
+    val verdicts = Dedup.bloomMembership(existing, incoming, "text", "doc_id")
+      .as[(Long, Long)].collect().toMap
+    assert((1000L until 1010L).forall(id => verdicts(id) == 1L))
+    assert((1010L until 1200L).forall(id => verdicts(id) == 0L))
+    // then measure the prune on the same sketch construction
+    val h = xxhash64(coalesce(col("text"), lit("")))
+    val bf = existing.select(h.as("__h")).stat.bloomFilter("__h", 200L, 0.01)
+    val probes = incoming.select(h.as("__h")).as[Long].collect()
+    val passed = probes.count(bf.mightContainLong)
+    assert(passed >= 10, "bloom lost a true member — impossible by contract")
+    assert(passed <= 30, s"bloom passed $passed of 200 — fpp far above 1%")
+  }
 }
 
 class FunnelSpec extends SparkTestBase {
@@ -832,6 +907,33 @@ class MultimodalSpec extends SparkTestBase {
     // corrupt bytes fall through as None, not an exception
     assert(Multimodal.dHash(Array[Byte](1, 2, 3)).isEmpty)
     assert(Multimodal.dHash(Array.emptyByteArray).isEmpty)
+  }
+
+  test("encodePngMixed twin: real decode, Hamming <= 1, decorrelated corpus") {
+    // the planted near-dup contract behind mm9: for every >= 9x8
+    // raster the inverted-first-pixel twin lands within Hamming 1
+    for (id <- 0L until 40L) {
+      val w = 9 + (id % 8).toInt
+      val h = 8 + ((id * 7 + 3) % 8).toInt
+      val Some((_, _, hb)) = Multimodal.dHash(Multimodal.encodePngMixed(w, h, id))
+      val Some((_, _, ht)) = Multimodal.dHash(
+        Multimodal.encodePngMixed(w, h, id, invertFirst = true))
+      val d = java.lang.Long.bitCount(hb ^ ht)
+      assert(d <= 1, s"twin of id=$id at ${w}x$h moved $d bits")
+    }
+    // and UNRELATED images must NOT pair: the addrPixel affine
+    // structure made same-dims rasters constant-offset relatives
+    // (super-linear pair growth); mixedPixel's xor breaks it
+    val hashes = (0L until 60L).map { id =>
+      Multimodal.dHash(Multimodal.encodePngMixed(12, 10, id)).get._3
+    }
+    val closePairs = (for {
+      i <- hashes.indices; j <- hashes.indices if i < j
+      if java.lang.Long.bitCount(hashes(i) ^ hashes(j)) <= 3
+    } yield (i, j)).size
+    assert(closePairs == 0, s"$closePairs same-dims base pairs within Hamming 3")
+    // degenerate raster guard
+    intercept[IllegalArgumentException](Multimodal.encodePngMixed(8, 8, 1L))
   }
 
   test("audioFingerprint: real decode, level-invariant contour, guarded fallthrough") {
