@@ -267,7 +267,8 @@ object VectorExpressions {
   * `spark.sql.extensions=graft.functions.GraftExtensions` (e.g.
   * spark-submit on a cluster): injects the graft native functions at
   * session build, so every session — including SQL-only clients — sees
-  * them without calling [[VectorExpressions.register]].
+  * them without calling [[VectorExpressions.register]], plus the
+  * opt-in [[graft.plans.ProductGuard]] analysis check.
   */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
   override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit = {
@@ -283,5 +284,6 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       FunctionIdentifier("poly_hash"),
       new ExpressionInfo(classOf[PolyHash].getName, "poly_hash"),
       VectorExpressions.polyHashBuilder))
+    e.injectCheckRule(s => graft.plans.ProductGuard.check(s))
   }
 }

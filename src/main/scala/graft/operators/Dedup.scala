@@ -1047,6 +1047,30 @@ object Dedup {
         col("last_pos"), col("n_grams_hit"))
   }
 
+  /** Canonical-document selection per duplicate cluster: given CC
+    * labels ((id, rep) — [[connectedComponents]] output) and a score
+    * column, keep the argmax-score member of every cluster with a
+    * deterministic smallest-id tie-break. One equi-join to attach
+    * scores + one map-side-combining `max(struct(score, -id))` agg —
+    * the skew-safe shape (a 10M-member boilerplate cluster folds to
+    * one struct per map task; the window-row_number formulation would
+    * sort the whole cluster on one reducer).
+    *
+    * Returns (cluster_rep, keep_id, keep_score, n_members).
+    */
+  def clusterCanonical(labels: DataFrame, docs: DataFrame,
+                       idCol: String, scoreCol: String): DataFrame =
+    labels.join(
+        docs.select(col(idCol).as("id"), col(scoreCol).cast("long").as("__score")),
+        "id")
+      .groupBy("rep").agg(
+        count(lit(1)).as("n_members"),
+        max(struct(col("__score"), (-col("id")).as("__nid"))).as("__m"))
+      .select(col("rep").as("cluster_rep"),
+        (-col("__m.__nid")).as("keep_id"),
+        col("__m.__score").as("keep_score"),
+        col("n_members"))
+
   // ---- Bloom-prefiltered incremental membership ------------------------
 
   /** Bloom-prefiltered incremental dedup admission (the daily-crawl

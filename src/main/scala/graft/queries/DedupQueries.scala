@@ -227,6 +227,39 @@ object DedupQueries {
              |FROM verts v LEFT JOIN reach r ON r.a = v.id
              |GROUP BY v.id ORDER BY 1""".stripMargin)),
 
+    // Canonical selection per near-dup cluster: d6's labels tell you
+    // WHICH docs are mutual near-dups; this picks the one to KEEP —
+    // longest text (n_chars), smallest id on ties — via a skew-safe
+    // map-side max(struct) argmax (see Dedup.clusterCanonical). The
+    // oracle replays the identical recursive-CTE closure, then the
+    // same keep rule through a window.
+    "d16_cluster_canonical" -> QueryDef(
+      (s, dir) => Dedup.clusterCanonical(
+          Staged.docDupComponents(s, dir),
+          table(s, dir, "documents"), "doc_id", "n_chars")
+        .orderBy("cluster_rep"),
+      Some(s"""WITH RECURSIVE ${QueryDef.shingleCtes()},
+             |${QueryDef.jaccardPairCtes(2, 5)},
+             |edges AS (SELECT da AS src, db AS dst FROM qp
+             |          UNION SELECT db, da FROM qp),
+             |reach(a, b) AS (
+             |  SELECT src, dst FROM edges
+             |  UNION
+             |  SELECT r.a, e.dst FROM reach r JOIN edges e ON e.src = r.b),
+             |verts AS (SELECT DISTINCT src AS id FROM edges),
+             |labels AS (SELECT v.id AS doc_id, least(v.id, min(r.b)) AS rep
+             |           FROM verts v LEFT JOIN reach r ON r.a = v.id
+             |           GROUP BY v.id),
+             |m AS (SELECT l.rep, l.doc_id, d.n_chars,
+             |        row_number() OVER (PARTITION BY l.rep
+             |          ORDER BY d.n_chars DESC, l.doc_id) AS rn,
+             |        count(*) OVER (PARTITION BY l.rep) AS n_members
+             |      FROM labels l JOIN documents d USING (doc_id))
+             |SELECT rep AS cluster_rep, doc_id AS keep_id,
+             |  CAST(n_chars AS BIGINT) AS keep_score,
+             |  CAST(n_members AS BIGINT) AS n_members
+             |FROM m WHERE rn = 1 ORDER BY cluster_rep""".stripMargin)),
+
     // CCNet-style corpus-level paragraph dedup over 8-word chunks:
     // every distinct chunk survives exactly once (its globally first
     // occurrence), documents are reassembled from survivors. The

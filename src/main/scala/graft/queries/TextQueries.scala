@@ -775,6 +775,42 @@ object TextQueries {
              |SELECT split, lang, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens
              |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
+    // Leakage-free GROUP split: t11 splits by document hash, which
+    // puts near-identical docs from one source on both sides of a
+    // train/test boundary (the classic contamination leak). Here the
+    // assignment unit is the SOURCE group — every doc of a source
+    // lands in the same split (portable poly-hash of the source name
+    // → knuth mix → 80/10/10), so intra-source near-dups can never
+    // straddle the split. Per-(split, lang) doc/token stats plus the
+    // group count; the source column is dimension-sized, so the
+    // distinct agg is cheap. Scan-side hash + one map-side agg — the
+    // same shuffle shape as t11.
+    "t22_group_split" -> QueryDef(
+      (s, dir) => {
+        graft.functions.VectorExpressions.register(s)
+        val hv = TextOps.knuthMix(call_function("poly_hash", col("source")))
+        table(s, dir, "documents")
+          .select(col("lang"), col("source"),
+            TextOps.tokenCount(col("text")).as("n_tokens"),
+            when(hv % 10 < 8, "train").when(hv % 10 === 8, "val")
+              .otherwise("test").as("split"))
+          .groupBy("split", "lang")
+          .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"),
+            countDistinct("source").as("n_sources"))
+          .orderBy("split", "lang")
+      },
+      Some(s"""WITH h AS (SELECT lang, source,
+             |    CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens,
+             |    ${QueryDef.knuthMixSql(QueryDef.polyHashSql("source"))} AS hv
+             |  FROM documents),
+             |s AS (SELECT *, CASE WHEN hv % 10 < 8 THEN 'train'
+             |                     WHEN hv % 10 = 8 THEN 'val' ELSE 'test' END AS split
+             |      FROM h)
+             |SELECT split, lang, count(*) AS n_docs,
+             |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+             |  count(DISTINCT source) AS n_sources
+             |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
     // polynomial rolling-hash fingerprint (exact-int, engine-portable).
     // Native codegen'd PolyHash: one O(n) byte pass per doc — the HOF
     // form (per-char substr) rescans the string per character, O(n^2).

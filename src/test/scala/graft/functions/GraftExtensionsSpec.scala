@@ -18,4 +18,38 @@ class GraftExtensionsSpec extends AnyFunSuite {
   test("builder rejects wrong arity") {
     intercept[IllegalArgumentException](VectorExpressions.dotF32Builder(Seq.empty))
   }
+
+  test("ProductGuard: extension session refuses condition-less joins when enabled") {
+    // build a SECOND session over the shared context with the
+    // extensions applied (getOrCreate would return the default test
+    // session, so clear it around the build and restore after) — this
+    // exercises the real injectCheckRule path, not a unit stub
+    graft.core.SparkTestBase.session // ensure the shared context exists
+    val old = SparkSession.getDefaultSession
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s2 = SparkSession.builder().master("local[4]")
+      .withExtensions(new GraftExtensions().apply(_))
+      .getOrCreate()
+    try {
+      import s2.implicits._
+      val a = Seq(1, 2).toDF("x")
+      val b = Seq(3, 4).toDF("y")
+      // default: guard off — analysis behavior unchanged
+      assert(a.crossJoin(b).count() == 4)
+      s2.conf.set(graft.plans.ProductGuard.ConfKey, "true")
+      val e = intercept[IllegalStateException](a.crossJoin(b).count())
+      assert(e.getMessage.contains("product join refused"))
+      // a join WITH keys passes (even when it matches nothing)
+      assert(a.join(b, a("x") === b("y")).count() == 0)
+      // and a non-equi join with a real condition passes the guard
+      assert(a.join(b, a("x") < b("y")).count() == 4)
+      s2.conf.set(graft.plans.ProductGuard.ConfKey, "false")
+      assert(a.crossJoin(b).count() == 4)
+    } finally {
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      old.foreach(SparkSession.setDefaultSession)
+    }
+  }
 }

@@ -486,6 +486,17 @@ class DedupSpec extends SparkTestBase {
     assert(got == model)
   }
 
+  test("clusterCanonical: argmax score per cluster, smallest-id tie-break") {
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L), (7L, 7L), (9L, 7L))
+      .toDF("id", "rep")
+    val docs = Seq((1L, 10L), (2L, 30L), (3L, 30L), (7L, 5L), (9L, 4L))
+      .toDF("doc_id", "score")
+    val out = Dedup.clusterCanonical(labels, docs, "doc_id", "score")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    // cluster 1: max score 30 tied between ids 2 and 3 -> keep 2
+    assert(out == Seq((1L, 2L, 30L, 3L), (7L, 7L, 5L, 2L)))
+  }
+
   test("bloomMembership: exact verdicts (no FN possible, FPs dropped by verify)") {
     val existing = docs(1L -> "alpha beta", 2L -> "gamma delta", 3L -> "epsilon zeta")
     val incoming = docs(
