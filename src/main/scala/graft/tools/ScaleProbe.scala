@@ -84,6 +84,51 @@ object ScaleProbe {
         docsT, "doc_id", "text", n = 4, evalPred = id => id % 50 === 0).count())
       out += s"""{"probe":"d8_contamination","dir":"$dir","rows":$nDocs,"eval_grams":$evGrams,"contaminated":$d8Rows,"wall_sec":$d8Wall}"""
 
+      // d14: span decontamination — the positional explode is the
+      // volume to watch (train grams scanned; only HITS shuffle)
+      val trainGrams = docsT.filter(col("doc_id") % 50 =!= 0)
+        .select(explode(graft.operators.TextOps.ngrams(col("text"), 4))).count()
+      val (d14Rows, d14Wall) = timed(Dedup.spanContamination(
+        docsT, "doc_id", "text", n = 4, evalPred = id => id % 50 === 0).count())
+      out += s"""{"probe":"d14_span_decontam","dir":"$dir","rows":$nDocs,"train_grams":$trainGrams,"hit_docs":$d14Rows,"wall_sec":$d14Wall}"""
+
+      // d15: bloom membership — the prune ratio is the point: the
+      // exact verify join's probe side is survivors, not incoming
+      val d15Existing = docsT.filter(col("doc_id") % 10 =!= 0)
+      val d15Incoming = docsT.filter(col("doc_id") % 10 === 0)
+        .unionByName(docsT.filter(col("doc_id") % 10 === 3)
+          .withColumn("doc_id", col("doc_id") + 1000000))
+      val d15In = d15Incoming.count()
+      val bfProbe = {
+        val h = xxhash64(coalesce(col("text"), lit("")))
+        val bf = d15Existing.select(h.as("__h"))
+          .stat.bloomFilter("__h", math.max(1L, d15Existing.count()), 0.01)
+        val hs = d15Incoming.select(h.as("__h")).collect().map(_.getLong(0))
+        hs.count(bf.mightContainLong).toLong
+      }
+      val (d15Dups, d15Wall) = timed(Dedup.bloomMembership(
+          d15Existing, d15Incoming, "text", "doc_id")
+        .agg(sum("is_dup")).collect()(0).getLong(0))
+      out += s"""{"probe":"d15_bloom_membership","dir":"$dir","incoming":$d15In,"probe_pass":$bfProbe,"dups":$d15Dups,"wall_sec":$d15Wall}"""
+
+      // mm9: phash near-dup — band candidates vs verified pairs over
+      // the real-decode sketch table (staged once, like the query)
+      val mm9Sketches = graft.SparkEntry.queries("mm9_phash_neardup")
+      val (mm9Pairs, mm9Wall) = timed(mm9Sketches(spark, dir).count())
+      val mm9Cand = {
+        val sk = Staged.cached(spark, s"mm9sketch:$dir")(
+          sys.error("staged by the query run above"))
+        val ch = sk.select(col("__id"),
+          explode(transform(sequence(lit(0), lit(3)), j =>
+            struct(j.as("band"), col("__sim").substr(j * 16 + 1, lit(16)).as("bits")))).as("__b"))
+          .select(col("__id"), col("__b.band"), col("__b.bits"))
+        ch.as("l").join(ch.as("r"),
+            col("l.band") === col("r.band") && col("l.bits") === col("r.bits")
+              && col("l.__id") < col("r.__id"))
+          .select(col("l.__id"), col("r.__id")).distinct().count()
+      }
+      out += s"""{"probe":"mm9_phash_neardup","dir":"$dir","sketches":${nDocs * 2},"candidates":$mm9Cand,"pairs":$mm9Pairs,"wall_sec":$mm9Wall}"""
+
       Staged.release(spark)
     }
     out.foreach(println)
