@@ -24,6 +24,14 @@ def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     only = set(sys.argv[3:])
     con = duckdb.connect()
+    # big-SF sweeps: a heavy oracle (d13's window replay at sf1) can
+    # exceed RAM and get the process OOM-killed; capping memory makes
+    # DuckDB spill to disk instead. Opt-in via env so the default
+    # small-SF path stays config-free.
+    mem = os.environ.get("DUCKDB_MEMORY_LIMIT")
+    if mem:
+        con.execute(f"SET memory_limit='{mem}'")
+        con.execute("SET temp_directory='/tmp/duckdb_spill'")
     for t in TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")
         if os.path.isdir(p):  # Spark-written table: directory of parts
