@@ -166,6 +166,50 @@ object DedupQueries {
              |SELECT da AS doc_a, db AS doc_b, jacc_pct FROM qp
              |ORDER BY 1, 2""".stripMargin)),
 
+    // Cross-corpus NEAR-dup contamination: d8/d14 catch exact n-gram
+    // leakage; this catches the FUZZY kind — a train document that is
+    // a near-duplicate (jaccard >= 0.4) of an eval document without
+    // sharing it byte-for-byte. Reuses the staged d2 pair pipeline
+    // (one LSH banding for the whole corpus), filters to pairs that
+    // STRADDLE the eval boundary, and reports per train doc the
+    // strongest eval match (argmax jacc, smallest eval id on ties —
+    // the same skew-safe max(struct) shape as d16). The oracle shares
+    // the ONE jaccard-pair CTE rendering with d2/d6, so a threshold
+    // change cannot desynchronize them.
+    "d17_neardup_contamination" -> QueryDef(
+      (s, dir) => {
+        val isEvalA = col("doc_a") % 50 === 0
+        val isEvalB = col("doc_b") % 50 === 0
+        Staged.docNearDupPairs(s, dir)
+          .filter(isEvalA =!= isEvalB)
+          .select(
+            when(isEvalA, col("doc_b")).otherwise(col("doc_a")).as("train_id"),
+            when(isEvalA, col("doc_a")).otherwise(col("doc_b")).as("eval_id"),
+            col("jacc_pct"))
+          .groupBy("train_id")
+          .agg(count(lit(1)).as("n_eval_matches"),
+            max(struct(col("jacc_pct"), (-col("eval_id")).as("__ne"))).as("__m"))
+          .select(col("train_id"),
+            col("__m.jacc_pct").as("max_jacc_pct"),
+            (-col("__m.__ne")).as("best_eval_id"),
+            col("n_eval_matches"))
+          .orderBy("train_id")
+      },
+      Some(s"""WITH ${QueryDef.shingleCtes()},
+             |${QueryDef.jaccardPairCtes(2, 5)},
+             |crs AS (SELECT CASE WHEN da % 50 = 0 THEN db ELSE da END AS train_id,
+             |               CASE WHEN da % 50 = 0 THEN da ELSE db END AS eval_id,
+             |               jacc_pct
+             |        FROM qp WHERE (da % 50 = 0) <> (db % 50 = 0)),
+             |r AS (SELECT train_id, eval_id, jacc_pct,
+             |        row_number() OVER (PARTITION BY train_id
+             |          ORDER BY jacc_pct DESC, eval_id) AS rn,
+             |        count(*) OVER (PARTITION BY train_id) AS n
+             |      FROM crs)
+             |SELECT train_id, jacc_pct AS max_jacc_pct, eval_id AS best_eval_id,
+             |  CAST(n AS BIGINT) AS n_eval_matches
+             |FROM r WHERE rn = 1 ORDER BY train_id""".stripMargin)),
+
     // EXACT n-gram Jaccard similarity join at jaccard >= 0.5 via
     // prefix filtering (AllPairs): deterministic and complete — unlike
     // the MinHash path there is NO miss probability, so the oracle is
