@@ -1047,6 +1047,48 @@ object Dedup {
         col("last_pos"), col("n_grams_hit"))
   }
 
+  /** Near-dup pairs among 64-bit LONG sketches at Hamming distance <=
+    * `maxDist`, entirely in native codegen'd expressions: pigeonhole
+    * banding over `maxDist + 1` bit chunks extracted with shift/mask
+    * (even split, remainder bits on the last chunk — a pair within the
+    * budget shares at least one exact chunk, so banding recall is 1.0),
+    * then exact popcount verify `bit_count(a ^ b)` over candidates
+    * only. Sketch longs ride through the band join as 8-byte columns —
+    * cheaper than the string path's re-join, and nothing here falls
+    * out of whole-stage codegen (the bit-STRING path
+    * [[simhashPairsFromShingles]] stays for the 60-bit portable
+    * simhash, whose DuckDB oracle needs cross-engine bit strings).
+    */
+  def hammingPairsFromLongs(sketches: DataFrame, idCol: String, hashCol: String,
+                            maxDist: Int): DataFrame = {
+    require(maxDist >= 1 && maxDist <= 31, s"maxDist=$maxDist out of range")
+    val nChunks = maxDist + 1
+    val width = 64 / nChunks
+    val chunks = sketches
+      .select(col(idCol).as("__id"), col(hashCol).as("__h"))
+      .select(col("__id"), col("__h"),
+        explode(array((0 until nChunks).map { j =>
+          val lo = j * width
+          val w = if (j == nChunks - 1) 64 - lo else width
+          val bits =
+            if (w == 64) col("__h")
+            else shiftrightunsigned(col("__h"), lo).bitwiseAND(lit((1L << w) - 1L))
+          struct(lit(j).as("band"), bits.as("bits"))
+        }: _*)).as("__b"))
+      .select(col("__id"), col("__h"),
+        col("__b.band").as("band"), col("__b.bits").as("bits"))
+    val l = chunks.as("l")
+    val r = chunks.as("r")
+    l.join(r, col("l.band") === col("r.band") && col("l.bits") === col("r.bits")
+        && col("l.__id") < col("r.__id"))
+      .select(col("l.__id").as("doc_a"), col("r.__id").as("doc_b"),
+        col("l.__h").as("__ha"), col("r.__h").as("__hb"))
+      .distinct()
+      .withColumn("hamming", expr("bit_count(__ha ^ __hb)").cast("long"))
+      .filter(col("hamming") <= maxDist)
+      .select("doc_a", "doc_b", "hamming")
+  }
+
   /** Canonical-document selection per duplicate cluster: given CC
     * labels ((id, rep) — [[connectedComponents]] output) and a score
     * column, keep the argmax-score member of every cluster with a

@@ -310,9 +310,10 @@ object MultimodalQueries {
     // pair counts super-linear) plus a planted twin whose first pixel
     // is inverted (Hamming distance <= 1 by construction).
     // Encode + REAL ImageIO decode + dHash happen partition-local; only
-    // (id, 64-bit sketch) rows move. Pairing is the same pigeonhole
-    // chunk banding as d3 (4 even 16-bit chunks for distance <= 3 →
-    // banding recall 1.0), exact Hamming verify over candidates only.
+    // (id, 64-bit sketch) rows move. Pairing is d3's pigeonhole idea
+    // over native LONGS (4 even 16-bit shift/mask chunks for distance
+    // <= 3 → banding recall 1.0), exact popcount verify over
+    // candidates only — every pairing expression codegen'd.
     // The oracle recomputes both sketches from the mixedPixel formula
     // and brute-forces all pairs with xor/bit_count — the decode path
     // is real, the pixels are arithmetic, and a raster, hash-pack, or
@@ -323,18 +324,14 @@ object MultimodalQueries {
         val docs = table(s, dir, "documents")
           .select(col("doc_id").cast("long"), col("n_chars").cast("long"))
           .as[(Long, Long)]
-        def bits64(h: Long): String = {
-          val sb = new java.lang.StringBuilder(64)
-          var j = 0
-          while (j < 64) { sb.append(if (((h >>> j) & 1L) != 0) '1' else '0'); j += 1 }
-          sb.toString // bit j at string position j — matches the oracle's r*8+c index
-        }
-        // the sketch table feeds FOUR consumers inside the pair join
-        // (both band sides + both verify re-joins) — and each sketch
-        // row costs a PNG encode + a real ImageIO decode, so stage it
-        // once under the session lifecycle rather than re-rasterizing
-        // per consumer (unstaged, the sf0.1 run measured 38.7 s vs
-        // 5.7 s staged)
+        // the sketch table feeds both band sides of the pair join — and
+        // each sketch row costs a PNG encode + a real ImageIO decode,
+        // so stage it once under the session lifecycle rather than
+        // re-rasterizing per consumer (unstaged, the sf0.1 run measured
+        // 38.7 s vs 5.7 s staged). Sketches stay 64-bit LONGS end to
+        // end: banding and popcount verify are native codegen'd
+        // expressions (Dedup.hammingPairsFromLongs), no bit-string
+        // materialization.
         val sketches = Staged.cached(s, s"mm9sketch:$dir") {
           docs.mapPartitions(_.flatMap { case (id, nChars) =>
             val w = 9 + (id % 8).toInt
@@ -343,12 +340,10 @@ object MultimodalQueries {
               graft.operators.Multimodal.encodePngMixed(w, h, id))
             val twin = graft.operators.Multimodal.dHash(
               graft.operators.Multimodal.encodePngMixed(w, h, id, invertFirst = true))
-            base.map(b => (id, bits64(b._3))) ++
-              twin.map(t => (id + 1000000L, bits64(t._3)))
-          }).toDF("__id", "__sim")
+            base.map(b => (id, b._3)) ++ twin.map(t => (id + 1000000L, t._3))
+          }).toDF("__id", "__h")
         }
-        graft.operators.Dedup.simhashPairsFromShingles(
-            sketches, "__id", "__sim", maxHamming = 3, sketches = Some(sketches))
+        graft.operators.Dedup.hammingPairsFromLongs(sketches, "__id", "__h", maxDist = 3)
           .orderBy("doc_a", "doc_b")
       },
       Some("""WITH dims AS (

@@ -486,6 +486,33 @@ class DedupSpec extends SparkTestBase {
     assert(got == model)
   }
 
+  test("hammingPairsFromLongs == the string-sketch pigeonhole path") {
+    // both formulations have banding recall 1.0 at the budget plus an
+    // exact verify, so their outputs must be identical pair-for-pair
+    val rnd = new scala.util.Random(13)
+    val base = (0L until 150L).map(i => (i, rnd.nextLong()))
+    val planted = base.take(30).zipWithIndex.map { case ((i, h), k) =>
+      val flips = 1 + k % 4 // distances 1..4; 4 must NOT pair at maxDist 3
+      val bits = rnd.shuffle((0 until 64).toList).take(flips)
+      (i + 1000L, bits.foldLeft(h)((acc, b) => acc ^ (1L << b)))
+    }
+    val all = base ++ planted
+    def bits64(h: Long): String =
+      (0 until 64).map(j => if (((h >>> j) & 1L) != 0) '1' else '0').mkString
+    val longDf = all.toDF("id", "h")
+    val strDf = all.map { case (i, h) => (i, bits64(h)) }.toDF("__id", "__sim")
+    val a = Dedup.hammingPairsFromLongs(longDf, "id", "h", maxDist = 3)
+      .as[(Long, Long, Long)].collect().sorted.toSeq
+    val b = Dedup.simhashPairsFromShingles(strDf, "__id", "__sim",
+        maxHamming = 3, sketches = Some(strDf))
+      .as[(Long, Long, Long)].collect().sorted.toSeq
+    assert(a == b)
+    assert(a.nonEmpty, "fixture must plant at least one qualifying pair")
+    // distances 1..3 planted -> paired; distance-4 twins absent
+    val dists = a.filter(p => p._2 == p._1 + 1000L).map(_._3).toSet
+    assert(dists.subsetOf(Set(1L, 2L, 3L)) && !a.exists(_._3 > 3))
+  }
+
   test("clusterCanonical: argmax score per cluster, smallest-id tie-break") {
     val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L), (7L, 7L), (9L, 7L))
       .toDF("id", "rep")
