@@ -1189,6 +1189,43 @@ object Relational {
              |FROM lineitem
              |ORDER BY col_name""".stripMargin)),
 
+    // ---- recursive CTE (hierarchy walk) -----------------------------
+    // Spark 4's WITH RECURSIVE (UnionLoopExec): every order walks its
+    // synthetic binary-tree ancestor chain (k → k div 2) to the root —
+    // the BOM-explosion / org-chart shape SQL engines answer with
+    // recursion. UNION ALL + a strictly-shrinking key guarantees
+    // termination in ~log2(maxKey) rounds (33 at sf1's shifted keys,
+    // well under the 100-round engine limit); per-round work is one
+    // codegen'd projection + filter, and only the depth histogram
+    // aggregates at the end. The third formulation of iterative
+    // reachability in the engine, next to d6's checkpointed DataFrame
+    // loop and d6b's star contraction — this one entirely inside the
+    // SQL surface. DuckDB runs the identical recursion.
+    "q57_recursive_walk" -> QueryDef(
+      (s, dir) => {
+        // rows accumulated across rounds = n_orders * ~log2(maxKey)
+        // (2.7M at sf0.1, ~50M at sf1) — above the engine's 1M default
+        // safety LIMIT, which exists to catch non-terminating
+        // recursions; this one provably terminates (the anchor key
+        // strictly halves), so raise the guard rather than the depth
+        s.conf.set("spark.sql.cteRecursionRowLimit", "1000000000")
+        table(s, dir, "orders").createOrReplaceTempView("graft_q57_orders")
+        s.sql("""WITH RECURSIVE walk(k, anc, d) AS (
+                |  SELECT o_orderkey, o_orderkey, 0 FROM graft_q57_orders
+                |  UNION ALL
+                |  SELECT k, anc DIV 2, d + 1 FROM walk WHERE anc > 1)
+                |SELECT CAST(d AS BIGINT) AS depth, count(*) AS n_orders,
+                |  min(k) AS min_key, max(k) AS max_key
+                |FROM walk GROUP BY d ORDER BY depth""".stripMargin)
+      },
+      Some("""WITH RECURSIVE walk(k, anc, d) AS (
+             |  SELECT o_orderkey, o_orderkey, 0 FROM orders
+             |  UNION ALL
+             |  SELECT k, anc // 2, d + 1 FROM walk WHERE anc > 1)
+             |SELECT CAST(d AS BIGINT) AS depth, count(*) AS n_orders,
+             |  CAST(min(k) AS BIGINT) AS min_key, CAST(max(k) AS BIGINT) AS max_key
+             |FROM walk GROUP BY d ORDER BY depth""".stripMargin)),
+
     // ---- tumbling event-time window aggregation ---------------------
     // eventsRaw normalizes ts to epoch-nanos long; bucketing is then
     // exact integer arithmetic — also what you'd do at 100 TB to keep
