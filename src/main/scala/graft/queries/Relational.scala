@@ -1189,6 +1189,33 @@ object Relational {
              |FROM lineitem
              |ORDER BY col_name""".stripMargin)),
 
+    // ---- correlated EXISTS + uncorrelated IN subqueries -------------
+    // The TPC-H Q4 shape on the SQL surface (q25 covers the SCALAR
+    // subquery form; q8/q9 the DataFrame semi/anti API). Catalyst
+    // rewrites the correlated EXISTS to a left-semi hash join on the
+    // order key and the IN to a semi join on the grouped customer set
+    // — no per-row subquery execution survives planning, which is
+    // exactly why the form is safe at 100 TB.
+    "q58_exists_subquery" -> QueryDef(
+      (s, dir) => {
+        table(s, dir, "orders").createOrReplaceTempView("graft_q58_orders")
+        table(s, dir, "lineitem").createOrReplaceTempView("graft_q58_lineitem")
+        s.sql("""SELECT o_orderpriority, count(*) AS n_orders
+                |FROM graft_q58_orders
+                |WHERE EXISTS (SELECT 1 FROM graft_q58_lineitem
+                |              WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+                |  AND o_custkey IN (SELECT o_custkey FROM graft_q58_orders
+                |                    GROUP BY 1 HAVING count(*) >= 2)
+                |GROUP BY 1 ORDER BY 1""".stripMargin)
+      },
+      Some("""SELECT o_orderpriority, count(*) AS n_orders
+             |FROM orders
+             |WHERE EXISTS (SELECT 1 FROM lineitem
+             |              WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+             |  AND o_custkey IN (SELECT o_custkey FROM orders
+             |                    GROUP BY 1 HAVING count(*) >= 2)
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // ---- recursive CTE (hierarchy walk) -----------------------------
     // Spark 4's WITH RECURSIVE (UnionLoopExec): every order walks its
     // synthetic binary-tree ancestor chain (k → k div 2) to the root —
