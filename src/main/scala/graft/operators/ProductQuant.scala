@@ -186,4 +186,83 @@ object ProductQuant {
       .withColumn("__cos", Similarity.cosineNative(col(vecCol), col(qvecCol)))
     Similarity.topKReRank(scored, k, qidCol, idCol, "__cos")
   }
+
+  /** IVF-PQ fused ANN — the FAISS IVFPQ architecture shape, Spark-first:
+    * sim3's coarse quantizer decides WHICH rows a query scans (nProbe
+    * of nCells inverted lists — at scale the lists are partition-pruned
+    * files, see [[Similarity.buildIvfIndex]]), and sim5's product codes
+    * decide HOW CHEAP each scanned row is (m table lookups against a
+    * broadcast per-query distance table instead of a 64-float dot).
+    * Multiplying the two levers: scan volume ~ nProbe/nCells of the
+    * corpus AND bytes/row ~ m codes vs dims floats.
+    *
+    * Simplification vs FAISS kept deliberate: codes are trained on the
+    * RAW vectors, not per-cell residuals — residual encoding needs a
+    * per-cell codebook join in the oracle and buys accuracy only when
+    * cells are tight; the raw-code variant keeps one corpus-global
+    * codebook table and the whole chain SQL-expressible (the oracle
+    * replays coarse assignment, training, encoding, probed ADC, and
+    * re-rank bit-for-bit).
+    *
+    * Cell + codes come from ONE narrow projection of the corpus scan
+    * (no self-join); the query side broadcasts (probe cells × ADC
+    * tables); candidates per query are bounded by the probed lists,
+    * then [[graft.functions.TopKAgg]] cuts to candC before the exact
+    * re-rank. Output: the shared ANN contract (qid, rank, id,
+    * cos_micro).
+    */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                dims: Int, nCells: Int = 16, nProbe: Int = 6,
+                m: Int = 8, ks: Int = 8, iters: Int = 1, candC: Int = 100,
+                idCol: String = "vec_id", vecCol: String = "embedding",
+                qidCol: String = "qid", qvecCol: String = "qvec",
+                quantScale: Int = 1000): DataFrame = {
+    import graft.functions.{ScoredId, TopKAgg}
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val sd = dims / m
+    val cents = Similarity.bootstrapCentroids(corpus, nCells, idCol, vecCol)
+    val cbs = trainCodebooks(corpus, idCol, vecCol, dims, m, ks, iters, quantScale)
+    // one pass over the corpus computes BOTH index coordinates: the
+    // coarse cell (argmax cosine against the centroid literals) and
+    // the m PQ codes (argmin integer L2 per subspace)
+    val indexed = corpus
+      .withColumn("__vnorm", Similarity.norm(col(vecCol)))
+      .withColumn("__cell", Similarity.bestCell(col(vecCol), col("__vnorm"), cents))
+      .withColumn("__qv", Clustering.quantize(col(vecCol), quantScale))
+      .select(col(idCol), col("__cell"), array((0 until m).map { s0 =>
+        cellFor(subVec(col("__qv"), s0, sd), cbs(s0))
+      }: _*).as("__codes"))
+    // query side: nProbe nearest cells + the per-query ADC table, one
+    // row per (query, probed cell) — broadcast (tiny by construction)
+    val probes = queries
+      .withColumn("__vnorm", Similarity.norm(col(qvecCol)))
+      .withColumn("__qqv", Clustering.quantize(col(qvecCol), quantScale))
+      .select(col(qidCol),
+        array((0 until m).map { s0 =>
+          transform(centArraySub(cbs(s0)), c => sqDist(subVec(col("__qqv"), s0, sd),
+            c.getField("cv")))
+        }: _*).as("__qtab"),
+        explode(Similarity.nearestCells(col(qvecCol), col("__vnorm"), cents, nProbe))
+          .as("__cell"))
+    val approx = (0 until m).map { s0 =>
+      element_at(element_at(col("__qtab"), s0 + 1),
+        element_at(col("__codes"), s0 + 1).cast("int") + 1)
+    }.reduce(_ + _)
+    val cands = indexed.join(broadcast(probes), "__cell")
+      .filter(col(idCol) =!= col(qidCol))
+      .select(col(qidCol).cast("long"), col(idCol).cast("long"),
+        approx.cast("double").as("__approx"))
+      .as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .mapValues { case (qid @ _, id, a) => ScoredId(id, -a) }
+      .agg(new TopKAgg(candC).toColumn.name("cand"))
+      .flatMap { case (qid, cand) => cand.map(s => (qid, s.id)) }
+      .toDF(qidCol, idCol)
+    val scored = cands
+      .join(corpus.select(col(idCol), col(vecCol)), idCol)
+      .join(broadcast(queries.select(col(qidCol), col(qvecCol))), qidCol)
+      .withColumn("__cos", Similarity.cosineNative(col(vecCol), col(qvecCol)))
+    Similarity.topKReRank(scored, k, qidCol, idCol, "__cos")
+  }
 }

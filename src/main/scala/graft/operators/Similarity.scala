@@ -138,7 +138,7 @@ object Similarity {
     * struct(sim, -cell) — max sim, ties → smallest cell (struct ordering
     * is lexicographic). Narrow; no shuffle, no row expansion.
     */
-  private def bestCell(vec: Column, vnorm: Column, cents: Seq[Centroid]): Column = {
+  private[operators] def bestCell(vec: Column, vnorm: Column, cents: Seq[Centroid]): Column = {
     val ranked = transform(centroidSims(vec, vnorm, cents), s =>
       struct(s.getField("sim").as("sim"), (-s.getField("cell")).as("negcell")))
     -array_max(ranked).getField("negcell")
@@ -147,7 +147,7 @@ object Similarity {
   /** The `n` nearest cells (sim desc, cell asc) as an array<bigint> —
     * used on the (small) query side for multi-probe.
     */
-  private def nearestCells(vec: Column, vnorm: Column, cents: Seq[Centroid], n: Int): Column = {
+  private[operators] def nearestCells(vec: Column, vnorm: Column, cents: Seq[Centroid], n: Int): Column = {
     val ranked = transform(centroidSims(vec, vnorm, cents), s =>
       struct((-s.getField("sim")).as("negsim"), s.getField("cell").as("cell")))
     transform(slice(array_sort(ranked), 1, n), s => s.getField("cell"))
@@ -170,7 +170,7 @@ object Similarity {
     * of the sampling arithmetic — [[ivfTopK]] and [[buildIvfIndex]]
     * must agree byte-for-byte for index-vs-inline result parity.
     */
-  private def bootstrapCentroids(corpus: DataFrame, nCells: Int,
+  private[operators] def bootstrapCentroids(corpus: DataFrame, nCells: Int,
                                  idCol: String, vecCol: String): Seq[Centroid] = {
     val total = corpus.count()
     val stride = math.max(1L, total / nCells)

@@ -40,6 +40,15 @@ object LshSweep {
       val recall = (exact & approx).size.toDouble / exact.size
       println(f"[ivf] refine=$refine nProbe=$nProbe  recall=$recall%.2f  ${secs}%5.1fs")
     }
+    for (nProbe <- Seq(4, 6, 8)) {
+      val t0 = System.nanoTime()
+      val approx = graft.operators.ProductQuant.ivfPqTopK(emb, q, 10, dims = 64,
+          nCells = 16, nProbe = nProbe, m = 8, ks = 8, iters = 1, candC = 100)
+        .select("qid", "vec_id").as[(Long, Long)].collect().toSet
+      val secs = (System.nanoTime() - t0) / 1e9
+      val recall = (exact & approx).size.toDouble / exact.size
+      println(f"[ivfpq] nProbe=$nProbe  recall=$recall%.2f  ${secs}%5.1fs")
+    }
     spark.stop()
   }
 }
