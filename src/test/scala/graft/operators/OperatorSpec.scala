@@ -668,6 +668,33 @@ class ProductQuantSpec extends SparkTestBase {
     // vec() is periodic mod 13) — ties break id-asc.
     assert(top.take(2).toSeq == Seq((0L, 1L, 13L, 1000000L), (0L, 2L, 100L, 1000000L)))
   }
+
+  test("ivfPqTopK at nProbe = nCells equals the unfused full ADC scan") {
+    // with every cell probed, the fusion's coarse filter admits the
+    // whole corpus, training/seeds are identical, so the fused result
+    // must equal adcTopK row-for-row — the equivalence pins the IVF
+    // restriction as the ONLY behavioral difference between sim6 and
+    // sim5
+    val dims = 8
+    val corpus = (0L until 40L).map(i => (i, vec(i * 3 + 1, dims)))
+      .toDF("vec_id", "embedding")
+    val queries = Seq((1L, vec(4L, dims)), (2L, vec(7L, dims))).toDF("qid", "qvec")
+    val fused = ProductQuant.ivfPqTopK(corpus, queries, k = 5, dims = dims,
+      nCells = 4, nProbe = 4, m = 2, ks = 4, iters = 1, candC = 15)
+      .as[(Long, Long, Long, Long)].collect().sorted.toSeq
+    val flat = ProductQuant.adcTopK(corpus, queries, k = 5, dims = dims,
+      m = 2, ks = 4, iters = 1, candC = 15)
+      .as[(Long, Long, Long, Long)].collect().sorted.toSeq
+    assert(fused == flat)
+    assert(fused.nonEmpty)
+    // and a REAL restriction (nProbe = 1) returns a subset ranking of
+    // candidates from the probed cell only — never more than k rows
+    // per query, possibly different members
+    val probed = ProductQuant.ivfPqTopK(corpus, queries, k = 5, dims = dims,
+      nCells = 4, nProbe = 1, m = 2, ks = 4, iters = 1, candC = 15)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(probed.groupBy(_._1).values.forall(_.length <= 5))
+  }
 }
 
 class SubstringDedupSpec extends SparkTestBase {
