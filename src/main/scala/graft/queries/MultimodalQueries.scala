@@ -302,6 +302,55 @@ object MultimodalQueries {
              |FROM f, UNNEST(range(0, n_frames)) AS t(i)
              |ORDER BY doc_id, frame_i""".stripMargin)),
 
+    // VIDEO near-dup JOIN via frame-fingerprint sets: each "video"
+    // (the document blob) is fingerprinted by hashing 24 sampled
+    // fixed-offset frame windows (mm2's stride sampling; poly-hash as
+    // the per-frame perceptual hash stand-in); two videos are
+    // near-dups when their frame-hash SETS overlap at jaccard >= 1/2 —
+    // the re-encoded-copy detection shape (a re-encode/trim changes
+    // some frames, not most). Planted twins: every 7th doc re-ingested
+    // with an appended banner — long docs keep all 24 windows
+    // identical, short ones diverge where sampling passes the original
+    // end, both deterministically. The pair join is d5's EXACT
+    // prefix-filtered jaccard machinery on a non-text column (frame
+    // hashes move as short strings, never blob bytes); the oracle
+    // replays sampling, hashing, and all-pairs jaccard via the shared
+    // CTE rendering.
+    "mm10_video_neardup" -> QueryDef(
+      (s, dir) => {
+        graft.functions.VectorExpressions.register(s)
+        val docs = table(s, dir, "documents").select(col("doc_id"), col("text"))
+        val twins = docs.filter(col("doc_id") % 7 === 0)
+          .select((col("doc_id") + 500000).as("doc_id"),
+            concat(col("text"), lit(" appended re-encode banner x")).as("text"))
+        val nF = 24
+        // offsets are compile-time constants → a flat 24-expression
+        // projection, not a HOF (custom expressions inside lambda
+        // bodies cannot bind captured attributes; flat arrays also
+        // stay inside whole-stage codegen)
+        val fhs = docs.unionByName(twins).select(col("doc_id"),
+          array_distinct(array((0 until nF).map { i =>
+            call_function("poly_hash",
+              col("text").substr(lit(i * 997 % 1000 + 1), lit(16))).cast("string")
+          }: _*)).as("__sh"))
+        graft.operators.Dedup.ngramJaccardPairs(fhs, "doc_id", "__sh",
+            num = 1, den = 2)
+          .orderBy("doc_a", "doc_b")
+      },
+      Some(s"""WITH allv AS (
+             |  SELECT doc_id, text FROM documents
+             |  UNION ALL
+             |  SELECT doc_id + 500000, text || ' appended re-encode banner x'
+             |  FROM documents WHERE doc_id % 7 = 0),
+             |sh AS (SELECT DISTINCT doc_id,
+             |    CAST(${QueryDef.polyHashSql(
+                      "substr(text, CAST((t.i*997)%1000+1 AS INTEGER), 16)")}
+             |      AS VARCHAR) AS s
+             |  FROM allv, UNNEST(range(0, 24)) AS t(i)),
+             |${QueryDef.jaccardPairCtes(1, 2)}
+             |SELECT da AS doc_a, db AS doc_b, jacc_pct FROM qp
+             |ORDER BY 1, 2""".stripMargin)),
+
     // IMAGE near-dup JOIN over real decoded rasters: every document
     // yields a base image (>= 9x8, so the dHash grid is informative —
     // degenerate 1-wide rasters all hash to 0 and would pair
