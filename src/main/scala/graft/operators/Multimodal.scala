@@ -526,6 +526,45 @@ object Multimodal {
     } catch { case _: Exception => None }
   }
 
+  /** Full-raster luma statistics over a REAL ImageIO decode: 16-bin
+    * integer milli-luma histogram (bin = min(15, l*16 DIV 255000) over
+    * l = 299r+587g+114b, max 255000), min/max luma, the dominant bin
+    * (highest count, lowest-bin tie-break), and a flat-image flag
+    * (max-min < 10000 milli-luma ≈ 4% of range) — the blank/broken
+    * image filter of an ingest pipeline. Returns
+    * (w, h, nPx, lumMin, lumMax, domBin, nDom, isFlat); None on
+    * undecodable bytes.
+    */
+  def lumaStats(bytes: Array[Byte])
+      : Option[(Int, Int, Long, Long, Long, Int, Long, Boolean)] = {
+    if (bytes.isEmpty) return None
+    try {
+      val img = ImageIO.read(new ByteArrayInputStream(bytes))
+      if (img == null) return None
+      val (w, h) = (img.getWidth, img.getHeight)
+      val hist = new Array[Long](16)
+      var (lo, hi) = (Long.MaxValue, Long.MinValue)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val p = img.getRGB(x, y) & 0xffffff
+          val l = 299L * ((p >> 16) & 0xff) + 587L * ((p >> 8) & 0xff) +
+            114L * (p & 0xff)
+          hist(math.min(15L, l * 16L / 255000L).toInt) += 1
+          if (l < lo) lo = l
+          if (l > hi) hi = l
+          x += 1
+        }
+        y += 1
+      }
+      var dom = 0
+      var b = 1
+      while (b < 16) { if (hist(b) > hist(dom)) dom = b; b += 1 }
+      Some((w, h, w.toLong * h, lo, hi, dom, hist(dom), hi - lo < 10000L))
+    } catch { case _: Exception => None }
+  }
+
   /** Deterministic frame-sampling offsets for a blob of `nBytes`:
     * stride chosen so every blob yields >= 1 frame. Mirrors video
     * frame-sampling plumbing (offset list → per-frame rows).

@@ -408,6 +408,83 @@ object EventQueries {
              |    ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
              |    AS BIGINT) AS value_c,
              |  CAST(CASE WHEN day_v IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS observed
-             |FROM j ORDER BY 1, 2""".stripMargin))
+             |FROM j ORDER BY 1, 2""".stripMargin)),
+
+    // Last-touch attribution: every purchase is credited to the user's
+    // most recent PRECEDING non-purchase event type (the marketing
+    // channel); purchases with no prior touch are 'direct'. Shape: one
+    // exchange + one per-user sort (the same per-user window q18/q52
+    // already carry), then a dimension-sized channel aggregate — no
+    // self-joins, no per-user collect. The frame excludes the current
+    // row, so a purchase can never attribute to itself.
+    "q60_attribution" -> QueryDef(
+      (s, dir) => {
+        val ev = Relational.eventsRaw(s, dir)
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            cents(col("value")).as("value_c"), expr("ts div 1000").as("t_us"))
+        val wPrev = Window.partitionBy("user_id").orderBy("t_us", "event_id")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        ev.withColumn("touch",
+            last(when(col("event_type") =!= "purchase", col("event_type")),
+              ignoreNulls = true).over(wPrev))
+          .filter(col("event_type") === "purchase")
+          .groupBy(coalesce(col("touch"), lit("direct")).as("channel"))
+          .agg(count(lit(1)).as("n_purchases"), sum("value_c").as("value_c"))
+          .orderBy("channel")
+      },
+      Some("""WITH ev AS (
+             |  SELECT event_id, user_id, event_type,
+             |    CAST(round(value*100) AS BIGINT) AS value_c, epoch_us(ts) AS t_us
+             |  FROM events),
+             |touched AS (
+             |  SELECT *, last_value(CASE WHEN event_type <> 'purchase'
+             |      THEN event_type END IGNORE NULLS) OVER (
+             |    PARTITION BY user_id ORDER BY t_us, event_id
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch
+             |  FROM ev)
+             |SELECT coalesce(touch, 'direct') AS channel,
+             |  count(*) AS n_purchases, CAST(sum(value_c) AS BIGINT) AS value_c
+             |FROM touched WHERE event_type = 'purchase'
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Hourly rate-anomaly detection in EXACT integer arithmetic: an
+    // (event_type, hour) is a spike when its count exceeds 150% of the
+    // trailing-24h average, i.e. n * trail_n * 100 > trail_sum * 150
+    // (cross-multiplied — no float division, so the flag is
+    // engine-portable). The only full-data op is the map-side-combining
+    // (type, hour) count; the trailing RANGE window then runs over the
+    // dimension-sized hourly histogram (8,760 rows/type/year — t19's
+    // histogram-first discipline), never over raw events. A value-RANGE
+    // frame (not ROWS) keeps the trailing average honest across silent
+    // hours with no row. trail_n >= 6 suppresses cold-start flags.
+    "q61_rate_anomaly" -> QueryDef(
+      (s, dir) => {
+        val hourly = Relational.eventsRaw(s, dir)
+          .select(col("event_type"), expr("ts div 3600000000000").as("hr"))
+          .groupBy("event_type", "hr").agg(count(lit(1)).as("n"))
+        val wTrail = Window.partitionBy("event_type").orderBy("hr")
+          .rangeBetween(-24, -1)
+        hourly
+          .withColumn("trail_n", count(lit(1)).over(wTrail))
+          .withColumn("trail_sum", sum("n").over(wTrail))
+          .filter(col("trail_n") >= 6 &&
+            col("n") * col("trail_n") * 100L > col("trail_sum") * 150L)
+          .select(col("event_type"), col("hr"), col("n"),
+            col("trail_n"), col("trail_sum"))
+          .orderBy("event_type", "hr")
+      },
+      Some("""WITH hourly AS (
+             |  SELECT event_type, epoch_ns(ts) // 3600000000000 AS hr,
+             |    count(*) AS n
+             |  FROM events GROUP BY 1, 2),
+             |trailed AS (
+             |  SELECT *, count(*) OVER w AS trail_n, sum(n) OVER w AS trail_sum
+             |  FROM hourly WINDOW w AS (PARTITION BY event_type ORDER BY hr
+             |    RANGE BETWEEN 24 PRECEDING AND 1 PRECEDING))
+             |SELECT event_type, CAST(hr AS BIGINT) AS hr, n,
+             |  trail_n, CAST(trail_sum AS BIGINT) AS trail_sum
+             |FROM trailed
+             |WHERE trail_n >= 6 AND n * trail_n * 100 > trail_sum * 150
+             |ORDER BY 1, 2""".stripMargin))
   )
 }

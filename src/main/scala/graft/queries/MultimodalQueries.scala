@@ -175,6 +175,71 @@ object MultimodalQueries {
              |  CAST(hs.hi AS BIGINT) AS phash_hi, CAST(hs.lo AS BIGINT) AS phash_lo
              |FROM dims d JOIN hs USING (doc_id) ORDER BY doc_id""".stripMargin)),
 
+    // REAL image statistics over full decoded rasters: generate the
+    // addressable PNG, decode it with ImageIO for real, and compute
+    // the 16-bin integer milli-luma histogram summary — min/max luma,
+    // dominant bin (highest count, lowest-bin tie-break), and the
+    // flat-image flag (the blank/broken-image filter every image
+    // ingest pipeline runs before spending embedding compute). The
+    // oracle recomputes every pixel's luma, bin, and the per-doc
+    // argmax from the addrPixel formula — the decode path is real,
+    // the pixels are arithmetic, and a histogram or tie-break bug
+    // cannot hash-match. Partition-local batched decode; one row out
+    // per image, no shuffle before the final orderBy.
+    "mm11_image_stats" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val docs = table(s, dir, "documents")
+          .select(col("doc_id").cast("long"), col("n_chars").cast("long"))
+          .as[(Long, Long)]
+        val rows = docs.mapPartitions(_.flatMap { case (id, nChars) =>
+          val bytes = graft.operators.Multimodal.encodePngAddr(
+            1 + (id % 16).toInt, 1 + (nChars % 16).toInt, id)
+          graft.operators.Multimodal.lumaStats(bytes).map {
+            case (w, h, nPx, lo, hi, dom, nDom, flat) =>
+              (id, w.toLong, h.toLong, nPx, lo, hi, dom.toLong, nDom,
+                if (flat) 1L else 0L)
+          }
+        })
+        rows.toDF("doc_id", "w", "h", "n_px", "lum_min", "lum_max",
+            "dom_bin", "n_dom", "is_flat")
+          .orderBy("doc_id")
+      },
+      Some("""WITH dims AS (
+             |  SELECT doc_id, 1 + doc_id % 16 AS w, 1 + n_chars % 16 AS h
+             |  FROM documents),
+             |px AS (
+             |  SELECT doc_id, w, h,
+             |    (((doc_id % 1000003) * 31 + t.pos) * 2654435761)
+             |      % 16777216 AS p
+             |  FROM dims, UNNEST(range(0, w * h)) AS t(pos)),
+             |lum AS (
+             |  SELECT doc_id, w, h,
+             |    299 * ((p // 65536) % 256) + 587 * ((p // 256) % 256)
+             |      + 114 * (p % 256) AS l
+             |  FROM px),
+             |binned AS (
+             |  SELECT doc_id, least(15, l * 16 // 255000) AS bin, count(*) AS n
+             |  FROM lum GROUP BY 1, 2),
+             |dom AS (
+             |  SELECT doc_id, bin, n,
+             |    row_number() OVER (PARTITION BY doc_id ORDER BY n DESC, bin) AS rn
+             |  FROM binned),
+             |mm AS (
+             |  SELECT doc_id, any_value(w) AS w, any_value(h) AS h,
+             |    count(*) AS n_px, min(l) AS lum_min, max(l) AS lum_max
+             |  FROM lum GROUP BY 1)
+             |SELECT mm.doc_id, CAST(mm.w AS BIGINT) AS w,
+             |  CAST(mm.h AS BIGINT) AS h, CAST(mm.n_px AS BIGINT) AS n_px,
+             |  CAST(mm.lum_min AS BIGINT) AS lum_min,
+             |  CAST(mm.lum_max AS BIGINT) AS lum_max,
+             |  CAST(dom.bin AS BIGINT) AS dom_bin,
+             |  CAST(dom.n AS BIGINT) AS n_dom,
+             |  CAST(CASE WHEN mm.lum_max - mm.lum_min < 10000
+             |    THEN 1 ELSE 0 END AS BIGINT) AS is_flat
+             |FROM mm JOIN dom ON mm.doc_id = dom.doc_id AND dom.rn = 1
+             |ORDER BY mm.doc_id""".stripMargin)),
+
     // REAL audio fingerprint over decoded PCM: generate the
     // addressable WAV, decode it with javax.sound for real, bin the
     // frames into 9 windows, integer energy per bin, 8-bit

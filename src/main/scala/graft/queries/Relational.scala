@@ -1253,6 +1253,89 @@ object Relational {
              |  CAST(min(k) AS BIGINT) AS min_key, CAST(max(k) AS BIGINT) AS max_key
              |FROM walk GROUP BY d ORDER BY depth""".stripMargin)),
 
+    // ---- data-quality audit (long format) ---------------------------
+    // ANALYZE-style constraint audit across the star schema: null
+    // checks, domain checks, key-uniqueness violations, and FK orphan
+    // counts, one long-format row per check. Shape: the null/domain
+    // checks are ONE conditional-agg scan per table (map-side partial
+    // state only); key uniqueness is a map-side-combining groupBy on
+    // the key (sum of n-1 over keys seen more than once — never a
+    // count(distinct) EXPAND); FK orphans are left-anti joins keyed on
+    // the FK (the standard shuffle shape; at 100 TB the dimension side
+    // of orders→customer broadcasts under AQE sizing). Every branch
+    // returns exactly one row, so the union is a dimension-sized
+    // result regardless of fact-table scale.
+    "q59_dq_audit" -> QueryDef(
+      (s, dir) => {
+        def one(tbl: String, check: String, n: org.apache.spark.sql.Column,
+                src: DataFrame): DataFrame =
+          src.agg(n.cast("long").as("n_bad"))
+            .select(lit(tbl).as("table_name"), lit(check).as("check_name"),
+              col("n_bad"))
+        val li = table(s, dir, "lineitem")
+        val ord = table(s, dir, "orders")
+        val cust = table(s, dir, "customer")
+        val ev = table(s, dir, "events")
+        val dupOrders = ord.groupBy("o_orderkey")
+          .agg(count(lit(1)).as("k"))
+          .filter(col("k") > 1)
+          .agg(coalesce(sum(col("k") - 1), lit(0L)).cast("long").as("n_bad"))
+          .select(lit("orders").as("table_name"),
+            lit("dup_o_orderkey").as("check_name"), col("n_bad"))
+        val orphanLi = one("lineitem", "orphan_l_orderkey", count(lit(1)),
+          li.join(ord, li("l_orderkey") === ord("o_orderkey"), "left_anti"))
+        val orphanOrd = one("orders", "orphan_o_custkey", count(lit(1)),
+          ord.join(cust, ord("o_custkey") === cust("c_custkey"), "left_anti"))
+        one("lineitem", "null_l_orderkey",
+            count(when(col("l_orderkey").isNull, 1)), li)
+          .unionAll(one("lineitem", "nonpos_quantity",
+            count(when(col("l_quantity") <= 0, 1)), li))
+          .unionAll(one("lineitem", "discount_range",
+            count(when(col("l_discount") < 0 || col("l_discount") > 1, 1)), li))
+          .unionAll(dupOrders)
+          .unionAll(orphanLi)
+          .unionAll(orphanOrd)
+          .unionAll(one("events", "null_props",
+            count(when(col("props").isNull, 1)), ev))
+          .unionAll(one("events", "neg_value",
+            count(when(col("value") < 0, 1)), ev))
+          .orderBy("table_name", "check_name")
+      },
+      Some("""SELECT * FROM (
+             |  SELECT 'lineitem' AS table_name, 'null_l_orderkey' AS check_name,
+             |    CAST(count(CASE WHEN l_orderkey IS NULL THEN 1 END) AS BIGINT) AS n_bad
+             |  FROM lineitem
+             |  UNION ALL
+             |  SELECT 'lineitem', 'nonpos_quantity',
+             |    CAST(count(CASE WHEN l_quantity <= 0 THEN 1 END) AS BIGINT)
+             |  FROM lineitem
+             |  UNION ALL
+             |  SELECT 'lineitem', 'discount_range',
+             |    CAST(count(CASE WHEN l_discount < 0 OR l_discount > 1 THEN 1 END) AS BIGINT)
+             |  FROM lineitem
+             |  UNION ALL
+             |  SELECT 'orders', 'dup_o_orderkey',
+             |    CAST(coalesce(sum(k - 1), 0) AS BIGINT)
+             |  FROM (SELECT o_orderkey, count(*) AS k FROM orders GROUP BY 1) d
+             |  WHERE k > 1
+             |  UNION ALL
+             |  SELECT 'lineitem', 'orphan_l_orderkey', CAST(count(*) AS BIGINT)
+             |  FROM lineitem l WHERE NOT EXISTS
+             |    (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+             |  UNION ALL
+             |  SELECT 'orders', 'orphan_o_custkey', CAST(count(*) AS BIGINT)
+             |  FROM orders o WHERE NOT EXISTS
+             |    (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+             |  UNION ALL
+             |  SELECT 'events', 'null_props',
+             |    CAST(count(CASE WHEN props IS NULL THEN 1 END) AS BIGINT)
+             |  FROM events
+             |  UNION ALL
+             |  SELECT 'events', 'neg_value',
+             |    CAST(count(CASE WHEN value < 0 THEN 1 END) AS BIGINT)
+             |  FROM events
+             |) ORDER BY table_name, check_name""".stripMargin)),
+
     // ---- tumbling event-time window aggregation ---------------------
     // eventsRaw normalizes ts to epoch-nanos long; bucketing is then
     // exact integer arithmetic — also what you'd do at 100 TB to keep

@@ -814,6 +814,224 @@ object TextQueries {
     // polynomial rolling-hash fingerprint (exact-int, engine-portable).
     // Native codegen'd PolyHash: one O(n) byte pass per doc — the HOF
     // form (per-char substr) rescans the string per character, O(n^2).
+    // PMI-style collocation mining (phrase extraction): top bigrams by
+    // the exact-integer scaled PMI ratio
+    //   score_ppm = ((c_xy * 1e6) DIV c_x * N) DIV c_y
+    // (both engines apply the two integer divisions in the SAME order,
+    // so the score is reproducible — no logs, no floats). Overflow
+    // bound: the first quotient is <= 1e6 (c_xy <= c_x), so the
+    // multiply stays under 2^63 for any corpus up to N ~ 9e12 tokens.
+    // Shape: occurrence-preserving bigrams via the let-bound ngrams
+    // path (one split per row), two map-side-combining count aggs
+    // (bigram + unigram), two joins keyed on the vocab-sized token
+    // tables, and a TakeOrderedAndProject top-50 — no global sort
+    // materializes the vocab.
+    "t23_collocations" -> QueryDef(
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+        val uni = docs.select(explode(TextOps.words(col("text"))).as("tok"))
+          .groupBy("tok").agg(count(lit(1)).as("c"))
+        val n = uni.agg(sum("c").cast("long").as("n_total"))
+        val bi = docs.select(explode(TextOps.ngrams(col("text"), 2)).as("bg"))
+          .groupBy("bg").agg(count(lit(1)).as("c_xy"))
+          .filter(col("c_xy") >= 5)
+          .withColumn("w1", split(col("bg"), " ").getItem(0))
+          .withColumn("w2", split(col("bg"), " ").getItem(1))
+        bi.join(uni.withColumnRenamed("tok", "w1").withColumnRenamed("c", "c_x"), "w1")
+          .join(uni.withColumnRenamed("tok", "w2").withColumnRenamed("c", "c_y"), "w2")
+          .crossJoin(broadcast(n))
+          .select(col("bg"), col("c_xy"), col("c_x"), col("c_y"),
+            expr("CAST((c_xy * 1000000 DIV c_x * n_total) DIV c_y AS BIGINT)")
+              .as("score_ppm"))
+          .orderBy(col("score_ppm").desc, col("c_xy").desc, col("bg"))
+          .limit(50)
+      },
+      Some("""WITH words AS (SELECT doc_id, string_split(text, ' ') AS w
+             |  FROM documents),
+             |uni AS (
+             |  SELECT t.tok, count(*) AS c
+             |  FROM words, UNNEST(w) AS t(tok) GROUP BY 1),
+             |n AS (SELECT CAST(sum(c) AS BIGINT) AS n_total FROM uni),
+             |bi AS (
+             |  SELECT array_to_string(w[i:i+1], ' ') AS bg, count(*) AS c_xy
+             |  FROM words, UNNEST(range(1, len(w))) AS t(i)
+             |  GROUP BY 1 HAVING count(*) >= 5)
+             |SELECT bg, bi.c_xy AS c_xy, x.c AS c_x, y.c AS c_y,
+             |  CAST((bi.c_xy * 1000000 // x.c * n.n_total) // y.c AS BIGINT)
+             |    AS score_ppm
+             |FROM bi
+             |JOIN uni x ON x.tok = string_split(bg, ' ')[1]
+             |JOIN uni y ON y.tok = string_split(bg, ' ')[2]
+             |CROSS JOIN n
+             |ORDER BY score_ppm DESC, c_xy DESC, bg LIMIT 50""".stripMargin)),
+
+    // RAG chunking: overlapping fixed-token windows (32 tokens, stride
+    // 24) per document — the retrieval-corpus construction step. Chunk
+    // k covers tokens [k*24+1, k*24+32]; windows keep starting while
+    // k*24 < n_tokens, so the tail chunk may be short but every token
+    // is covered and consecutive chunks overlap by 8 tokens. Shape:
+    // one let-bound split per row, a narrow sequence-explode (no
+    // joins, no shuffle — chunk rows stay on their doc's partition),
+    // and the portable poly-hash as the chunk content fingerprint a
+    // downstream embedder/indexer would key on.
+    "t24_rag_chunk" -> QueryDef(
+      (s, dir) => {
+        graft.functions.VectorExpressions.register(s)
+        val W = 32
+        val S = 24
+        table(s, dir, "documents")
+          .select(col("doc_id"), TextOps.words(col("text")).as("w"))
+          .withColumn("n", size(col("w")).cast("long"))
+          .filter(col("n") > 0)
+          .select(col("doc_id"), col("w"), col("n"),
+            explode(sequence(lit(0L), expr(s"(n - 1) DIV $S"))).as("k"))
+          .select(col("doc_id"), col("k").as("chunk_ix"),
+            (col("k") * S).as("start_tok"),
+            concat_ws(" ", slice(col("w"), (col("k") * S + 1).cast("int"),
+              lit(W))).as("chunk"))
+          .select(col("doc_id"), col("chunk_ix"), col("start_tok"),
+            size(split(col("chunk"), " ")).cast("long").as("n_tok"),
+            call_function("poly_hash", col("chunk")).as("fp"))
+          .orderBy("doc_id", "chunk_ix")
+      },
+      Some(s"""WITH words AS (
+             |  SELECT doc_id, string_split(text, ' ') AS w,
+             |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+             |  FROM documents),
+             |chunks AS (
+             |  SELECT doc_id, t.k AS chunk_ix, t.k * 24 AS start_tok,
+             |    array_to_string(w[CAST(t.k * 24 + 1 AS BIGINT)
+             |      :CAST(t.k * 24 + 32 AS BIGINT)], ' ') AS chunk
+             |  FROM words, UNNEST(range(0, (n - 1) // 24 + 1)) AS t(k)
+             |  WHERE n > 0)
+             |SELECT doc_id, CAST(chunk_ix AS BIGINT) AS chunk_ix,
+             |  CAST(start_tok AS BIGINT) AS start_tok,
+             |  CAST(len(string_split(chunk, ' ')) AS BIGINT) AS n_tok,
+             |  CAST(${QueryDef.polyHashSql("chunk")} AS BIGINT) AS fp
+             |FROM chunks ORDER BY doc_id, chunk_ix""".stripMargin)),
+
+    // Probability-proportional-to-size (PPS) sampling with a
+    // Horvitz-Thompson total estimate — the weighted companion of
+    // q38's equal-rate stratified sample: big documents are kept with
+    // proportionally higher probability (pi_i = min(1, n_chars/400)),
+    // so a char-budget estimate from the sample has lower variance
+    // than uniform sampling at the same rate. Deterministic: keep iff
+    // knuthMix(doc_id) mod 1e6 < rate_ppm — reproducible across
+    // engines and stable under corpus growth. The HT estimate
+    // rescales each kept doc by 1e6/rate_ppm in EXACT integer
+    // arithmetic; the report compares it to the true total per
+    // source. Scan-side filter + one dimension-sized agg — no
+    // shuffle of raw rows.
+    "t26_pps_sample" -> QueryDef(
+      (s, dir) => {
+        val theta = 400L
+        val d = table(s, dir, "documents")
+          .select(col("doc_id"), col("source"), col("n_chars"),
+            least(lit(1000000L), expr(s"n_chars * 1000000 DIV $theta"))
+              .cast("long").as("rate_ppm"),
+            (TextOps.knuthMix(col("doc_id")) % 1000000L).as("h"))
+        d.groupBy("source").agg(
+            count(lit(1)).as("n_docs"),
+            sum("n_chars").as("exact_chars"),
+            count(when(col("h") < col("rate_ppm"), 1)).as("n_sampled"),
+            sum(when(col("h") < col("rate_ppm"),
+              expr("n_chars * 1000000 DIV rate_ppm"))).as("est_chars"))
+          .withColumn("err_permille",
+            expr("CAST(abs(est_chars - exact_chars) * 1000 DIV exact_chars AS BIGINT)"))
+          .orderBy("source")
+      },
+      Some(s"""WITH d AS (
+             |  SELECT doc_id, source, n_chars,
+             |    least(1000000, n_chars * 1000000 // 400) AS rate_ppm,
+             |    ${QueryDef.knuthMixSql("doc_id")} % 1000000 AS h
+             |  FROM documents)
+             |SELECT source, count(*) AS n_docs,
+             |  CAST(sum(n_chars) AS BIGINT) AS exact_chars,
+             |  CAST(count(CASE WHEN h < rate_ppm THEN 1 END) AS BIGINT) AS n_sampled,
+             |  CAST(sum(CASE WHEN h < rate_ppm
+             |    THEN n_chars * 1000000 // rate_ppm END) AS BIGINT) AS est_chars,
+             |  CAST(abs(sum(CASE WHEN h < rate_ppm
+             |      THEN n_chars * 1000000 // rate_ppm END) - sum(n_chars)) * 1000
+             |    // sum(n_chars) AS BIGINT) AS err_permille
+             |FROM d GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Right-to-be-forgotten propagation audit: a deletion request set
+    // (deterministic stand-in: docs with knuthMix(doc_id) % 17 == 0)
+    // must purge the raw corpus AND every derived table. Audited here:
+    // documents (1 row/doc), embeddings (the doc's vector row), and
+    // the derived 8-word chunk table (d7's segmentation — many rows
+    // per doc). Purges are anti-joins keyed on the id (the request
+    // set is a table in production, not a computable predicate — so
+    // the join, not a filter, is the honest shape; at typical request
+    // volumes the deletion side broadcasts). Output: one row per
+    // table with purge counts and a survivor checksum (sum of mixed
+    // ids — position-independent, so it hash-verifies WHAT survived,
+    // not just how much).
+    "t27_deletion_propagation" -> QueryDef(
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+        val del = docs.select(col("doc_id"))
+          .filter(TextOps.knuthMix(col("doc_id")) % 17 === 0)
+        val emb = table(s, dir, "embeddings").select(col("vec_id").as("id"))
+        val chunks = docs
+          .select(col("doc_id"), TextOps.words(col("text")).as("w"))
+          .select(col("doc_id"),
+            explode(TextOps.wordChunksFromWords(col("w"), 8)).as("chunk"))
+          .select(col("doc_id").as("id"))
+        def audit(tbl: String, rows: org.apache.spark.sql.DataFrame)
+            : org.apache.spark.sql.DataFrame = {
+          val purged = rows.join(broadcast(del),
+            rows("id") === del("doc_id"), "left_semi")
+          val kept = rows.join(broadcast(del),
+            rows("id") === del("doc_id"), "left_anti")
+          purged.agg(count(lit(1)).cast("long").as("n_purged"))
+            .crossJoin(kept.agg(count(lit(1)).cast("long").as("n_kept"),
+              coalesce(sum(TextOps.knuthMix(col("id"))), lit(0L))
+                .cast("long").as("survivor_sum")))
+            .select(lit(tbl).as("table_name"), col("n_purged"),
+              col("n_kept"), col("survivor_sum"))
+        }
+        audit("documents", docs.select(col("doc_id").as("id")))
+          .unionAll(audit("embeddings", emb))
+          .unionAll(audit("doc_chunks", chunks))
+          .orderBy("table_name")
+      },
+      Some(s"""WITH del AS (
+             |  SELECT doc_id FROM documents
+             |  WHERE ${QueryDef.knuthMixSql("doc_id")} % 17 = 0),
+             |chunks AS (
+             |  SELECT doc_id AS id
+             |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+             |    UNNEST(range(0, greatest(len(w) + 7, 8) // 8)) AS t(i)
+             |  WHERE len(w) > 0),
+             |emb AS (SELECT vec_id AS id FROM embeddings),
+             |docs AS (SELECT doc_id AS id FROM documents),
+             |aud AS (
+             |  SELECT 'documents' AS table_name,
+             |    count(CASE WHEN doc_id IS NOT NULL THEN 1 END) AS n_purged,
+             |    count(CASE WHEN doc_id IS NULL THEN 1 END) AS n_kept,
+             |    coalesce(sum(CASE WHEN doc_id IS NULL
+             |      THEN ${QueryDef.knuthMixSql("id")} END), 0) AS survivor_sum
+             |  FROM docs LEFT JOIN del ON id = doc_id
+             |  UNION ALL
+             |  SELECT 'embeddings',
+             |    count(CASE WHEN doc_id IS NOT NULL THEN 1 END),
+             |    count(CASE WHEN doc_id IS NULL THEN 1 END),
+             |    coalesce(sum(CASE WHEN doc_id IS NULL
+             |      THEN ${QueryDef.knuthMixSql("id")} END), 0)
+             |  FROM emb LEFT JOIN del ON id = doc_id
+             |  UNION ALL
+             |  SELECT 'doc_chunks',
+             |    count(CASE WHEN doc_id IS NOT NULL THEN 1 END),
+             |    count(CASE WHEN doc_id IS NULL THEN 1 END),
+             |    coalesce(sum(CASE WHEN doc_id IS NULL
+             |      THEN ${QueryDef.knuthMixSql("id")} END), 0)
+             |  FROM chunks LEFT JOIN del ON id = doc_id)
+             |SELECT table_name, CAST(n_purged AS BIGINT) AS n_purged,
+             |  CAST(n_kept AS BIGINT) AS n_kept,
+             |  CAST(survivor_sum AS BIGINT) AS survivor_sum
+             |FROM aud ORDER BY table_name""".stripMargin)),
+
     "t4_fingerprint" -> QueryDef(
       (s, dir) => {
         graft.functions.VectorExpressions.register(s)

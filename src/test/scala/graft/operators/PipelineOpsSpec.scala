@@ -1,0 +1,181 @@
+package graft.operators
+
+import graft.core.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** Specs for the round-7 pipeline additions: mm11 luma statistics,
+  * q60 last-touch attribution, q61 rate anomaly, t24 RAG chunking,
+  * t26 PPS sampling, t27 deletion propagation — each pinned against a
+  * driver-side Scala model on a purpose-built fixture (the registry
+  * oracles check the same semantics against DuckDB at sf0.01).
+  */
+class PipelineOpsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def mix(id: Long): Long = ((id % 1000000007L) * 2654435761L) % 1000000007L
+  private def polyHash(s: String): Long =
+    s.foldLeft(0L)((acc, c) => (acc * 31 + c.toInt) % 1000000007L)
+
+  private def fixtureDir(): String =
+    java.nio.file.Files.createTempDirectory("graft-pipeops-").toString
+
+  test("lumaStats: flat raster flagged, addrPixel raster matches the formula replay") {
+    // flat: one solid color -> single occupied bin, min == max, isFlat
+    val img = new java.awt.image.BufferedImage(
+      7, 5, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    val g = img.createGraphics()
+    g.setColor(new java.awt.Color(200, 100, 50))
+    g.fillRect(0, 0, 7, 5)
+    g.dispose()
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    val Some((w, h, nPx, lo, hi, dom, nDom, flat)) =
+      Multimodal.lumaStats(out.toByteArray)
+    val l = 299L * 200 + 587L * 100 + 114L * 50
+    assert((w, h, nPx) == ((7, 5, 35L)))
+    assert(lo == l && hi == l && flat)
+    assert(dom == math.min(15L, l * 16 / 255000).toInt && nDom == 35L)
+
+    // addrPixel raster: PNG decode must reproduce the arithmetic model
+    val (aw, ah, id) = (9, 8, 42L)
+    val Some((gw, gh, gn, glo, ghi, gdom, gnDom, gflat)) =
+      Multimodal.lumaStats(Multimodal.encodePngAddr(aw, ah, id))
+    val lumas = (0 until aw * ah).map { pos =>
+      val p = Multimodal.addrPixel(id, pos.toLong)
+      299L * ((p >> 16) & 0xff) + 587L * ((p >> 8) & 0xff) + 114L * (p & 0xff)
+    }
+    val histo = lumas.groupBy(l => math.min(15L, l * 16 / 255000)).view.mapValues(_.size)
+    val (mdom, mn) = histo.toSeq.sortBy { case (b, n) => (-n, b) }.head
+    assert((gw, gh, gn) == ((aw, ah, aw.toLong * ah)))
+    assert(glo == lumas.min && ghi == lumas.max)
+    assert(gdom == mdom.toInt && gnDom == mn.toLong)
+    assert(gflat == (lumas.max - lumas.min < 10000L))
+    // corrupt bytes fall through, never throw
+    assert(Multimodal.lumaStats(Array[Byte](1, 2, 3)).isEmpty)
+  }
+
+  test("q60: purchases credit the latest preceding non-purchase touch; first is direct") {
+    val dir = fixtureDir()
+    def ts(min: Long) = new java.sql.Timestamp(min * 60000L)
+    // user 1: view, click, purchase(->click), purchase(->click), error,
+    // purchase(->error); user 2: purchase with no prior touch (->direct)
+    Seq(
+      (1L, ts(1), 1L, "view", 1.0, "{}"),
+      (2L, ts(2), 1L, "click", 2.0, "{}"),
+      (3L, ts(3), 1L, "purchase", 10.0, "{}"),
+      (4L, ts(4), 1L, "purchase", 20.0, "{}"),
+      (5L, ts(5), 1L, "error", 0.0, "{}"),
+      (6L, ts(6), 1L, "purchase", 30.0, "{}"),
+      (7L, ts(1), 2L, "purchase", 40.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val got = graft.SparkEntry.queries("q60_attribution")(spark, dir)
+      .as[(String, Long, Long)].collect().toList
+    assert(got == List(("click", 2L, 3000L), ("direct", 1L, 4000L),
+      ("error", 1L, 3000L)))
+  }
+
+  test("q61: a 4x spike over a quiet trailing day is flagged; warmup hours are not") {
+    val dir = fixtureDir()
+    // 30 quiet hours of 4 events, then one hour with 16 (4x trailing avg)
+    val rows = (0 until 30).flatMap { hr =>
+      (0 until 4).map(i => (hr.toLong * 100 + i,
+        new java.sql.Timestamp(hr * 3600000L + i * 1000L), 1L, "view", 1.0, "{}"))
+    } ++ (0 until 16).map(i => (9900L + i,
+      new java.sql.Timestamp(30 * 3600000L + i * 1000L), 1L, "view", 1.0, "{}"))
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val got = graft.SparkEntry.queries("q61_rate_anomaly")(spark, dir)
+      .as[(String, Long, Long, Long, Long)].collect().toList
+    // only the spike hour: trailing 24h of the quiet rate, n=16 > 1.5*4
+    assert(got == List(("view", 30L, 16L, 24L, 96L)))
+  }
+
+  test("t24: chunk rows equal the stride-24/width-32 model, tail included") {
+    val dir = fixtureDir()
+    def doc(id: Long, n: Int): (Long, String, String, String, Long) = {
+      val text = (0 until n).map(i => s"w$i").mkString(" ")
+      (id, text, "en", "s", text.length.toLong)
+    }
+    // sizes around the window/stride boundaries: 1, 24, 25, 32, 80
+    Seq(doc(1, 1), doc(2, 24), doc(3, 25), doc(4, 32), doc(5, 80))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val got = graft.SparkEntry.queries("t24_rag_chunk")(spark, dir)
+      .as[(Long, Long, Long, Long, Long)].collect().toList
+    val want = Seq((1L, 1), (2L, 24), (3L, 25), (4L, 32), (5L, 80)).flatMap {
+      case (id, n) =>
+        val toks = (0 until n).map(i => s"w$i")
+        (0 to (n - 1) / 24).map { k =>
+          val chunk = toks.slice(k * 24, k * 24 + 32)
+          (id, k.toLong, k.toLong * 24, chunk.size.toLong,
+            polyHash(chunk.mkString(" ")))
+        }
+    }.toList
+    assert(got == want)
+    // coverage: consecutive chunks overlap by exactly 32-24=8 tokens
+    // (or the tail is shorter), and every token index is covered
+    want.groupBy(_._1).foreach { case (_, cs) =>
+      val covered = cs.flatMap(c => c._3 until (c._3 + c._4)).toSet
+      val n = cs.map(c => c._3 + c._4).max
+      assert(covered == (0L until n).toSet)
+    }
+  }
+
+  test("t26: keep rule and Horvitz-Thompson rescale match the integer model") {
+    val dir = fixtureDir()
+    val docs = (0L until 200L).map { id =>
+      val n = 20 + (id * 37 % 600) // spans under- and over-cap weights
+      (id, "x", "en", s"s${id % 3}", n)
+    }
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val got = graft.SparkEntry.queries("t26_pps_sample")(spark, dir)
+      .as[(String, Long, Long, Long, Long, Long)].collect().toList
+    val want = docs.groupBy(_._4).toSeq.sortBy(_._1).map { case (src, ds) =>
+      val rates = ds.map { case (id, _, _, _, n) =>
+        (n, math.min(1000000L, n * 1000000L / 400), mix(id) % 1000000L)
+      }
+      val kept = rates.filter { case (_, r, h) => h < r }
+      val exact = rates.map(_._1).sum
+      val est = kept.map { case (n, r, _) => n * 1000000L / r }.sum
+      (src, ds.size.toLong, exact, kept.size.toLong, est,
+        math.abs(est - exact) * 1000 / exact)
+    }.toList
+    assert(got == want)
+    // PPS must beat nothing-kept and keep large docs at full rate
+    assert(got.forall(_._4 > 0))
+  }
+
+  test("t27: purge counts and survivor checksums propagate to every derived table") {
+    val dir = fixtureDir()
+    val docs = (0L until 100L).map { id =>
+      val text = (0 until (1 + id % 20).toInt).map(i => s"t$i").mkString(" ")
+      (id, text, "en", "s", text.length.toLong)
+    }
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    (0L until 60L).map(v => (v, Seq(1.0f), 0))
+      .toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$dir/embeddings.parquet")
+    val del = (0L until 100L).filter(id => mix(id) % 17 == 0).toSet
+    val got = graft.SparkEntry.queries("t27_deletion_propagation")(spark, dir)
+      .as[(String, Long, Long, Long)].collect().toList
+    def sumMix(ids: Seq[Long]) = ids.map(mix).sum
+    val chunkIds = docs.flatMap { case (id, text, _, _, _) =>
+      val w = text.split(" ", -1)
+      (0 until math.ceil(w.length / 8.0).toInt).map(_ => id)
+    }
+    val want = List(
+      ("doc_chunks", chunkIds.count(del), chunkIds.filterNot(del).size.toLong,
+        sumMix(chunkIds.filterNot(del))),
+      ("documents", del.size.toLong, (100L - del.size),
+        sumMix((0L until 100L).filterNot(del))),
+      ("embeddings", (0L until 60L).count(del).toLong,
+        (0L until 60L).filterNot(del).size.toLong,
+        sumMix((0L until 60L).filterNot(del))))
+      .map { case (t, a, b, c) => (t, a.toString.toLong, b, c) }
+    assert(got == want)
+    assert(del.nonEmpty, "fixture must exercise actual deletions")
+  }
+}

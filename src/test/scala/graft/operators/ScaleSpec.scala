@@ -119,8 +119,12 @@ class PlanShapeSpec extends SparkTestBase {
       "sim5_pq_ann",       // ADC scan: corpus CODES × broadcast per-query distance
                            //   tables (|queries| × m × ks ints — KBs by construction)
       "t6_tfidf_topterms", // scalar total-doc-count broadcast into IDF
-      "t21_temperature_mix") // scalar global-min source count (ONE row)
+      "t21_temperature_mix", // scalar global-min source count (ONE row)
                            //   broadcast into the dimension-sized rate table
+      "t23_collocations",  // scalar total-token count (ONE row) broadcast
+                           //   into the vocab-sized bigram score projection
+      "t27_deletion_propagation") // per-table 1-row purge/keep aggregates
+                           //   cross-joined into single audit rows
     val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val plan = fn(spark, sf).queryExecution.executedPlan.toString()
