@@ -19,6 +19,43 @@ object TextQueries {
   private val CmsW = 1024
   private val CmsBases = Seq(31, 37, 41, 43)
 
+  /** DuckDB CTE chain replaying `rounds` BPE merge rounds over the
+    * corpus vocab — the ONE SQL rendering of
+    * [[graft.operators.Bpe.train]]'s loop (pair counts from the
+    * delimited seg string, (cnt DESC, lhs, rhs) argmax, anchored
+    * string-replace merge). `s$rounds` is the final segmentation;
+    * each `b$r` holds round r's winning pair (empty when the vocab
+    * ran out of pairs — the LEFT JOIN + chr(1) sentinel makes that
+    * round a no-op instead of annihilating the vocab).
+    */
+  private def bpeRoundsSql(rounds: Int): String = {
+    val blocks = (1 to rounds).map { r =>
+      s"""p$r AS (
+         |  SELECT li[i] AS a, li[i + 1] AS b, sum(freq) AS cnt
+         |  FROM (SELECT freq, list_filter(string_split(seg, '|'),
+         |          x -> len(x) > 0) AS li FROM s${r - 1}),
+         |    UNNEST(range(1, len(li))) AS t(i)
+         |  GROUP BY 1, 2),
+         |b$r AS (SELECT a, b, cnt FROM p$r ORDER BY cnt DESC, a, b LIMIT 1),
+         |s$r AS (
+         |  SELECT word, freq,
+         |    replace(seg,
+         |      coalesce('|' || bb.a || '||' || bb.b || '|', chr(1)),
+         |      coalesce('|' || bb.a || bb.b || '|', chr(1))) AS seg
+         |  FROM s${r - 1} LEFT JOIN b$r bb ON TRUE)""".stripMargin
+    }
+    s"""vocab AS (
+       |  SELECT t.w AS word, count(*) AS freq
+       |  FROM (SELECT string_split(text, ' ') AS ws FROM documents),
+       |    UNNEST(ws) AS t(w)
+       |  GROUP BY 1),
+       |s0 AS (
+       |  SELECT word, freq,
+       |    '|' || array_to_string(string_split(word, ''), '||') || '|' AS seg
+       |  FROM vocab),
+       |${blocks.mkString(",\n")}""".stripMargin
+  }
+
   val defs: Map[String, QueryDef] = Map(
 
     // whitespace + regex-run token counting
@@ -1031,6 +1068,77 @@ object TextQueries {
              |  CAST(n_kept AS BIGINT) AS n_kept,
              |  CAST(survivor_sum AS BIGINT) AS survivor_sum
              |FROM aud ORDER BY table_name""".stripMargin)),
+
+    // Real BPE subword training, Spark-first: 6 merge rounds over the
+    // DISTINCT-WORD table (vocab-sized — the 100 TB lever: training
+    // never touches per-occurrence rows; occurrence weights enter as
+    // the word-frequency column). Each round is one codegen'd
+    // replace() projection plus a pair-count argmax of which the
+    // driver collects exactly ONE row (control flow, not data). The
+    // oracle unrolls the identical 6 rounds in SQL — pair counts,
+    // (cnt DESC, lhs, rhs) tie-break, and the anchored string-replace
+    // merge are all replayed bit-for-bit.
+    "t28_bpe_train" -> QueryDef(
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+        val (merges, seg) =
+          graft.operators.Bpe.train(graft.operators.Bpe.corpusVocab(docs, "text"), 6)
+        seg.unpersist()
+        import s.implicits._
+        merges.toDF()
+          .select(col("round").cast("long").as("round"), col("lhs"),
+            col("rhs"), col("count").as("pair_count"))
+          .orderBy("round")
+      },
+      Some(s"""WITH ${bpeRoundsSql(6)}
+             |${(1 to 6).map(r => s"SELECT $r AS round, a AS lhs, b AS rhs, cnt AS pair_count FROM b$r")
+                .mkString("", "\nUNION ALL\n", "")}
+             |ORDER BY round""".stripMargin)),
+
+    // BPE tokenization applied: per-word segment counts from the
+    // trained vocab join back to (lang, word) occurrence counts — the
+    // honest production shape for "how many tokens is this corpus"
+    // (per-row re-segmentation would re-tokenize every occurrence of
+    // 'the'). Reports per-lang word occurrences, BPE token count,
+    // character volume, and tokens-per-kilochar — the numbers a
+    // training-budget plan starts from.
+    "t29_bpe_tokens" -> QueryDef(
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+        val (_, seg) =
+          graft.operators.Bpe.train(graft.operators.Bpe.corpusVocab(docs, "text"), 6)
+        seg.unpersist() // deterministic replay: merge literals are baked into the plan
+        val tok = seg.select(col("word"),
+          size(graft.operators.Bpe.symbols(col("seg"))).cast("long").as("n_syms"))
+        val occ = docs
+          .select(col("lang"), explode(TextOps.words(col("text"))).as("word"))
+          .groupBy("lang", "word").agg(count(lit(1)).as("n"))
+        occ.join(tok, "word")
+          .groupBy("lang")
+          .agg(sum("n").as("n_word_occ"),
+            sum(col("n") * col("n_syms")).as("n_bpe_tokens"),
+            sum(col("n") * length(col("word"))).as("n_chars"))
+          .withColumn("bpe_per_kchar",
+            expr("CAST(1000 * n_bpe_tokens DIV n_chars AS BIGINT)"))
+          .orderBy("lang")
+      },
+      Some(s"""WITH ${bpeRoundsSql(6)},
+             |occ AS (
+             |  SELECT lang, t.w AS word, count(*) AS n
+             |  FROM (SELECT lang, string_split(text, ' ') AS ws FROM documents),
+             |    UNNEST(ws) AS t(w)
+             |  GROUP BY 1, 2),
+             |tok AS (
+             |  SELECT word, len(list_filter(string_split(seg, '|'),
+             |    x -> len(x) > 0)) AS n_syms
+             |  FROM s6)
+             |SELECT lang, CAST(sum(n) AS BIGINT) AS n_word_occ,
+             |  CAST(sum(n * n_syms) AS BIGINT) AS n_bpe_tokens,
+             |  CAST(sum(n * len(word)) AS BIGINT) AS n_chars,
+             |  CAST(1000 * sum(n * n_syms) // sum(n * len(word)) AS BIGINT)
+             |    AS bpe_per_kchar
+             |FROM occ JOIN tok USING (word)
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
     "t4_fingerprint" -> QueryDef(
       (s, dir) => {
