@@ -559,6 +559,52 @@ object DedupQueries {
              |FROM nm a JOIN nm b ON a.k < b.k
              |  AND abs(length(a.s) - length(b.s)) <= 1
              |  AND levenshtein(a.s, b.s) <= 1
-             |ORDER BY 1, 2""".stripMargin))
+             |ORDER BY 1, 2""".stripMargin)),
+
+    // Canonical-URL dedup — the crawl-frontier staple: the same page
+    // re-fetched under scheme/www/trailing-slash/tracking-param
+    // variants must collapse to ONE fetch. The synthetic corpus has no
+    // URLs, so both engines inject identical deterministic variant
+    // URLs (t13's convention): 4 decoration classes over a shared
+    // canonical base. Canonicalization is a scan-side chain of
+    // codegen'd regexp_replace steps (RE2/Java-identical patterns:
+    // anchors + classes only); only the short canonical string reaches
+    // the exchange, and the keeper rule is the skew-tolerant
+    // map-side-combining min(doc_id) — d1's shape on the canonical
+    // key.
+    "d18_url_dedup" -> QueryDef(
+      (s, dir) => {
+        val base = concat(lit("site"), (col("doc_id") % 25).cast("string"),
+          lit(".org/page"), (col("doc_id") % 9).cast("string"))
+        val url = when(col("doc_id") % 4 === 0, concat(lit("https://"), base))
+          .when(col("doc_id") % 4 === 1, concat(lit("http://www."), base, lit("/")))
+          .when(col("doc_id") % 4 === 2,
+            concat(lit("https://www."), base, lit("?utm_source=feed")))
+          .otherwise(concat(lit("http://"), base, lit("/?ref=rss")))
+        val canon = regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+          lower(url), "^https?://", ""), "^www\\.", ""), "\\?.*$", ""), "/$", "")
+        table(s, dir, "documents")
+          .select(col("doc_id"), canon.as("canon_url"))
+          .groupBy("canon_url")
+          .agg(count(lit(1)).as("n_fetches"), min("doc_id").as("keep_doc"))
+          .orderBy("canon_url")
+      },
+      Some("""WITH u AS (
+             |  SELECT doc_id,
+             |    CASE WHEN doc_id % 4 = 0 THEN 'https://' || base
+             |         WHEN doc_id % 4 = 1 THEN 'http://www.' || base || '/'
+             |         WHEN doc_id % 4 = 2 THEN 'https://www.' || base || '?utm_source=feed'
+             |         ELSE 'http://' || base || '/?ref=rss' END AS url
+             |  FROM (SELECT doc_id, 'site' || (doc_id % 25) || '.org/page'
+             |          || (doc_id % 9) AS base FROM documents)),
+             |c AS (
+             |  SELECT doc_id,
+             |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+             |      lower(url), '^https?://', ''), '^www\.', ''),
+             |      '\?.*$', ''), '/$', '') AS canon_url
+             |  FROM u)
+             |SELECT canon_url, count(*) AS n_fetches,
+             |  CAST(min(doc_id) AS BIGINT) AS keep_doc
+             |FROM c GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }

@@ -1140,6 +1140,114 @@ object TextQueries {
              |FROM occ JOIN tok USING (word)
              |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // Keyword search (BM25-lite retrieval): top-10 documents for a
+    // fixed query-term set, scored sum(tf · rational-idf) DIV doc
+    // length — t6's log-free Robertson idf surrogate, so scores are
+    // exact integers on both engines. The retrieval scale shape: the
+    // isInCollection postings prune runs SCAN-SIDE, so only rows for
+    // the |Q| query terms ever reach an exchange (at 100 TB that is
+    // the posting lists, not the corpus); df and N join in as
+    // broadcast dimension-row tables; the cut is a
+    // TakeOrderedAndProject under a (score DESC, doc_id) total order.
+    "t30_keyword_search" -> QueryDef(
+      (s, dir) => {
+        val qterms = Seq("join", "hash", "window")
+        val docs = table(s, dir, "documents")
+        val tf = docs
+          .select(col("doc_id"), explode(TextOps.words(col("text"))).as("term"))
+          .filter(col("term").isInCollection(qterms))
+          .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+        val ndocs = docs.agg(count(lit(1)).as("__N"))
+        val len = docs.select(col("doc_id"),
+          TextOps.tokenCount(col("text")).as("n_tokens"))
+        tf.join(broadcast(dfreq), "term").crossJoin(broadcast(ndocs))
+          .withColumn("w_micro",
+            expr("CAST((1000000 * tf * (2*__N - 2*df + 1)) DIV (2*df + 1) AS BIGINT)"))
+          .groupBy("doc_id")
+          .agg(sum("w_micro").as("raw_micro"), count(lit(1)).as("n_hit_terms"))
+          .join(len, "doc_id")
+          .withColumn("score", expr("CAST(raw_micro DIV n_tokens AS BIGINT)"))
+          .select(col("doc_id"), col("n_hit_terms"), col("n_tokens"), col("score"))
+          .orderBy(col("score").desc, col("doc_id"))
+          .limit(10)
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, t.w AS term
+             |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+             |    UNNEST(ws) AS t(w)
+             |  WHERE t.w IN ('join', 'hash', 'window')),
+             |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+             |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+             |n AS (SELECT count(*) AS nd FROM documents),
+             |lens AS (SELECT doc_id,
+             |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+             |  FROM documents),
+             |sc AS (
+             |  SELECT tf.doc_id,
+             |    sum((1000000 * tf.tf * (2*n.nd - 2*dfreq.df + 1)) // (2*dfreq.df + 1))
+             |      AS raw_micro,
+             |    count(*) AS n_hit_terms
+             |  FROM tf JOIN dfreq USING (term) CROSS JOIN n
+             |  GROUP BY 1)
+             |SELECT sc.doc_id, n_hit_terms, n_tokens,
+             |  CAST(raw_micro // n_tokens AS BIGINT) AS score
+             |FROM sc JOIN lens USING (doc_id)
+             |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin)),
+
+    // Pairwise source similarity — the corpus-analytics view behind
+    // mixing decisions (which crawls/feeds overlap?): cosine² between
+    // per-source PERMILLE token profiles, exact integer end-to-end.
+    // Normalizing counts to permille of the source total FIRST is the
+    // 100 TB overflow design: dot <= 1e6 and n2 <= 1e6 by construction
+    // (sum of permilles is <= 1000), so dot²·1e6 < 2^63 for ANY corpus
+    // size — raw counts would overflow at sf1 already. Scale shape:
+    // one map-side-combining (source, token) count, a vocab-keyed
+    // self-join whose per-token fanout is |sources|² (dimension-bound,
+    // corpus-independent), and broadcast norm/total tables.
+    "t31_source_similarity" -> QueryDef(
+      (s, dir) => {
+        val prof = table(s, dir, "documents")
+          .select(col("source"), explode(TextOps.words(col("text"))).as("tok"))
+          .groupBy("source", "tok").agg(count(lit(1)).as("c"))
+        val totals = prof.groupBy("source").agg(sum("c").as("tot"))
+        val pm = prof.join(broadcast(totals), "source")
+          .select(col("source"), col("tok"),
+            expr("CAST(c * 1000 DIV tot AS BIGINT)").as("p"))
+          .filter(col("p") > 0)
+        val norms = pm.groupBy("source").agg(sum(col("p") * col("p")).as("n2"))
+        val dot = pm.select(col("source").as("sa"), col("tok"), col("p").as("pa"))
+          .join(pm.select(col("source").as("sb"), col("tok"), col("p").as("pb")), "tok")
+          .filter(col("sa") < col("sb"))
+          .groupBy("sa", "sb").agg(sum(col("pa") * col("pb")).as("dot"))
+        dot
+          .join(broadcast(norms.select(col("source").as("sa"), col("n2").as("n2a"))), "sa")
+          .join(broadcast(norms.select(col("source").as("sb"), col("n2").as("n2b"))), "sb")
+          .select(col("sa"), col("sb"), col("dot"),
+            expr("CAST(dot * dot * 1000000 DIV (n2a * n2b) AS BIGINT)").as("cos2_ppm"))
+          .orderBy("sa", "sb")
+      },
+      Some("""WITH prof AS (
+             |  SELECT source, t.w AS tok, count(*) AS c
+             |  FROM (SELECT source, string_split(text, ' ') AS ws FROM documents),
+             |    UNNEST(ws) AS t(w)
+             |  GROUP BY 1, 2),
+             |totals AS (SELECT source, sum(c) AS tot FROM prof GROUP BY 1),
+             |pm AS (
+             |  SELECT prof.source, tok, c * 1000 // tot AS p
+             |  FROM prof JOIN totals USING (source)
+             |  WHERE c * 1000 // tot > 0),
+             |norms AS (SELECT source, sum(p * p) AS n2 FROM pm GROUP BY 1),
+             |dots AS (
+             |  SELECT a.source AS sa, b.source AS sb, sum(a.p * b.p) AS dot
+             |  FROM pm a JOIN pm b ON a.tok = b.tok AND a.source < b.source
+             |  GROUP BY 1, 2)
+             |SELECT sa, sb, CAST(dot AS BIGINT) AS dot,
+             |  CAST(dot * dot * 1000000 // (na.n2 * nb.n2) AS BIGINT) AS cos2_ppm
+             |FROM dots JOIN norms na ON na.source = sa
+             |JOIN norms nb ON nb.source = sb
+             |ORDER BY 1, 2""".stripMargin)),
+
     "t4_fingerprint" -> QueryDef(
       (s, dir) => {
         graft.functions.VectorExpressions.register(s)

@@ -147,6 +147,67 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(got.forall(_._4 > 0))
   }
 
+  test("d18: every URL decoration variant canonicalizes to the shared base") {
+    val dir = fixtureDir()
+    // doc ids 0..3 are the four variants of ONE base (id%25, id%9 equal
+    // would need same mods — use ids 0,1,2,3 with distinct bases, then
+    // ids 100..103 ≡ 0..3 mod 4 but different bases; instead check that
+    // ids sharing (id%25, id%9) collapse: 0 and 900 (900%25=0, 900%9=0,
+    // 900%4=0) — decorations differ only via id%4, so pick 0, 225, 450,
+    // 675: all ≡ 0 mod 25 and mod 9, and mod 4 = 0,1,2,3 — all four
+    // decorations of the same canonical URL.
+    val ids = Seq(0L, 225L, 450L, 675L, 7L)
+    ids.map(id => (id, "t", "en", "s", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val got = graft.SparkEntry.queries("d18_url_dedup")(spark, dir)
+      .as[(String, Long, Long)].collect().toList
+    assert(got == List(("site0.org/page0", 4L, 0L), ("site7.org/page7", 1L, 7L)))
+  }
+
+  test("t30: rarer query terms outrank common ones; non-hits absent; length norm applies") {
+    val dir = fixtureDir()
+    // 'join' in every doc (df=4 of N=4 -> tiny idf); 'window' only in
+    // doc 3 (df=1 -> large idf). Doc 3 must outrank the join-only docs.
+    Seq(
+      (1L, "join a b c", "en", "s", 1L),
+      (2L, "join a b c", "en", "s", 1L),
+      (3L, "window a b c", "en", "s", 1L),
+      (4L, "join join a b c d e f", "en", "s", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val got = graft.SparkEntry.queries("t30_keyword_search")(spark, dir)
+      .as[(Long, Long, Long, Long)].collect().toList
+    assert(got.map(_._1).head == 3L, s"rare-term doc must rank first: $got")
+    assert(got.map(_._1).toSet == Set(1L, 2L, 3L, 4L), "every hit doc present")
+    // docs 1 and 2 are identical; the tie must break by doc_id
+    val d12 = got.filter(r => r._1 == 1L || r._1 == 2L).map(_._1)
+    assert(d12 == List(1L, 2L))
+  }
+
+  test("t31: permille profiles bound dot and n2 by 1e6; identical sources score ~1e6") {
+    val dir = fixtureDir()
+    // sources A and B identical distributions; C disjoint vocabulary
+    val docs = (0L until 30L).map { i =>
+      val (src, text) =
+        if (i % 3 == 0) ("A", "x y z x")
+        else if (i % 3 == 1) ("B", "x y z x")
+        else ("C", "p q r")
+      (i, text, "en", src, 1L)
+    }
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val got = graft.SparkEntry.queries("t31_source_similarity")(spark, dir)
+      .as[(String, String, Long, Long)].collect().toList
+    val ab = got.find(r => r._1 == "A" && r._2 == "B").get
+    assert(ab._4 > 990000L, s"identical profiles must score ~1e6 ppm: $ab")
+    got.filter(r => r._2 == "C" || r._1 == "C").foreach { r =>
+      assert(r._3 == 0L && r._4 == 0L, s"disjoint vocab must score 0: $r")
+    }
+    // overflow bound: dot and therefore dot²·1e6 stay in range
+    got.foreach(r => assert(r._3 <= 1000000L))
+  }
+
   test("t27: purge counts and survivor checksums propagate to every derived table") {
     val dir = fixtureDir()
     val docs = (0L until 100L).map { id =>
