@@ -1248,6 +1248,77 @@ object TextQueries {
              |JOIN norms nb ON nb.source = sb
              |ORDER BY 1, 2""".stripMargin)),
 
+    // Dataset card: the per-source governance rollup every corpus
+    // release ships — volume (docs/tokens/chars), quality-pass rate,
+    // language-label agreement, and exact-dup rate, one row per
+    // source. Shape: ONE conditional-agg scan for the signal columns
+    // (all scan-side codegen'd Column exprs reused from t1/t2/t3) plus
+    // d1's two-level hash-distinct for the dup rate (text never
+    // shuffles — only (source, xxhash64) pairs; a count_distinct
+    // EXPAND would double-scan). The oracle groups by raw text (d1's
+    // convention: the 64-bit hash stands in for text equality).
+    "t33_dataset_card" -> QueryDef(
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+        val base = docs.groupBy("source").agg(
+          count(lit(1)).as("n_docs"),
+          sum(TextOps.tokenCount(col("text"))).as("n_tokens"),
+          sum("n_chars").as("n_chars"),
+          count(when(TextOps.qualityPass(col("text"), col("n_chars")), 1))
+            .as("n_quality"),
+          count(when(TextOps.langId(col("text")) === col("lang"), 1))
+            .as("n_lang_match"))
+        val distinctTexts = docs
+          .select(col("source"), xxhash64(col("text")).as("h"))
+          .groupBy("source", "h").agg(count(lit(1)).as("k"))
+          .groupBy("source").agg(count(lit(1)).as("n_distinct"))
+        base.join(distinctTexts, "source")
+          .select(col("source"), col("n_docs"), col("n_tokens"), col("n_chars"),
+            expr("CAST(1000 * n_quality DIV n_docs AS BIGINT)")
+              .as("quality_permille"),
+            expr("CAST(1000 * n_lang_match DIV n_docs AS BIGINT)")
+              .as("langid_match_permille"),
+            expr("CAST(1000 * (n_docs - n_distinct) DIV n_docs AS BIGINT)")
+              .as("dup_permille"))
+          .orderBy("source")
+      },
+      Some("""WITH t AS (
+             |  SELECT source, lang, n_chars, text, string_split(text, ' ') AS w
+             |  FROM documents),
+             |sig AS (
+             |  SELECT source, count(*) AS n_docs,
+             |    sum(len(w)) AS n_tokens, sum(n_chars) AS n_chars,
+             |    count(CASE WHEN n_chars >= 100 AND n_chars <= 20000
+             |      AND len(w) >= 20
+             |      AND floor(1000.0 * len(list_filter(w, x -> x IN
+             |        ('the','a','of','and','to','in','is','it'))) / len(w)) >= 10
+             |      THEN 1 END) AS n_quality,
+             |    count(CASE WHEN lang = (
+             |        CASE WHEN len(list_filter(w, x -> x IN
+             |            ('le','la','de','et','est','un','une','dans'))) >
+             |          greatest(len(list_filter(w, x -> x IN
+             |            ('the','a','of','and','to','in','is','it'))),
+             |            len(list_filter(w, x -> x IN
+             |            ('der','die','das','und','ist','nicht','ein','zu'))))
+             |          THEN 'fr'
+             |        WHEN len(list_filter(w, x -> x IN
+             |            ('der','die','das','und','ist','nicht','ein','zu'))) >
+             |          len(list_filter(w, x -> x IN
+             |            ('the','a','of','and','to','in','is','it')))
+             |          THEN 'de' ELSE 'en' END)
+             |      THEN 1 END) AS n_lang_match
+             |  FROM t GROUP BY 1),
+             |dst AS (
+             |  SELECT source, count(DISTINCT text) AS n_distinct
+             |  FROM documents GROUP BY 1)
+             |SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+             |  CAST(n_tokens AS BIGINT) AS n_tokens,
+             |  CAST(n_chars AS BIGINT) AS n_chars,
+             |  CAST(1000 * n_quality // n_docs AS BIGINT) AS quality_permille,
+             |  CAST(1000 * n_lang_match // n_docs AS BIGINT) AS langid_match_permille,
+             |  CAST(1000 * (n_docs - n_distinct) // n_docs AS BIGINT) AS dup_permille
+             |FROM sig JOIN dst USING (source) ORDER BY source""".stripMargin)),
+
     "t4_fingerprint" -> QueryDef(
       (s, dir) => {
         graft.functions.VectorExpressions.register(s)

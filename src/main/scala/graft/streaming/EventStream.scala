@@ -338,6 +338,56 @@ object EventStream {
       }
   }
 
+  final case class AttrEvent(userId: Long, tsUs: Long, eventId: Long,
+                             eventType: String, valueC: Long)
+  final case class AttrState(lastTouch: Option[(Long, Long, String)],
+                             buffer: Seq[(Long, Long, String, Long)])
+  final case class Attribution(userId: Long, purchaseId: Long, tsUs: Long,
+                               channel: String, valueC: Long)
+
+  /** Streaming twin of the batch last-touch attribution (q60): every
+    * purchase is credited to the user's most recent PRECEDING
+    * non-purchase event type; 'direct' when none. Same
+    * watermark-ordered buffer discipline as [[streamingFunnel]]:
+    * events hold in per-user state until the watermark passes them,
+    * then fold in (ts, eventId) order — so out-of-order delivery can
+    * never flip a credit (a late-arriving touch BETWEEN two finalized
+    * events would have violated the watermark, not the fold). State is
+    * one (ts, id, type) triple plus the watermark-bounded buffer;
+    * purchases emit exactly once, on finalization.
+    */
+  def streamingAttribution(spark: SparkSession, events: Dataset[AttrEvent],
+                           watermarkDelay: String = "30 minutes")
+      : Dataset[Attribution] = {
+    import spark.implicits._
+    events
+      .withColumn("ets", timestamp_micros(col("tsUs")))
+      .withWatermark("ets", watermarkDelay)
+      .as[AttrEvent]
+      .groupByKey(_.userId)
+      .flatMapGroupsWithState[AttrState, Attribution](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, rows: Iterator[AttrEvent], state: GroupState[AttrState]) =>
+          val st0 = state.getOption.getOrElse(AttrState(None, Nil))
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val buf = (st0.buffer ++
+            rows.map(e => (e.tsUs, e.eventId, e.eventType, e.valueC))).sorted
+          val (ready, hold) = buf.partition(_._1 < wmUs)
+          var touch = st0.lastTouch
+          val out = scala.collection.mutable.ListBuffer.empty[Attribution]
+          ready.foreach { case (t, id, tp, v) =>
+            if (tp == "purchase")
+              out += Attribution(uid, id, t, touch.map(_._3).getOrElse("direct"), v)
+            else touch = Some((t, id, tp))
+          }
+          state.update(AttrState(touch, hold))
+          if (hold.nonEmpty)
+            state.setTimeoutTimestamp(math.max(
+              state.getCurrentWatermarkMs() + 1, hold.map(_._1).min / 1000L + 1))
+          out.iterator
+      }
+  }
+
   def sessionize(spark: SparkSession, events: Dataset[Event],
                  gapUs: Long, watermarkDelay: String = "30 minutes"): Dataset[Session] = {
     import spark.implicits._

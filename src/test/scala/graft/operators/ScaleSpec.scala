@@ -119,6 +119,7 @@ class PlanShapeSpec extends SparkTestBase {
       "sim5_pq_ann",       // ADC scan: corpus CODES × broadcast per-query distance
                            //   tables (|queries| × m × ks ints — KBs by construction)
       "t6_tfidf_topterms", // scalar total-doc-count broadcast into IDF
+      "t30_keyword_search", // same scalar N broadcast into the idf weight
       "t21_temperature_mix", // scalar global-min source count (ONE row)
                            //   broadcast into the dimension-sized rate table
       "t23_collocations",  // scalar total-token count (ONE row) broadcast

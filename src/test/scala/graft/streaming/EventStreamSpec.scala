@@ -574,4 +574,61 @@ class EventStreamSpec extends SparkTestBase {
         (60L * 60, 1L, 7L)))      // [60,120): second only
     } finally q.stop()
   }
+
+  test("streaming attribution: out-of-order credits equal the batch q60 plan") {
+    implicit val sqlCtx = spark.sqlContext
+    import EventStream.{AttrEvent, Attribution}
+    val input = MemoryStream[AttrEvent]
+    val out = EventStream.streamingAttribution(spark, input.toDS(),
+      watermarkDelay = "10 minutes")
+    val q = out.writeStream.format("memory").queryName("attr")
+      .outputMode(OutputMode.Append).start()
+    try {
+      val T0 = 86400L * 1000000L
+      // user 1's CLICK arrives after its purchase was delivered but
+      // BEFORE the watermark passes — the buffer must restore event-time
+      // order so the purchase credits 'click', not 'view'. user 2's
+      // first purchase has no prior touch -> 'direct'.
+      input.addData(
+        AttrEvent(1L, T0 + Min, 1L, "view", 100L),
+        AttrEvent(1L, T0 + 5 * Min, 2L, "purchase", 1000L),
+        AttrEvent(2L, T0 + Min, 3L, "purchase", 2000L),
+        AttrEvent(2L, T0 + 2 * Min, 4L, "error", 0L))
+      q.processAllAvailable()
+      input.addData(
+        AttrEvent(1L, T0 + 3 * Min, 5L, "click", 0L),
+        AttrEvent(2L, T0 + 6 * Min, 6L, "purchase", 3000L))
+      q.processAllAvailable()
+      // advance the watermark far past every event so buffers finalize
+      input.addData(AttrEvent(99L, T0 + 120 * Min, 7L, "view", 0L))
+      q.processAllAvailable()
+      input.addData(AttrEvent(99L, T0 + 240 * Min, 8L, "view", 0L))
+      q.processAllAvailable()
+      val got = spark.table("attr").as[Attribution].collect()
+        .map(a => (a.purchaseId, a.channel, a.valueC)).toSet
+      assert(got == Set((2L, "click", 1000L), (3L, "direct", 2000L),
+        (6L, "error", 3000L)), s"got $got")
+
+      // the batch q60 registry plan on the SAME fixture agrees on the
+      // per-channel aggregate (its output shape)
+      val dir = java.nio.file.Files.createTempDirectory("graft-attr-").toString
+      Seq(
+        (1L, new java.sql.Timestamp((T0 + Min) / 1000L), 1L, "view", 1.0, "{}"),
+        (2L, new java.sql.Timestamp((T0 + 5 * Min) / 1000L), 1L, "purchase", 10.0, "{}"),
+        (3L, new java.sql.Timestamp((T0 + Min) / 1000L), 2L, "purchase", 20.0, "{}"),
+        (4L, new java.sql.Timestamp((T0 + 2 * Min) / 1000L), 2L, "error", 0.0, "{}"),
+        (5L, new java.sql.Timestamp((T0 + 3 * Min) / 1000L), 1L, "click", 0.0, "{}"),
+        (6L, new java.sql.Timestamp((T0 + 6 * Min) / 1000L), 2L, "purchase", 30.0, "{}"),
+        (7L, new java.sql.Timestamp((T0 + 120 * Min) / 1000L), 99L, "view", 0.0, "{}"),
+        (8L, new java.sql.Timestamp((T0 + 240 * Min) / 1000L), 99L, "view", 0.0, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .write.parquet(s"$dir/events.parquet")
+      val batch = graft.SparkEntry.queries("q60_attribution")(spark, dir)
+        .as[(String, Long, Long)].collect().toSet
+      val streamedAgg = spark.table("attr").as[Attribution].collect()
+        .groupBy(_.channel)
+        .map { case (ch, as) => (ch, as.size.toLong, as.map(_.valueC).sum) }.toSet
+      assert(batch == streamedAgg, s"batch $batch vs streamed $streamedAgg")
+    } finally q.stop()
+  }
 }
