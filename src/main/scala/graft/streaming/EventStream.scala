@@ -388,6 +388,64 @@ object EventStream {
       }
   }
 
+  final case class RateEvent(eventType: String, tsUs: Long)
+  final case class RateState(pending: Map[Long, Long], history: Seq[(Long, Long)])
+  final case class RateAnomaly(eventType: String, hr: Long, n: Long,
+                               trailN: Long, trailSum: Long)
+
+  /** Streaming twin of the batch rate-anomaly detector (q61): per
+    * event type, hourly counts accumulate in state until the watermark
+    * passes the HOUR END, then each finalized hour is tested against
+    * the trailing-24h value-range window of previously-finalized
+    * hours — the identical exact-integer cross-multiply rule
+    * (n·trail_n·100 > trail_sum·150, trail_n ≥ 6), so finalized flags
+    * equal the batch plan on any fixture (spec-pinned). State per type
+    * is the pending hour→count map (watermark-bounded) plus the
+    * trailing 24 finalized (hr, n) entries — silent hours hold no
+    * entry, matching the batch RANGE frame's value semantics.
+    */
+  def streamingRateAnomaly(spark: SparkSession, events: Dataset[RateEvent],
+                           watermarkDelay: String = "30 minutes")
+      : Dataset[RateAnomaly] = {
+    import spark.implicits._
+    val HourUs = 3600L * 1000000L
+    events
+      .withColumn("ets", timestamp_micros(col("tsUs")))
+      .withWatermark("ets", watermarkDelay)
+      .as[RateEvent]
+      .groupByKey(_.eventType)
+      .flatMapGroupsWithState[RateState, RateAnomaly](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (tpe: String, rows: Iterator[RateEvent], state: GroupState[RateState]) =>
+          val st0 = state.getOption.getOrElse(RateState(Map.empty, Nil))
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          var pending = st0.pending
+          rows.foreach { e =>
+            val hr = e.tsUs / HourUs
+            pending = pending.updated(hr, pending.getOrElse(hr, 0L) + 1L)
+          }
+          // hours whose END the watermark has passed finalize, in order
+          val (ready, hold) = pending.partition { case (hr, _) =>
+            (hr + 1) * HourUs <= wmUs
+          }
+          var history = st0.history
+          val out = scala.collection.mutable.ListBuffer.empty[RateAnomaly]
+          ready.toSeq.sortBy(_._1).foreach { case (hr, n) =>
+            val trail = history.filter(h => h._1 >= hr - 24 && h._1 <= hr - 1)
+            val (tn, ts) = (trail.size.toLong, trail.map(_._2).sum)
+            if (tn >= 6 && n * tn * 100L > ts * 150L)
+              out += RateAnomaly(tpe, hr, n, tn, ts)
+            history = (history :+ (hr, n)).filter(_._1 >= hr - 23)
+          }
+          state.update(RateState(hold, history))
+          if (hold.nonEmpty)
+            state.setTimeoutTimestamp(math.max(
+              state.getCurrentWatermarkMs() + 1,
+              (hold.keys.min + 1) * HourUs / 1000L + 1))
+          out.iterator
+      }
+  }
+
   def sessionize(spark: SparkSession, events: Dataset[Event],
                  gapUs: Long, watermarkDelay: String = "30 minutes"): Dataset[Session] = {
     import spark.implicits._

@@ -631,4 +631,50 @@ class EventStreamSpec extends SparkTestBase {
       assert(batch == streamedAgg, s"batch $batch vs streamed $streamedAgg")
     } finally q.stop()
   }
+
+  test("streaming rate anomaly: finalized hourly flags equal the batch q61 plan") {
+    implicit val sqlCtx = spark.sqlContext
+    import EventStream.{RateEvent, RateAnomaly}
+    val HourUs = 3600L * 1000000L
+    val input = MemoryStream[RateEvent]
+    val out = EventStream.streamingRateAnomaly(spark, input.toDS(),
+      watermarkDelay = "10 minutes")
+    val q = out.writeStream.format("memory").queryName("ranom")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // 30 quiet hours of 4 'view' events, then hour 30 spikes to 16.
+      // Delivered in two out-of-order batches; a far-future tick
+      // advances the watermark so every hour finalizes.
+      // intra-batch arrival order is shuffled (the buffer must not care);
+      // batches themselves advance in time, honoring the watermark
+      // contract — an event can be late by at most the delay, not hours
+      val quiet = (0 until 30).flatMap(h =>
+        (0 until 4).map(i => RateEvent("view", h * HourUs + i * 1000000L)))
+      val spike = (0 until 16).map(i => RateEvent("view", 30 * HourUs + i * 1000000L))
+      val rnd = new scala.util.Random(7)
+      val (a, b) = (rnd.shuffle(quiet.filter(_.tsUs < 15 * HourUs)),
+        rnd.shuffle(quiet.filter(_.tsUs >= 15 * HourUs) ++ spike))
+      input.addData(a: _*)
+      q.processAllAvailable()
+      input.addData(b: _*)
+      q.processAllAvailable()
+      input.addData(RateEvent("view", 200 * HourUs))
+      q.processAllAvailable()
+      input.addData(RateEvent("view", 400 * HourUs))
+      q.processAllAvailable()
+      val got = spark.table("ranom").as[RateAnomaly].collect()
+        .map(r => (r.eventType, r.hr, r.n, r.trailN, r.trailSum)).toSet
+      assert(got == Set(("view", 30L, 16L, 24L, 96L)), s"got $got")
+
+      // batch q61 on the same fixture (parquet dir) agrees
+      val dir = java.nio.file.Files.createTempDirectory("graft-ranom-").toString
+      (quiet ++ spike).zipWithIndex.map { case (e, i) =>
+        (i.toLong, new java.sql.Timestamp(e.tsUs / 1000L), 1L, e.eventType, 1.0, "{}")
+      }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .write.parquet(s"$dir/events.parquet")
+      val batch = graft.SparkEntry.queries("q61_rate_anomaly")(spark, dir)
+        .as[(String, Long, Long, Long, Long)].collect().toSet
+      assert(batch == got, s"batch $batch vs streamed $got")
+    } finally q.stop()
+  }
 }
