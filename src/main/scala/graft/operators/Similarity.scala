@@ -365,6 +365,38 @@ object Similarity {
     topKReRank(scored, k, qidCol, idCol, "__cos")
   }
 
+  /** k-NN SELF-join: every corpus vector gets its k nearest neighbors
+    * — the embedding-graph construction step (dedup graphs, kNN
+    * classifiers, diversity analysis), distinct from [[lshTopK]]'s
+    * query-set shape. Candidates come from the same banded sign-LSH,
+    * but BOTH sides are the corpus, so the bucket join is a plain
+    * shuffle join on (band, bits) — no broadcast — and per-bucket
+    * fanout is bucketSize², the knob being the banding geometry (the
+    * d2 discipline: PROBES.md measures bucket-collision growth).
+    * Exact cosine re-rank via the bounded TopKAgg: no task ever sorts
+    * a full candidate set. Recall < 1 by construction, same
+    * planes/rowsPerBand trade as lshTopK.
+    */
+  def knnJoin(corpus: DataFrame, k: Int, dims: Int,
+              planes: Int = 24, rowsPerBand: Int = 3,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(planes % rowsPerBand == 0,
+      s"planes ($planes) must be divisible by rowsPerBand ($rowsPerBand)")
+    val bands = planes / rowsPerBand
+    val coded = corpus.withColumn("__code", signCode(col(vecCol), dims, planes))
+    val left = bandExplode(
+      coded.select(col(idCol).as("qid"), col(vecCol).as("qvec"), col("__code")),
+      "__code", bands, rowsPerBand, Seq("qid", "qvec"))
+    val right = bandExplode(coded, "__code", bands, rowsPerBand,
+      Seq(idCol, vecCol))
+    val cands = left.join(right, Seq("band", "bits"))
+      .filter(col(idCol) =!= col("qid"))
+      .select(col("qid"), col("qvec"), col(idCol), col(vecCol))
+      .distinct()
+    val scored = cands.withColumn("__cos", cosine(col(vecCol), col("qvec")))
+    topKReRank(scored, k, "qid", idCol, "__cos")
+  }
+
   /** Candidate stage of [[lshTopK]], exposed so sizing tools measure
     * the SHIPPED candidate pipeline rather than a copy (same contract
     * as [[Dedup.ngramJaccardCandidates]]).

@@ -1336,6 +1336,43 @@ object Relational {
              |  FROM events
              |) ORDER BY table_name, check_name""".stripMargin)),
 
+    // ---- incremental view maintenance: JOIN view --------------------
+    // q51 proved mergeable AGGREGATE state; this lifts the contract to
+    // a JOIN view. Revenue-per-customer over orders ⋈ lineitem is
+    // maintained under a delta ingest via the delta-join algebra:
+    //   Δ(O ⋈ L) = ΔO⋈L₀  ∪  O₀⋈ΔL  ∪  ΔO⋈ΔL
+    // The engine computes the base state plus the three delta terms
+    // (each a keyed join over the SMALLER delta side — at 100 TB the
+    // deltas broadcast and history is never rescanned except by the
+    // delta probes) and merges by re-aggregation; the oracle
+    // recomputes the full view over the union in one pass, so hash
+    // equality PROVES the delta algebra, not just the numbers.
+    "q63_ivm_join" -> QueryDef(
+      (s, dir) => {
+        val ord = table(s, dir, "orders")
+        val li = table(s, dir, "lineitem")
+        val o0 = ord.filter(col("o_orderkey") % 10 =!= 0)
+        val dO = ord.filter(col("o_orderkey") % 10 === 0)
+        val l0 = li.filter(col("l_partkey") % 7 =!= 0)
+        val dL = li.filter(col("l_partkey") % 7 === 0)
+        def part(o: DataFrame, l: DataFrame): DataFrame =
+          o.join(l, o("o_orderkey") === l("l_orderkey"))
+            .groupBy(col("o_custkey"))
+            .agg(sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+              .as("rev_c"), count(lit(1)).as("n_items"))
+        part(o0, l0).unionByName(part(dO, l0))
+          .unionByName(part(o0, dL)).unionByName(part(dO, dL))
+          .groupBy("o_custkey")
+          .agg(sum("rev_c").as("rev_c"), sum("n_items").as("n_items"))
+          .orderBy("o_custkey")
+      },
+      Some("""SELECT o_custkey,
+             |  CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+             |    AS BIGINT)) AS BIGINT) AS rev_c,
+             |  count(*) AS n_items
+             |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // ---- tumbling event-time window aggregation ---------------------
     // eventsRaw normalizes ts to epoch-nanos long; bucketing is then
     // exact integer arithmetic — also what you'd do at 100 TB to keep

@@ -67,20 +67,19 @@ object SimilarityQueries {
     * (one row per plane, one 64-double list per row), sign codes via
     * the same projection fold, banding as 8 static substr equalities.
     */
-  private def lshOracleSql: String = {
-    val weightRows = (0 until Planes).map { j =>
-      val ws = (0 until Dims)
-        .map(i => s"${Similarity.weightK(i, j)}/1e5-0.5").mkString(", ")
-      s"    ($j, [$ws])"
-    }.mkString(",\n")
-    val bandMatch = (0 until Bands)
-      .map { b =>
-        val p = b * RowsPerBand + 1
-        s"substr(c.code, $p, $RowsPerBand) = substr(qc.qcode, $p, $RowsPerBand)"
-      }
-      .mkString("\n     OR ")
-    s"""WITH w(j, wl) AS (VALUES
-       |$weightRows),
+  /** The ONE rendering of the 24×64 hyperplane weight matrix + sign
+    * codes shared by the sim2 and sim7 oracles — a geometry change
+    * cannot desynchronize them.
+    */
+  private def weightValuesSql: String = (0 until Planes).map { j =>
+    val ws = (0 until Dims)
+      .map(i => s"${Similarity.weightK(i, j)}/1e5-0.5").mkString(", ")
+    s"    ($j, [$ws])"
+  }.mkString(",\n")
+
+  private def codesCteSql: String =
+    s"""w(j, wl) AS (VALUES
+       |$weightValuesSql),
        |codes AS (
        |  SELECT e.vec_id,
        |    string_agg(CASE WHEN list_reduce(list_prepend(0.0,
@@ -89,7 +88,20 @@ object SimilarityQueries {
        |        (x, y) -> x + y) >= 0 THEN '1' ELSE '0' END,
        |      '' ORDER BY w.j) AS code
        |  FROM embeddings e CROSS JOIN w
-       |  GROUP BY e.vec_id),
+       |  GROUP BY e.vec_id)""".stripMargin
+
+  /** OR-chain of per-band substr equalities between `$l.code` and
+    * `$r.$rcode`.
+    */
+  private def bandMatchSql(l: String, r: String, rcode: String): String =
+    (0 until Bands).map { b =>
+      val p = b * RowsPerBand + 1
+      s"substr($l.code, $p, $RowsPerBand) = substr($r.$rcode, $p, $RowsPerBand)"
+    }.mkString("\n     OR ")
+
+  private def lshOracleSql: String = {
+    val bandMatch = bandMatchSql("c", "qc", "qcode")
+    s"""WITH ${codesCteSql},
        |qc AS (
        |  SELECT vec_id AS qid, code AS qcode FROM codes
        |  WHERE vec_id IN ($qidList)),
@@ -104,6 +116,30 @@ object SimilarityQueries {
        |  JOIN embeddings e ON e.vec_id = cands.vec_id
        |  JOIN embeddings qe ON qe.vec_id = cands.qid)
        |$rerankSql""".stripMargin
+  }
+
+  /** sim7 oracle: same codes/banding rendering, but every corpus row
+    * is a query (self-join), k = 5.
+    */
+  private def knnJoinOracleSql: String = {
+    val bandMatch = bandMatchSql("c", "qc", "code")
+    s"""WITH ${codesCteSql},
+       |cands AS (
+       |  SELECT qc.vec_id AS qid, c.vec_id
+       |  FROM codes c JOIN codes qc ON c.vec_id <> qc.vec_id
+       |   AND ($bandMatch)),
+       |scored AS (
+       |  SELECT cands.qid, cands.vec_id,
+       |    ${cosineSql("e.embedding", "qe.embedding")} AS cos
+       |  FROM cands
+       |  JOIN embeddings e ON e.vec_id = cands.vec_id
+       |  JOIN embeddings qe ON qe.vec_id = cands.qid)
+       |SELECT qid, CAST(row_number() OVER
+       |    (PARTITION BY qid ORDER BY cos DESC, vec_id) AS BIGINT) AS rank,
+       |  vec_id, CAST(floor(cos * 1e6) AS BIGINT) AS cos_micro
+       |FROM scored
+       |QUALIFY rank <= 5
+       |ORDER BY qid, rank""".stripMargin
   }
 
   /** sim3 oracle: id-stride centroid bootstrap, nearest-cell argmax
@@ -534,6 +570,19 @@ object SimilarityQueries {
           planes = Planes, rowsPerBand = RowsPerBand)
           .orderBy("qid", "rank")
       },
-      Some(lshOracleSql))
+      Some(lshOracleSql)),
+
+    // k-NN SELF-join: every vector's 5 nearest neighbors — the
+    // embedding-graph construction step (near-dup graphs, diversity
+    // audits), distinct from sim2's query-set shape: both sides are
+    // the corpus, so the band-bucket join is a plain shuffle join (no
+    // broadcast) and per-bucket fanout is bucketSize² under the same
+    // banding geometry knob. The oracle replays codes, banding,
+    // candidates, and the exact re-rank for ALL corpus rows.
+    "sim7_knn_join" -> QueryDef(
+      (s, dir) => Similarity.knnJoin(table(s, dir, "embeddings"),
+          k = 5, dims = Dims, planes = Planes, rowsPerBand = RowsPerBand)
+        .orderBy("qid", "rank"),
+      Some(knnJoinOracleSql))
   )
 }

@@ -208,6 +208,43 @@ class PipelineOpsSpec extends SparkTestBase {
     got.foreach(r => assert(r._3 <= 1000000L))
   }
 
+  test("q63: the delta-join IVM plan equals a plain full recompute") {
+    val dir = "/root/testdata/sf0.001"
+    val got = graft.SparkEntry.queries("q63_ivm_join")(spark, dir)
+      .as[(Long, Long, Long)].collect().toList
+    val ord = spark.read.parquet(s"$dir/orders.parquet")
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+    val want = ord.join(li, ord("o_orderkey") === li("l_orderkey"))
+      .groupBy(col("o_custkey"))
+      .agg(sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100)
+        .cast("long")).as("rev_c"), count(lit(1)).as("n_items"))
+      .orderBy("o_custkey").as[(Long, Long, Long)].collect().toList
+    assert(got == want)
+    // the delta split must be non-trivial (all four terms contribute)
+    assert(ord.filter(col("o_orderkey") % 10 === 0).count() > 0)
+    assert(li.filter(col("l_partkey") % 7 === 0).count() > 0)
+  }
+
+  test("sim7: planted exact duplicates are mutual rank-1; no self pairs; ranks contiguous") {
+    val vecs = (0L until 24L).map { i =>
+      val v = (0 until 64).map(d =>
+        (((i * 31 + d) * 2654435761L % 1000L) / 500.0f - 1.0f))
+      (i, v)
+    }
+    // vector 23 duplicates vector 0 exactly
+    val rows = vecs.dropRight(1) :+ (23L, vecs.head._2)
+    val df = rows.toDF("vec_id", "embedding")
+    val got = graft.operators.Similarity.knnJoin(df, k = 3, dims = 64)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(got.forall(r => r._1 != r._3), "no self neighbors")
+    got.groupBy(_._1).foreach { case (_, rs) =>
+      assert(rs.map(_._2).sorted.toList == (1 to rs.size).toList)
+    }
+    val m = got.filter(r => r._2 == 1L).map(r => r._1 -> (r._3, r._4)).toMap
+    assert(m(0L)._1 == 23L && m(23L)._1 == 0L, s"dup pair must be mutual rank-1: $m")
+    assert(m(0L)._2 >= 999999L, "identical vectors score cos ~ 1")
+  }
+
   test("t27: purge counts and survivor checksums propagate to every derived table") {
     val dir = fixtureDir()
     val docs = (0L until 100L).map { id =>
