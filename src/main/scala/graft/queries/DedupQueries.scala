@@ -561,6 +561,69 @@ object DedupQueries {
              |  AND levenshtein(a.s, b.s) <= 1
              |ORDER BY 1, 2""".stripMargin)),
 
+    // Triangle census of the near-dup pair graph — the graph-shape
+    // audit behind dedup QA: a high triangle-closure rate says the
+    // pair graph is clique-y (true duplicate families); a low rate
+    // with many edges says chained false-positive bridges. Scale
+    // shape: edges orient low→high (degree, id) endpoint, so wedge
+    // enumeration fans out from each edge's LOW-degree side — the
+    // standard O(m^1.5) bound instead of Σdeg² on skewed graphs; the
+    // closure probe joins on the undirected pair key. Counts are
+    // orientation-independent, so the oracle counts the
+    // straightforward id-ordered way over the SAME shared jaccard-pair
+    // rendering.
+    "d19_dup_triangles" -> QueryDef(
+      (s, dir) => {
+        val e = Staged.docNearDupPairs(s, dir)
+          .select(col("doc_a").as("a"), col("doc_b").as("b"))
+        val deg = e.select(col("a").as("v")).unionAll(e.select(col("b").as("v")))
+          .groupBy("v").agg(count(lit(1)).as("deg"))
+        val oriented = e
+          .join(deg.select(col("v").as("a"), col("deg").as("dega")), "a")
+          .join(deg.select(col("v").as("b"), col("deg").as("degb")), "b")
+          .select(when(struct(col("dega"), col("a")) < struct(col("degb"), col("b")),
+              struct(col("a").as("src"), col("b").as("dst")))
+            .otherwise(struct(col("b").as("src"), col("a").as("dst"))).as("o"))
+          .select(col("o.src").as("src"), col("o.dst").as("dst"))
+        val wedges = oriented.as("e1")
+          .join(oriented.as("e2"), col("e1.src") === col("e2.src"))
+          .filter(col("e1.dst") < col("e2.dst"))
+          .select(col("e1.dst").as("v"), col("e2.dst").as("w"))
+        val und = e.select(least(col("a"), col("b")).as("v"),
+          greatest(col("a"), col("b")).as("w"))
+        val tri = wedges.join(und, Seq("v", "w"), "left_semi")
+          .agg(count(lit(1)).cast("long").as("n_triangles"))
+        val summary = deg.agg(count(lit(1)).cast("long").as("n_nodes"),
+          sum(expr("deg * (deg - 1) DIV 2")).cast("long").as("n_wedges"))
+        val edges = e.agg(count(lit(1)).cast("long").as("n_edges"))
+        summary.crossJoin(edges).crossJoin(tri)
+          .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
+            col("n_triangles"),
+            when(col("n_wedges") > 0,
+              expr("3000 * n_triangles DIV n_wedges")).otherwise(0L)
+              .cast("long").as("closure_permille"))
+      },
+      Some(s"""WITH ${QueryDef.shingleCtes()},
+             |${QueryDef.jaccardPairCtes(2, 5)},
+             |e AS (SELECT da AS a, db AS b FROM qp),
+             |deg AS (
+             |  SELECT v, count(*) AS deg
+             |  FROM (SELECT a AS v FROM e UNION ALL SELECT b FROM e)
+             |  GROUP BY 1),
+             |tri AS (
+             |  SELECT count(*) AS n
+             |  FROM e x JOIN e y ON y.a = x.a AND y.b > x.b
+             |  JOIN e z ON z.a = x.b AND z.b = y.b)
+             |SELECT (SELECT CAST(count(*) AS BIGINT) FROM deg) AS n_nodes,
+             |  (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_edges,
+             |  (SELECT CAST(coalesce(sum(deg * (deg - 1) // 2), 0) AS BIGINT)
+             |    FROM deg) AS n_wedges,
+             |  (SELECT CAST(n AS BIGINT) FROM tri) AS n_triangles,
+             |  CAST(CASE WHEN (SELECT sum(deg * (deg - 1) // 2) FROM deg) > 0
+             |    THEN 3000 * (SELECT n FROM tri)
+             |      // (SELECT sum(deg * (deg - 1) // 2) FROM deg)
+             |    ELSE 0 END AS BIGINT) AS closure_permille""".stripMargin)),
+
     // Canonical-URL dedup — the crawl-frontier staple: the same page
     // re-fetched under scheme/www/trailing-slash/tracking-param
     // variants must collapse to ONE fetch. The synthetic corpus has no

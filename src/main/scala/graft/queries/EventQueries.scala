@@ -447,6 +447,88 @@ object EventQueries {
              |FROM touched WHERE event_type = 'purchase'
              |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // Multi-touch (linear) attribution — q60's share-the-credit
+    // sibling: each purchase's value splits across ALL its preceding
+    // touches in proportion to per-channel touch counts. The scale
+    // design: the naive plan pairs every purchase with every preceding
+    // touch (a per-user self-join whose output is O(purchases×touches)
+    // per user); because credit aggregates BY CHANNEL, per-channel
+    // preceding counts from one window pass carry the same information
+    // — four count-windows over ONE per-user sort, zero joins. Credit
+    // = value·cnt_ch DIV n_tot in exact integer (truncation toward the
+    // purchase row's unallocated remainder, documented); purchases
+    // with no prior touch credit 'direct' in full.
+    "q64_multitouch_attribution" -> QueryDef(
+      (s, dir) => {
+        val channels = Seq("view", "click", "signup", "error")
+        val ev = Relational.eventsRaw(s, dir)
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            cents(col("value")).as("value_c"), expr("ts div 1000").as("t_us"))
+        val wPrev = Window.partitionBy("user_id").orderBy("t_us", "event_id")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val counted = channels.foldLeft(ev) { (df, ch) =>
+          df.withColumn(s"cnt_$ch",
+            count(when(col("event_type") === ch, 1)).over(wPrev))
+        }.withColumn("n_tot", channels.map(ch => col(s"cnt_$ch"))
+          .reduce(_ + _))
+        val p = counted.filter(col("event_type") === "purchase")
+        val aggs = channels.flatMap { ch =>
+          Seq(sum(when(col("n_tot") > 0,
+                expr(s"value_c * cnt_$ch DIV n_tot")).otherwise(0L))
+              .as(s"credit_$ch"),
+            count(when(col(s"cnt_$ch") > 0, 1)).as(s"np_$ch"))
+        } ++ Seq(
+          sum(when(col("n_tot") === 0, col("value_c")).otherwise(0L))
+            .as("credit_direct"),
+          count(when(col("n_tot") === 0, 1)).as("np_direct"))
+        val wide = p.agg(aggs.head, aggs.tail: _*)
+        val stackArgs = (channels :+ "direct")
+          .map(ch => s"'$ch', np_$ch, credit_$ch").mkString(", ")
+        wide.select(expr(
+            s"stack(${channels.size + 1}, $stackArgs) AS (channel, n_purchases, credit_c)"))
+          .select(col("channel"), col("n_purchases").cast("long"),
+            col("credit_c").cast("long"))
+          .orderBy("channel")
+      },
+      Some("""WITH ev AS (
+             |  SELECT event_id, user_id, event_type,
+             |    CAST(round(value*100) AS BIGINT) AS value_c, epoch_us(ts) AS t_us
+             |  FROM events),
+             |counted AS (
+             |  SELECT *,
+             |    count(CASE WHEN event_type = 'view' THEN 1 END) OVER w AS cnt_view,
+             |    count(CASE WHEN event_type = 'click' THEN 1 END) OVER w AS cnt_click,
+             |    count(CASE WHEN event_type = 'signup' THEN 1 END) OVER w AS cnt_signup,
+             |    count(CASE WHEN event_type = 'error' THEN 1 END) OVER w AS cnt_error
+             |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY t_us, event_id
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+             |p AS (
+             |  SELECT *, cnt_view + cnt_click + cnt_signup + cnt_error AS n_tot
+             |  FROM counted WHERE event_type = 'purchase'),
+             |wide AS (
+             |  SELECT
+             |    sum(CASE WHEN n_tot > 0 THEN value_c * cnt_view // n_tot ELSE 0 END) AS credit_view,
+             |    count(CASE WHEN cnt_view > 0 THEN 1 END) AS np_view,
+             |    sum(CASE WHEN n_tot > 0 THEN value_c * cnt_click // n_tot ELSE 0 END) AS credit_click,
+             |    count(CASE WHEN cnt_click > 0 THEN 1 END) AS np_click,
+             |    sum(CASE WHEN n_tot > 0 THEN value_c * cnt_signup // n_tot ELSE 0 END) AS credit_signup,
+             |    count(CASE WHEN cnt_signup > 0 THEN 1 END) AS np_signup,
+             |    sum(CASE WHEN n_tot > 0 THEN value_c * cnt_error // n_tot ELSE 0 END) AS credit_error,
+             |    count(CASE WHEN cnt_error > 0 THEN 1 END) AS np_error,
+             |    sum(CASE WHEN n_tot = 0 THEN value_c ELSE 0 END) AS credit_direct,
+             |    count(CASE WHEN n_tot = 0 THEN 1 END) AS np_direct
+             |  FROM p)
+             |SELECT u.channel, CAST(u.n_purchases AS BIGINT) AS n_purchases,
+             |  CAST(u.credit_c AS BIGINT) AS credit_c
+             |FROM wide, LATERAL (VALUES
+             |  ('view', np_view, credit_view),
+             |  ('click', np_click, credit_click),
+             |  ('signup', np_signup, credit_signup),
+             |  ('error', np_error, credit_error),
+             |  ('direct', np_direct, credit_direct))
+             |  AS u(channel, n_purchases, credit_c)
+             |ORDER BY u.channel""".stripMargin)),
+
     // Hourly rate-anomaly detection in EXACT integer arithmetic: an
     // (event_type, hour) is a spike when its count exceeds 150% of the
     // trailing-24h average, i.e. n * trail_n * 100 > trail_sum * 150

@@ -1336,6 +1336,44 @@ object Relational {
              |  FROM events
              |) ORDER BY table_name, check_name""".stripMargin)),
 
+    // ---- multiset set operations ------------------------------------
+    // EXCEPT ALL / INTERSECT ALL — bag semantics, which q15's
+    // DISTINCT-flavored set ops cannot express (a part returned 3×
+    // and accepted once leaves 2 excess rows, not 1). Spark plans both
+    // as a single hash aggregation over tagged counts (no join);
+    // output is the per-op summary (rows, distinct keys, key checksum)
+    // so the result stays dimension-sized.
+    "q65_multiset_ops" -> QueryDef(
+      (s, dir) => {
+        val li = table(s, dir, "lineitem")
+        val r = li.filter(col("l_returnflag") === "R").select("l_partkey")
+        val a = li.filter(col("l_returnflag") === "A").select("l_partkey")
+        def summ(op: String, df: DataFrame): DataFrame =
+          df.groupBy("l_partkey").agg(count(lit(1)).as("k"))
+            .agg(coalesce(sum("k"), lit(0L)).cast("long").as("n_rows"),
+              count(lit(1)).cast("long").as("n_keys"),
+              coalesce(sum(col("l_partkey") * col("k")), lit(0L)).cast("long")
+                .as("key_sum"))
+            .select(lit(op).as("op"), col("n_rows"), col("n_keys"), col("key_sum"))
+        summ("except_all", r.exceptAll(a))
+          .unionAll(summ("intersect_all", r.intersectAll(a)))
+          .orderBy("op")
+      },
+      Some("""WITH r AS (SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R'),
+             |a AS (SELECT l_partkey FROM lineitem WHERE l_returnflag = 'A'),
+             |ex AS (SELECT l_partkey FROM r EXCEPT ALL SELECT l_partkey FROM a),
+             |ia AS (SELECT l_partkey FROM r INTERSECT ALL SELECT l_partkey FROM a)
+             |SELECT 'except_all' AS op, CAST(count(*) AS BIGINT) AS n_rows,
+             |  CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_keys,
+             |  CAST(coalesce(sum(l_partkey), 0) AS BIGINT) AS key_sum
+             |FROM ex
+             |UNION ALL
+             |SELECT 'intersect_all', CAST(count(*) AS BIGINT),
+             |  CAST(count(DISTINCT l_partkey) AS BIGINT),
+             |  CAST(coalesce(sum(l_partkey), 0) AS BIGINT)
+             |FROM ia
+             |ORDER BY op""".stripMargin)),
+
     // ---- incremental view maintenance: JOIN view --------------------
     // q51 proved mergeable AGGREGATE state; this lifts the contract to
     // a JOIN view. Revenue-per-customer over orders ⋈ lineitem is

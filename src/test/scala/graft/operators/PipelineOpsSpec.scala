@@ -245,6 +245,68 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(m(0L)._2 >= 999999L, "identical vectors score cos ~ 1")
   }
 
+  test("q64: linear credit splits by preceding touch counts; direct gets full value") {
+    val dir = fixtureDir()
+    def ts(min: Long) = new java.sql.Timestamp(min * 60000L)
+    // user 1: view, view, click, purchase(30.00) -> view 2/3, click 1/3;
+    // user 2: purchase(10.00) with no touches -> direct in full
+    Seq(
+      (1L, ts(1), 1L, "view", 0.0, "{}"),
+      (2L, ts(2), 1L, "view", 0.0, "{}"),
+      (3L, ts(3), 1L, "click", 0.0, "{}"),
+      (4L, ts(4), 1L, "purchase", 30.0, "{}"),
+      (5L, ts(1), 2L, "purchase", 10.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val got = graft.SparkEntry.queries("q64_multitouch_attribution")(spark, dir)
+      .as[(String, Long, Long)].collect().toList
+    assert(got == List(
+      ("click", 1L, 1000L),    // 3000 * 1 DIV 3
+      ("direct", 1L, 1000L),
+      ("error", 0L, 0L),
+      ("signup", 0L, 0L),
+      ("view", 1L, 2000L)))    // 3000 * 2 DIV 3
+  }
+
+  test("q65: except/intersect ALL keep multiplicities that DISTINCT ops drop") {
+    val dir = fixtureDir()
+    // part 7 returned 3x, accepted 1x -> 2 excess + 1 intersect;
+    // part 9 only returned -> 2 excess; part 5 only accepted
+    val rows = Seq(
+      (7L, "R"), (7L, "R"), (7L, "R"), (7L, "A"),
+      (9L, "R"), (9L, "R"), (5L, "A"))
+    rows.zipWithIndex.map { case ((pk, fl), i) =>
+      (i.toLong, pk, 1L, i, 1.0, 1.0, 0.0, 0.0, fl, "O",
+        new java.sql.Timestamp(0L))
+    }.toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus", "l_shipdate")
+      .write.parquet(s"$dir/lineitem.parquet")
+    val got = graft.SparkEntry.queries("q65_multiset_ops")(spark, dir)
+      .as[(String, Long, Long, Long)].collect().toList
+    // except_all: {7: 2 excess, 9: 2} -> 4 rows, 2 keys, keysum 7*2+9*2=32
+    // intersect_all: {7: 1} -> 1 row, 1 key, keysum 7
+    assert(got == List(("except_all", 4L, 2L, 32L),
+      ("intersect_all", 1L, 1L, 7L)))
+  }
+
+  test("d19: a planted dup triangle plus a lone pair census correctly") {
+    val dir = fixtureDir()
+    // docs 1,2,3 identical (triangle); 10,11 identical (edge); 20 unique
+    val txt = "alpha beta gamma delta epsilon"
+    val other = "zeta eta theta iota kappa"
+    Seq((1L, txt), (2L, txt), (3L, txt), (10L, other), (11L, other),
+      (20L, "lone words only here now"))
+      .map { case (id, t) => (id, t, "en", "s", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val got = graft.SparkEntry.queries("d19_dup_triangles")(spark, dir)
+      .as[(Long, Long, Long, Long, Long)].collect().toList
+    // nodes {1,2,3,10,11}; edges 4; wedges: three deg-2 nodes -> 3;
+    // one triangle closes all of them pairwise -> closure 1000
+    assert(got == List((5L, 4L, 3L, 1L, 1000L)))
+  }
+
   test("t27: purge counts and survivor checksums propagate to every derived table") {
     val dir = fixtureDir()
     val docs = (0L until 100L).map { id =>

@@ -124,8 +124,10 @@ class PlanShapeSpec extends SparkTestBase {
                            //   broadcast into the dimension-sized rate table
       "t23_collocations",  // scalar total-token count (ONE row) broadcast
                            //   into the vocab-sized bigram score projection
-      "t27_deletion_propagation") // per-table 1-row purge/keep aggregates
+      "t27_deletion_propagation", // per-table 1-row purge/keep aggregates
                            //   cross-joined into single audit rows
+      "d19_dup_triangles") // three 1-row census aggregates cross-joined
+                           //   into the single summary row
     val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val plan = fn(spark, sf).queryExecution.executedPlan.toString()
