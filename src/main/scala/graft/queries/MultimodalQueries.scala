@@ -15,6 +15,35 @@ import graft.queries.Staged
   */
 object MultimodalQueries {
 
+  /** mm9's perceptual-hash near-dup pair pipeline, shared with mm12's
+    * cluster step. The sketch table feeds both band sides of the pair
+    * join — and each sketch row costs a PNG encode + a real ImageIO
+    * decode, so it is staged once under the session lifecycle rather
+    * than re-rasterized per consumer (unstaged, the sf0.1 run measured
+    * 38.7 s vs 5.7 s staged). Sketches stay 64-bit LONGS end to end:
+    * banding and popcount verify are native codegen'd expressions
+    * (Dedup.hammingPairsFromLongs), no bit-string materialization.
+    */
+  private def mm9Pairs(s: org.apache.spark.sql.SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val docs = table(s, dir, "documents")
+      .select(col("doc_id").cast("long"), col("n_chars").cast("long"))
+      .as[(Long, Long)]
+    val sketches = Staged.cached(s, s"mm9sketch:$dir") {
+      docs.mapPartitions(_.flatMap { case (id, nChars) =>
+        val w = 9 + (id % 8).toInt
+        val h = 8 + (nChars % 8).toInt
+        val base = graft.operators.Multimodal.dHash(
+          graft.operators.Multimodal.encodePngMixed(w, h, id))
+        val twin = graft.operators.Multimodal.dHash(
+          graft.operators.Multimodal.encodePngMixed(w, h, id, invertFirst = true))
+        base.map(b => (id, b._3)) ++ twin.map(t => (id + 1000000L, t._3))
+      }).toDF("__id", "__h")
+    }
+    graft.operators.Dedup.hammingPairsFromLongs(sketches, "__id", "__h", maxDist = 3)
+  }
+
   val defs: Map[String, QueryDef] = Map(
 
     // REAL image decode: per-row deterministic PNG (dims derived from
@@ -433,77 +462,85 @@ object MultimodalQueries {
     // is real, the pixels are arithmetic, and a raster, hash-pack, or
     // banding bug cannot hash-match.
     "mm9_phash_neardup" -> QueryDef(
-      (s, dir) => {
-        import s.implicits._
-        val docs = table(s, dir, "documents")
-          .select(col("doc_id").cast("long"), col("n_chars").cast("long"))
-          .as[(Long, Long)]
-        // the sketch table feeds both band sides of the pair join — and
-        // each sketch row costs a PNG encode + a real ImageIO decode,
-        // so stage it once under the session lifecycle rather than
-        // re-rasterizing per consumer (unstaged, the sf0.1 run measured
-        // 38.7 s vs 5.7 s staged). Sketches stay 64-bit LONGS end to
-        // end: banding and popcount verify are native codegen'd
-        // expressions (Dedup.hammingPairsFromLongs), no bit-string
-        // materialization.
-        val sketches = Staged.cached(s, s"mm9sketch:$dir") {
-          docs.mapPartitions(_.flatMap { case (id, nChars) =>
-            val w = 9 + (id % 8).toInt
-            val h = 8 + (nChars % 8).toInt
-            val base = graft.operators.Multimodal.dHash(
-              graft.operators.Multimodal.encodePngMixed(w, h, id))
-            val twin = graft.operators.Multimodal.dHash(
-              graft.operators.Multimodal.encodePngMixed(w, h, id, invertFirst = true))
-            base.map(b => (id, b._3)) ++ twin.map(t => (id + 1000000L, t._3))
-          }).toDF("__id", "__h")
-        }
-        graft.operators.Dedup.hammingPairsFromLongs(sketches, "__id", "__h", maxDist = 3)
-          .orderBy("doc_a", "doc_b")
-      },
-      Some("""WITH dims AS (
-             |  SELECT doc_id, 9 + doc_id % 8 AS w, 8 + n_chars % 8 AS h
-             |  FROM documents),
-             |sides AS (SELECT 0 AS twin UNION ALL SELECT 1),
-             |px AS (
-             |  SELECT d.doc_id, s.twin, j.r AS r, i.c AS c,
-             |    CASE WHEN s.twin = 1 AND (j.r * h // 8) * w + (i.c * w // 9) = 0
-             |      THEN xor(((xor((d.doc_id % 1000003) * 2654435761, 0) % 16777216)
-             |        * 2654435761) % 16777216, 16777215)
-             |      ELSE ((xor((d.doc_id % 1000003) * 2654435761,
-             |          ((j.r * h // 8) * w + (i.c * w // 9)) * 40503) % 16777216)
-             |        * 2654435761) % 16777216 END AS p
-             |  FROM dims d CROSS JOIN sides s
-             |    CROSS JOIN range(0, 9) i(c) CROSS JOIN range(0, 8) j(r)),
-             |lum AS (
-             |  SELECT doc_id, twin, r, c,
-             |    299 * ((p // 65536) % 256) + 587 * ((p // 256) % 256)
-             |      + 114 * (p % 256) AS l
-             |  FROM px),
-             |bits AS (
-             |  SELECT a.doc_id, a.twin, a.r, a.c,
-             |    CASE WHEN a.l < b.l THEN 1 ELSE 0 END AS bit
-             |  FROM lum a JOIN lum b
-             |    ON a.doc_id = b.doc_id AND a.twin = b.twin
-             |      AND a.r = b.r AND b.c = a.c + 1
-             |  WHERE a.c < 8),
-             |hs AS (
-             |  SELECT doc_id, twin,
-             |    sum(CASE WHEN r * 8 + c >= 32
-             |      THEN bit * (CAST(1 AS BIGINT) << CAST(r * 8 + c - 32 AS INTEGER))
-             |      ELSE 0 END) AS hi,
-             |    sum(CASE WHEN r * 8 + c < 32
-             |      THEN bit * (CAST(1 AS BIGINT) << CAST(r * 8 + c AS INTEGER))
-             |      ELSE 0 END) AS lo
-             |  FROM bits GROUP BY 1, 2),
-             |ids AS (
-             |  SELECT doc_id + CASE WHEN twin = 1 THEN 1000000 ELSE 0 END AS id,
-             |    hi, lo
-             |  FROM hs)
+      (s, dir) => mm9Pairs(s, dir).orderBy("doc_a", "doc_b"),
+      Some(s"""WITH $mm9SketchCtes
              |SELECT a.id AS doc_a, b.id AS doc_b,
              |  CAST(bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo))
              |    AS BIGINT) AS hamming
              |FROM ids a JOIN ids b ON a.id < b.id
              |WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3
-             |ORDER BY 1, 2""".stripMargin))
+             |ORDER BY 1, 2""".stripMargin)),
+
+    // Image dup CLUSTERS: connected components over the mm9 pair graph
+    // — pairwise hamming matches turned into actual keep/drop families
+    // (a re-encode chain A~B~C clusters even when A!~C), the same
+    // pairwise→decision step d6 performs for text. Reuses the staged
+    // mm9 sketch pipeline AND the d6 CC operator — cross-modality
+    // operator composition, not a re-implementation. Oracle: the same
+    // recursive-CTE closure as d6 over the mm9 pair rendering.
+    "mm12_image_dup_clusters" -> QueryDef(
+      (s, dir) => graft.operators.Dedup.connectedComponents(mm9Pairs(s, dir))
+        .select(col("id"), col("rep"))
+        .orderBy("id"),
+      Some(s"""WITH RECURSIVE $mm9SketchCtes,
+             |prs AS (
+             |  SELECT a.id AS doc_a, b.id AS doc_b
+             |  FROM ids a JOIN ids b ON a.id < b.id
+             |  WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3),
+             |edges AS (SELECT doc_a AS src, doc_b AS dst FROM prs
+             |          UNION SELECT doc_b, doc_a FROM prs),
+             |reach(a, b) AS (
+             |  SELECT src, dst FROM edges
+             |  UNION
+             |  SELECT r.a, e.dst FROM reach r JOIN edges e ON e.src = r.b),
+             |verts AS (SELECT DISTINCT src AS id FROM edges)
+             |SELECT v.id AS id, least(v.id, min(r.b)) AS rep
+             |FROM verts v LEFT JOIN reach r ON r.a = v.id
+             |GROUP BY v.id ORDER BY 1""".stripMargin))
   )
+
+  /** The ONE rendering of the mm9 sketch derivation (mixedPixel raster
+    * → milli-luma → dHash bit pack → twin ids), shared by the mm9 pair
+    * oracle and the mm12 closure oracle.
+    */
+  private def mm9SketchCtes: String =
+    """dims AS (
+      |  SELECT doc_id, 9 + doc_id % 8 AS w, 8 + n_chars % 8 AS h
+      |  FROM documents),
+      |sides AS (SELECT 0 AS twin UNION ALL SELECT 1),
+      |px AS (
+      |  SELECT d.doc_id, s.twin, j.r AS r, i.c AS c,
+      |    CASE WHEN s.twin = 1 AND (j.r * h // 8) * w + (i.c * w // 9) = 0
+      |      THEN xor(((xor((d.doc_id % 1000003) * 2654435761, 0) % 16777216)
+      |        * 2654435761) % 16777216, 16777215)
+      |      ELSE ((xor((d.doc_id % 1000003) * 2654435761,
+      |          ((j.r * h // 8) * w + (i.c * w // 9)) * 40503) % 16777216)
+      |        * 2654435761) % 16777216 END AS p
+      |  FROM dims d CROSS JOIN sides s
+      |    CROSS JOIN range(0, 9) i(c) CROSS JOIN range(0, 8) j(r)),
+      |lum AS (
+      |  SELECT doc_id, twin, r, c,
+      |    299 * ((p // 65536) % 256) + 587 * ((p // 256) % 256)
+      |      + 114 * (p % 256) AS l
+      |  FROM px),
+      |bits AS (
+      |  SELECT a.doc_id, a.twin, a.r, a.c,
+      |    CASE WHEN a.l < b.l THEN 1 ELSE 0 END AS bit
+      |  FROM lum a JOIN lum b
+      |    ON a.doc_id = b.doc_id AND a.twin = b.twin
+      |      AND a.r = b.r AND b.c = a.c + 1
+      |  WHERE a.c < 8),
+      |hs AS (
+      |  SELECT doc_id, twin,
+      |    sum(CASE WHEN r * 8 + c >= 32
+      |      THEN bit * (CAST(1 AS BIGINT) << CAST(r * 8 + c - 32 AS INTEGER))
+      |      ELSE 0 END) AS hi,
+      |    sum(CASE WHEN r * 8 + c < 32
+      |      THEN bit * (CAST(1 AS BIGINT) << CAST(r * 8 + c AS INTEGER))
+      |      ELSE 0 END) AS lo
+      |  FROM bits GROUP BY 1, 2),
+      |ids AS (
+      |  SELECT doc_id + CASE WHEN twin = 1 THEN 1000000 ELSE 0 END AS id,
+      |    hi, lo
+      |  FROM hs)""".stripMargin
 }

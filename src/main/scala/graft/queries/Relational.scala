@@ -1336,6 +1336,56 @@ object Relational {
              |  FROM events
              |) ORDER BY table_name, check_name""".stripMargin)),
 
+    // ---- RFM customer segmentation ----------------------------------
+    // The BI staple: per-customer recency/frequency/monetary scores on
+    // fixed business thresholds, rolled up to segment counts. Fixed
+    // thresholds (not per-dimension quantiles) keep the plan ONE
+    // map-side-combining agg + a 1-row max-date broadcast — the
+    // quantile variant is t19's histogram trick applied three times,
+    // documented as the alternative; scores are exact integer so the
+    // segment assignment is engine-portable.
+    "q66_rfm_segments" -> QueryDef(
+      (s, dir) => {
+        val ord = table(s, dir, "orders")
+        val perCust = ord.groupBy("o_custkey").agg(
+          max("o_orderdate").as("last_d"),
+          count(lit(1)).as("freq"),
+          sum(cents(col("o_totalprice"))).as("mon_c"))
+        val maxD = ord.agg(max("o_orderdate").as("corpus_max"))
+        perCust.crossJoin(broadcast(maxD))
+          .withColumn("rec_days",
+            datediff(col("corpus_max"), col("last_d")).cast("long"))
+          .withColumn("r", when(col("rec_days") <= 90, 3L)
+            .when(col("rec_days") <= 365, 2L).otherwise(1L))
+          .withColumn("f", when(col("freq") >= 15, 3L)
+            .when(col("freq") >= 8, 2L).otherwise(1L))
+          .withColumn("m", when(col("mon_c") >= 300000000L, 3L)
+            .when(col("mon_c") >= 150000000L, 2L).otherwise(1L))
+          .groupBy("r", "f", "m")
+          .agg(count(lit(1)).as("n_customers"), sum("mon_c").as("mon_c_total"))
+          .orderBy(col("r").desc, col("f").desc, col("m").desc)
+      },
+      Some("""WITH pc AS (
+             |  SELECT o_custkey, max(o_orderdate) AS last_d, count(*) AS freq,
+             |    CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS mon_c
+             |  FROM orders GROUP BY 1),
+             |mx AS (SELECT max(o_orderdate) AS corpus_max FROM orders),
+             |scored AS (
+             |  SELECT
+             |    CASE WHEN date_diff('day', last_d, corpus_max) <= 90 THEN 3
+             |         WHEN date_diff('day', last_d, corpus_max) <= 365 THEN 2
+             |         ELSE 1 END AS r,
+             |    CASE WHEN freq >= 15 THEN 3 WHEN freq >= 8 THEN 2 ELSE 1 END AS f,
+             |    CASE WHEN mon_c >= 300000000 THEN 3
+             |         WHEN mon_c >= 150000000 THEN 2 ELSE 1 END AS m,
+             |    mon_c
+             |  FROM pc CROSS JOIN mx)
+             |SELECT CAST(r AS BIGINT) AS r, CAST(f AS BIGINT) AS f,
+             |  CAST(m AS BIGINT) AS m, count(*) AS n_customers,
+             |  CAST(sum(mon_c) AS BIGINT) AS mon_c_total
+             |FROM scored GROUP BY 1, 2, 3
+             |ORDER BY r DESC, f DESC, m DESC""".stripMargin)),
+
     // ---- multiset set operations ------------------------------------
     // EXCEPT ALL / INTERSECT ALL — bag semantics, which q15's
     // DISTINCT-flavored set ops cannot express (a part returned 3×

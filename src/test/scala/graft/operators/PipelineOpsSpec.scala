@@ -307,6 +307,37 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(got == List((5L, 4L, 3L, 1L, 1000L)))
   }
 
+  test("q66: RFM thresholds segment a hand-built customer set") {
+    val dir = fixtureDir()
+    def ts(day: Int) = new java.sql.Timestamp(day * 86400000L)
+    // cust 1: recent(<=90d), frequent(15), rich (>=3e8 total)
+    // cust 2: stale (400d old), 1 order, poor
+    val rows = (0 until 15).map(i =>
+      (i.toLong, 1L, "O", 200000.00, ts(400 + i), "1-URGENT")) :+
+      (100L, 2L, "O", 10.00, ts(50), "5-LOW")
+    rows.toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .write.parquet(s"$dir/orders.parquet")
+    val got = graft.SparkEntry.queries("q66_rfm_segments")(spark, dir)
+      .as[(Long, Long, Long, Long, Long)].collect().toList
+    // corpus max date = day 414 (cust 1's last). cust 1: rec 0 -> r3,
+    // f15 -> f3, 15*2e7 = 3e8 -> m3. cust 2: rec 364 -> r2, f1, m1.
+    assert(got == List((3L, 3L, 3L, 1L, 300000000L), (2L, 1L, 1L, 1L, 1000L)))
+  }
+
+  test("mm12: every planted twin clusters with its base under one representative") {
+    val dir = "/root/testdata/sf0.001"
+    val got = graft.SparkEntry.queries("mm12_image_dup_clusters")(spark, dir)
+      .as[(Long, Long)].collect().toMap
+    assert(got.nonEmpty)
+    got.foreach { case (id, rep) => assert(rep <= id) }
+    // base ids < 1e6; its twin is id + 1e6 and must share the rep
+    got.keys.filter(_ < 1000000L).foreach { id =>
+      assert(got.get(id + 1000000L).contains(got(id)),
+        s"twin of $id not in the same cluster")
+    }
+  }
+
   test("t27: purge counts and survivor checksums propagate to every derived table") {
     val dir = fixtureDir()
     val docs = (0L until 100L).map { id =>

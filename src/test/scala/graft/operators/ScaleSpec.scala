@@ -126,8 +126,10 @@ class PlanShapeSpec extends SparkTestBase {
                            //   into the vocab-sized bigram score projection
       "t27_deletion_propagation", // per-table 1-row purge/keep aggregates
                            //   cross-joined into single audit rows
-      "d19_dup_triangles") // three 1-row census aggregates cross-joined
+      "d19_dup_triangles", // three 1-row census aggregates cross-joined
                            //   into the single summary row
+      "q66_rfm_segments")  // 1-row corpus-max-date broadcast into the
+                           //   per-customer recency computation
     val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val plan = fn(spark, sf).queryExecution.executedPlan.toString()
