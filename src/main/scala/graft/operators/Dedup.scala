@@ -899,6 +899,41 @@ object Dedup {
         (col("__total") - coalesce(col("kept"), lit(0L))).as("dropped"))
   }
 
+  /** Boilerplate-chunk removal — [[chunkDedup]]'s companion rule:
+    * chunks whose text appears in at least `minDocs` DISTINCT
+    * documents are boilerplate (headers, footers, navigation) and are
+    * removed from EVERY document, not deduplicated to one copy. Same
+    * hoisted-tokenization + narrow-totals shape as chunkDedup; the
+    * doc-frequency aggregate is two-level — (chunk, doc) distinct,
+    * then per-chunk count — both map-side-combining, no
+    * count-distinct EXPAND; the boiler set anti-joins back keyed on
+    * the chunk (the high-frequency tail, broadcast-sized in practice).
+    */
+  def boilerplateRemoval(docs: DataFrame, idCol: String, textCol: String,
+                         k: Int, minDocs: Int): DataFrame = {
+    val text = coalesce(col(textCol), lit(""))
+    val docsW = docs.select(col(idCol).as("__id"), TextOps.words(text).as("__w"))
+    val ch = docsW.select(col("__id"),
+      posexplode(TextOps.wordChunksFromWords(col("__w"), k)).as(Seq("__cidx", "__chunk")))
+    val boiler = ch.select(col("__chunk"), col("__id")).distinct()
+      .groupBy("__chunk").agg(count(lit(1)).as("__df"))
+      .filter(col("__df") >= minDocs)
+      .select(col("__chunk"))
+    val kept = ch.join(boiler, Seq("__chunk"), "left_anti")
+    val rebuilt = kept.groupBy("__id").agg(
+      array_join(transform(
+        array_sort(collect_list(struct(col("__cidx"), col("__chunk")))),
+        c => c.getField("__chunk")), " ").as("clean_text"),
+      count(lit(1)).as("kept"))
+    val totals = docsW.select(col("__id"),
+      size(TextOps.wordChunksFromWords(col("__w"), k)).cast("long").as("__total"))
+    totals.join(rebuilt, Seq("__id"), "left")
+      .select(col("__id").as(idCol),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("kept"), lit(0L)).as("kept"),
+        (col("__total") - coalesce(col("kept"), lit(0L))).as("dropped"))
+  }
+
   // ---- benchmark-contamination report --------------------------------
 
   /** Substring-level exact dedup (the ExactSubstr policy of Lee et

@@ -561,6 +561,92 @@ object DedupQueries {
              |  AND levenshtein(a.s, b.s) <= 1
              |ORDER BY 1, 2""".stripMargin)),
 
+    // Boilerplate-chunk removal — d7's companion rule: chunks present
+    // in >= 3 DISTINCT documents (headers/footers/navigation) are
+    // removed from EVERY document, not kept-once. Two-level
+    // doc-frequency agg (no count-distinct EXPAND), anti-join back on
+    // the chunk, order-preserving reassembly.
+    "d21_boilerplate_removal" -> QueryDef(
+      (s, dir) => Dedup.boilerplateRemoval(table(s, dir, "documents"),
+          "doc_id", "text", k = 8, minDocs = 3)
+        .orderBy("doc_id"),
+      Some("""WITH w AS (SELECT doc_id, string_split(coalesce(text,''),' ') AS w FROM documents),
+             |ch AS (SELECT doc_id, i AS cidx, array_to_string(w[(i*8+1):(i*8+8)],' ') AS chunk
+             |       FROM w, unnest(range(0, CAST(ceil(len(w)/8.0) AS BIGINT))) AS t(i)),
+             |dfq AS (SELECT chunk, count(DISTINCT doc_id) AS d FROM ch GROUP BY 1),
+             |boiler AS (SELECT chunk FROM dfq WHERE d >= 3),
+             |kept AS (SELECT ch.doc_id, ch.cidx, ch.chunk FROM ch
+             |         WHERE NOT EXISTS (SELECT 1 FROM boiler b WHERE b.chunk = ch.chunk)),
+             |agg AS (SELECT doc_id, string_agg(chunk, ' ' ORDER BY cidx) AS clean_text,
+             |        count(*) AS kept FROM kept GROUP BY 1),
+             |tot AS (SELECT doc_id, count(*) AS total FROM ch GROUP BY 1)
+             |SELECT t.doc_id, coalesce(a.clean_text,'') AS clean_text,
+             |  CAST(coalesce(a.kept,0) AS BIGINT) AS kept,
+             |  CAST(t.total - coalesce(a.kept,0) AS BIGINT) AS dropped
+             |FROM tot t LEFT JOIN agg a USING (doc_id) ORDER BY doc_id""".stripMargin)),
+
+    // SEMANTIC eval-set contamination — d17's embedding-space sibling
+    // (catches paraphrase-level leakage that shares no n-grams): every
+    // train vector is scored against the broadcast eval set by exact
+    // cosine; matches at cos >= 0.95 report their strongest eval hit
+    // (argmax via the d16 max(struct) shape, smaller eval id on ties).
+    // The corpus-side scan is the labeled corpus × broadcast-eval
+    // replicate join (sim1's class — eval sets are small by
+    // definition); planted contamination = doubled copies of eval
+    // vectors under train ids, so the expected hits are known. Cosine
+    // is the shared left-fold rendering — bit-identical both engines.
+    "d20_semantic_contamination" -> QueryDef(
+      (s, dir) => {
+        import graft.operators.Similarity
+        val emb = table(s, dir, "embeddings")
+        val eval_ = emb.filter(col("vec_id") % 20 === 0)
+          .select(col("vec_id").as("eval_id"), col("embedding").as("evec"))
+        val train = emb.filter(col("vec_id") % 20 =!= 0)
+          .select(col("vec_id"), col("embedding"))
+          .unionByName(emb.filter(col("vec_id") % 40 === 0)
+            .select((col("vec_id") + 30000L).as("vec_id"),
+              transform(col("embedding"), x => x * lit(2.0f)).as("embedding")))
+        train.crossJoin(broadcast(eval_))
+          .withColumn("cos", Similarity.cosine(col("embedding"), col("evec")))
+          .filter(col("cos") >= 0.95)
+          .withColumn("cm", floor(col("cos") * 1e6).cast("long"))
+          .groupBy(col("vec_id").as("train_id"))
+          .agg(max(struct(col("cm"), (-col("eval_id")).as("ne"))).as("best"))
+          .select(col("train_id"), (-col("best.ne")).as("eval_id"),
+            col("best.cm").as("cos_micro"))
+          .orderBy("train_id")
+      },
+      Some("""WITH ev AS (
+             |  SELECT vec_id AS eval_id, embedding AS evec
+             |  FROM embeddings WHERE vec_id % 20 = 0),
+             |tr AS (
+             |  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 20 <> 0
+             |  UNION ALL
+             |  SELECT vec_id + 30000, list_transform(embedding, x -> x * CAST(2 AS REAL))
+             |  FROM embeddings WHERE vec_id % 40 = 0),
+             |sc AS (
+             |  SELECT tr.vec_id AS train_id, ev.eval_id,
+             |    list_reduce(list_prepend(0.0, list_transform(range(1, 65),
+             |        i -> CAST(tr.embedding[i] AS DOUBLE) * CAST(ev.evec[i] AS DOUBLE))),
+             |      (x, y) -> x + y)
+             |    / (sqrt(list_reduce(list_prepend(0.0, list_transform(range(1, 65),
+             |        i -> CAST(tr.embedding[i] AS DOUBLE) * CAST(tr.embedding[i] AS DOUBLE))),
+             |      (x, y) -> x + y))
+             |      * sqrt(list_reduce(list_prepend(0.0, list_transform(range(1, 65),
+             |        i -> CAST(ev.evec[i] AS DOUBLE) * CAST(ev.evec[i] AS DOUBLE))),
+             |      (x, y) -> x + y))) AS cos
+             |  FROM tr CROSS JOIN ev),
+             |hits AS (SELECT train_id, eval_id, CAST(floor(cos * 1e6) AS BIGINT) AS cm
+             |         FROM sc WHERE cos >= 0.95),
+             |best AS (
+             |  SELECT train_id, eval_id, cm,
+             |    row_number() OVER (PARTITION BY train_id
+             |      ORDER BY cm DESC, eval_id) AS rn
+             |  FROM hits)
+             |SELECT train_id, CAST(eval_id AS BIGINT) AS eval_id,
+             |  cm AS cos_micro
+             |FROM best WHERE rn = 1 ORDER BY train_id""".stripMargin)),
+
     // Triangle census of the near-dup pair graph — the graph-shape
     // audit behind dedup QA: a high triangle-closure rate says the
     // pair graph is clique-y (true duplicate families); a low rate

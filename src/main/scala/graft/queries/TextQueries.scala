@@ -1319,6 +1319,54 @@ object TextQueries {
              |  CAST(1000 * (n_docs - n_distinct) // n_docs AS BIGINT) AS dup_permille
              |FROM sig JOIN dst USING (source) ORDER BY source""".stripMargin)),
 
+    // Code-vs-prose detection (The-Stack-style corpus routing): symbol
+    // density + programming-keyword hits, both scan-side codegen'd
+    // (one regex strip + one vocab filter), flag = either signal
+    // firing. The synthetic corpus is pure prose, so both engines
+    // inject an identical code fragment into doc_id % 5 == 0 (t9's
+    // convention) — the classifier must fire on exactly those docs.
+    // Regex class chosen Java/RE2-identical (escaped brackets, no
+    // shorthand classes).
+    "t35_code_detection" -> QueryDef(
+      (s, dir) => {
+        val kws = Seq("def", "return", "import", "class", "function", "var")
+        val symRe = "[\\]\\[(){};=<>:+*]"
+        val itext = when(col("doc_id") % 5 === 0,
+          concat(col("text"), lit(" def f(x): return x[0] + {1: 2}[1];")))
+          .otherwise(col("text"))
+        table(s, dir, "documents")
+          .select(col("doc_id"), itext.as("itext"))
+          .select(col("doc_id"),
+            floor(lit(1000.0) *
+              (length(col("itext")) -
+                length(regexp_replace(col("itext"), symRe, ""))) /
+              length(col("itext"))).cast("long").as("sym_permille"),
+            size(filter(split(col("itext"), " "),
+              w => w.isInCollection(kws))).cast("long").as("kw_hits"))
+          .withColumn("is_code",
+            (col("sym_permille") >= 20 || col("kw_hits") >= 2).cast("long"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH inj AS (
+             |  SELECT doc_id,
+             |    CASE WHEN doc_id % 5 = 0
+             |      THEN text || ' def f(x): return x[0] + {1: 2}[1];'
+             |      ELSE text END AS itext
+             |  FROM documents),
+             |sig AS (
+             |  SELECT doc_id,
+             |    CAST(floor(1000.0 * (length(itext) -
+             |      length(regexp_replace(itext, '[\]\[(){};=<>:+*]', '', 'g')))
+             |      / length(itext)) AS BIGINT) AS sym_permille,
+             |    CAST(len(list_filter(string_split(itext, ' '), x -> x IN
+             |      ('def','return','import','class','function','var')))
+             |      AS BIGINT) AS kw_hits
+             |  FROM inj)
+             |SELECT doc_id, sym_permille, kw_hits,
+             |  CAST(CASE WHEN sym_permille >= 20 OR kw_hits >= 2
+             |    THEN 1 ELSE 0 END AS BIGINT) AS is_code
+             |FROM sig ORDER BY doc_id""".stripMargin)),
+
     "t4_fingerprint" -> QueryDef(
       (s, dir) => {
         graft.functions.VectorExpressions.register(s)

@@ -338,6 +338,50 @@ class PipelineOpsSpec extends SparkTestBase {
     }
   }
 
+  test("d20: every planted eval copy is flagged at cos ~ 1 with its source eval id") {
+    val dir = "/root/testdata/sf0.001"
+    val got = graft.SparkEntry.queries("d20_semantic_contamination")(spark, dir)
+      .as[(Long, Long, Long)].collect().toList
+    val planted = got.filter(_._1 >= 30000L)
+    assert(planted.nonEmpty, "fixture must plant contamination")
+    planted.foreach { case (tid, eid, cm) =>
+      assert(eid == tid - 30000L, s"planted copy $tid must match its source")
+      assert(cm >= 999999L, s"scaled copy must score cos ~ 1: $cm")
+    }
+  }
+
+  test("d21: boilerplate chunks vanish from every doc; unique chunks survive") {
+    val dir = fixtureDir()
+    val banner = "nav home about contact terms privacy login search"
+    val docs = (0L until 5L).map { id =>
+      val body = (0 until 8).map(i => s"u${id}w$i").mkString(" ")
+      (id, if (id < 4) s"$banner $body" else body, "en", "s", 1L)
+    }
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val got = graft.SparkEntry.queries("d21_boilerplate_removal")(spark, dir)
+      .as[(Long, String, Long, Long)].collect().toList
+    // docs 0-3 carry the 8-word banner chunk (df=4 >= 3) -> dropped 1,
+    // kept 1 (their unique body); doc 4 keeps its only chunk
+    got.foreach { case (id, clean, kept, dropped) =>
+      assert(!clean.contains("nav home"), s"banner must vanish from doc $id")
+      if (id < 4) assert(kept == 1L && dropped == 1L, s"doc $id: $kept/$dropped")
+      else assert(kept == 1L && dropped == 0L)
+      assert(clean.contains(s"u${id}w0"), "unique body survives")
+    }
+  }
+
+  test("t35: exactly the injected docs classify as code") {
+    val dir = "/root/testdata/sf0.001"
+    val got = graft.SparkEntry.queries("t35_code_detection")(spark, dir)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(got.nonEmpty)
+    got.foreach { case (id, _, kw, isCode) =>
+      assert(isCode == (if (id % 5 == 0) 1L else 0L),
+        s"doc $id: kw=$kw is_code=$isCode")
+    }
+  }
+
   test("t27: purge counts and survivor checksums propagate to every derived table") {
     val dir = fixtureDir()
     val docs = (0L until 100L).map { id =>
