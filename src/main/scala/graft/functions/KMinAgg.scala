@@ -19,16 +19,8 @@ import org.apache.spark.sql.expressions.Aggregator
 final case class KmvState(mins: List[Long])
 
 class KMinAgg(k: Int) extends Aggregator[Long, KmvState, KmvSummary] {
-
-  /** Insert keeping the buffer sorted ascending, distinct, bounded. */
-  private def insert(buf: List[Long], h: Long): List[Long] = {
-    if (buf.contains(h)) buf
-    else {
-      val (front, back) = buf.span(_ < h)
-      val merged = front ::: h :: back
-      if (merged.length > k) merged.take(k) else merged
-    }
-  }
+  private def insert(buf: List[Long], h: Long): List[Long] =
+    KMinAgg.insert(k, buf, h)
 
   override def zero: KmvState = KmvState(Nil)
   override def reduce(b: KmvState, h: Long): KmvState = KmvState(insert(b.mins, h))
@@ -43,12 +35,45 @@ class KMinAgg(k: Int) extends Aggregator[Long, KmvState, KmvSummary] {
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
 }
 
+/** [[KMinAgg]]'s list-output variant: the FULL sorted min-value buffer
+  * (ascending, distinct, ≤ k values) instead of the (count, kth-min)
+  * summary. This is the form set-operation estimation needs
+  * (`q69_kmv_setops`): two sketches merge into the union's sketch by
+  * list merge, and the intersection estimate counts values present in
+  * both source buffers — neither is recoverable from a KmvSummary.
+  * Same O(k) mergeable-state scale shape.
+  */
+class KMinListAgg(k: Int) extends Aggregator[Long, KmvState, Array[Long]] {
+  override def zero: KmvState = KmvState(Nil)
+  override def reduce(b: KmvState, h: Long): KmvState =
+    KmvState(KMinAgg.insert(k, b.mins, h))
+  override def merge(a: KmvState, b: KmvState): KmvState =
+    KmvState(b.mins.foldLeft(a.mins)(KMinAgg.insert(k, _, _)))
+  override def finish(b: KmvState): Array[Long] = b.mins.toArray
+  override def bufferEncoder: Encoder[KmvState] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+  override def outputEncoder: Encoder[Array[Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+}
+
 /** (number of distinct hashes seen, capped at k; k-th smallest hash or
   * Long.MaxValue when fewer than k).
   */
 final case class KmvSummary(nDistinct: Long, kthMin: Long)
 
 object KMinAgg {
+  /** Insert keeping the buffer sorted ascending, distinct, bounded at
+    * k — the ONE buffer-maintenance rule shared by both aggregators.
+    */
+  private[functions] def insert(k: Int, buf: List[Long], h: Long): List[Long] = {
+    if (buf.contains(h)) buf
+    else {
+      val (front, back) = buf.span(_ < h)
+      val merged = front ::: h :: back
+      if (merged.length > k) merged.take(k) else merged
+    }
+  }
+
   /** Estimate from a summary: exact below k, else (k-1)*H div kth —
     * integer floor division, identical to DuckDB `//`.
     */

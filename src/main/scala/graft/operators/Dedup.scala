@@ -440,6 +440,73 @@ object Dedup {
     cands
   }
 
+  /** EXACT directed containment-similarity join: pairs (a → b), a ≠ b,
+    * with |A ∩ B| / |A| ≥ num/den over the doc shingle sets — the
+    * ASYMMETRIC relative Jaccard's symmetric-overlap join
+    * ([[ngramJaccardPairs]]) cannot express: a 10-word quote inside a
+    * 10,000-word article has Jaccard ≈ 0.1% but containment 100%.
+    * The quote/subset-detection primitive (eval-answer snippets inside
+    * train docs, boilerplate inclusions, syndicated excerpts).
+    *
+    * Scale shape = AllPairs prefix filtering adapted to the asymmetric
+    * threshold: only the CONTAINED side carries a prefix (size
+    * |A| − ceil(τ|A|) + 1 in global rarest-first token order — a
+    * qualifying pair must share a prefix token of A with SOME token of
+    * B), probed against the full inverted index of the container side
+    * with two safe prunes:
+    *  - container length: inter ≥ τ|A| and inter ≤ |B| ⇒ |B|·den ≥ |A|·num;
+    *  - positional: a match at sorted positions (pA, pB) certifies at
+    *    most 1 + min(|A|−pA, |B|−pB) overlap, which must reach
+    *    α = ceil(τ|A|).
+    * Candidates are exactly verified (array_intersect over the staged
+    * shingle arrays), so the join is COMPLETE — no recall caveat. The
+    * container side indexes ALL its tokens (no B-prefix exists for an
+    * asymmetric threshold), so hot boilerplate shingles drive the
+    * candidate volume — d5's bounded-vocab caveat applies doubly;
+    * route corpora with heavy shared boilerplate through
+    * [[d21-style boilerplate removal|TextOps]] first.
+    *
+    * Returns (doc_a, doc_b, containment_pct): doc_a's shingles are
+    * ≥ num/den contained in doc_b's.
+    */
+  def containmentPairs(shingled: DataFrame, idCol: String, shinglesCol: String,
+                       num: Int, den: Int): DataFrame = {
+    val asSet = shingled.withColumn(shinglesCol, array_distinct(col(shinglesCol)))
+    val toks = asSet
+      .select(col(idCol).as("__id"), explode(col(shinglesCol)).as("__t"))
+      .select(col("__id"), xxhash64(col("__t")).as("__th"))
+    val freq = toks.groupBy("__th").agg(count(lit(1)).as("__cnt"))
+    val sorted = toks.join(freq, "__th")
+      .groupBy("__id")
+      .agg(array_sort(collect_list(struct(col("__cnt"), col("__th")))).as("__st"),
+        count(lit(1)).as("__n"))
+    def positional(src: DataFrame, sliceLen: Option[Column]): DataFrame =
+      src.select(col("__id"), col("__n"),
+          posexplode(sliceLen.map(l => slice(col("__st"), lit(1), greatest(l, lit(1))))
+            .getOrElse(col("__st"))))
+        .select(col("__id"), col("__n"), (col("pos") + 1).as("__pos"),
+          col("col.__th").as("__th"))
+    val prefLen = (col("__n") - ceil(col("__n") * num / den) + 1).cast("int")
+    val prefix = positional(sorted, Some(prefLen))
+    val full = positional(sorted, None)
+    val (an, bn) = (col("a.__n"), col("b.__n"))
+    val alpha = ceil(an * num / den)
+    val cands = prefix.as("a").join(full.as("b"),
+        col("a.__th") === col("b.__th") && col("a.__id") =!= col("b.__id") &&
+          bn * den >= an * num &&
+          least(an - col("a.__pos"), bn - col("b.__pos")) + 1 >= alpha)
+      .select(col("a.__id").as("doc_a"), col("b.__id").as("doc_b"))
+      .distinct()
+    val sa = asSet.select(col(idCol).as("doc_a"), col(shinglesCol).as("__sa"))
+    val sb = asSet.select(col(idCol).as("doc_b"), col(shinglesCol).as("__sb"))
+    cands.join(sa, "doc_a").join(sb, "doc_b")
+      .withColumn("__inter", size(array_intersect(col("__sa"), col("__sb"))).cast("long"))
+      .filter(col("__inter") * den >= size(col("__sa")).cast("long") * num)
+      .select(col("doc_a"), col("doc_b"),
+        floor(lit(100L) * col("__inter") / size(col("__sa"))).cast("long")
+          .as("containment_pct"))
+  }
+
   // ---- Transitive dedup clusters ---------------------------------------
 
   /** Lineage-truncation strategy for the iterative operators: reliable

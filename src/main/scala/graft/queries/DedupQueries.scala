@@ -225,6 +225,51 @@ object DedupQueries {
              |SELECT da AS doc_a, db AS doc_b, jacc_pct FROM qp
              |ORDER BY 1, 2""".stripMargin)),
 
+    // Directed containment join — the quote/subset detector d5's
+    // symmetric Jaccard cannot see (a 10-word excerpt inside a long
+    // doc has tiny Jaccard but containment 1.0). Fixture: every 23rd
+    // doc with >= 12 words contributes a derived "quote" doc (its
+    // first 10 words, id + 2e6); the join must pair each quote with
+    // its source at containment >= 9/10. EXACT via asymmetric prefix
+    // filtering (Dedup.containmentPairs — contained-side prefix probes
+    // the full container index, length + positional prunes, exact
+    // verify); the oracle is plain all-pairs relative overlap, so
+    // completeness is checked, not assumed. Docs with < 3 words have
+    // empty shingle sets (vacuous containment, excluded) on both
+    // engines.
+    "d22_containment_join" -> QueryDef(
+      (s, dir) => {
+        val docs = table(s, dir, "documents").select(col("doc_id"), col("text"))
+        val quotes = docs
+          .filter(col("doc_id") % 23 === 0 &&
+            size(TextOps.words(col("text"))) >= 12)
+          .select((col("doc_id") + 2000000L).as("doc_id"),
+            concat_ws(" ", slice(TextOps.words(col("text")), 1, 10)).as("text"))
+        val corpus = docs.unionByName(quotes)
+        val shingled = corpus.select(col("doc_id"),
+          TextOps.shingles(col("text"), 3).as("__sh"))
+        Dedup.containmentPairs(shingled, "doc_id", "__sh", num = 9, den = 10)
+          .orderBy("doc_a", "doc_b")
+      },
+      Some("""WITH corpus AS (
+             |  SELECT doc_id, text FROM documents
+             |  UNION ALL
+             |  SELECT doc_id + 2000000, array_to_string(w[1:10], ' ')
+             |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+             |  WHERE doc_id % 23 = 0 AND len(w) >= 12),
+             |words AS (SELECT doc_id, string_split(text, ' ') AS w FROM corpus),
+             |sh AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS s
+             |       FROM words, UNNEST(range(1, len(w) - 1)) AS t(i)),
+             |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+             |ov AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+             |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id <> b.doc_id
+             |  GROUP BY 1, 2)
+             |SELECT doc_a, doc_b,
+             |  CAST(floor(100.0 * i / sa.n) AS BIGINT) AS containment_pct
+             |FROM ov JOIN sizes sa ON sa.doc_id = doc_a
+             |WHERE i * 10 >= sa.n * 9
+             |ORDER BY 1, 2""".stripMargin)),
+
     // Transitive dedup clusters: connected components over the d2
     // near-dup pair graph — every doc labeled with the min reachable
     // doc id (the dedup representative). Distributed min-label

@@ -25,6 +25,49 @@ object EventQueries {
 
   val defs: Map[String, QueryDef] = Map(
 
+    // ---- first-order Markov transition matrix -----------------------
+    // Per-user event sequences folded into (prev_type → next_type)
+    // transition counts + permille transition probabilities — the
+    // sequence-analytics primitive behind next-action prediction and
+    // journey analysis. ONE window (partitioned by user, ordered by the
+    // (ts, event_id) total order — ties in ts cannot flip a
+    // transition) produces the lagged pairs; counts and the per-source
+    // normalizer are map-side-combining aggs over the |types|²-sized
+    // pair domain. Scale: the window sorts within user partitions
+    // (bounded per-user event counts), never globally; the output is
+    // dimension-sized. Probability is exact integer permille
+    // (c·1000 DIV c_src), identical on both engines.
+    "q68_markov_transitions" -> QueryDef(
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val trans = Relational.eventsRaw(s, dir)
+          .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+          .withColumn("prev_type", lag("event_type", 1).over(w))
+          .filter(col("prev_type").isNotNull)
+        val counts = trans.groupBy(col("prev_type"), col("event_type").as("next_type"))
+          .agg(count(lit(1)).as("n_trans"))
+        val srcTotals = counts.groupBy("prev_type")
+          .agg(sum("n_trans").as("n_src"))
+        counts.join(srcTotals, "prev_type")
+          .select(col("prev_type"), col("next_type"), col("n_trans"),
+            expr("CAST(n_trans * 1000 DIV n_src AS BIGINT)").as("p_permille"))
+          .orderBy("prev_type", "next_type")
+      },
+      Some("""WITH seq AS (
+             |  SELECT user_id, event_type,
+             |    lag(event_type) OVER (PARTITION BY user_id
+             |      ORDER BY ts, event_id) AS prev_type
+             |  FROM events),
+             |counts AS (
+             |  SELECT prev_type, event_type AS next_type, count(*) AS n_trans
+             |  FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+             |src AS (SELECT prev_type, CAST(sum(n_trans) AS BIGINT) AS n_src
+             |  FROM counts GROUP BY 1)
+             |SELECT prev_type, next_type, n_trans,
+             |  CAST(n_trans * 1000 // n_src AS BIGINT) AS p_permille
+             |FROM counts JOIN src USING (prev_type)
+             |ORDER BY 1, 2""".stripMargin)),
+
     // semi-structured props extraction (regex on both engines — the
     // DuckDB json extension is not guaranteed offline) + per-type agg
     "q21_props_extract" -> QueryDef(

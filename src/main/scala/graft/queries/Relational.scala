@@ -659,6 +659,111 @@ object Relational {
              |    AS est_distinct
              |FROM r GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // ---- KMV set-operation estimation (theta-sketch-style) ----------
+    // Distinct-cardinality estimates for |A|, |B|, |A ∪ B| AND |A ∩ B|
+    // from two mergeable KMV sketches — the capability plain
+    // count-distinct sketches (q33/q37) lack: set ALGEBRA over
+    // sketches, the way a 100 TB pipeline answers "how many parts are
+    // in both returned and accepted orders" WITHOUT a distinct-join
+    // over the raw data (the sketches are O(k); the exact twin below
+    // is the full shuffle). Union sketch = k smallest of the merged
+    // min-lists; intersection via the Jaccard estimator m/kk over the
+    // union sketch (values present in BOTH source buffers), scaled by
+    // the union estimate — all exact integer arithmetic, so the DuckDB
+    // oracle reproduces every ESTIMATE bit-for-bit. Exact counts ride
+    // along from ONE map-side-combining per-part flag agg (accuracy
+    // report in the same row). Scale: two O(k)-state sketch aggs + a
+    // 1-row cross join; the exact twin is one hash agg on l_partkey.
+    "q69_kmv_setops" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        import graft.functions.{KMinAgg, KMinListAgg}
+        graft.functions.VectorExpressions.register(s)
+        val k = KmvK
+        val li = table(s, dir, "lineitem")
+          .filter(col("l_returnflag").isin("A", "R"))
+          .select(col("l_returnflag").as("side"), col("l_partkey"))
+        val hashed = li.select(col("side"),
+          KMinAgg.scramble(call_function("poly_hash",
+            col("l_partkey").cast("string"))).as("h"))
+          .as[(String, Long)]
+        val sketches = hashed.groupByKey(_._1).mapValues(_._2)
+          .agg(new KMinListAgg(k).toColumn.name("mins"))
+          .toDF("side", "mins")
+        val a = sketches.filter(col("side") === "A")
+          .select(col("mins").as("mins_a"))
+        val r = sketches.filter(col("side") === "R")
+          .select(col("mins").as("mins_r"))
+        val exact = li
+          .groupBy("l_partkey")
+          .agg(max(when(col("side") === "A", 1L).otherwise(0L)).as("ha"),
+            max(when(col("side") === "R", 1L).otherwise(0L)).as("hr"))
+          .agg(count(lit(1)).as("n_exact_union"),
+            sum("ha").as("n_exact_a"), sum("hr").as("n_exact_r"),
+            sum(col("ha") * col("hr")).as("n_exact_inter"))
+        a.crossJoin(r).crossJoin(broadcast(exact))
+          .withColumn("merged_all",
+            array_sort(array_distinct(concat(col("mins_a"), col("mins_r")))))
+          .withColumn("msize", size(col("merged_all")).cast("long"))
+          .withColumn("merged", slice(col("merged_all"), 1, k))
+          .withColumn("est_a", expr(
+            s"""CASE WHEN size(mins_a) < $k THEN CAST(size(mins_a) AS BIGINT)
+               |ELSE CAST(${k - 1} AS BIGINT) * 1000000007 DIV element_at(mins_a, $k) END""".stripMargin))
+          .withColumn("est_r", expr(
+            s"""CASE WHEN size(mins_r) < $k THEN CAST(size(mins_r) AS BIGINT)
+               |ELSE CAST(${k - 1} AS BIGINT) * 1000000007 DIV element_at(mins_r, $k) END""".stripMargin))
+          .withColumn("est_union", expr(
+            s"""CASE WHEN msize < $k THEN msize
+               |ELSE CAST(${k - 1} AS BIGINT) * 1000000007 DIV element_at(merged, $k) END""".stripMargin))
+          .withColumn("kk", least(lit(k.toLong), col("msize")))
+          .withColumn("n_both", expr(
+            """CAST(size(filter(merged, v ->
+              |array_contains(mins_a, v) AND array_contains(mins_r, v))) AS BIGINT)""".stripMargin))
+          .withColumn("est_inter", expr("n_both * est_union DIV kk"))
+          .select("n_exact_a", "n_exact_r", "n_exact_union", "n_exact_inter",
+            "est_a", "est_r", "est_union", "est_inter")
+      },
+      Some(s"""WITH ${QueryDef.scrambledHashCtes(
+                 "(SELECT l_returnflag, l_partkey FROM lineitem WHERE l_returnflag IN ('A','R')) lf",
+                 Seq("l_returnflag"), "CAST(l_partkey AS VARCHAR)", dedupFinal = true)},
+             |ka AS (SELECT hv, row_number() OVER (ORDER BY hv) AS rn,
+             |    count(*) OVER () AS nd
+             |  FROM h WHERE l_returnflag = 'A'),
+             |kr AS (SELECT hv, row_number() OVER (ORDER BY hv) AS rn,
+             |    count(*) OVER () AS nd
+             |  FROM h WHERE l_returnflag = 'R'),
+             |la AS (SELECT hv FROM ka WHERE rn <= ${KmvK}),
+             |lr AS (SELECT hv FROM kr WHERE rn <= ${KmvK}),
+             |mg AS (SELECT hv, row_number() OVER (ORDER BY hv) AS rn,
+             |    count(*) OVER () AS msize
+             |  FROM (SELECT hv FROM la UNION SELECT hv FROM lr) u),
+             |ea AS (SELECT CASE WHEN max(nd) < ${KmvK} THEN max(nd)
+             |    ELSE CAST(${KmvK - 1} AS BIGINT) * 1000000007
+             |      // max(CASE WHEN rn = ${KmvK} THEN hv END) END AS est_a FROM ka),
+             |er AS (SELECT CASE WHEN max(nd) < ${KmvK} THEN max(nd)
+             |    ELSE CAST(${KmvK - 1} AS BIGINT) * 1000000007
+             |      // max(CASE WHEN rn = ${KmvK} THEN hv END) END AS est_r FROM kr),
+             |eu AS (SELECT CASE WHEN max(msize) < ${KmvK} THEN max(msize)
+             |    ELSE CAST(${KmvK - 1} AS BIGINT) * 1000000007
+             |      // max(CASE WHEN rn = ${KmvK} THEN hv END) END AS est_union,
+             |    least(${KmvK}, max(msize)) AS kk FROM mg),
+             |nb AS (SELECT count(*) AS n_both FROM mg
+             |  WHERE rn <= ${KmvK}
+             |    AND hv IN (SELECT hv FROM la) AND hv IN (SELECT hv FROM lr)),
+             |ex AS (SELECT count(*) AS n_exact_union,
+             |    CAST(sum(ha) AS BIGINT) AS n_exact_a,
+             |    CAST(sum(hr) AS BIGINT) AS n_exact_r,
+             |    CAST(sum(ha * hr) AS BIGINT) AS n_exact_inter
+             |  FROM (SELECT l_partkey,
+             |      max(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END) AS ha,
+             |      max(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS hr
+             |    FROM lineitem WHERE l_returnflag IN ('A','R') GROUP BY 1) f)
+             |SELECT n_exact_a, n_exact_r, n_exact_union, n_exact_inter,
+             |  CAST(est_a AS BIGINT) AS est_a, CAST(est_r AS BIGINT) AS est_r,
+             |  CAST(est_union AS BIGINT) AS est_union,
+             |  CAST(n_both * est_union // kk AS BIGINT) AS est_inter
+             |FROM ex CROSS JOIN ea CROSS JOIN er CROSS JOIN eu CROSS JOIN nb""".stripMargin)),
+
     // ---- portable HLL: HyperLogLog with an EXACT cross-engine oracle
     // (the trick q24's native sketch can't do: its HLL++ registers are
     // implementation-internal). Same scale shape as any HLL — two
@@ -1460,6 +1565,61 @@ object Relational {
              |  count(*) AS n_items
              |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
              |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ---- market-basket co-occurrence (pairwise lift) ----------------
+    // Top co-purchased part pairs by exact-integer scaled lift =
+    // P(x,y)/(P(x)P(y)) — the classic association-rule primitive
+    // (t23's PMI surrogate lifted from text bigrams to order baskets).
+    // Pair generation is a SELF-JOIN ON THE ORDER KEY with pa < pb:
+    // fanout per order is k(k-1)/2 for a k-item basket, and baskets
+    // are bounded (TPC-H ≤ 7 lines; a retail basket ~10²) — so the
+    // join output is a small constant × lineitem, NOT all-pairs over
+    // parts. Per-part supports and the pair counts are map-side-
+    // combining aggs; lift's division order (c_xy·1e6 DIV c_x, then
+    // ·N DIV c_y — t23's overflow discipline: every intermediate
+    // ≤ c_xy·1e6 ≤ 9e12 at 1e6 orders, safe to N ~ 9e12 baskets) is
+    // identical on both engines. Top-20 under a (lift, support, pair)
+    // total order via TakeOrderedAndProject — no global sort of the
+    // pair table.
+    "q67_copurchase_lift" -> QueryDef(
+      (s, dir) => {
+        val li = table(s, dir, "lineitem")
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+          .distinct() // multiplicity within one order is not co-occurrence
+        val nOrders = li.select("ok").distinct()
+          .agg(count(lit(1)).as("n_orders"))
+        val supp = li.groupBy("pk").agg(count(lit(1)).as("c"))
+        val pairs = li.join(li.withColumnRenamed("pk", "pb"), "ok")
+          .filter(col("pk") < col("pb"))
+          .groupBy(col("pk").as("pa"), col("pb"))
+          .agg(count(lit(1)).as("c_xy"))
+          .filter(col("c_xy") >= 3)
+        pairs
+          .join(supp.select(col("pk").as("pa"), col("c").as("c_x")), "pa")
+          .join(supp.select(col("pk").as("pb"), col("c").as("c_y")), "pb")
+          .crossJoin(broadcast(nOrders))
+          .select(col("pa"), col("pb"), col("c_xy"), col("c_x"), col("c_y"),
+            expr("CAST((c_xy * 1000000 DIV c_x * n_orders) DIV c_y AS BIGINT)")
+              .as("lift_ppm"))
+          .orderBy(col("lift_ppm").desc, col("c_xy").desc, col("pa"), col("pb"))
+          .limit(20)
+      },
+      Some("""WITH b AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+             |  FROM lineitem),
+             |n AS (SELECT count(DISTINCT ok) AS n_orders FROM b),
+             |supp AS (SELECT pk, count(*) AS c FROM b GROUP BY 1),
+             |pairs AS (
+             |  SELECT a.pk AS pa, c.pk AS pb, count(*) AS c_xy
+             |  FROM b a JOIN b c ON a.ok = c.ok AND a.pk < c.pk
+             |  GROUP BY 1, 2 HAVING count(*) >= 3)
+             |SELECT pa, pb, c_xy, x.c AS c_x, y.c AS c_y,
+             |  CAST((c_xy * 1000000 // x.c * n.n_orders) // y.c AS BIGINT)
+             |    AS lift_ppm
+             |FROM pairs
+             |JOIN supp x ON x.pk = pa
+             |JOIN supp y ON y.pk = pb
+             |CROSS JOIN n
+             |ORDER BY lift_ppm DESC, c_xy DESC, pa, pb LIMIT 20""".stripMargin)),
 
     // ---- tumbling event-time window aggregation ---------------------
     // eventsRaw normalizes ts to epoch-nanos long; bucketing is then

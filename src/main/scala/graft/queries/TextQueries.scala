@@ -1367,6 +1367,75 @@ object TextQueries {
              |    THEN 1 ELSE 0 END AS BIGINT) AS is_code
              |FROM sig ORDER BY doc_id""".stripMargin)),
 
+    // ---- winnowing document fingerprints (MOSS) ---------------------
+    // Schleimer/Wilkerson/Aiken SIGMOD'03 local fingerprinting: word
+    // 5-gram rolling hashes, sliding windows of w=4 consecutive
+    // hashes, each window selects its MINIMUM hash (rightmost
+    // occurrence on ties — the paper's rule; encoded so one integer
+    // min does hash-asc/pos-desc: key = h·2²⁰ + (2²⁰−1−pos), valid to
+    // 1M-gram docs), consecutive windows picking the same (hash, pos)
+    // collapse to ONE fingerprint. The guarantee t4's whole-doc hash
+    // and d13's fixed-stride windows lack: any shared run of ≥ w+n−1
+    // words yields a shared fingerprint, at a stored density of
+    // ~2/(w+1) instead of every position. Shape: narrow gram explode
+    // (zero shuffle — grams stay on their doc's partition), ONE
+    // doc-partitioned window (per-doc sort, doc-length bounded), one
+    // map-side-combining per-doc agg. Docs with fewer than w+n-1
+    // words have no complete window and emit no row (documented
+    // contract, identical on both engines).
+    "t36_winnowing" -> QueryDef(
+      (s, dir) => {
+        graft.functions.VectorExpressions.register(s)
+        val W = 4 // hashes per winnowing window
+        val P = 1048576L // pos encoding radix (2^20)
+        val wspec = org.apache.spark.sql.expressions.Window
+          .partitionBy("doc_id").orderBy("pos").rowsBetween(0, W - 1)
+        val grams = table(s, dir, "documents")
+          .select(col("doc_id"), TextOps.ngrams(col("text"), 5).as("grams"))
+          .select(col("doc_id"), size(col("grams")).cast("long").as("n_grams"),
+            posexplode(col("grams")).as(Seq("pos", "g")))
+        val fp = grams
+          .withColumn("key",
+            call_function("poly_hash", col("g")) * P + (lit(P - 1) - col("pos")))
+          .withColumn("mkey", min("key").over(wspec))
+          .withColumn("wcnt", count(lit(1)).over(wspec))
+          .filter(col("wcnt") === W)
+          .select(col("doc_id"), col("n_grams"),
+            expr(s"mkey DIV $P").as("fp_hash"),
+            (lit(P - 1) - pmod(col("mkey"), lit(P))).as("fp_pos"))
+          .distinct()
+        fp.groupBy("doc_id")
+          .agg(max("n_grams").as("n_grams"),
+            count(lit(1)).as("n_fp"),
+            sum("fp_hash").as("fp_checksum"))
+          .withColumn("density_permille",
+            expr(s"n_fp * 1000 DIV (n_grams - ${W - 1})"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH words AS (SELECT doc_id, string_split(text, ' ') AS w
+             |  FROM documents),
+             |gr AS (SELECT doc_id, len(w) - 4 AS n_grams, i - 1 AS pos,
+             |    array_to_string(w[i:i+4], ' ') AS g
+             |  FROM words, UNNEST(range(1, len(w) - 3)) AS t(i)),
+             |k AS (SELECT doc_id, n_grams, pos,
+             |    CAST(${QueryDef.polyHashSql("g")} AS BIGINT) * 1048576
+             |      + (1048575 - pos) AS key
+             |  FROM gr),
+             |wnd AS (SELECT doc_id, n_grams,
+             |    min(key) OVER (PARTITION BY doc_id ORDER BY pos
+             |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS mkey,
+             |    count(*) OVER (PARTITION BY doc_id ORDER BY pos
+             |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wcnt
+             |  FROM k),
+             |fp AS (SELECT DISTINCT doc_id, n_grams, mkey // 1048576 AS fp_hash,
+             |    1048575 - mkey % 1048576 AS fp_pos
+             |  FROM wnd WHERE wcnt = 4)
+             |SELECT doc_id, CAST(max(n_grams) AS BIGINT) AS n_grams,
+             |  count(*) AS n_fp, CAST(sum(fp_hash) AS BIGINT) AS fp_checksum,
+             |  CAST(count(*) * 1000 // (max(n_grams) - 3) AS BIGINT)
+             |    AS density_permille
+             |FROM fp GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     "t4_fingerprint" -> QueryDef(
       (s, dir) => {
         graft.functions.VectorExpressions.register(s)

@@ -1,0 +1,135 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.core.SparkTestBase
+
+/** Semantics of the r7 additions: the directed containment join
+  * (d22's operator), the list-output KMV sketch aggregator (q69's),
+  * and the winnowing fingerprint query (t36) — each checked against an
+  * independent driver-side model, not the engine's own arithmetic.
+  */
+class ContainmentSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*) = rows.toSeq.toDF("doc_id", "text")
+
+  test("containment join pairs a quote with its source at tiny Jaccard") {
+    val article = (1 to 60).map(i => s"word$i").mkString(" ")
+    val quote = (1 to 10).map(i => s"word$i").mkString(" ") // first 10 words
+    val unrelated = (100 to 140).map(i => s"other$i").mkString(" ")
+    val d = docs(1L -> article, 2L -> quote, 3L -> unrelated)
+    val shingled = d.select(col("doc_id"), TextOps.shingles(col("text"), 3).as("__sh"))
+    val got = Dedup.containmentPairs(shingled, "doc_id", "__sh", num = 9, den = 10)
+      .select("doc_a", "doc_b", "containment_pct")
+      .as[(Long, Long, Long)].collect().toSet
+    // quote ⊂ article: containment(2→1) = 100; the reverse direction is
+    // 8/58 shingles — far below threshold; unrelated pairs with nobody.
+    assert(got == Set((2L, 1L, 100L)))
+  }
+
+  test("containment join equals a driver-side brute-force model across thresholds") {
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector("a1", "b2", "c3", "d4", "e5", "f6", "g7", "h8")
+    // bases + prefixes of bases (true containments) + chaff + short docs
+    val corpus = (0 until 6).flatMap { i =>
+      val n = 8 + rnd.nextInt(20)
+      val base = Vector.fill(n)(vocab(rnd.nextInt(vocab.size)))
+      Seq((i * 10).toLong -> base.mkString(" "),
+        (i * 10 + 1).toLong -> base.take(4 + rnd.nextInt(n - 4)).mkString(" "))
+    } ++ (0 until 7).map { i =>
+      val n = 1 + rnd.nextInt(25)
+      (100 + i).toLong -> Vector.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    }
+    for ((num, den) <- Seq((9, 10), (3, 4), (1, 2))) {
+      val model: Set[(Long, Long, Long)] = {
+        def shingleSet(text: String): Set[String] = {
+          val w = text.split(" ")
+          if (w.length < 3) Set.empty
+          else (0 to w.length - 3).map(i => w.slice(i, i + 3).mkString(" ")).toSet
+        }
+        val sets = corpus.map { case (id, t) => id -> shingleSet(t) }.toMap
+        (for {
+          (a, sa) <- sets.toSeq; (b, sb) <- sets.toSeq
+          if a != b && sa.nonEmpty
+          inter = (sa & sb).size.toLong
+          if inter * den >= sa.size.toLong * num
+        } yield (a, b, math.floor(100.0 * inter / sa.size).toLong)).toSet
+      }
+      val d = docs(corpus: _*)
+      val shingled = d.select(col("doc_id"), TextOps.shingles(col("text"), 3).as("__sh"))
+      val got = Dedup.containmentPairs(shingled, "doc_id", "__sh", num, den)
+        .select("doc_a", "doc_b", "containment_pct")
+        .as[(Long, Long, Long)].collect().toSet
+      assert(got == model, s"threshold $num/$den")
+      assert(model.nonEmpty, s"degenerate trial at $num/$den — tighten the generator")
+    }
+  }
+
+  test("KMinListAgg keeps the k smallest distinct values across partition merges") {
+    import graft.functions.KMinListAgg
+    val values = (1 to 500).map(i => ((i * 7919L) % 1000L) + 1L) // dups by design
+    val ds = spark.createDataset(values).repartition(7)
+    val got = ds.groupByKey(_ => 1).mapValues(identity)
+      .agg(new KMinListAgg(16).toColumn.name("mins"))
+      .collect().head._2.toSeq
+    val expect = values.distinct.sorted.take(16)
+    assert(got == expect)
+  }
+
+  test("KMV set-op estimates are exact when both sketches are unsaturated") {
+    import graft.functions.KMinListAgg
+    // two overlapping sets, both under k=64 distinct values: the merged
+    // sketch IS the union and the intersection count is exact
+    val a = (1L to 40L).toSet
+    val b = (30L to 55L).toSet
+    val ds = (a.toSeq.map(("A", _)) ++ b.toSeq.map(("B", _))).toDS().repartition(5)
+    val sk = ds.groupByKey(_._1).mapValues(_._2)
+      .agg(new KMinListAgg(64).toColumn.name("mins"))
+      .collect().toMap
+    val minsA = sk("A").toSet
+    val minsB = sk("B").toSet
+    assert(minsA == a && minsB == b)
+    val merged = (minsA ++ minsB).toSeq.sorted.take(64)
+    assert(merged.size == (a ++ b).size) // unsaturated ⇒ union exact
+    val nBoth = merged.count(v => minsA(v) && minsB(v))
+    assert(nBoth == (a & b).size)
+  }
+
+  test("t36 winnowing matches a driver-side model of the MOSS algorithm") {
+    // Hand corpus: a repeated phrase so windows share minima, plus a
+    // doc below the w+n-1 lower bound (no complete window -> no row).
+    val rows = Seq(
+      (1L, ("alpha beta gamma delta " * 6).trim),
+      (2L, (1 to 30).map(i => s"tok${i % 11}").mkString(" ")),
+      (3L, "too short for any window"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_winnow").toString
+    rows.toDF("doc_id", "text").write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val got = graft.SparkEntry.queries("t36_winnowing")(spark, dir)
+      .select("doc_id", "n_grams", "n_fp", "fp_checksum", "density_permille")
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map { case (id, ng, nfp, ck, dp) => id -> ((ng, nfp, ck, dp)) }.toMap
+    val P = 1048576L
+    def polyHash(s: String): Long =
+      s.foldLeft(0L)((acc, c) => (acc * 31 + c.toLong) % 1000000007L)
+    val model = rows.flatMap { case (id, text) =>
+      val w = text.split(" ")
+      if (w.length < 5) None
+      else {
+        val grams = (0 to w.length - 5).map(i => w.slice(i, i + 5).mkString(" "))
+        if (grams.length < 4) None
+        else {
+          val keys = grams.zipWithIndex.map { case (g, p) =>
+            polyHash(g) * P + (P - 1 - p)
+          }
+          val picks = (0 to keys.length - 4).map(t => keys.slice(t, t + 4).min).distinct
+          val hashes = picks.map(_ / P)
+          Some(id -> ((grams.length.toLong, picks.length.toLong,
+            hashes.sum, picks.length.toLong * 1000 / (grams.length - 3))))
+        }
+      }
+    }.toMap
+    assert(got == model)
+    assert(model(1L)._2 < model(1L)._1 - 3, "repetition must compress fingerprints")
+  }
+}
