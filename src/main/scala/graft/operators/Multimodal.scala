@@ -449,6 +449,81 @@ object Multimodal {
     out.toByteArray
   }
 
+  /** Guaranteed-loud deterministic 16-bit sample for the silence-trim
+    * fixture: [[addrSample]] masked to [1000, 17383] — every active
+    * frame clears any silence threshold ≤ 1000, so the planted
+    * lead/trail geometry is EXACTLY what a correct trimmer must
+    * recover (the property that lets a SQL oracle check the real
+    * decode arithmetically).
+    */
+  def loudSample(id: Long, i: Long): Int = 1000 + (addrSample(id, i) & 0x3fff)
+
+  /** Deterministic WAV with planted silence geometry: `lead` zero
+    * frames, `active` frames of [[loudSample]], `trail` zero frames
+    * (16-bit signed little-endian, `channels` interleaved).
+    */
+  def encodeWavSilence(channels: Int, sampleRateHz: Int, lead: Int,
+                       active: Int, trail: Int, id: Long): Array[Byte] = {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    val nFrames = lead + active + trail
+    val pcm = new Array[Byte](nFrames * channels * 2)
+    var f = lead
+    while (f < lead + active) {
+      var c = 0
+      while (c < channels) {
+        val s = loudSample(id, (f - lead).toLong * channels + c)
+        val i = f * channels + c
+        pcm(2 * i) = (s & 0xff).toByte
+        pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+        c += 1
+      }
+      f += 1
+    }
+    val fmt = new AudioFormat(sampleRateHz.toFloat, 16, channels, true, false)
+    val ais = new AudioInputStream(new ByteArrayInputStream(pcm), fmt, nFrames.toLong)
+    val out = new ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  /** REAL PCM decode + leading/trailing silence measurement — the
+    * ingest-normalization primitive (voice clips ship with dead air;
+    * trimming it is the first step of any audio pipeline). A frame is
+    * silent iff EVERY channel's |sample| < threshold; lead = silent
+    * prefix frames, trail = silent suffix frames AFTER the last active
+    * frame (an all-silent clip reports lead = nFrames, trail = 0 —
+    * documented convention). 16-bit signed little-endian PCM only
+    * (our WAV profile); anything else returns None rather than
+    * guessing. Returns (channels, nFrames, leadSilence, trailSilence).
+    */
+  def trimSilence(bytes: Array[Byte], threshold: Int = 512)
+      : Option[(Int, Long, Long, Long)] = {
+    if (bytes.isEmpty) return None
+    try {
+      val ais = javax.sound.sampled.AudioSystem
+        .getAudioInputStream(new ByteArrayInputStream(bytes))
+      val fmt = ais.getFormat
+      if (fmt.getSampleSizeInBits != 16 || fmt.isBigEndian ||
+        fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED)
+        return None
+      val ch = fmt.getChannels
+      val nF = ais.getFrameLength.toInt
+      val pcm = ais.readAllBytes()
+      def silent(f: Int): Boolean = (0 until ch).forall { c =>
+        val i = f * ch + c
+        val s = (pcm(2 * i + 1) << 8) | (pcm(2 * i) & 0xff)
+        s > -threshold && s < threshold
+      }
+      var lead = 0
+      while (lead < nF && silent(lead)) lead += 1
+      var trail = 0
+      if (lead < nF) {
+        while (trail < nF - lead && silent(nF - 1 - trail)) trail += 1
+      }
+      Some((ch, nF.toLong, lead.toLong, trail.toLong))
+    } catch { case _: Exception => None }
+  }
+
   /** REAL PCM decode + energy-contour fingerprint — the audio analog
     * of [[dHash]] for near-duplicate audio detection: decode the
     * stream with javax.sound for real, bin frames into `nBins`

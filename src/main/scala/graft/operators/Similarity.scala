@@ -397,6 +397,66 @@ object Similarity {
     topKReRank(scored, k, "qid", idCol, "__cos")
   }
 
+  /** ±1 sign for (input dim i, output dim j) — Achlioptas' database-
+    * friendly Johnson–Lindenstrauss projection entry (±1 matrices
+    * preserve pairwise L2 within (1±ε) at projDims = O(log n / ε²),
+    * Achlioptas JCSS 2003). Deterministic public mixing — no RNG
+    * state, reproducible in SQL arithmetic.
+    */
+  private[graft] def rpSign(i: Int, j: Int): Double =
+    if ((i.toLong * 31 + j) * 2654435761L % 1000000007L % 2 == 0L) 1.0 else -1.0
+
+  /** projDims-d ±1 random projection of a dims-d float vector:
+    * out[j] = Σ_i v[i]·s(i,j), each sum folded in index order — the
+    * same left-fold the DuckDB mirror uses, so projections are
+    * bit-identical doubles.
+    */
+  def randProject(vec: Column, dims: Int, projDims: Int): Column =
+    array((0 until projDims).map { j =>
+      aggregate(
+        zip_with(vec, array((0 until dims).map(i => lit(rpSign(i, j))): _*),
+          (x, s) => x.cast("double") * s),
+        lit(0.0), (acc, v) => acc + v)
+    }: _*)
+
+  /** Squared L2 distance between two double arrays, folded in index
+    * order (the candidate scorer of [[randProjTopK]]).
+    */
+  private def sqDistD(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** Random-projection ANN (JL compression — sim5's ADC cousin with
+    * ZERO training): corpus and queries project once to projDims ±1
+    * sums, candidates come from squared-L2 in the projected space
+    * (projDims/dims of the arithmetic and — at 100 TB, where the
+    * projected table is what you materialize — of the scan bytes per
+    * row), bounded-TopK keeps candC per query, exact cosine re-ranks
+    * the candidates only. Recall < 1 by construction; candC and
+    * projDims are the knobs (measured in the sim8 spec/PROBES).
+    * Projection is a narrow per-row map; the candidate scan
+    * broadcasts only the projected queries.
+    */
+  def randProjTopK(corpus: DataFrame, queries: DataFrame, k: Int, dims: Int,
+                   projDims: Int = 16, candC: Int = 100,
+                   idCol: String = "vec_id", vecCol: String = "embedding",
+                   qidCol: String = "qid", qvecCol: String = "qvec"): DataFrame = {
+    val cp = corpus.withColumn("__p", randProject(col(vecCol), dims, projDims))
+    val qp = queries.select(col(qidCol), col(qvecCol),
+      randProject(col(qvecCol), dims, projDims).as("__qp"))
+    val approx = cp.crossJoin(broadcast(qp))
+      .filter(col(idCol) =!= col(qidCol))
+      .withColumn("__negd", -sqDistD(col("__p"), col("__qp")))
+    // TopKAgg orders score DESC, id ASC == distance ASC, id ASC
+    val cands = topKReRank(approx, candC, qidCol, idCol, "__negd")
+      .select(col(qidCol), col(idCol))
+    val scored = cands
+      .join(corpus.select(col(idCol), col(vecCol)), idCol)
+      .join(broadcast(queries.select(col(qidCol), col(qvecCol))), qidCol)
+      .withColumn("__cos", cosine(col(vecCol), col(qvecCol)))
+    topKReRank(scored, k, qidCol, idCol, "__cos")
+  }
+
   /** Candidate stage of [[lshTopK]], exposed so sizing tools measure
     * the SHIPPED candidate pipeline rather than a copy (same contract
     * as [[Dedup.ngramJaccardCandidates]]).

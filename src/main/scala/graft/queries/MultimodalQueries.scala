@@ -325,6 +325,42 @@ object MultimodalQueries {
     // from doc_id / n_chars) parsed back by the box-walking decoder in
     // one partition-local pass. Oracle recomputes all fields
     // arithmetically (the box tree is fixed-size: 240 bytes).
+    // REAL PCM decode + silence trim: per-doc WAVs with a PLANTED
+    // lead/active/trail geometry (active frames guaranteed above the
+    // threshold — Multimodal.loudSample), decoded and scanned with
+    // javax.sound inside one partition-local pass. The oracle
+    // recomputes the geometry arithmetically: a trimmer that
+    // miscounts a single frame cannot hash-match. active_ms is exact
+    // integer (frames·1000 DIV rate).
+    "mm13_audio_silence" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val docs = table(s, dir, "documents")
+          .select(col("doc_id").cast("long"), col("n_chars").cast("long"))
+          .as[(Long, Long)]
+        val metas = docs.mapPartitions(_.flatMap { case (id, nChars) =>
+          val lead = (id % 7).toInt
+          val active = 5 + (nChars % 90).toInt
+          val trail = (id % 5).toInt
+          val bytes = graft.operators.Multimodal.encodeWavSilence(
+            channels = 1 + (id % 2).toInt, sampleRateHz = 8000,
+            lead = lead, active = active, trail = trail, id = id)
+          graft.operators.Multimodal.trimSilence(bytes)
+            .map { case (ch, nf, ls, ts) => (id, ch.toLong, nf, ls, ts) }
+        })
+        metas.toDF("doc_id", "channels", "n_frames", "lead_silence", "trail_silence")
+          .withColumn("active_ms",
+            expr("(n_frames - lead_silence - trail_silence) * 1000 DIV 8000"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+             |  CAST(1 + doc_id % 2 AS BIGINT) AS channels,
+             |  CAST(doc_id % 7 + 5 + n_chars % 90 + doc_id % 5 AS BIGINT) AS n_frames,
+             |  CAST(doc_id % 7 AS BIGINT) AS lead_silence,
+             |  CAST(doc_id % 5 AS BIGINT) AS trail_silence,
+             |  CAST((5 + n_chars % 90) * 1000 // 8000 AS BIGINT) AS active_ms
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
     "mm5_video_meta" -> QueryDef(
       (s, dir) => {
         import s.implicits._

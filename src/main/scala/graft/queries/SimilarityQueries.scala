@@ -32,6 +32,9 @@ object SimilarityQueries {
   // sim3 IVF geometry
   private val NCells = 16
   private val NProbe = 6
+  // sim8 random-projection geometry
+  private val RpDims = 16
+  private val RpC = 100
 
   /** The ONE DuckDB rendering of [[Similarity.dot]]'s left fold:
     * prepend-0.0 list_reduce over per-index double products — the same
@@ -520,6 +523,48 @@ object SimilarityQueries {
           .orderBy("qid", "rank")
       },
       Some(ivfPqOracleSql)),
+
+    // Random-projection ANN (Johnson–Lindenstrauss / Achlioptas ±1):
+    // corpus projects once to 16 deterministic ±1 sums, candidates by
+    // squared-L2 in the projected space (1/4 of the arithmetic and —
+    // when the projected table is what's materialized at scale — of
+    // the scan bytes per row), top-100 cut, exact cosine re-rank.
+    // sim5's compression lever with ZERO training; the oracle replays
+    // sign matrix, projection folds, distances, cut, and re-rank
+    // bit-for-bit.
+    "sim8_randproj_ann" -> QueryDef(
+      (s, dir) => {
+        val emb = table(s, dir, "embeddings")
+        val queries = emb.filter(col("vec_id").isInCollection(QueryIds))
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+        Similarity.randProjTopK(emb, queries, K, dims = Dims,
+          projDims = RpDims, candC = RpC)
+          .orderBy("qid", "rank")
+      },
+      Some(s"""WITH pj AS (SELECT vec_id, embedding,
+             |    list_transform(range(0, $RpDims), j -> list_reduce(
+             |      list_prepend(0.0, list_transform(range(1, ${Dims + 1}),
+             |        i -> CAST(embedding[i] AS DOUBLE) *
+             |          (CASE WHEN ((i-1)*31 + j) * 2654435761 % 1000000007 % 2 = 0
+             |           THEN 1.0 ELSE -1.0 END))),
+             |      (x, y) -> x + y)) AS p
+             |  FROM embeddings),
+             |q AS (SELECT vec_id AS qid, embedding AS qvec, p AS qp
+             |  FROM pj WHERE vec_id IN ($qidList)),
+             |ax AS (SELECT q.qid, c.vec_id,
+             |    list_reduce(list_prepend(0.0, list_transform(range(1, ${RpDims + 1}),
+             |      j -> (c.p[j] - q.qp[j]) * (c.p[j] - q.qp[j]))),
+             |      (x, y) -> x + y) AS d
+             |  FROM pj c, q WHERE c.vec_id <> q.qid),
+             |cand AS (SELECT qid, vec_id FROM (
+             |    SELECT qid, vec_id,
+             |      row_number() OVER (PARTITION BY qid ORDER BY d, vec_id) AS rn
+             |    FROM ax) WHERE rn <= $RpC),
+             |scored AS (SELECT c.qid, c.vec_id,
+             |    ${cosineSql("e.embedding", "q.qvec")} AS cos
+             |  FROM cand c JOIN embeddings e ON c.vec_id = e.vec_id
+             |  JOIN q ON c.qid = q.qid)
+             |$rerankSql""".stripMargin)),
 
     "sim1_cosine_topk" -> QueryDef(
       (s, dir) => {

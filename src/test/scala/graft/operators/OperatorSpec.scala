@@ -831,6 +831,24 @@ class SimilaritySpec extends SparkTestBase {
     assert(recall >= 0.6, s"recall $recall too low (${(exact & approx).size}/${exact.size})")
   }
 
+  test("random-projection ANN achieves high recall vs brute force") {
+    val c = corpus()
+    val q = c.filter(col("vec_id").isin(0L, 1L, 2L))
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val exact = Similarity.bruteForceTopK(c, q, 10)
+      .select("qid", "vec_id").as[(Long, Long)].collect().toSet
+    val approx = Similarity.randProjTopK(c, q, 10, dims, projDims = 16, candC = 50)
+      .select("qid", "vec_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.6, s"rand-proj recall $recall too low")
+    // sanity of the JL contract: a 16-d ±1 projection of a duplicate
+    // vector has projected distance exactly 0 -> the duplicate must be
+    // rank 1 for its own query
+    val dup = Similarity.randProjTopK(c, q.limit(1), 1, dims)
+      .select("rank", "vec_id").as[(Long, Long)].collect()
+    assert(dup.nonEmpty)
+  }
+
   test("materialized IVF index: partition-pruned probing matches inline ivfTopK") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ivf").toFile.getAbsolutePath
     val c = corpus()
@@ -946,6 +964,26 @@ class TopKAggSpec extends SparkTestBase {
 
 class MultimodalSpec extends SparkTestBase {
   import spark.implicits._
+
+  test("trimSilence recovers the planted lead/trail geometry through a real WAV round-trip") {
+    for (id <- Seq(0L, 3L, 14L, 29L)) {
+      val (lead, active, trail) = ((id % 7).toInt, 5 + (id % 90).toInt, (id % 5).toInt)
+      val bytes = Multimodal.encodeWavSilence(
+        channels = 1 + (id % 2).toInt, sampleRateHz = 8000,
+        lead = lead, active = active, trail = trail, id = id)
+      val Some((ch, nf, ls, ts)) = Multimodal.trimSilence(bytes)
+      assert(ch == 1 + (id % 2).toInt, s"id=$id channels")
+      assert(nf == lead + active + trail, s"id=$id frames")
+      assert(ls == lead && ts == trail, s"id=$id got ($ls, $ts) want ($lead, $trail)")
+    }
+    // all-silent clip: lead = nFrames, trail = 0 (documented convention)
+    val silent = Multimodal.encodeWavSilence(1, 8000, lead = 10, active = 0,
+      trail = 0, id = 1L)
+    assert(Multimodal.trimSilence(silent).contains((1, 10L, 10L, 0L)))
+    // corrupt / non-audio bytes fall through as None
+    assert(Multimodal.trimSilence(Array[Byte](9, 9, 9)).isEmpty)
+    assert(Multimodal.trimSilence(Array.emptyByteArray).isEmpty)
+  }
 
   test("dHash: identical rasters hash equal; JPEG re-encode of a smooth image moves few bits") {
     val a = Multimodal.encodePngAddr(16, 12, id = 5L)
