@@ -449,6 +449,90 @@ object Multimodal {
     out.toByteArray
   }
 
+  /** Position-addressable deterministic 8-bit gray for the animated-GIF
+    * fixture: the value at (id, frame f, raster position pos) is direct
+    * arithmetic (mod-1e6+3 reduction first keeps every product far
+    * under 2^63), so a SQL oracle recomputes any frame's checksum
+    * without decoding. GIF's 256-entry palette represents 256 grays
+    * EXACTLY (probed: zero mismatches through the JDK writer/reader),
+    * which is what makes the round-trip bit-exact where RGB would
+    * quantize.
+    */
+  def grayPixel(id: Long, f: Long, pos: Long): Int =
+    ((((id % 1000003L) * 131 + f * 31 + pos) % 1000003L)
+      * 2654435761L % 256L).toInt
+
+  /** Deterministic ANIMATED GIF: `nFrames` grayscale w×h frames of
+    * [[grayPixel]], written as a real multi-frame sequence with the
+    * JDK GIF writer (prepareWriteSequence / writeToSequence).
+    */
+  def encodeGifAnimated(width: Int, height: Int, nFrames: Int, id: Long): Array[Byte] = {
+    import javax.imageio.stream.ImageOutputStream
+    val wr = ImageIO.getImageWritersByFormatName("gif").next()
+    val bos = new ByteArrayOutputStream()
+    val ios: ImageOutputStream = ImageIO.createImageOutputStream(bos)
+    try {
+      wr.setOutput(ios)
+      wr.prepareWriteSequence(null)
+      var f = 0
+      while (f < nFrames) {
+        val img = new java.awt.image.BufferedImage(
+          width, height, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+        var y = 0
+        while (y < height) {
+          var x = 0
+          while (x < width) {
+            img.getRaster.setSample(x, y, 0,
+              grayPixel(id, f.toLong, y.toLong * width + x))
+            x += 1
+          }
+          y += 1
+        }
+        wr.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+        f += 1
+      }
+      wr.endWriteSequence()
+    } finally { ios.close(); wr.dispose() }
+    bos.toByteArray
+  }
+
+  /** REAL multi-frame decode of an animated GIF via the JDK ImageIO
+    * GIF reader: every frame materialized (`getNumImages(true)` forces
+    * a full scan of the sequence), per-frame (width, height, sum of
+    * 8-bit luma) — actual video-style frame extraction, not offset
+    * sampling: the per-frame pixels are read from the decoded rasters.
+    * Returns None when the bytes are not a GIF the reader accepts.
+    */
+  def gifFrames(bytes: Array[Byte]): Option[Seq[(Int, Int, Int, Long)]] = {
+    if (bytes.isEmpty) return None
+    try {
+      val readers = ImageIO.getImageReadersByFormatName("gif")
+      if (!readers.hasNext) return None
+      val rd = readers.next()
+      val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(bytes))
+      try {
+        rd.setInput(iis, false, true)
+        val n = rd.getNumImages(true)
+        if (n <= 0) return None
+        Some((0 until n).map { f =>
+          val img = rd.read(f)
+          val (w, h) = (img.getWidth, img.getHeight)
+          var sum = 0L
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              sum += (img.getRGB(x, y) & 0xff).toLong
+              x += 1
+            }
+            y += 1
+          }
+          (f, w, h, sum)
+        })
+      } finally { iis.close(); rd.dispose() }
+    } catch { case _: Exception => None }
+  }
+
   /** Guaranteed-loud deterministic 16-bit sample for the silence-trim
     * fixture: [[addrSample]] masked to [1000, 17383] — every active
     * frame clears any silence threshold ≤ 1000, so the planted

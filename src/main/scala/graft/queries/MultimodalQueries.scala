@@ -325,6 +325,46 @@ object MultimodalQueries {
     // from doc_id / n_chars) parsed back by the box-walking decoder in
     // one partition-local pass. Oracle recomputes all fields
     // arithmetically (the box tree is fixed-size: 240 bytes).
+    // REAL animated-GIF frame extraction: per-doc multi-frame GIFs
+    // (grayscale — GIF's 256-entry palette holds 256 grays exactly, so
+    // the round-trip is bit-exact where RGB would quantize), decoded
+    // frame by frame with the JDK ImageIO GIF reader in one
+    // partition-local pass. One output row per (doc, frame) with the
+    // decoded luma checksum; the oracle recomputes frame count, dims,
+    // and every checksum from the grayPixel formula — a reader that
+    // drops a frame or mis-decodes one pixel cannot hash-match. This
+    // is mm2's frame sampling upgraded from offset arithmetic to REAL
+    // frames out of a real animated container.
+    "mm14_gif_frames" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val docs = table(s, dir, "documents")
+          .select(col("doc_id").cast("long"), col("n_chars").cast("long"))
+          .as[(Long, Long)]
+        val frames = docs.mapPartitions(_.flatMap { case (id, nChars) =>
+          val w = 8 + (id % 9).toInt
+          val h = 8 + (nChars % 7).toInt
+          val nf = 2 + (id % 5).toInt
+          val bytes = graft.operators.Multimodal.encodeGifAnimated(w, h, nf, id)
+          graft.operators.Multimodal.gifFrames(bytes).toSeq.flatten
+            .map { case (f, fw, fh, sum) => (id, f.toLong, fw.toLong, fh.toLong, sum) }
+        })
+        frames.toDF("doc_id", "frame_ix", "width", "height", "luma_checksum")
+          .orderBy("doc_id", "frame_ix")
+      },
+      Some("""WITH geo AS (SELECT doc_id, 8 + doc_id % 9 AS w,
+             |    8 + n_chars % 7 AS h, 2 + doc_id % 5 AS nf
+             |  FROM documents),
+             |fr AS (SELECT doc_id, w, h, f FROM geo, UNNEST(range(0, nf)) AS t(f)),
+             |px AS (SELECT doc_id, f, w, h,
+             |    ((doc_id % 1000003) * 131 + f * 31 + p) % 1000003
+             |      * 2654435761 % 256 AS g
+             |  FROM fr, UNNEST(range(0, w * h)) AS t2(p))
+             |SELECT doc_id, CAST(f AS BIGINT) AS frame_ix,
+             |  CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+             |  CAST(sum(g) AS BIGINT) AS luma_checksum
+             |FROM px GROUP BY 1, 2, 3, 4 ORDER BY 1, 2""".stripMargin)),
+
     // REAL PCM decode + silence trim: per-doc WAVs with a PLANTED
     // lead/active/trail geometry (active frames guaranteed above the
     // threshold — Multimodal.loudSample), decoded and scanned with

@@ -965,6 +965,25 @@ class TopKAggSpec extends SparkTestBase {
 class MultimodalSpec extends SparkTestBase {
   import spark.implicits._
 
+  test("gifFrames decodes every frame of a real animated GIF bit-exactly") {
+    val (w, h, nf, id) = (11, 9, 4, 42L)
+    val bytes = Multimodal.encodeGifAnimated(w, h, nf, id)
+    val Some(frames) = Multimodal.gifFrames(bytes)
+    assert(frames.map(f => (f._1, f._2, f._3)) ==
+      (0 until nf).map(f => (f, w, h)))
+    // checksums must equal the formula EXACTLY — GIF gray is lossless
+    val want = (0 until nf).map { f =>
+      (0 until w * h).map(p => Multimodal.grayPixel(id, f.toLong, p.toLong).toLong).sum
+    }
+    assert(frames.map(_._4) == want)
+    // frames genuinely differ (the animation is not a repeated still)
+    assert(frames.map(_._4).distinct.size == nf)
+    // corrupt / non-GIF bytes fall through as None
+    assert(Multimodal.gifFrames("not a gif".getBytes).isEmpty)
+    assert(Multimodal.gifFrames(Array.emptyByteArray).isEmpty)
+    assert(Multimodal.gifFrames(Multimodal.encodePng(8, 8, 1L)).isEmpty)
+  }
+
   test("trimSilence recovers the planted lead/trail geometry through a real WAV round-trip") {
     for (id <- Seq(0L, 3L, 14L, 29L)) {
       val (lead, active, trail) = ((id % 7).toInt, 5 + (id % 90).toInt, (id % 5).toInt)
