@@ -417,6 +417,41 @@ object Multimodal {
     } catch { case _: Exception => None }
   }
 
+  /** REAL full-raster decode + non-overlapping patch extraction — the
+    * ViT-style tiling step of a vision training pipeline (the
+    * multimodal analog of RAG chunking): decode the raster with
+    * ImageIO, cut the `patch`×`patch` grid, return one
+    * (patchRow, patchCol, checksum) per tile where checksum is the sum
+    * of the tile's 24-bit pixels (64·16M per tile stays far under
+    * 2^63). Requires dims divisible by `patch` (None otherwise — the
+    * resize step owns ragged edges); None on undecodable bytes.
+    */
+  def imagePatches(bytes: Array[Byte], patch: Int = 8): Option[Seq[(Int, Int, Long)]] = {
+    if (bytes.isEmpty) return None
+    try {
+      val img = ImageIO.read(new ByteArrayInputStream(bytes))
+      if (img == null) return None
+      val (w, h) = (img.getWidth, img.getHeight)
+      if (w % patch != 0 || h % patch != 0) return None
+      Some(for {
+        pj <- 0 until h / patch
+        pi <- 0 until w / patch
+      } yield {
+        var sum = 0L
+        var y = pj * patch
+        while (y < (pj + 1) * patch) {
+          var x = pi * patch
+          while (x < (pi + 1) * patch) {
+            sum += (img.getRGB(x, y) & 0xffffff).toLong
+            x += 1
+          }
+          y += 1
+        }
+        (pj, pi, sum)
+      })
+    } catch { case _: Exception => None }
+  }
+
   /** Position-addressable deterministic 16-bit sample — the audio
     * analog of [[addrPixel]]: the value at flat sample index `i` is a
     * direct function of (id, i), which is what lets a SQL oracle

@@ -25,6 +25,51 @@ object EventQueries {
 
   val defs: Map[String, QueryDef] = Map(
 
+    // ---- rolling 7-day active users (sliding-window DISTINCT) -------
+    // For every window-end day: distinct users active in the trailing
+    // 7 days (WAU), that day's distinct users (DAU), and the
+    // DAU/WAU stickiness permille — the product-analytics staple whose
+    // naive form is a per-day range self-join. Scale shape: the
+    // activity table collapses to DISTINCT (day, user) ONCE (the only
+    // full-data agg), then each row EXPLODES into the ≤7 windows it
+    // belongs to — a constant-factor narrow expansion replacing the
+    // range join — and a second distinct+count per window end. Leading
+    // windows (< 7 days of history) are partial by documented
+    // convention; both engines emit them identically. Window ends
+    // clamp to the corpus max day (1-row broadcast).
+    "q70_rolling_wau" -> QueryDef(
+      (s, dir) => {
+        val DayNs = 86400000000000L
+        val du = Relational.eventsRaw(s, dir)
+          .select(expr(s"ts div $DayNs").as("day"), col("user_id"))
+          .distinct()
+        val dau = du.groupBy(col("day").as("w")).agg(count(lit(1)).as("dau"))
+        val mx = du.agg(max("day").as("max_day"))
+        val wau = du
+          .select(explode(sequence(col("day"), col("day") + 6)).as("w"), col("user_id"))
+          .distinct()
+          .groupBy("w").agg(count(lit(1)).as("wau"))
+        wau.crossJoin(broadcast(mx))
+          .filter(col("w") <= col("max_day"))
+          .join(dau, "w")
+          .select(col("w").as("window_end_day"), col("dau"), col("wau"),
+            expr("dau * 1000 DIV wau").as("stickiness_permille"))
+          .orderBy("window_end_day")
+      },
+      Some("""WITH du AS (SELECT DISTINCT epoch_ns(ts) // 86400000000000 AS day,
+             |    user_id
+             |  FROM events),
+             |dau AS (SELECT day AS w, count(*) AS dau FROM du GROUP BY 1),
+             |mx AS (SELECT max(day) AS max_day FROM du),
+             |wu AS (SELECT DISTINCT day + o AS w, user_id
+             |  FROM du, UNNEST(range(0, 7)) AS t(o)),
+             |wau AS (SELECT w, count(*) AS wau FROM wu GROUP BY 1)
+             |SELECT w AS window_end_day, dau, wau,
+             |  CAST(dau * 1000 // wau AS BIGINT) AS stickiness_permille
+             |FROM wau JOIN dau USING (w) CROSS JOIN mx
+             |WHERE w <= max_day
+             |ORDER BY 1""".stripMargin)),
+
     // ---- first-order Markov transition matrix -----------------------
     // Per-user event sequences folded into (prev_type → next_type)
     // transition counts + permille transition probabilities — the

@@ -325,6 +325,48 @@ object MultimodalQueries {
     // from doc_id / n_chars) parsed back by the box-walking decoder in
     // one partition-local pass. Oracle recomputes all fields
     // arithmetically (the box tree is fixed-size: 240 bytes).
+    // REAL decode + ViT-style patch extraction: per-doc PNGs (position-
+    // addressable addrPixel raster) decoded with ImageIO and cut into
+    // the non-overlapping 8×8 patch grid — one row per patch with the
+    // tile's 24-bit pixel checksum (the tensorization step before a
+    // vision encoder; the multimodal analog of t24's RAG chunking).
+    // The oracle recomputes every tile sum from the pixel formula: a
+    // decode or index-arithmetic bug in any single tile cannot
+    // hash-match.
+    "mm15_image_patches" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val docs = table(s, dir, "documents")
+          .select(col("doc_id").cast("long"), col("n_chars").cast("long"))
+          .as[(Long, Long)]
+        val patches = docs.mapPartitions { it =>
+          javax.imageio.ImageIO.setUseCache(false)
+          it.flatMap { case (id, nChars) =>
+            val w = 16 + (id % 3).toInt * 8
+            val h = 16 + (nChars % 2).toInt * 8
+            val bytes = graft.operators.Multimodal.encodePngAddr(w, h, id)
+            graft.operators.Multimodal.imagePatches(bytes).toSeq.flatten
+              .map { case (pr, pc, sum) => (id, pr.toLong, pc.toLong, sum) }
+          }
+        }
+        patches.toDF("doc_id", "patch_row", "patch_col", "pixel_checksum")
+          .orderBy("doc_id", "patch_row", "patch_col")
+      },
+      Some("""WITH geo AS (SELECT doc_id, 16 + doc_id % 3 * 8 AS w,
+             |    16 + n_chars % 2 * 8 AS h
+             |  FROM documents),
+             |pt AS (SELECT doc_id, w, h, pr, pc
+             |  FROM geo, UNNEST(range(0, h // 8)) AS a(pr),
+             |    UNNEST(range(0, w // 8)) AS b(pc)),
+             |px AS (SELECT doc_id, pr, pc,
+             |    ((doc_id % 1000003) * 31 + (pr * 8 + dy) * w + pc * 8 + dx)
+             |      * 2654435761 % 16777216 AS v
+             |  FROM pt, UNNEST(range(0, 8)) AS c(dy), UNNEST(range(0, 8)) AS d(dx))
+             |SELECT doc_id, CAST(pr AS BIGINT) AS patch_row,
+             |  CAST(pc AS BIGINT) AS patch_col,
+             |  CAST(sum(v) AS BIGINT) AS pixel_checksum
+             |FROM px GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin)),
+
     // REAL animated-GIF frame extraction: per-doc multi-frame GIFs
     // (grayscale — GIF's 256-entry palette holds 256 grays exactly, so
     // the round-trip is bit-exact where RGB would quantize), decoded

@@ -1367,6 +1367,62 @@ object TextQueries {
              |    THEN 1 ELSE 0 END AS BIGINT) AS is_code
              |FROM sig ORDER BY doc_id""".stripMargin)),
 
+    // ---- vocabulary growth curve (Heaps' law report) ----------------
+    // Types-vs-tokens as the corpus grows in doc-id order: per decile
+    // of the id range, token occurrences, NEW word types (words whose
+    // FIRST occurrence lands in the decile), cumulative types/tokens,
+    // and types-per-million-tokens — the curve a corpus curator reads
+    // to judge dedup quality and diversity (a flattening curve means
+    // the crawl is re-reading itself). Scale shape: the only full-data
+    // aggs are a map-side-combining per-word min(doc_id) and a decile
+    // token count; the cumulative windows run over the 10-row decile
+    // table. Decile = doc_id·10 DIV (max_id+1) (1-row broadcast).
+    "t37_vocab_growth" -> QueryDef(
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+        val words = docs.select(col("doc_id"),
+          explode(TextOps.words(col("text"))).as("tok"))
+        val mx = docs.agg(max("doc_id").as("md"))
+        val toks = words.crossJoin(broadcast(mx))
+          .groupBy(expr("doc_id * 10 DIV (md + 1)").as("decile"))
+          .agg(count(lit(1)).as("n_tokens"))
+        val news = words.groupBy("tok").agg(min("doc_id").as("fd"))
+          .crossJoin(broadcast(mx))
+          .groupBy(expr("fd * 10 DIV (md + 1)").as("decile"))
+          .agg(count(lit(1)).as("n_new_types"))
+        val w = org.apache.spark.sql.expressions.Window.orderBy("decile")
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+        toks.join(news, Seq("decile"), "left")
+          .withColumn("n_new_types", coalesce(col("n_new_types"), lit(0L)))
+          .withColumn("cum_types", sum("n_new_types").over(w))
+          .withColumn("cum_tokens", sum("n_tokens").over(w))
+          .withColumn("types_per_mtok", expr("cum_types * 1000000 DIV cum_tokens"))
+          .orderBy("decile")
+      },
+      Some("""WITH words AS (SELECT doc_id, t.tok
+             |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+             |    UNNEST(w) AS t(tok)),
+             |mx AS (SELECT max(doc_id) AS md FROM documents),
+             |toks AS (SELECT doc_id * 10 // (md + 1) AS decile,
+             |    count(*) AS n_tokens
+             |  FROM words, mx GROUP BY 1),
+             |news AS (SELECT fd * 10 // (md + 1) AS decile,
+             |    count(*) AS n_new_types
+             |  FROM (SELECT tok, min(doc_id) AS fd FROM words GROUP BY 1), mx
+             |  GROUP BY 1)
+             |SELECT decile, n_tokens, n_new_types,
+             |  CAST(sum(n_new_types) OVER (ORDER BY decile
+             |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_types,
+             |  CAST(sum(n_tokens) OVER (ORDER BY decile
+             |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens,
+             |  CAST(sum(n_new_types) OVER (ORDER BY decile ROWS UNBOUNDED PRECEDING)
+             |    * 1000000 // sum(n_tokens) OVER (ORDER BY decile ROWS UNBOUNDED PRECEDING)
+             |    AS BIGINT) AS types_per_mtok
+             |FROM (SELECT t.decile, t.n_tokens,
+             |    coalesce(n.n_new_types, 0) AS n_new_types
+             |  FROM toks t LEFT JOIN news n USING (decile))
+             |ORDER BY 1""".stripMargin)),
+
     // ---- winnowing document fingerprints (MOSS) ---------------------
     // Schleimer/Wilkerson/Aiken SIGMOD'03 local fingerprinting: word
     // 5-gram rolling hashes, sliding windows of w=4 consecutive

@@ -965,6 +965,21 @@ class TopKAggSpec extends SparkTestBase {
 class MultimodalSpec extends SparkTestBase {
   import spark.implicits._
 
+  test("imagePatches tiles a real decode into the 8x8 grid with formula-exact checksums") {
+    val (w, h, id) = (24, 16, 9L)
+    val Some(patches) = Multimodal.imagePatches(Multimodal.encodePngAddr(w, h, id))
+    assert(patches.map(p => (p._1, p._2)) ==
+      (for (pj <- 0 until 2; pi <- 0 until 3) yield (pj, pi)))
+    val want = patches.map { case (pj, pi, _) =>
+      (for (dy <- 0 until 8; dx <- 0 until 8) yield
+        Multimodal.addrPixel(id, (pj * 8 + dy).toLong * w + pi * 8 + dx).toLong).sum
+    }
+    assert(patches.map(_._3) == want)
+    // ragged dims are the resize step's job: refuse, don't guess
+    assert(Multimodal.imagePatches(Multimodal.encodePngAddr(20, 16, id)).isEmpty)
+    assert(Multimodal.imagePatches(Array[Byte](1, 2)).isEmpty)
+  }
+
   test("gifFrames decodes every frame of a real animated GIF bit-exactly") {
     val (w, h, nf, id) = (11, 9, 4, 42L)
     val bytes = Multimodal.encodeGifAnimated(w, h, nf, id)
