@@ -47,6 +47,26 @@ object EventStream {
       .groupBy(window(col("ets"), duration, slide), col("userId"))
       .agg(count(lit(1)).as("n"), sum("valueC").as("value_c"))
 
+  /** Streaming rolling 7-day active users — q70's online face: a
+    * sliding `window(ets, 7 days, 1 day)` per-user aggregate (each
+    * event expands into its ≤7 windows, state bounded by watermark ×
+    * overlap) CHAINED into a per-window distinct-user count — two
+    * stateful operators in one query, the Spark-4 multi-stateful
+    * pipeline (watermark propagates through the first agg, so the
+    * second finalizes windows exactly once in Append mode). The
+    * per-(window, user) row count from stage 1 is exactly "user was
+    * active in this window", so stage 2's plain count IS the distinct
+    * count — no count-distinct state blowup.
+    */
+  def streamingWau(events: DataFrame, watermark: String = "2 days"): DataFrame =
+    events
+      .withColumn("ets", timestamp_micros(col("tsUs")))
+      .withWatermark("ets", watermark)
+      .groupBy(window(col("ets"), "7 days", "1 day"), col("userId"))
+      .agg(count(lit(1)).as("n_events"))
+      .groupBy(col("window"))
+      .agg(count(lit(1)).as("wau"))
+
   /** Stream-stream interval join: each left event matches right events
     * of the same user within the trailing `windowUs` interval
     * (rts ∈ [lts - window, lts]). Both sides watermarked so Spark can

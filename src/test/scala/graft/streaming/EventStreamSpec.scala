@@ -10,6 +10,42 @@ class EventStreamSpec extends SparkTestBase {
 
   private val Min = 60L * 1000000L // one minute in µs
 
+  test("streaming rolling WAU: finalized sliding windows equal the batch plan and the trailing-count model") {
+    implicit val sqlCtx = spark.sqlContext
+    val Day = 86400L * 1000000L
+    // users across four days, with a same-day re-visit (must count once
+    // per window) and out-of-order arrival within the watermark
+    val core = Seq(
+      (1L, 10 * Day + 5 * Min), (2L, 10 * Day + 9 * Min),
+      (1L, 10 * Day + 700 * Min), // user 1 again, same day
+      (2L, 12 * Day + Min), (3L, 12 * Day + 2 * Min),
+      (4L, 13 * Day + Min),
+      (3L, 11 * Day + Min)) // out-of-order: arrives after day-12 rows
+    def proj(df: org.apache.spark.sql.DataFrame) = df
+      .selectExpr("CAST(window.start AS LONG) DIV 86400 AS wstart_day", "wau")
+    // batch: the IDENTICAL function over a static frame
+    val batch = proj(EventStream.streamingWau(core.toDF("userId", "tsUs")))
+      .as[(Long, Long)].collect().toSet
+    val input = MemoryStream[(Long, Long)]
+    val q = EventStream.streamingWau(input.toDF().toDF("userId", "tsUs"))
+      .writeStream.format("memory").queryName("wau_eq")
+      .outputMode(OutputMode.Append).start()
+    val streamed = try {
+      input.addData(core.take(5): _*); q.processAllAvailable()
+      input.addData(core.drop(5): _*); q.processAllAvailable()
+      // ticks push the watermark past every core window end (≤ day 20)
+      input.addData((99L, 28 * Day)); q.processAllAvailable()
+      input.addData((98L, 29 * Day)); q.processAllAvailable()
+      proj(spark.table("wau_eq")).as[(Long, Long)].collect().toSet
+    } finally q.stop()
+    assert(streamed == batch, s"stream/batch drift: streamed=$streamed batch=$batch")
+    // trailing-count model (q70's contract): window starting day 7
+    // covers days 7..13 -> users {1,2,3,4}
+    assert(batch.contains((7L, 4L)))
+    // window starting day 6 covers days 6..12 -> users {1,2,3}
+    assert(batch.contains((6L, 3L)))
+  }
+
   test("streaming CMS cells equal the batch sketch over the same corpus") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.functions.{col, explode, length, max}
