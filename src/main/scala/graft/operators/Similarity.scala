@@ -397,6 +397,23 @@ object Similarity {
     topKReRank(scored, k, "qid", idCol, "__cos")
   }
 
+  /** Symmetric int8 quantization of a float vector: q_i =
+    * round(x_i·127 / absmax) with absmax = max |x_i| folded in index
+    * order — the 4×-smaller embedding storage format (the scan-bytes
+    * lever sim5 buys with codebooks, bought here with one scale per
+    * vector and zero training). Returns (absmax, array<int> codes);
+    * callers dequantize with [[int8Dequantize]].
+    */
+  def int8AbsMax(vec: Column): Column =
+    aggregate(transform(vec, x => abs(x.cast("double"))),
+      lit(0.0), (a, b) => greatest(a, b))
+
+  def int8Quantize(vec: Column, absMax: Column): Column =
+    transform(vec, x => round(x.cast("double") * 127.0 / absMax).cast("int"))
+
+  def int8Dequantize(codes: Column, absMax: Column): Column =
+    transform(codes, q => q.cast("double") * absMax / 127.0)
+
   /** ±1 sign for (input dim i, output dim j) — Achlioptas' database-
     * friendly Johnson–Lindenstrauss projection entry (±1 matrices
     * preserve pairwise L2 within (1±ε) at projDims = O(log n / ε²),

@@ -524,6 +524,57 @@ object SimilarityQueries {
       },
       Some(ivfPqOracleSql)),
 
+    // int8 embedding quantization QA: symmetric per-vector scale
+    // (absmax/127), quantize → dequantize → reconstruction cosine vs
+    // the original — the report a pipeline reads before committing to
+    // 4×-smaller embedding storage (sim5's codebooks trade MORE
+    // compression for training; int8 is the zero-training point on
+    // that curve). Output: 1e-4-resolution reconstruction-cosine histogram
+    // + per-bucket worst vector (min cos, argmin id). All folds in
+    // index order; the oracle replays scale, rounding, dequant, and
+    // cosine bit-for-bit. Scale: one narrow projection — no
+    // shuffle until the dimension-sized histogram agg.
+    "sim9_int8_quant" -> QueryDef(
+      (s, dir) => {
+        val emb = table(s, dir, "embeddings")
+        val am = Similarity.int8AbsMax(col("embedding"))
+        val scored = emb
+          .withColumn("am", am)
+          .filter(col("am") > 0.0)
+          .withColumn("deq", Similarity.int8Dequantize(
+            Similarity.int8Quantize(col("embedding"), col("am")), col("am")))
+          .withColumn("cos_micro",
+            floor(Similarity.cosine(col("embedding"), col("deq")) * 1e6).cast("long"))
+        scored
+          .groupBy(expr("cos_micro DIV 100").as("bucket_e4"))
+          .agg(count(lit(1)).as("n_vecs"),
+            min("cos_micro").as("min_cos_micro"),
+            min(struct(col("cos_micro"), col("vec_id"))).as("worst"))
+          .select(col("bucket_e4"), col("n_vecs"), col("min_cos_micro"),
+            col("worst.vec_id").as("worst_vec_id"))
+          .orderBy("bucket_e4")
+      },
+      Some(s"""WITH sc AS (SELECT vec_id,
+             |    list_reduce(list_prepend(0.0, list_transform(embedding,
+             |      x -> abs(CAST(x AS DOUBLE)))), (a, b) -> greatest(a, b)) AS am,
+             |    embedding
+             |  FROM embeddings),
+             |dq AS (SELECT vec_id, am, embedding,
+             |    list_transform(list_transform(embedding,
+             |      x -> round(CAST(x AS DOUBLE) * 127.0 / am)),
+             |      q -> q * am / 127.0) AS deq
+             |  FROM sc WHERE am > 0.0),
+             |cm AS (SELECT vec_id,
+             |    CAST(floor((${dotSql("embedding", "deq")})
+             |      / (sqrt(${dotSql("embedding", "embedding")})
+             |        * sqrt(${dotSql("deq", "deq")})) * 1e6) AS BIGINT) AS cos_micro
+             |  FROM dq)
+             |SELECT cos_micro // 100 AS bucket_e4, count(*) AS n_vecs,
+             |  CAST(min(cos_micro) AS BIGINT) AS min_cos_micro,
+             |  CAST(min_by(vec_id, cos_micro * 1073741824 + vec_id) AS BIGINT)
+             |    AS worst_vec_id
+             |FROM cm GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // Random-projection ANN (Johnson–Lindenstrauss / Achlioptas ±1):
     // corpus projects once to 16 deterministic ±1 sums, candidates by
     // squared-L2 in the projected space (1/4 of the arithmetic and —
