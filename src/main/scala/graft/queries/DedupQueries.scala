@@ -210,6 +210,40 @@ object DedupQueries {
              |  CAST(n AS BIGINT) AS n_eval_matches
              |FROM r WHERE rn = 1 ORDER BY train_id""".stripMargin)),
 
+    // Cross-source duplication flow matrix — the curation question
+    // behind near-dup stats: WHICH sources copy from which (syndication,
+    // mirrors, scraper loops). The staged d2 pair graph joined to each
+    // side's source label, rolled up per unordered source pair with
+    // exact-integer volume/strength (sum + max of jacc_pct, no float
+    // mean); diagonal rows are intra-source duplication. t33's dataset
+    // card reports per-source EXACT-dup rates; this is the near-dup
+    // flow BETWEEN sources. One dimension-sized output; the joins key
+    // on doc ids against the ONE shared jaccard-pair rendering.
+    "d23_cross_source_dups" -> QueryDef(
+      (s, dir) => {
+        val src = table(s, dir, "documents").select(col("doc_id"), col("source"))
+        Staged.docNearDupPairs(s, dir)
+          .join(src.select(col("doc_id").as("doc_a"), col("source").as("sa")), "doc_a")
+          .join(src.select(col("doc_id").as("doc_b"), col("source").as("sb")), "doc_b")
+          .groupBy(least(col("sa"), col("sb")).as("source_x"),
+            greatest(col("sa"), col("sb")).as("source_y"))
+          .agg(count(lit(1)).as("n_pairs"),
+            sum("jacc_pct").as("jacc_pct_sum"),
+            max("jacc_pct").as("max_jacc_pct"))
+          .orderBy("source_x", "source_y")
+      },
+      Some(s"""WITH ${QueryDef.shingleCtes()},
+             |${QueryDef.jaccardPairCtes(2, 5)}
+             |SELECT least(a.source, b.source) AS source_x,
+             |  greatest(a.source, b.source) AS source_y,
+             |  count(*) AS n_pairs,
+             |  CAST(sum(jacc_pct) AS BIGINT) AS jacc_pct_sum,
+             |  CAST(max(jacc_pct) AS BIGINT) AS max_jacc_pct
+             |FROM qp
+             |JOIN documents a ON a.doc_id = qp.da
+             |JOIN documents b ON b.doc_id = qp.db
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
     // EXACT n-gram Jaccard similarity join at jaccard >= 0.5 via
     // prefix filtering (AllPairs): deterministic and complete — unlike
     // the MinHash path there is NO miss probability, so the oracle is

@@ -25,6 +25,51 @@ object EventQueries {
 
   val defs: Map[String, QueryDef] = Map(
 
+    // ---- seasonal baseline profile + deviation census ---------------
+    // Day-of-week × hour-of-day traffic profile with a same-slot
+    // deviation count — the seasonality complement of q61's trailing-
+    // window anomaly rule (a Monday-9am spike is normal against Monday
+    // 9am, anomalous against the trailing hour). Two-level shape: the
+    // only full-data agg is the per-hour count (map-side-combining on
+    // the time bucket); the 168-slot profile broadcasts back onto the
+    // per-hour table for the deviation census (n ≥ 2·mean high,
+    // 2n ≤ mean low — exact integer, floor-mean documented). Epoch
+    // day 0 is a Thursday: dow = (day + 4) % 7 puts Sunday at 0.
+    "q71_seasonal_profile" -> QueryDef(
+      (s, dir) => {
+        val HourNs = 3600000000000L
+        val hours = Relational.eventsRaw(s, dir)
+          .select(expr(s"ts div $HourNs").as("hr"))
+          .groupBy("hr").agg(count(lit(1)).as("n"))
+          .withColumn("dow", expr("(hr DIV 24 + 4) % 7"))
+          .withColumn("hod", expr("hr % 24"))
+        val profile = hours.groupBy("dow", "hod")
+          .agg(count(lit(1)).as("n_hours"),
+            expr("sum(n) DIV count(1)").as("mean_n"))
+        hours.join(broadcast(profile), Seq("dow", "hod"))
+          .groupBy("dow", "hod")
+          .agg(max("n_hours").as("n_hours"), max("mean_n").as("mean_n"),
+            count(when(col("n") >= col("mean_n") * 2, 1)).as("n_high"),
+            count(when(col("n") * 2 <= col("mean_n"), 1)).as("n_low"))
+          .orderBy("dow", "hod")
+      },
+      Some("""WITH h AS (SELECT epoch_ns(ts) // 3600000000000 AS hr,
+             |    count(*) AS n
+             |  FROM events GROUP BY 1),
+             |hh AS (SELECT hr, n, (hr // 24 + 4) % 7 AS dow, hr % 24 AS hod
+             |  FROM h),
+             |p AS (SELECT dow, hod, count(*) AS n_hours,
+             |    sum(n) // count(*) AS mean_n
+             |  FROM hh GROUP BY 1, 2)
+             |SELECT dow, hod, CAST(max(p.n_hours) AS BIGINT) AS n_hours,
+             |  CAST(max(p.mean_n) AS BIGINT) AS mean_n,
+             |  CAST(count(CASE WHEN hh.n >= 2 * p.mean_n THEN 1 END) AS BIGINT)
+             |    AS n_high,
+             |  CAST(count(CASE WHEN hh.n * 2 <= p.mean_n THEN 1 END) AS BIGINT)
+             |    AS n_low
+             |FROM p JOIN hh USING (dow, hod)
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
     // ---- rolling 7-day active users (sliding-window DISTINCT) -------
     // For every window-end day: distinct users active in the trailing
     // 7 days (WAU), that day's distinct users (DAU), and the
