@@ -19,6 +19,57 @@ object TextQueries {
   private val CmsW = 1024
   private val CmsBases = Seq(31, 37, 41, 43)
 
+  /** The winnowing fingerprint table (doc_id, n_grams, fp_hash, fp_pos)
+    * — the ONE Spark rendering shared by t36's per-doc report and
+    * d24's fingerprint-pair join (a geometry change cannot
+    * desynchronize them). See t36 for the algorithm notes.
+    */
+  private[queries] def winnowFps(s: org.apache.spark.sql.SparkSession,
+                                 dir: String): org.apache.spark.sql.DataFrame = {
+    graft.functions.VectorExpressions.register(s)
+    val W = 4 // hashes per winnowing window
+    val P = 1048576L // pos encoding radix (2^20)
+    val wspec = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos").rowsBetween(0, W - 1)
+    val grams = table(s, dir, "documents")
+      .select(col("doc_id"), TextOps.ngrams(col("text"), 5).as("grams"))
+      .select(col("doc_id"), size(col("grams")).cast("long").as("n_grams"),
+        posexplode(col("grams")).as(Seq("pos", "g")))
+    grams
+      .withColumn("key",
+        call_function("poly_hash", col("g")) * P + (lit(P - 1) - col("pos")))
+      .withColumn("mkey", min("key").over(wspec))
+      .withColumn("wcnt", count(lit(1)).over(wspec))
+      .filter(col("wcnt") === W)
+      .select(col("doc_id"), col("n_grams"),
+        expr(s"mkey DIV $P").as("fp_hash"),
+        (lit(P - 1) - pmod(col("mkey"), lit(P))).as("fp_pos"))
+      .distinct()
+  }
+
+  /** The ONE DuckDB rendering of [[winnowFps]] (CTE chain ending in
+    * `fp` with (doc_id, n_grams, fp_hash, fp_pos)).
+    */
+  private def winnowCtes: String =
+    s"""words AS (SELECT doc_id, string_split(text, ' ') AS w
+       |  FROM documents),
+       |gr AS (SELECT doc_id, len(w) - 4 AS n_grams, i - 1 AS pos,
+       |    array_to_string(w[i:i+4], ' ') AS g
+       |  FROM words, UNNEST(range(1, len(w) - 3)) AS t(i)),
+       |k AS (SELECT doc_id, n_grams, pos,
+       |    CAST(${QueryDef.polyHashSql("g")} AS BIGINT) * 1048576
+       |      + (1048575 - pos) AS key
+       |  FROM gr),
+       |wnd AS (SELECT doc_id, n_grams,
+       |    min(key) OVER (PARTITION BY doc_id ORDER BY pos
+       |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS mkey,
+       |    count(*) OVER (PARTITION BY doc_id ORDER BY pos
+       |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wcnt
+       |  FROM k),
+       |fp AS (SELECT DISTINCT doc_id, n_grams, mkey // 1048576 AS fp_hash,
+       |    1048575 - mkey % 1048576 AS fp_pos
+       |  FROM wnd WHERE wcnt = 4)""".stripMargin
+
   /** DuckDB CTE chain replaying `rounds` BPE merge rounds over the
     * corpus vocab — the ONE SQL rendering of
     * [[graft.operators.Bpe.train]]'s loop (pair counts from the
@@ -1441,56 +1492,50 @@ object TextQueries {
     // contract, identical on both engines).
     "t36_winnowing" -> QueryDef(
       (s, dir) => {
-        graft.functions.VectorExpressions.register(s)
-        val W = 4 // hashes per winnowing window
-        val P = 1048576L // pos encoding radix (2^20)
-        val wspec = org.apache.spark.sql.expressions.Window
-          .partitionBy("doc_id").orderBy("pos").rowsBetween(0, W - 1)
-        val grams = table(s, dir, "documents")
-          .select(col("doc_id"), TextOps.ngrams(col("text"), 5).as("grams"))
-          .select(col("doc_id"), size(col("grams")).cast("long").as("n_grams"),
-            posexplode(col("grams")).as(Seq("pos", "g")))
-        val fp = grams
-          .withColumn("key",
-            call_function("poly_hash", col("g")) * P + (lit(P - 1) - col("pos")))
-          .withColumn("mkey", min("key").over(wspec))
-          .withColumn("wcnt", count(lit(1)).over(wspec))
-          .filter(col("wcnt") === W)
-          .select(col("doc_id"), col("n_grams"),
-            expr(s"mkey DIV $P").as("fp_hash"),
-            (lit(P - 1) - pmod(col("mkey"), lit(P))).as("fp_pos"))
-          .distinct()
-        fp.groupBy("doc_id")
+        winnowFps(s, dir).groupBy("doc_id")
           .agg(max("n_grams").as("n_grams"),
             count(lit(1)).as("n_fp"),
             sum("fp_hash").as("fp_checksum"))
           .withColumn("density_permille",
-            expr(s"n_fp * 1000 DIV (n_grams - ${W - 1})"))
+            expr("n_fp * 1000 DIV (n_grams - 3)"))
           .orderBy("doc_id")
       },
-      Some(s"""WITH words AS (SELECT doc_id, string_split(text, ' ') AS w
-             |  FROM documents),
-             |gr AS (SELECT doc_id, len(w) - 4 AS n_grams, i - 1 AS pos,
-             |    array_to_string(w[i:i+4], ' ') AS g
-             |  FROM words, UNNEST(range(1, len(w) - 3)) AS t(i)),
-             |k AS (SELECT doc_id, n_grams, pos,
-             |    CAST(${QueryDef.polyHashSql("g")} AS BIGINT) * 1048576
-             |      + (1048575 - pos) AS key
-             |  FROM gr),
-             |wnd AS (SELECT doc_id, n_grams,
-             |    min(key) OVER (PARTITION BY doc_id ORDER BY pos
-             |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS mkey,
-             |    count(*) OVER (PARTITION BY doc_id ORDER BY pos
-             |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wcnt
-             |  FROM k),
-             |fp AS (SELECT DISTINCT doc_id, n_grams, mkey // 1048576 AS fp_hash,
-             |    1048575 - mkey % 1048576 AS fp_pos
-             |  FROM wnd WHERE wcnt = 4)
+      Some(s"""WITH $winnowCtes
              |SELECT doc_id, CAST(max(n_grams) AS BIGINT) AS n_grams,
              |  count(*) AS n_fp, CAST(sum(fp_hash) AS BIGINT) AS fp_checksum,
              |  CAST(count(*) * 1000 // (max(n_grams) - 3) AS BIGINT)
              |    AS density_permille
              |FROM fp GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ---- winnowing fingerprint-pair join (the MOSS use case) --------
+    // Docs sharing >= 3 distinct selected fingerprints — the
+    // plagiarism/excerpt detector built on t36's index: any shared run
+    // of >= w+n-1 words yields a shared fingerprint (the winnowing
+    // guarantee), so overlapping passages pair WITHOUT comparing full
+    // shingle sets, at ~2/(w+1) of the index size d5 carries. Join is
+    // a plain equi-join on the 30-bit fingerprint hash over the ONE
+    // shared winnowFps rendering; hot fingerprints (corpus
+    // boilerplate) drive the fanout — d5's bounded-vocab caveat, with
+    // d21 boilerplate removal as the upstream fix.
+    "t38_winnow_pairs" -> QueryDef(
+      (s, dir) => {
+        val fp = winnowFps(s, dir).select(col("doc_id"), col("fp_hash")).distinct()
+        fp.as("a").join(fp.as("b"),
+            col("a.fp_hash") === col("b.fp_hash") &&
+              col("a.doc_id") < col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+          .agg(count(lit(1)).as("n_shared"))
+          .filter(col("n_shared") >= 3)
+          .orderBy("doc_a", "doc_b")
+      },
+      Some(s"""WITH $winnowCtes,
+             |pf AS (SELECT DISTINCT doc_id, fp_hash FROM fp)
+             |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             |  count(*) AS n_shared
+             |FROM pf a JOIN pf b
+             |  ON a.fp_hash = b.fp_hash AND a.doc_id < b.doc_id
+             |GROUP BY 1, 2 HAVING count(*) >= 3
+             |ORDER BY 1, 2""".stripMargin)),
 
     "t4_fingerprint" -> QueryDef(
       (s, dir) => {
