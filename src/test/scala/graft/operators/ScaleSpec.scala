@@ -130,8 +130,19 @@ class PlanShapeSpec extends SparkTestBase {
                            //   cross-joined into single audit rows
       "d19_dup_triangles", // three 1-row census aggregates cross-joined
                            //   into the single summary row
-      "q66_rfm_segments")  // 1-row corpus-max-date broadcast into the
+      "q66_rfm_segments",  // 1-row corpus-max-date broadcast into the
                            //   per-customer recency computation
+      "q67_copurchase_lift", // 1-row basket-count broadcast into the
+                           //   pair-lift projection (t23's scalar-N class)
+      "q69_kmv_setops",    // two 1-row sketch frames + the 1-row exact
+                           //   aggregate cross-joined into the single
+                           //   set-algebra summary row (d19's class)
+      "q70_rolling_wau",   // 1-row corpus-max-day broadcast clamping
+                           //   window ends (q66's class)
+      "sim8_randproj_ann", // corpus × broadcast PROJECTED-QUERY set —
+                           //   sim1's replicate-join class in 16 dims
+      "t37_vocab_growth")  // 1-row max-doc-id broadcast into the
+                           //   decile bucketing (q66's class)
     val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val plan = fn(spark, sf).queryExecution.executedPlan.toString()
