@@ -25,6 +25,105 @@ object EventQueries {
 
   val defs: Map[String, QueryDef] = Map(
 
+    // ---- per-type linear trend fit (exact-integer OLS) --------------
+    // Least-squares slope/intercept over each type's hourly counts —
+    // trend detection and one-step forecast with ZERO floats: with
+    // x = hour − min_hour (per type) and y = count, the closed-form
+    // OLS terms (n·Σxy − Σx·Σy, n·Σx² − (Σx)²) are exact BIGINT
+    // products (bound: safe to ~1e5 hours/type · 1e6 events/hour),
+    // so slope permille and the next-hour forecast are engine-exact
+    // integer division — no float regression library on either side.
+    // Shape: one map-side-combining (type, hour) count, a broadcast
+    // per-type min-hour join, one dimension-sized moment agg.
+    "q72_trend_fit" -> QueryDef(
+      (s, dir) => {
+        val HourNs = 3600000000000L
+        val hourly = Relational.eventsRaw(s, dir)
+          .groupBy(col("event_type"), expr(s"ts div $HourNs").as("hr"))
+          .agg(count(lit(1)).as("y"))
+        val mins = hourly.groupBy("event_type").agg(min("hr").as("hr0"))
+        val pts = hourly.join(broadcast(mins), "event_type")
+          .select(col("event_type"), (col("hr") - col("hr0")).as("x"), col("y"))
+        pts.groupBy("event_type")
+          .agg(count(lit(1)).as("n_pts"), sum("x").as("sx"), sum("y").as("sy"),
+            sum(col("x") * col("y")).as("sxy"),
+            sum(col("x") * col("x")).as("sxx"), max("x").as("xmax"))
+          .filter(col("n_pts") * col("sxx") - col("sx") * col("sx") =!= 0)
+          .select(col("event_type"), col("n_pts"),
+            expr("(n_pts * sxy - sx * sy) * 1000 DIV (n_pts * sxx - sx * sx)")
+              .as("slope_permille"),
+            expr("""((sy * sxx - sx * sxy) + (n_pts * sxy - sx * sy) * (xmax + 1))
+                   | DIV (n_pts * sxx - sx * sx)""".stripMargin)
+              .as("forecast_next"))
+          .orderBy("event_type")
+      },
+      Some("""WITH hourly AS (SELECT event_type,
+             |    epoch_ns(ts) // 3600000000000 AS hr, count(*) AS y
+             |  FROM events GROUP BY 1, 2),
+             |pts AS (SELECT h.event_type, h.hr - m.hr0 AS x, y
+             |  FROM hourly h JOIN (SELECT event_type, min(hr) AS hr0
+             |    FROM hourly GROUP BY 1) m USING (event_type)),
+             |mo AS (SELECT event_type, count(*) AS n_pts,
+             |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             |    CAST(sum(x * y) AS BIGINT) AS sxy,
+             |    CAST(sum(x * x) AS BIGINT) AS sxx,
+             |    CAST(max(x) AS BIGINT) AS xmax
+             |  FROM pts GROUP BY 1)
+             |SELECT event_type, n_pts,
+             |  CAST((n_pts * sxy - sx * sy) * 1000
+             |    // (n_pts * sxx - sx * sx) AS BIGINT) AS slope_permille,
+             |  CAST(((sy * sxx - sx * sxy) + (n_pts * sxy - sx * sy) * (xmax + 1))
+             |    // (n_pts * sxx - sx * sx) AS BIGINT) AS forecast_next
+             |FROM mo WHERE n_pts * sxx - sx * sx <> 0
+             |ORDER BY 1""".stripMargin)),
+
+    // ---- CUSUM changepoint detection --------------------------------
+    // Per type, the hour where the cumulative deviation from the
+    // type's own mean peaks in magnitude — the classic level-shift
+    // detector (q61 flags rate SPIKES vs a trailing window; CUSUM
+    // finds WHERE the level changed). All exact integer: mean is the
+    // documented floor, the running sum is one per-type window over
+    // the dimension-sized hourly table, the peak is an argmax struct
+    // with earliest-hour tie-break.
+    "q73_cusum_changepoint" -> QueryDef(
+      (s, dir) => {
+        val HourNs = 3600000000000L
+        val hourly = Relational.eventsRaw(s, dir)
+          .groupBy(col("event_type"), expr(s"ts div $HourNs").as("hr"))
+          .agg(count(lit(1)).as("y"))
+        val means = hourly.groupBy("event_type")
+          .agg(expr("sum(y) DIV count(1)").as("mean_y"))
+        val w = Window.partitionBy("event_type").orderBy("hr")
+          .rowsBetween(Window.unboundedPreceding, 0)
+        hourly.join(broadcast(means), "event_type")
+          .withColumn("cusum", sum(col("y") - col("mean_y")).over(w))
+          .groupBy("event_type")
+          .agg(max(struct(abs(col("cusum")).as("a"), (-col("hr")).as("nh"),
+            col("cusum").as("c"))).as("pk"))
+          .select(col("event_type"), (-col("pk.nh")).as("cp_hr"),
+            col("pk.a").as("cusum_peak_abs"),
+            signum(col("pk.c")).cast("long").as("direction"))
+          .orderBy("event_type")
+      },
+      Some("""WITH hourly AS (SELECT event_type,
+             |    epoch_ns(ts) // 3600000000000 AS hr, count(*) AS y
+             |  FROM events GROUP BY 1, 2),
+             |m AS (SELECT event_type, sum(y) // count(*) AS mean_y
+             |  FROM hourly GROUP BY 1),
+             |cu AS (SELECT h.event_type, hr,
+             |    sum(y - mean_y) OVER (PARTITION BY h.event_type ORDER BY hr
+             |      ROWS UNBOUNDED PRECEDING) AS cusum
+             |  FROM hourly h JOIN m USING (event_type)),
+             |pk AS (SELECT event_type, hr, cusum, abs(cusum) AS a,
+             |    row_number() OVER (PARTITION BY event_type
+             |      ORDER BY abs(cusum) DESC, hr) AS rn
+             |  FROM cu)
+             |SELECT event_type, CAST(hr AS BIGINT) AS cp_hr,
+             |  CAST(a AS BIGINT) AS cusum_peak_abs,
+             |  CAST(CASE WHEN cusum > 0 THEN 1 WHEN cusum < 0 THEN -1 ELSE 0 END
+             |    AS BIGINT) AS direction
+             |FROM pk WHERE rn = 1 ORDER BY 1""".stripMargin)),
+
     // ---- seasonal baseline profile + deviation census ---------------
     // Day-of-week × hour-of-day traffic profile with a same-slot
     // deviation count — the seasonality complement of q61's trailing-

@@ -524,6 +524,52 @@ object SimilarityQueries {
       },
       Some(ivfPqOracleSql)),
 
+    // Embedding distribution drift between two ingest halves: per
+    // label, the exact-integer squared-L2 distance between the
+    // half-corpora's centroids (sim4's quantize-once discipline:
+    // round(x·1000) LONG, floor-mean centroids — no float Lloyd
+    // accumulation caveat) — the drift monitor a training pipeline
+    // runs when yesterday's embedding distribution must match
+    // today's. Shape: one (label, half, dim) map-side-combining agg
+    // (the sim4 update shape), dimension-sized join of the two
+    // centroid tables, 64-term distance fold per label.
+    "sim10_embedding_drift" -> QueryDef(
+      (s, dir) => {
+        val emb = table(s, dir, "embeddings")
+          .select(col("label").cast("long").as("label"),
+            (col("vec_id") % 2).as("half"),
+            posexplode(col("embedding")).as(Seq("dim", "x")))
+          .select(col("label"), col("half"), col("dim"),
+            expr("CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)").as("xi"))
+        val cents = emb.groupBy("label", "half", "dim")
+          .agg(expr("sum(xi) DIV count(1)").as("c"),
+            count(lit(1)).as("n"))
+        val even = cents.filter(col("half") === 0)
+          .select(col("label"), col("dim"), col("c").as("ce"), col("n").as("ne"))
+        val odd = cents.filter(col("half") === 1)
+          .select(col("label"), col("dim"), col("c").as("co"), col("n").as("no"))
+        even.join(odd, Seq("label", "dim"))
+          .groupBy("label")
+          .agg(max("ne").as("n_even"), max("no").as("n_odd"),
+            sum((col("ce") - col("co")) * (col("ce") - col("co"))).as("sq_dist"))
+          .orderBy("label")
+      },
+      Some("""WITH q AS (SELECT CAST(label AS BIGINT) AS label,
+             |    vec_id % 2 AS half, d.i - 1 AS dim,
+             |    CAST(round(CAST(embedding[d.i] AS DOUBLE) * 1000) AS BIGINT) AS xi
+             |  FROM embeddings, UNNEST(range(1, 65)) AS d(i)),
+             |cents AS (SELECT label, half, dim, sum(xi) // count(*) AS c,
+             |    count(*) AS n
+             |  FROM q GROUP BY 1, 2, 3)
+             |SELECT label,
+             |  CAST(max(e.ne) AS BIGINT) AS n_even,
+             |  CAST(max(o.no) AS BIGINT) AS n_odd,
+             |  CAST(sum((e.c - o.c) * (e.c - o.c)) AS BIGINT) AS sq_dist
+             |FROM (SELECT label, dim, c, n AS ne FROM cents WHERE half = 0) e
+             |JOIN (SELECT label, dim, c, n AS no FROM cents WHERE half = 1) o
+             |  USING (label, dim)
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // int8 embedding quantization QA: symmetric per-vector scale
     // (absmax/127), quantize → dequantize → reconstruction cosine vs
     // the original — the report a pipeline reads before committing to

@@ -1507,6 +1507,50 @@ object TextQueries {
              |    AS density_permille
              |FROM fp GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // ---- keyword-in-context concordance (KWIC) ----------------------
+    // Every occurrence of a target word with its ±3-word context — the
+    // corpus-inspection tool behind "show me how this term is used"
+    // (quality triage, slur/PII audits, tokenizer debugging). The
+    // target is derived IN-PLAN (the rank-3 most frequent word under a
+    // (count DESC, word) total order) so both engines replay it; hits
+    // join the 1-row keyword table as a broadcast HASH join on the
+    // token (no BNLJ), context is pure array-slice arithmetic on the
+    // already-split words column. Top-100 under the unique (doc, pos)
+    // order via TakeOrderedAndProject.
+    "t39_concordance" -> QueryDef(
+      (s, dir) => {
+        val withW = table(s, dir, "documents")
+          .select(col("doc_id"), TextOps.words(col("text")).as("w"))
+          .select(col("doc_id"), col("w"),
+            posexplode(col("w")).as(Seq("pos", "tok")))
+        val freq = withW.groupBy("tok").agg(count(lit(1)).as("c"))
+        val kw = freq.orderBy(col("c").desc, col("tok")).limit(3)
+          .orderBy(col("c"), col("tok").desc).limit(1)
+          .select(col("tok").as("kw_tok"))
+        withW.join(broadcast(kw), col("tok") === col("kw_tok"))
+          .select(col("doc_id"), col("pos").cast("long").as("pos"),
+            col("tok").as("keyword"),
+            concat_ws(" ", expr(
+              "slice(w, greatest(1, pos + 1 - 3), pos + 1 + 3 - greatest(1, pos + 1 - 3) + 1)"))
+              .as("context"))
+          .orderBy("doc_id", "pos")
+          .limit(100)
+      },
+      Some("""WITH words AS (SELECT doc_id, string_split(text, ' ') AS w
+             |  FROM documents),
+             |tk AS (SELECT doc_id, w, i - 1 AS pos, w[i] AS tok
+             |  FROM words, UNNEST(range(1, len(w) + 1)) AS t(i)),
+             |freq AS (SELECT tok, count(*) AS c FROM tk GROUP BY 1),
+             |kw AS (SELECT tok AS kw_tok FROM
+             |  (SELECT tok, c FROM freq ORDER BY c DESC, tok LIMIT 3)
+             |  ORDER BY c, tok DESC LIMIT 1)
+             |SELECT doc_id, CAST(pos AS BIGINT) AS pos, tok AS keyword,
+             |  array_to_string(
+             |    w[greatest(1, pos + 1 - 3):least(len(w), pos + 1 + 3)], ' ')
+             |    AS context
+             |FROM tk JOIN kw ON tok = kw_tok
+             |ORDER BY doc_id, pos LIMIT 100""".stripMargin)),
+
     // ---- winnowing fingerprint-pair join (the MOSS use case) --------
     // Docs sharing >= 3 distinct selected fingerprints — the
     // plagiarism/excerpt detector built on t36's index: any shared run
