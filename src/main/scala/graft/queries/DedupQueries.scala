@@ -244,6 +244,59 @@ object DedupQueries {
              |JOIN documents b ON b.doc_id = qp.db
              |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
+    // Newman modularity of the SOURCE partition over the near-dup
+    // graph — d23's flow matrix condensed to one graph-quality number:
+    // how source-assortative is duplication (Q near its max = sources
+    // duplicate internally; Q ≈ 0 = copies flow freely across
+    // sources). Exact RATIONAL arithmetic: per source the contribution
+    // to Q·4m² is 4m·e_c − d_c² (e_c intra-edges, d_c degree sum, m
+    // total edges) — numerator rows are emitted EXACTLY and the global
+    // denominator 4m² rides along, so no floating modularity and no
+    // negative-division engine skew (Spark DIV truncates toward zero,
+    // DuckDB // floors — avoided entirely by never dividing). One
+    // 1-row m broadcast (audited BNLJ class), dimension-sized output.
+    "d24_modularity" -> QueryDef(
+      (s, dir) => {
+        val src = table(s, dir, "documents").select(col("doc_id"), col("source"))
+        val ee = Staged.docNearDupPairs(s, dir)
+          .join(src.select(col("doc_id").as("doc_a"), col("source").as("sa")), "doc_a")
+          .join(src.select(col("doc_id").as("doc_b"), col("source").as("sb")), "doc_b")
+          .select("doc_a", "doc_b", "sa", "sb")
+        val m = ee.agg(count(lit(1)).as("m"))
+        val deg = ee.select(col("doc_a").as("v"), col("sa").as("s"))
+          .unionAll(ee.select(col("doc_b").as("v"), col("sb").as("s")))
+        val perSrc = deg.groupBy("s")
+          .agg(count(lit(1)).as("d_c"), countDistinct("v").as("n_nodes"))
+        val intra = ee.filter(col("sa") === col("sb"))
+          .groupBy(col("sa").as("s")).agg(count(lit(1)).as("e_c"))
+        perSrc.join(intra, Seq("s"), "left")
+          .withColumn("e_c", coalesce(col("e_c"), lit(0L)))
+          .crossJoin(broadcast(m))
+          .select(col("s").as("source"), col("n_nodes"), col("d_c"), col("e_c"),
+            expr("4 * m * e_c - d_c * d_c").as("q_contrib_num"),
+            expr("4 * m * m").as("q_den"))
+          .orderBy("source")
+      },
+      Some(s"""WITH ${QueryDef.shingleCtes()},
+             |${QueryDef.jaccardPairCtes(2, 5)},
+             |ee AS (SELECT da, db, a.source AS sa, b.source AS sb
+             |  FROM qp JOIN documents a ON a.doc_id = da
+             |  JOIN documents b ON b.doc_id = db),
+             |m AS (SELECT count(*) AS m FROM ee),
+             |deg AS (SELECT da AS v, sa AS s FROM ee
+             |  UNION ALL SELECT db, sb FROM ee),
+             |ps AS (SELECT s, count(*) AS d_c, count(DISTINCT v) AS n_nodes
+             |  FROM deg GROUP BY 1),
+             |intra AS (SELECT sa AS s, count(*) AS e_c FROM ee
+             |  WHERE sa = sb GROUP BY 1)
+             |SELECT s AS source, n_nodes, d_c,
+             |  coalesce(e_c, 0) AS e_c,
+             |  CAST(4 * m.m * coalesce(e_c, 0) - d_c * d_c AS BIGINT)
+             |    AS q_contrib_num,
+             |  CAST(4 * m.m * m.m AS BIGINT) AS q_den
+             |FROM ps LEFT JOIN intra USING (s) CROSS JOIN m
+             |ORDER BY 1""".stripMargin)),
+
     // EXACT n-gram Jaccard similarity join at jaccard >= 0.5 via
     // prefix filtering (AllPairs): deterministic and complete — unlike
     // the MinHash path there is NO miss probability, so the oracle is

@@ -141,8 +141,10 @@ class PlanShapeSpec extends SparkTestBase {
                            //   window ends (q66's class)
       "sim8_randproj_ann", // corpus × broadcast PROJECTED-QUERY set —
                            //   sim1's replicate-join class in 16 dims
-      "t37_vocab_growth")  // 1-row max-doc-id broadcast into the
+      "t37_vocab_growth",  // 1-row max-doc-id broadcast into the
                            //   decile bucketing (q66's class)
+      "d24_modularity")    // 1-row total-edge-count broadcast into the
+                           //   per-source modularity terms (t23's class)
     val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val plan = fn(spark, sf).queryExecution.executedPlan.toString()
