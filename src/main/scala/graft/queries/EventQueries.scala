@@ -535,6 +535,68 @@ object EventQueries {
              |  CAST((max(t_us) - min(t_us)) // 1000000 AS BIGINT) AS dur_s
              |FROM sess GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
+    // ---- landing-type bounce report ---------------------------------
+    // Per LANDING event type (the session's first event under the
+    // (t_us, event_id) total order): session count, single-event
+    // bounce count, bounce permille, and events-per-session milli —
+    // the product-analytics rollup built on q18's gap-sessionization
+    // chain (same 30-min rule, same one-window shape; the landing
+    // type rides the session min-struct, so no second sort). Exact
+    // integer throughout.
+    "q74_bounce_report" -> QueryDef(
+      (s, dir) => {
+        val ev = Relational.eventsRaw(s, dir)
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            expr("ts div 1000").as("t_us"))
+        val wOrd = Window.partitionBy("user_id").orderBy("t_us", "event_id")
+        val sess = ev
+          .withColumn("prev_t", lag("t_us", 1).over(wOrd))
+          .withColumn("new_sess",
+            when(col("prev_t").isNull || col("t_us") - col("prev_t") > 1800L * 1000000L, 1L)
+              .otherwise(0L))
+          .withColumn("session_id", sum("new_sess").over(
+            wOrd.rowsBetween(Window.unboundedPreceding, 0)))
+        sess.groupBy("user_id", "session_id")
+          .agg(min(struct(col("t_us"), col("event_id"), col("event_type"))).as("first"),
+            count(lit(1)).as("n_events"))
+          .select(col("first.event_type").as("landing"), col("n_events"))
+          .groupBy("landing")
+          .agg(count(lit(1)).as("n_sessions"),
+            count(when(col("n_events") === 1, 1)).as("n_bounces"),
+            sum("n_events").as("total_events"))
+          .select(col("landing"), col("n_sessions"), col("n_bounces"),
+            expr("n_bounces * 1000 DIV n_sessions").as("bounce_permille"),
+            expr("total_events * 1000 DIV n_sessions").as("events_per_session_milli"))
+          .orderBy("landing")
+      },
+      Some("""WITH ev AS (
+             |  SELECT event_id, user_id, event_type, epoch_us(ts) AS t_us
+             |  FROM events),
+             |flagged AS (
+             |  SELECT *, CASE WHEN lag(t_us) OVER w IS NULL
+             |      OR t_us - lag(t_us) OVER w > 1800 * 1000000 THEN 1 ELSE 0 END
+             |    AS new_sess
+             |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY t_us, event_id)),
+             |sess AS (
+             |  SELECT *, sum(new_sess) OVER (PARTITION BY user_id
+             |    ORDER BY t_us, event_id ROWS UNBOUNDED PRECEDING) AS session_id
+             |  FROM flagged),
+             |ranked AS (
+             |  SELECT user_id, session_id, event_type,
+             |    row_number() OVER (PARTITION BY user_id, session_id
+             |      ORDER BY t_us, event_id) AS rn,
+             |    count(*) OVER (PARTITION BY user_id, session_id) AS n_events
+             |  FROM sess),
+             |per_sess AS (SELECT event_type AS landing, n_events
+             |  FROM ranked WHERE rn = 1)
+             |SELECT landing, count(*) AS n_sessions,
+             |  CAST(count(CASE WHEN n_events = 1 THEN 1 END) AS BIGINT) AS n_bounces,
+             |  CAST(count(CASE WHEN n_events = 1 THEN 1 END) * 1000 // count(*)
+             |    AS BIGINT) AS bounce_permille,
+             |  CAST(sum(n_events) * 1000 // count(*) AS BIGINT)
+             |    AS events_per_session_milli
+             |FROM per_sess GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // Native session_window twin of q18: Spark's built-in session
     // windows (one hash-agg with window merging — no lag/cumsum window
     // pair, the shape Structured Streaming state uses). Boundary
