@@ -568,6 +568,80 @@ object Multimodal {
     } catch { case _: Exception => None }
   }
 
+  /** Deterministic PNG with an embedded tEXt caption chunk (keyword
+    * "Description") — the sidecar-metadata shape of an image-text
+    * training pair: caption travels INSIDE the container, extracted at
+    * ingest without decoding pixels. Raster is [[addrPixel]]; caption
+    * must be Latin-1 (PNG tEXt contract — callers pass ASCII).
+    */
+  def encodePngCaptioned(width: Int, height: Int, id: Long, caption: String): Array[Byte] = {
+    import javax.imageio.metadata.IIOMetadataNode
+    import javax.imageio.{ImageTypeSpecifier, IIOImage}
+    val img = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        img.setRGB(x, y, addrPixel(id, y.toLong * width + x))
+        x += 1
+      }
+      y += 1
+    }
+    val wr = ImageIO.getImageWritersByFormatName("png").next()
+    val wp = wr.getDefaultWriteParam
+    val md = wr.getDefaultImageMetadata(new ImageTypeSpecifier(img), wp)
+    val fmt = "javax_imageio_png_1.0"
+    val entry = new IIOMetadataNode("tEXtEntry")
+    entry.setAttribute("keyword", "Description")
+    entry.setAttribute("value", caption)
+    val text = new IIOMetadataNode("tEXt")
+    text.appendChild(entry)
+    val root = new IIOMetadataNode(fmt)
+    root.appendChild(text)
+    md.mergeTree(fmt, root)
+    val bos = new ByteArrayOutputStream()
+    val ios = ImageIO.createImageOutputStream(bos)
+    try {
+      wr.setOutput(ios)
+      wr.write(new IIOImage(img, null, md))
+    } finally { ios.close(); wr.dispose() }
+    bos.toByteArray
+  }
+
+  /** REAL container-metadata extraction: (width, height, Description
+    * caption) from a PNG's header + tEXt chunks via the JDK metadata
+    * tree — pixels are never materialized (`getImageMetadata` parses
+    * chunk structure only), which is the production shape for caption
+    * harvesting over billions of images. None when the bytes are not
+    * a PNG or carry no Description entry.
+    */
+  def pngCaption(bytes: Array[Byte]): Option[(Int, Int, String)] = {
+    if (bytes.isEmpty) return None
+    try {
+      val readers = ImageIO.getImageReadersByFormatName("png")
+      if (!readers.hasNext) return None
+      val rd = readers.next()
+      val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(bytes))
+      try {
+        rd.setInput(iis, true, false)
+        val (w, h) = (rd.getWidth(0), rd.getHeight(0))
+        val tree = rd.getImageMetadata(0).getAsTree("javax_imageio_png_1.0")
+          .asInstanceOf[org.w3c.dom.Element]
+        val entries = tree.getElementsByTagName("tEXtEntry")
+        var caption: Option[String] = None
+        var i = 0
+        while (i < entries.getLength && caption.isEmpty) {
+          val e = entries.item(i).asInstanceOf[org.w3c.dom.Element]
+          if (e.getAttribute("keyword") == "Description")
+            caption = Some(e.getAttribute("value"))
+          i += 1
+        }
+        caption.map(c => (w, h, c))
+      } finally { iis.close(); rd.dispose() }
+    } catch { case _: Exception => None }
+  }
+
   /** Guaranteed-loud deterministic 16-bit sample for the silence-trim
     * fixture: [[addrSample]] masked to [1000, 17383] — every active
     * frame clears any silence threshold ≤ 1000, so the planted

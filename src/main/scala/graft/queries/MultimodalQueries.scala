@@ -325,6 +325,42 @@ object MultimodalQueries {
     // from doc_id / n_chars) parsed back by the box-walking decoder in
     // one partition-local pass. Oracle recomputes all fields
     // arithmetically (the box tree is fixed-size: 240 bytes).
+    // REAL PNG tEXt caption extraction — the image-text PAIR
+    // construction step of a multimodal training pipeline: captions
+    // travel inside the container (tEXt "Description" chunk) and are
+    // harvested at ingest WITHOUT materializing pixels (the JDK
+    // metadata tree parses chunk structure only). Captions here are
+    // deterministic ASCII from (doc_id, n_chars), so the oracle
+    // recomputes every extracted string + header dims arithmetically —
+    // a chunk-walk bug cannot hash-match.
+    "mm16_png_captions" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val docs = table(s, dir, "documents")
+          .select(col("doc_id").cast("long"), col("n_chars").cast("long"))
+          .as[(Long, Long)]
+        val metas = docs.mapPartitions { it =>
+          javax.imageio.ImageIO.setUseCache(false)
+          it.flatMap { case (id, nChars) =>
+            val bytes = graft.operators.Multimodal.encodePngCaptioned(
+              8 + (id % 5).toInt, 8 + (nChars % 3).toInt, id,
+              s"doc $id len $nChars")
+            graft.operators.Multimodal.pngCaption(bytes)
+              .map { case (w, h, cap) => (id, w.toLong, h.toLong, cap) }
+          }
+        }
+        metas.toDF("doc_id", "width", "height", "caption")
+          .withColumn("caption_chars", length(col("caption")).cast("long"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+             |  CAST(8 + doc_id % 5 AS BIGINT) AS width,
+             |  CAST(8 + n_chars % 3 AS BIGINT) AS height,
+             |  'doc ' || doc_id || ' len ' || n_chars AS caption,
+             |  CAST(length('doc ' || doc_id || ' len ' || n_chars) AS BIGINT)
+             |    AS caption_chars
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
     // REAL decode + ViT-style patch extraction: per-doc PNGs (position-
     // addressable addrPixel raster) decoded with ImageIO and cut into
     // the non-overlapping 8×8 patch grid — one row per patch with the

@@ -965,6 +965,16 @@ class TopKAggSpec extends SparkTestBase {
 class MultimodalSpec extends SparkTestBase {
   import spark.implicits._
 
+  test("pngCaption extracts the embedded tEXt caption without touching pixels") {
+    val bytes = Multimodal.encodePngCaptioned(9, 10, 3L, "a test caption 42")
+    assert(Multimodal.pngCaption(bytes).contains((9, 10, "a test caption 42")))
+    // a plain PNG has no Description entry -> None, not a crash
+    assert(Multimodal.pngCaption(Multimodal.encodePng(8, 8, 1L)).isEmpty)
+    // non-PNG bytes fall through as None
+    assert(Multimodal.pngCaption("not a png".getBytes).isEmpty)
+    assert(Multimodal.pngCaption(Array.emptyByteArray).isEmpty)
+  }
+
   test("imagePatches tiles a real decode into the 8x8 grid with formula-exact checksums") {
     val (w, h, id) = (24, 16, 9L)
     val Some(patches) = Multimodal.imagePatches(Multimodal.encodePngAddr(w, h, id))
