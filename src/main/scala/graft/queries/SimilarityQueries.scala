@@ -35,6 +35,18 @@ object SimilarityQueries {
   // sim8 random-projection geometry
   private val RpDims = 16
   private val RpC = 100
+  // sim7 SELF-join geometry: a self-join's candidate volume is
+  // sum(bucketSize^2) per band, so bands must be WIDE — 8-bit bands
+  // put the fanout at ~n^2/2^bits per band where sim2's 3-bit
+  // query-probe bands (8 buckets, fine against 3 queries) make the
+  // self-join effectively all-pairs. Measured at sf0.1/sf1:
+  // 3-bit 46s/— , 8-bit 6.9s/222s, 10-bit (this config) — the
+  // bits-per-band knob IS the candidate-volume dial, quadratic bound
+  // n^2·bands/2^bits documented in PROBES.md. Planted near-dups
+  // (s ~= 1) collide w.p. ~1 under any of these bandings.
+  private val KnnPlanes = 60
+  private val KnnRowsPerBand = 10
+  private val KnnBands = KnnPlanes / KnnRowsPerBand
 
   /** The ONE DuckDB rendering of [[Similarity.dot]]'s left fold:
     * prepend-0.0 list_reduce over per-index double products — the same
@@ -74,15 +86,15 @@ object SimilarityQueries {
     * codes shared by the sim2 and sim7 oracles — a geometry change
     * cannot desynchronize them.
     */
-  private def weightValuesSql: String = (0 until Planes).map { j =>
+  private def weightValuesSql(planes: Int): String = (0 until planes).map { j =>
     val ws = (0 until Dims)
       .map(i => s"${Similarity.weightK(i, j)}/1e5-0.5").mkString(", ")
     s"    ($j, [$ws])"
   }.mkString(",\n")
 
-  private def codesCteSql: String =
+  private def codesCteSql(planes: Int = Planes): String =
     s"""w(j, wl) AS (VALUES
-       |$weightValuesSql),
+       |${weightValuesSql(planes)}),
        |codes AS (
        |  SELECT e.vec_id,
        |    string_agg(CASE WHEN list_reduce(list_prepend(0.0,
@@ -96,15 +108,16 @@ object SimilarityQueries {
   /** OR-chain of per-band substr equalities between `$l.code` and
     * `$r.$rcode`.
     */
-  private def bandMatchSql(l: String, r: String, rcode: String): String =
-    (0 until Bands).map { b =>
-      val p = b * RowsPerBand + 1
-      s"substr($l.code, $p, $RowsPerBand) = substr($r.$rcode, $p, $RowsPerBand)"
+  private def bandMatchSql(l: String, r: String, rcode: String,
+                           bands: Int = Bands, rpb: Int = RowsPerBand): String =
+    (0 until bands).map { b =>
+      val p = b * rpb + 1
+      s"substr($l.code, $p, $rpb) = substr($r.$rcode, $p, $rpb)"
     }.mkString("\n     OR ")
 
   private def lshOracleSql: String = {
     val bandMatch = bandMatchSql("c", "qc", "qcode")
-    s"""WITH ${codesCteSql},
+    s"""WITH ${codesCteSql()},
        |qc AS (
        |  SELECT vec_id AS qid, code AS qcode FROM codes
        |  WHERE vec_id IN ($qidList)),
@@ -125,8 +138,8 @@ object SimilarityQueries {
     * is a query (self-join), k = 5.
     */
   private def knnJoinOracleSql: String = {
-    val bandMatch = bandMatchSql("c", "qc", "code")
-    s"""WITH ${codesCteSql},
+    val bandMatch = bandMatchSql("c", "qc", "code", KnnBands, KnnRowsPerBand)
+    s"""WITH ${codesCteSql(KnnPlanes)},
        |cands AS (
        |  SELECT qc.vec_id AS qid, c.vec_id
        |  FROM codes c JOIN codes qc ON c.vec_id <> qc.vec_id
@@ -723,7 +736,7 @@ object SimilarityQueries {
     // candidates, and the exact re-rank for ALL corpus rows.
     "sim7_knn_join" -> QueryDef(
       (s, dir) => Similarity.knnJoin(table(s, dir, "embeddings"),
-          k = 5, dims = Dims, planes = Planes, rowsPerBand = RowsPerBand)
+          k = 5, dims = Dims, planes = KnnPlanes, rowsPerBand = KnnRowsPerBand)
         .orderBy("qid", "rank"),
       Some(knnJoinOracleSql))
   )

@@ -1507,6 +1507,106 @@ object TextQueries {
              |    AS density_permille
              |FROM fp GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // ---- split leakage audit (doc-hash vs group split) --------------
+    // The audit that justifies t22 over t11: join the staged near-dup
+    // pair graph to BOTH split policies' assignments and count pairs
+    // that straddle a train/val/test boundary under each. Doc-hash
+    // splitting leaks ~1/3 of near-dup pairs by construction
+    // (independent hashes); source-group splitting zeroes the
+    // intra-source leaks and the residual number IS the cross-source
+    // duplication d23 measures — the audit quantifies exactly what
+    // each policy buys. Same interpolated hash constants as t11/t22,
+    // so a rule change cannot desynchronize policy and audit.
+    "t40_split_leak_audit" -> QueryDef(
+      (s, dir) => {
+        graft.functions.VectorExpressions.register(s)
+        val dv = TextOps.knuthMix(col("doc_id")) % 10
+        val gv = TextOps.knuthMix(call_function("poly_hash", col("source"))) % 10
+        def splitOf(v: org.apache.spark.sql.Column) =
+          when(v < 8, "train").when(v === 8, "val").otherwise("test")
+        val assign = table(s, dir, "documents")
+          .select(col("doc_id"), splitOf(dv).as("d_split"), splitOf(gv).as("g_split"))
+        Staged.docNearDupPairs(s, dir)
+          .join(assign.select(col("doc_id").as("doc_a"),
+            col("d_split").as("da"), col("g_split").as("ga")), "doc_a")
+          .join(assign.select(col("doc_id").as("doc_b"),
+            col("d_split").as("db"), col("g_split").as("gb")), "doc_b")
+          .agg(count(lit(1)).as("n_pairs"),
+            count(when(col("da") =!= col("db"), 1)).as("doc_policy_leaks"),
+            count(when(col("ga") =!= col("gb"), 1)).as("group_policy_leaks"))
+          .select(col("n_pairs"), col("doc_policy_leaks"), col("group_policy_leaks"),
+            expr("doc_policy_leaks * 1000 DIV n_pairs").as("doc_leak_permille"),
+            expr("group_policy_leaks * 1000 DIV n_pairs").as("group_leak_permille"))
+      },
+      Some(s"""WITH ${QueryDef.shingleCtes()},
+             |${QueryDef.jaccardPairCtes(2, 5)},
+             |asg AS (SELECT doc_id,
+             |    CASE WHEN dv < 8 THEN 'train' WHEN dv = 8 THEN 'val'
+             |      ELSE 'test' END AS d_split,
+             |    CASE WHEN gv < 8 THEN 'train' WHEN gv = 8 THEN 'val'
+             |      ELSE 'test' END AS g_split
+             |  FROM (SELECT doc_id,
+             |      ${QueryDef.knuthMixSql("doc_id")} % 10 AS dv,
+             |      ${QueryDef.knuthMixSql(QueryDef.polyHashSql("source"))} % 10 AS gv
+             |    FROM documents))
+             |SELECT count(*) AS n_pairs,
+             |  CAST(count(CASE WHEN a.d_split <> b.d_split THEN 1 END) AS BIGINT)
+             |    AS doc_policy_leaks,
+             |  CAST(count(CASE WHEN a.g_split <> b.g_split THEN 1 END) AS BIGINT)
+             |    AS group_policy_leaks,
+             |  CAST(count(CASE WHEN a.d_split <> b.d_split THEN 1 END) * 1000
+             |    // count(*) AS BIGINT) AS doc_leak_permille,
+             |  CAST(count(CASE WHEN a.g_split <> b.g_split THEN 1 END) * 1000
+             |    // count(*) AS BIGINT) AS group_leak_permille
+             |FROM qp JOIN asg a ON a.doc_id = da
+             |JOIN asg b ON b.doc_id = db""".stripMargin)),
+
+    // ---- per-source language-mix drift ------------------------------
+    // sim10's text sibling: per source, the L1 distance (permille)
+    // between the language distributions of the two ingest halves
+    // (doc-id parity) — the governance check that a source's language
+    // mix did not silently shift between crawls. Exact integer:
+    // per-(source, half, lang) counts, permille shares, FULL join so
+    // a language present in only one half contributes its whole
+    // share; one map-side agg + dimension-sized joins.
+    "t41_source_lang_drift" -> QueryDef(
+      (s, dir) => {
+        val h = table(s, dir, "documents")
+          .select(col("source"), col("lang"), (col("doc_id") % 2).as("half"))
+        val counts = h.groupBy("source", "half", "lang").agg(count(lit(1)).as("c"))
+        val totals = counts.groupBy("source", "half").agg(sum("c").as("tot"))
+        val shares = counts.join(totals, Seq("source", "half"))
+          .select(col("source"), col("half"), col("lang"),
+            expr("c * 1000 DIV tot").as("p"))
+        val even = shares.filter(col("half") === 0)
+          .select(col("source"), col("lang"), col("p").as("p0"))
+        val odd = shares.filter(col("half") === 1)
+          .select(col("source"), col("lang"), col("p").as("p1"))
+        even.join(odd, Seq("source", "lang"), "full")
+          .select(col("source"),
+            coalesce(col("p0"), lit(0L)).as("p0"),
+            coalesce(col("p1"), lit(0L)).as("p1"))
+          .groupBy("source")
+          .agg(sum(abs(col("p0") - col("p1"))).as("l1_drift_permille"))
+          .orderBy("source")
+      },
+      Some("""WITH h AS (SELECT source, lang, doc_id % 2 AS half
+             |  FROM documents),
+             |counts AS (SELECT source, half, lang, count(*) AS c
+             |  FROM h GROUP BY 1, 2, 3),
+             |totals AS (SELECT source, half, sum(c) AS tot
+             |  FROM counts GROUP BY 1, 2),
+             |shares AS (SELECT c.source, c.half, c.lang, c.c * 1000 // t.tot AS p
+             |  FROM counts c JOIN totals t USING (source, half)),
+             |j AS (SELECT coalesce(e.source, o.source) AS source,
+             |    coalesce(e.p, 0) AS p0, coalesce(o.p, 0) AS p1
+             |  FROM (SELECT source, lang, p FROM shares WHERE half = 0) e
+             |  FULL JOIN (SELECT source, lang, p FROM shares WHERE half = 1) o
+             |    USING (source, lang))
+             |SELECT source, CAST(sum(abs(p0 - p1)) AS BIGINT)
+             |  AS l1_drift_permille
+             |FROM j GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // ---- keyword-in-context concordance (KWIC) ----------------------
     // Every occurrence of a target word with its ±3-word context — the
     // corpus-inspection tool behind "show me how this term is used"
