@@ -730,16 +730,26 @@ object DedupQueries {
     "d20_semantic_contamination" -> QueryDef(
       (s, dir) => {
         import graft.operators.Similarity
+        graft.functions.VectorExpressions.register(s)
         val emb = table(s, dir, "embeddings")
-        val eval_ = emb.filter(col("vec_id") % 20 === 0)
+        // the eval set is a CONSTANT-SIZE artifact (benchmark suites do
+        // not grow with the training corpus): the id < 5000 cap pins it
+        // at the sf0.1 size, so the replicate-join product stays
+        // n_train x O(1) instead of going quadratic with scale
+        // (unbounded %20 measured 369 s at sf1; capped + native-codegen
+        // cosine ~ seconds). Plant offset 1e7 keeps the doubled-copy
+        // ids clear of real ids at any SF.
+        val eval_ = emb.filter(col("vec_id") % 20 === 0 && col("vec_id") < 5000)
           .select(col("vec_id").as("eval_id"), col("embedding").as("evec"))
         val train = emb.filter(col("vec_id") % 20 =!= 0)
           .select(col("vec_id"), col("embedding"))
           .unionByName(emb.filter(col("vec_id") % 40 === 0)
-            .select((col("vec_id") + 30000L).as("vec_id"),
+            .select((col("vec_id") + 10000000L).as("vec_id"),
               transform(col("embedding"), x => x * lit(2.0f)).as("embedding")))
         train.crossJoin(broadcast(eval_))
-          .withColumn("cos", Similarity.cosine(col("embedding"), col("evec")))
+          // native codegen'd dot_f32 — bit-identical to the HOF fold
+          // (sim1's proven pairing), so the oracle rendering is unchanged
+          .withColumn("cos", Similarity.cosineNative(col("embedding"), col("evec")))
           .filter(col("cos") >= 0.95)
           .withColumn("cm", floor(col("cos") * 1e6).cast("long"))
           .groupBy(col("vec_id").as("train_id"))
@@ -750,11 +760,11 @@ object DedupQueries {
       },
       Some("""WITH ev AS (
              |  SELECT vec_id AS eval_id, embedding AS evec
-             |  FROM embeddings WHERE vec_id % 20 = 0),
+             |  FROM embeddings WHERE vec_id % 20 = 0 AND vec_id < 5000),
              |tr AS (
              |  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 20 <> 0
              |  UNION ALL
-             |  SELECT vec_id + 30000, list_transform(embedding, x -> x * CAST(2 AS REAL))
+             |  SELECT vec_id + 10000000, list_transform(embedding, x -> x * CAST(2 AS REAL))
              |  FROM embeddings WHERE vec_id % 40 = 0),
              |sc AS (
              |  SELECT tr.vec_id AS train_id, ev.eval_id,

@@ -342,10 +342,10 @@ class PipelineOpsSpec extends SparkTestBase {
     val dir = "/root/testdata/sf0.001"
     val got = graft.SparkEntry.queries("d20_semantic_contamination")(spark, dir)
       .as[(Long, Long, Long)].collect().toList
-    val planted = got.filter(_._1 >= 30000L)
+    val planted = got.filter(_._1 >= 10000000L)
     assert(planted.nonEmpty, "fixture must plant contamination")
     planted.foreach { case (tid, eid, cm) =>
-      assert(eid == tid - 30000L, s"planted copy $tid must match its source")
+      assert(eid == tid - 10000000L, s"planted copy $tid must match its source")
       assert(cm >= 999999L, s"scaled copy must score cos ~ 1: $cm")
     }
   }
