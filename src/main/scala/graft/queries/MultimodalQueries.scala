@@ -576,11 +576,18 @@ object MultimodalQueries {
         // projection, not a HOF (custom expressions inside lambda
         // bodies cannot bind captured attributes; flat arrays also
         // stay inside whole-stage codegen)
+        // COMPLETE frames only: an offset past the blob's end has no
+        // frame. Without this guard every short doc emits poly_hash of
+        // the SAME empty/truncated slices — one hot shared token whose
+        // inverted-index bucket makes the pair join quadratic in the
+        // number of short docs (measured 73 s at sf1, 6.9 s guarded)
+        // AND semantically pairs unrelated shorts at jaccard 1.
         val fhs = docs.unionByName(twins).select(col("doc_id"),
-          array_distinct(array((0 until nF).map { i =>
-            call_function("poly_hash",
-              col("text").substr(lit(i * 997 % 1000 + 1), lit(16))).cast("string")
-          }: _*)).as("__sh"))
+          array_distinct(array_compact(array((0 until nF).map { i =>
+            when(length(col("text")) >= i * 997 % 1000 + 16,
+              call_function("poly_hash",
+                col("text").substr(lit(i * 997 % 1000 + 1), lit(16))).cast("string"))
+          }: _*))).as("__sh"))
         graft.operators.Dedup.ngramJaccardPairs(fhs, "doc_id", "__sh",
             num = 1, den = 2)
           .orderBy("doc_a", "doc_b")
@@ -594,7 +601,8 @@ object MultimodalQueries {
              |    CAST(${QueryDef.polyHashSql(
                       "substr(text, CAST((t.i*997)%1000+1 AS INTEGER), 16)")}
              |      AS VARCHAR) AS s
-             |  FROM allv, UNNEST(range(0, 24)) AS t(i)),
+             |  FROM allv, UNNEST(range(0, 24)) AS t(i)
+             |  WHERE length(text) >= (t.i*997)%1000+16),
              |${QueryDef.jaccardPairCtes(1, 2)}
              |SELECT da AS doc_a, db AS doc_b, jacc_pct FROM qp
              |ORDER BY 1, 2""".stripMargin)),
