@@ -693,6 +693,61 @@ object DedupQueries {
              |  AND levenshtein(a.s, b.s) <= 1
              |ORDER BY 1, 2""".stripMargin)),
 
+    // End-to-end ENTITY RESOLUTION — three operator families composed
+    // into the master-data pipeline: FastSS edit-distance blocking
+    // (d9's exact lev<=1 join) finds typo'd re-entries, connected
+    // components (d6's operator) closes transitive chains (A~B~C
+    // merges even when A!~C), and the min-id rule names each entity's
+    // canonical record. Fixture plants a one-char typo of every 13th
+    // distinct part name (position-2 'x', distance exactly <=1);
+    // natural distance-1 name pairs merge too. The oracle replays
+    // blocking brute-force + recursive-CTE closure + the same rollup,
+    // so the WHOLE chain is checked end to end, not per stage.
+    "q75_entity_resolution" -> QueryDef(
+      (s, dir) => {
+        val base = table(s, dir, "part")
+          .groupBy(col("p_name").as("s")).agg(min("p_partkey").as("k"))
+        val typos = base.filter(col("k") % 13 === 0)
+          .select((col("k") + 1000000L).as("k"),
+            concat(substring(col("s"), 1, 1), lit("x"),
+              expr("substring(s, 3)")).as("s"))
+        val entities = base.select("k", "s").unionByName(typos)
+        val pairs = graft.operators.EditDistance.editDistanceJoin(
+          entities, "k", "s")
+        val cc = Dedup.connectedComponents(
+          pairs.select(col("ka").as("doc_a"), col("kb").as("doc_b")))
+        cc.groupBy("rep").agg(count(lit(1)).as("n_members"))
+          .join(entities.select(col("k").as("rep"), col("s").as("canonical_name")),
+            "rep")
+          .select(col("rep").as("canonical_id"), col("n_members"),
+            col("canonical_name"))
+          .orderBy("canonical_id")
+      },
+      Some("""WITH RECURSIVE nm AS (
+             |  SELECT p_name AS s, min(p_partkey) AS k FROM part GROUP BY 1),
+             |ty AS (SELECT k + 1000000 AS k,
+             |    substr(s, 1, 1) || 'x' || substr(s, 3) AS s
+             |  FROM nm WHERE k % 13 = 0),
+             |en AS (SELECT k, s FROM nm UNION ALL SELECT k, s FROM ty),
+             |qp AS (SELECT a.k AS ka, b.k AS kb
+             |  FROM en a JOIN en b ON a.k < b.k
+             |    AND abs(length(a.s) - length(b.s)) <= 1
+             |    AND levenshtein(a.s, b.s) <= 1),
+             |edges AS (SELECT ka AS src, kb AS dst FROM qp
+             |          UNION SELECT kb, ka FROM qp),
+             |reach(a, b) AS (
+             |  SELECT src, dst FROM edges
+             |  UNION
+             |  SELECT r.a, e.dst FROM reach r JOIN edges e ON e.src = r.b),
+             |verts AS (SELECT DISTINCT src AS id FROM edges),
+             |lab AS (SELECT v.id, least(v.id, min(r.b)) AS rep
+             |  FROM verts v LEFT JOIN reach r ON r.a = v.id GROUP BY v.id)
+             |SELECT g.rep AS canonical_id, g.cnt AS n_members,
+             |  en.s AS canonical_name
+             |FROM (SELECT rep, count(*) AS cnt FROM lab GROUP BY 1) g
+             |JOIN en ON en.k = g.rep
+             |ORDER BY 1""".stripMargin)),
+
     // Boilerplate-chunk removal — d7's companion rule: chunks present
     // in >= 3 DISTINCT documents (headers/footers/navigation) are
     // removed from EVERY document, not kept-once. Two-level
