@@ -466,6 +466,68 @@ object EventStream {
       }
   }
 
+  final case class TrendState(pending: Map[Long, Long], hr0: Long,
+                              n: Long, sx: Long, sy: Long, sxy: Long, sxx: Long)
+  final case class TrendPoint(eventType: String, hr: Long, nPts: Long,
+                              slopePermille: Long, forecastNext: Long)
+
+  /** Streaming twin of the batch OLS trend fit (q72): per event type,
+    * hourly counts finalize under the watermark IN ORDER and fold into
+    * RUNNING regression moments (n, Σx, Σy, Σxy, Σx²) — the closed-form
+    * OLS terms are sums, so the state is O(1) per type and each
+    * finalized hour emits the current exact-integer slope permille +
+    * next-hour forecast with q72's arithmetic (x = hour − first
+    * finalized hour; silent hours hold no point, matching the batch
+    * hourly table). Emits from the second point on (the fit needs two).
+    */
+  def streamingTrend(spark: SparkSession, events: Dataset[RateEvent],
+                     watermarkDelay: String = "30 minutes"): Dataset[TrendPoint] = {
+    import spark.implicits._
+    val HourUs = 3600L * 1000000L
+    events
+      .withColumn("ets", timestamp_micros(col("tsUs")))
+      .withWatermark("ets", watermarkDelay)
+      .as[RateEvent]
+      .groupByKey(_.eventType)
+      .flatMapGroupsWithState[TrendState, TrendPoint](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (tpe: String, rows: Iterator[RateEvent], state: GroupState[TrendState]) =>
+          val st0 = state.getOption.getOrElse(
+            TrendState(Map.empty, -1L, 0L, 0L, 0L, 0L, 0L))
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          var pending = st0.pending
+          rows.foreach { e =>
+            val hr = e.tsUs / HourUs
+            pending = pending.updated(hr, pending.getOrElse(hr, 0L) + 1L)
+          }
+          val (ready, hold) = pending.partition { case (hr, _) =>
+            (hr + 1) * HourUs <= wmUs
+          }
+          var (hr0, n, sx, sy, sxy, sxx) =
+            (st0.hr0, st0.n, st0.sx, st0.sy, st0.sxy, st0.sxx)
+          val out = scala.collection.mutable.ListBuffer.empty[TrendPoint]
+          ready.toSeq.sortBy(_._1).foreach { case (hr, y) =>
+            if (hr0 < 0) hr0 = hr
+            val x = hr - hr0
+            n += 1; sx += x; sy += y; sxy += x * y; sxx += x * x
+            val den = n * sxx - sx * sx
+            if (den != 0) {
+              // Scala integral / truncates toward zero — the SAME rule
+              // as Spark's DIV in the batch q72 plan
+              out += TrendPoint(tpe, hr, n,
+                (n * sxy - sx * sy) * 1000 / den,
+                ((sy * sxx - sx * sxy) + (n * sxy - sx * sy) * (x + 1)) / den)
+            }
+          }
+          state.update(TrendState(hold, hr0, n, sx, sy, sxy, sxx))
+          if (hold.nonEmpty)
+            state.setTimeoutTimestamp(math.max(
+              state.getCurrentWatermarkMs() + 1,
+              (hold.keys.min + 1) * HourUs / 1000L + 1))
+          out.iterator
+      }
+  }
+
   def sessionize(spark: SparkSession, events: Dataset[Event],
                  gapUs: Long, watermarkDelay: String = "30 minutes"): Dataset[Session] = {
     import spark.implicits._

@@ -46,6 +46,45 @@ class EventStreamSpec extends SparkTestBase {
     assert(batch.contains((6L, 3L)))
   }
 
+  test("streaming OLS trend: finalized running fit matches the closed form, out of order") {
+    implicit val sqlCtx = spark.sqlContext
+    val HourUs = 3600L * 1000000L
+    val input = MemoryStream[EventStream.RateEvent]
+    val q = EventStream.streamingTrend(spark, input.toDS())
+      .writeStream.format("memory").queryName("trend_eq")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // "click": hours 10..15 carry exactly 5,7,9,11,13,15 events — a
+      // perfect slope-2 line; "view": flat 4,4,4 at hours 10..12.
+      // Events arrive out of order across batches (hour 11 after 13).
+      def burst(tpe: String, hr: Long, n: Int) =
+        (0 until n).map(i => EventStream.RateEvent(tpe, hr * HourUs + i * 1000L))
+      input.addData(burst("click", 10, 5) ++ burst("click", 13, 11) ++
+        burst("view", 10, 4): _*)
+      input.addData(burst("click", 11, 7) ++ burst("click", 12, 9) ++
+        burst("view", 11, 4) ++ burst("view", 12, 4) ++
+        burst("click", 14, 13) ++ burst("click", 15, 15): _*)
+      q.processAllAvailable()
+      input.addData(EventStream.RateEvent("tick", 30 * HourUs))
+      q.processAllAvailable()
+      input.addData(EventStream.RateEvent("tick", 40 * HourUs))
+      q.processAllAvailable()
+      val got = spark.table("trend_eq").as[EventStream.TrendPoint].collect()
+      val click = got.filter(_.eventType == "click").sortBy(_.hr)
+      // running fit: every emission from the 2nd point on sees a
+      // perfect line -> slope exactly 2000 permille, forecast = next y
+      assert(click.map(_.hr).toSeq == (11L to 15L),
+        s"click emissions: ${click.toSeq}")
+      click.foreach { p =>
+        assert(p.slopePermille == 2000L, s"$p")
+        assert(p.forecastNext == 5 + 2 * (p.hr - 9), s"$p") // y(x+1)
+      }
+      val view = got.filter(_.eventType == "view").sortBy(_.hr)
+      assert(view.map(p => (p.hr, p.slopePermille, p.forecastNext)).toSeq ==
+        Seq((11L, 0L, 4L), (12L, 0L, 4L)), s"view: ${view.toSeq}")
+    } finally q.stop()
+  }
+
   test("streaming CMS cells equal the batch sketch over the same corpus") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.functions.{col, explode, length, max}
