@@ -95,6 +95,27 @@ class ContainmentSpec extends SparkTestBase {
     assert(nBoth == (a & b).size)
   }
 
+  test("round-7 operators tolerate empty and degenerate inputs") {
+    val emptyDocs = spark.emptyDataset[(Long, String)].toDF("doc_id", "text")
+    val shingled = emptyDocs.select(col("doc_id"),
+      TextOps.shingles(col("text"), 3).as("__sh"))
+    assert(Dedup.containmentPairs(shingled, "doc_id", "__sh", 9, 10).count() == 0L)
+    // a corpus of only sub-shingle docs: no tokens, no candidates, no crash
+    val tiny = Seq((1L, "a b"), (2L, "c")).toDF("doc_id", "text")
+      .select(col("doc_id"), TextOps.shingles(col("text"), 3).as("__sh"))
+    assert(Dedup.containmentPairs(tiny, "doc_id", "__sh", 9, 10).count() == 0L)
+    // KMinListAgg over an empty group domain yields no rows
+    val noVals = spark.emptyDataset[Long]
+    import graft.functions.KMinListAgg
+    assert(noVals.groupByKey(_ => 1).mapValues(identity)
+      .agg(new KMinListAgg(8).toColumn.name("m")).count() == 0L)
+    // rand-proj ANN with an empty query set returns an empty frame
+    val corpus = Seq((1L, Seq.fill(8)(1.0f))).toDF("vec_id", "embedding")
+    val noQueries = spark.emptyDataset[(Long, Seq[Float])].toDF("qid", "qvec")
+    assert(Similarity.randProjTopK(corpus, noQueries, 3, dims = 8,
+      projDims = 4, candC = 5).count() == 0L)
+  }
+
   test("t36 winnowing matches a driver-side model of the MOSS algorithm") {
     // Hand corpus: a repeated phrase so windows share minima, plus a
     // doc below the w+n-1 lower bound (no complete window -> no row).
