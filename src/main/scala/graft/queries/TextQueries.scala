@@ -1507,6 +1507,81 @@ object TextQueries {
              |    AS density_permille
              |FROM fp GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // ---- padding-waste report (length-bucketed batching) ------------
+    // Inference batching groups sequences into power-of-two length
+    // buckets and pads to the bucket size; this report prices that
+    // policy: per bucket, docs, real tokens, padded slots, and the
+    // waste permille — the number a serving team reads before picking
+    // bucket boundaries. Bucket assignment is an explicit CASE chain
+    // (identical on both engines — no float log2); ONE map-side agg.
+    "t42_padding_waste" -> QueryDef(
+      (s, dir) => {
+        val n = TextOps.tokenCount(col("text"))
+        val bucket = when(n <= 16, 16L).when(n <= 32, 32L)
+          .when(n <= 64, 64L).when(n <= 128, 128L).when(n <= 256, 256L)
+          .when(n <= 512, 512L).when(n <= 1024, 1024L)
+          .when(n <= 2048, 2048L).otherwise(4096L)
+        table(s, dir, "documents")
+          .select(bucket.as("bucket"), n.as("n_tokens"))
+          .groupBy("bucket")
+          .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("sum_tokens"))
+          .select(col("bucket"), col("n_docs"), col("sum_tokens"),
+            (col("bucket") * col("n_docs") - col("sum_tokens")).as("padded_slots"),
+            expr("(bucket * n_docs - sum_tokens) * 1000 DIV (bucket * n_docs)")
+              .as("waste_permille"))
+          .orderBy("bucket")
+      },
+      Some("""WITH t AS (SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+             |  FROM documents),
+             |b AS (SELECT CASE WHEN n <= 16 THEN 16 WHEN n <= 32 THEN 32
+             |    WHEN n <= 64 THEN 64 WHEN n <= 128 THEN 128
+             |    WHEN n <= 256 THEN 256 WHEN n <= 512 THEN 512
+             |    WHEN n <= 1024 THEN 1024 WHEN n <= 2048 THEN 2048
+             |    ELSE 4096 END AS bucket, n
+             |  FROM t)
+             |SELECT CAST(bucket AS BIGINT) AS bucket, count(*) AS n_docs,
+             |  CAST(sum(n) AS BIGINT) AS sum_tokens,
+             |  CAST(bucket * count(*) - sum(n) AS BIGINT) AS padded_slots,
+             |  CAST((bucket * count(*) - sum(n)) * 1000 // (bucket * count(*))
+             |    AS BIGINT) AS waste_permille
+             |FROM b GROUP BY bucket ORDER BY 1""".stripMargin)),
+
+    // ---- prefix-cache reuse estimate --------------------------------
+    // KV-cache prefix sharing prices how many sequences start with an
+    // 8-word prefix some other sequence shares (those prefill tokens
+    // are servable from cache). One groupBy on the materialized prefix
+    // string; dimension-sized summary out (share permille, group
+    // census, largest family). Docs under 8 words have no full prefix
+    // and are excluded on both engines.
+    "t43_prefix_cache" -> QueryDef(
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+          .select(col("doc_id"), TextOps.words(col("text")).as("w"))
+          .filter(size(col("w")) >= 8)
+          .select(concat_ws(" ", slice(col("w"), 1, 8)).as("prefix"))
+        val groups = docs.groupBy("prefix").agg(count(lit(1)).as("n"))
+        groups.agg(sum("n").as("n_docs"),
+            sum(when(col("n") >= 2, col("n")).otherwise(0L)).as("n_sharable"),
+            count(when(col("n") >= 2, 1)).as("n_shared_groups"),
+            max("n").as("max_family"))
+          .select(col("n_docs"), col("n_sharable"),
+            expr("n_sharable * 1000 DIV n_docs").as("sharable_permille"),
+            col("n_shared_groups"), col("max_family"))
+      },
+      Some("""WITH p AS (SELECT array_to_string(w[1:8], ' ') AS prefix
+             |  FROM (SELECT string_split(text, ' ') AS w FROM documents)
+             |  WHERE len(w) >= 8),
+             |g AS (SELECT prefix, count(*) AS n FROM p GROUP BY 1)
+             |SELECT CAST(sum(n) AS BIGINT) AS n_docs,
+             |  CAST(sum(CASE WHEN n >= 2 THEN n ELSE 0 END) AS BIGINT)
+             |    AS n_sharable,
+             |  CAST(sum(CASE WHEN n >= 2 THEN n ELSE 0 END) * 1000 // sum(n)
+             |    AS BIGINT) AS sharable_permille,
+             |  CAST(count(CASE WHEN n >= 2 THEN 1 END) AS BIGINT)
+             |    AS n_shared_groups,
+             |  CAST(max(n) AS BIGINT) AS max_family
+             |FROM g""".stripMargin)),
+
     // ---- split leakage audit (doc-hash vs group split) --------------
     // The audit that justifies t22 over t11: join the staged near-dup
     // pair graph to BOTH split policies' assignments and count pairs
