@@ -1566,6 +1566,39 @@ object Relational {
              |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
              |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // ---- diversified top-k (per-group quota) ------------------------
+    // Top-10 orders by value with AT MOST 2 PER CUSTOMER — the
+    // quota-constrained selection every leaderboard/sampler needs
+    // (plain top-k returns one whale's orders ten times). Shape: the
+    // per-customer rank window partitions by custkey (bounded groups),
+    // the survivors (≤ 2·|customers| rows) feed a
+    // TakeOrderedAndProject global cut — no global sort of the fact
+    // table; both ranks use the (value DESC, key) total order.
+    "q76_diversified_topk" -> QueryDef(
+      (s, dir) => {
+        val w = Window.partitionBy("o_custkey")
+          .orderBy(col("price_c").desc, col("o_orderkey"))
+        table(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey"),
+            cents(col("o_totalprice")).as("price_c"))
+          .withColumn("cust_rank", row_number().over(w))
+          .filter(col("cust_rank") <= 2)
+          .orderBy(col("price_c").desc, col("o_orderkey"))
+          .limit(10)
+          .select("o_orderkey", "o_custkey", "price_c", "cust_rank")
+      },
+      Some("""WITH ranked AS (
+             |  SELECT o_orderkey, o_custkey,
+             |    CAST(round(o_totalprice * 100) AS BIGINT) AS price_c,
+             |    row_number() OVER (PARTITION BY o_custkey
+             |      ORDER BY round(o_totalprice * 100) DESC, o_orderkey)
+             |      AS cust_rank
+             |  FROM orders)
+             |SELECT o_orderkey, o_custkey, price_c,
+             |  CAST(cust_rank AS BIGINT) AS cust_rank
+             |FROM ranked WHERE cust_rank <= 2
+             |ORDER BY price_c DESC, o_orderkey LIMIT 10""".stripMargin)),
+
     // ---- market-basket co-occurrence (pairwise lift) ----------------
     // Top co-purchased part pairs by exact-integer scaled lift =
     // P(x,y)/(P(x)P(y)) — the classic association-rule primitive

@@ -19,6 +19,24 @@ object TextQueries {
   private val CmsW = 1024
   private val CmsBases = Seq(31, 37, 41, 43)
 
+  /** The ONE DuckDB rendering of [[TextOps.langId]] — CTE chain
+    * `t`,`sc` (stopword scores) + the argmax CASE, shared by the t3
+    * and t44 oracles so a wordlist change cannot desynchronize them.
+    */
+  private def langIdScoreCtes(src: String = "documents"): String =
+    s"""t AS (
+       |  SELECT doc_id, lang, string_split(text, ' ') AS w FROM $src),
+       |     sc AS (
+       |  SELECT doc_id, lang,
+       |    len(list_filter(w, x -> x IN ('the','a','of','and','to','in','is','it'))) AS s_en,
+       |    len(list_filter(w, x -> x IN ('der','die','das','und','ist','nicht','ein','zu'))) AS s_de,
+       |    len(list_filter(w, x -> x IN ('le','la','de','et','est','un','une','dans'))) AS s_fr
+       |  FROM t)""".stripMargin
+
+  private val langIdPredSql =
+    """CASE WHEN s_fr > greatest(s_en, s_de) THEN 'fr'
+      |       WHEN s_de > s_en THEN 'de' ELSE 'en' END""".stripMargin
+
   /** The winnowing fingerprint table (doc_id, n_grams, fp_hash, fp_pos)
     * — the ONE Spark rendering shared by t36's per-doc report and
     * d24's fingerprint-pair join (a geometry change cannot
@@ -197,19 +215,11 @@ object TextQueries {
           TextOps.langId(col("text")).as("pred_lang"))
         .withColumn("is_match", when(col("lang") === col("pred_lang"), 1L).otherwise(0L))
         .orderBy("doc_id"),
-      Some("""WITH t AS (
-             |  SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents),
-             |     sc AS (
-             |  SELECT doc_id, lang,
-             |    len(list_filter(w, x -> x IN ('the','a','of','and','to','in','is','it'))) AS s_en,
-             |    len(list_filter(w, x -> x IN ('der','die','das','und','ist','nicht','ein','zu'))) AS s_de,
-             |    len(list_filter(w, x -> x IN ('le','la','de','et','est','un','une','dans'))) AS s_fr
-             |  FROM t)
+      Some(s"""WITH ${langIdScoreCtes()}
              |SELECT doc_id, lang,
-             |  CASE WHEN s_fr > greatest(s_en, s_de) THEN 'fr'
-             |       WHEN s_de > s_en THEN 'de' ELSE 'en' END AS pred_lang,
-             |  CAST(CASE WHEN lang = (CASE WHEN s_fr > greatest(s_en, s_de) THEN 'fr'
-             |       WHEN s_de > s_en THEN 'de' ELSE 'en' END) THEN 1 ELSE 0 END AS BIGINT) AS is_match
+             |  $langIdPredSql AS pred_lang,
+             |  CAST(CASE WHEN lang = ($langIdPredSql) THEN 1 ELSE 0 END
+             |    AS BIGINT) AS is_match
              |FROM sc ORDER BY doc_id""".stripMargin)),
 
     // TF-IDF keyword extraction: top-3 terms per doc by a BM25-style
@@ -1506,6 +1516,35 @@ object TextQueries {
              |  CAST(count(*) * 1000 // (max(n_grams) - 3) AS BIGINT)
              |    AS density_permille
              |FROM fp GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ---- language-label confusion matrix ----------------------------
+    // Declared `lang` column × t3's detected language, with each
+    // cell's share of its declared row (permille) — the labeling-QA
+    // matrix that says WHERE the metadata and the detector disagree
+    // (t3 reports per-doc agreement; this is the aggregate diagnosis).
+    // One map-side (declared, predicted) count + a dimension-sized
+    // row-total join; the SAME langid rendering as t3 on both engines.
+    "t44_lang_confusion" -> QueryDef(
+      (s, dir) => {
+        val cells = table(s, dir, "documents")
+          .select(col("lang").as("declared"),
+            TextOps.langId(col("text")).as("predicted"))
+          .groupBy("declared", "predicted").agg(count(lit(1)).as("n"))
+        val rows = cells.groupBy("declared").agg(sum("n").as("row_n"))
+        cells.join(rows, "declared")
+          .select(col("declared"), col("predicted"), col("n"),
+            expr("n * 1000 DIV row_n").as("row_share_permille"))
+          .orderBy("declared", "predicted")
+      },
+      Some(s"""WITH ${langIdScoreCtes()},
+             |cells AS (SELECT lang AS declared, $langIdPredSql AS predicted,
+             |    count(*) AS n
+             |  FROM sc GROUP BY 1, 2),
+             |rows_ AS (SELECT declared, sum(n) AS row_n FROM cells GROUP BY 1)
+             |SELECT declared, predicted, n,
+             |  CAST(n * 1000 // row_n AS BIGINT) AS row_share_permille
+             |FROM cells JOIN rows_ USING (declared)
+             |ORDER BY 1, 2""".stripMargin)),
 
     // ---- padding-waste report (length-bucketed batching) ------------
     // Inference batching groups sequences into power-of-two length
