@@ -350,6 +350,67 @@ object Dedup {
     iSh.select(col(idCol)).join(dropped, Seq(idCol), "left_anti")
   }
 
+  /** Build the PERSISTED near-dup index — the artifact an incremental
+    * crawl pipeline maintains between runs (sim3's materialized-index
+    * pattern, text flavor): the corpus's band-bucket table (parquet,
+    * PARTITIONED BY band — band-aligned file layout; a full probe
+    * reads every band, a per-band maintenance job only its own)
+    * plus its shingle-HASH table for candidate verification. Corpus
+    * TEXT is never written and, after the build, never rescanned.
+    */
+  def buildNearDupIndex(corpus: DataFrame, path: String,
+                        textCol: String, idCol: String,
+                        shingleN: Int = 3, bands: Int = 32, rows: Int = 2): Unit = {
+    val sh = corpus.select(col(idCol).as("__id"),
+      TextOps.shingles(col(textCol), shingleN).as("__sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val hashed = shingleHashTable(sh, "__id", "__sh")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    bandBuckets(hashed, bands, rows)
+      .write.mode("overwrite").partitionBy("band").parquet(s"$path/buckets")
+    hashed.write.mode("overwrite").parquet(s"$path/hashes")
+    hashed.unpersist()
+    sh.unpersist()
+  }
+
+  /** [[incrementalNearDupSurvivors]] against a PERSISTED index: the
+    * corpus side comes from [[buildNearDupIndex]]'s parquet (one
+    * equi-join probe on (band, bh), one hash-set verify), the corpus
+    * text never rescanned. Verification intersects 60-bit shingle-HASH
+    * sets instead of shingle strings — identical output unless two
+    * distinct shingles collide (≤ n²/2⁶⁰, the d5-documented hash-join
+    * assumption); the spec pins index-path ≡ inline-path equality.
+    */
+  def indexedNearDupSurvivors(spark: org.apache.spark.sql.SparkSession,
+                              path: String, incoming: DataFrame,
+                              textCol: String, idCol: String,
+                              shingleN: Int = 3, bands: Int = 32, rows: Int = 2,
+                              thresholdNum: Int = 2, thresholdDen: Int = 5): DataFrame = {
+    val cB = spark.read.parquet(s"$path/buckets")
+    val cH = spark.read.parquet(s"$path/hashes")
+    val iSh = incoming.select(col(idCol).as("__id"),
+      TextOps.shingles(col(textCol), shingleN).as("__sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val iH = shingleHashTable(iSh, "__id", "__sh")
+    val iB = bandBuckets(iH, bands, rows)
+    val crossCand = iB.as("i")
+      .join(cB.as("c"), col("i.band") === col("c.band") && col("i.bh") === col("c.bh"))
+      .select(col("c.__id").as("doc_a"), col("i.__id").as("doc_b"))
+      .distinct()
+    val inBatchCand = pairsFromBuckets(iB)
+    val allSets = cH.unionByName(iH)
+      .groupBy("__id").agg(collect_set("__h").as("__hs"))
+    val dropped = verifyJaccard(crossCand, allSets, "__id", "__hs",
+        thresholdNum, thresholdDen)
+      .select(col("doc_b").as("__id"))
+      .unionByName(verifyJaccard(inBatchCand, allSets, "__id", "__hs",
+          thresholdNum, thresholdDen)
+        .select(col("doc_b").as("__id")))
+      .distinct()
+    iSh.select(col("__id").as(idCol))
+      .join(dropped.select(col("__id").as(idCol)), Seq(idCol), "left_anti")
+  }
+
   // ---- Exact n-gram Jaccard join (prefix filtering / AllPairs) ---------
 
   /** EXACT n-gram Jaccard similarity join via prefix filtering — the

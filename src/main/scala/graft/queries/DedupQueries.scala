@@ -14,6 +14,41 @@ import QueryDef.table
   */
 object DedupQueries {
 
+  /** d12's incoming-batch fixture (re-crawls with appended suffixes +
+    * in-batch near-copies) and its EXACT all-pairs oracle — the ONE
+    * rendering shared by the inline (d12) and persisted-index (d25)
+    * admission paths, which must produce identical survivors.
+    */
+  private def d12Incoming(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    val docs = table(s, dir, "documents")
+    docs.filter(col("doc_id") >= 250).select("doc_id", "text")
+      .unionByName(docs.filter(col("doc_id") < 100)
+        .select((col("doc_id") + 20000).as("doc_id"),
+          concat(col("text"), lit(" updated crawl snapshot")).as("text")))
+      .unionByName(docs.filter(col("doc_id") >= 250 && col("doc_id") < 300)
+        .select((col("doc_id") + 40000).as("doc_id"),
+          concat(col("text"), lit(" minor edit")).as("text")))
+  }
+
+  private val d12OracleSql: String =
+    s"""WITH corpus AS (
+       |  SELECT doc_id, text FROM documents WHERE doc_id < 250),
+       |inc AS (
+       |  SELECT doc_id, text FROM documents WHERE doc_id >= 250
+       |  UNION ALL
+       |  SELECT doc_id + 20000, text || ' updated crawl snapshot'
+       |  FROM documents WHERE doc_id < 100
+       |  UNION ALL
+       |  SELECT doc_id + 40000, text || ' minor edit'
+       |  FROM documents WHERE doc_id >= 250 AND doc_id < 300),
+       |alld AS (SELECT * FROM corpus UNION ALL SELECT * FROM inc),
+       |${QueryDef.shingleCtes(src = "alld")},
+       |${QueryDef.jaccardPairCtes(2, 5)}
+       |SELECT i.doc_id FROM inc i
+       |WHERE i.doc_id NOT IN (SELECT db FROM qp)
+       |ORDER BY 1""".stripMargin
+
+
   val defs: Map[String, QueryDef] = Map(
 
     // exact dedup: survivors = min doc_id per identical text
@@ -70,13 +105,7 @@ object DedupQueries {
       (s, dir) => {
         val docs = table(s, dir, "documents")
         val corpus = docs.filter(col("doc_id") < 250).select("doc_id", "text")
-        val incoming = docs.filter(col("doc_id") >= 250).select("doc_id", "text")
-          .unionByName(docs.filter(col("doc_id") < 100)
-            .select((col("doc_id") + 20000).as("doc_id"),
-              concat(col("text"), lit(" updated crawl snapshot")).as("text")))
-          .unionByName(docs.filter(col("doc_id") >= 250 && col("doc_id") < 300)
-            .select((col("doc_id") + 40000).as("doc_id"),
-              concat(col("text"), lit(" minor edit")).as("text")))
+        val incoming = d12Incoming(s, dir)
         val cSh = Staged.cached(s, s"d12csh:$dir")(
           corpus.select(col("doc_id"), TextOps.shingles(col("text"), 3).as("__sh")))
         val iSh = Staged.cached(s, s"d12ish:$dir")(
@@ -85,22 +114,25 @@ object DedupQueries {
             stagedShingles = Some((cSh, iSh)))
           .orderBy("doc_id")
       },
-      Some(s"""WITH corpus AS (
-             |  SELECT doc_id, text FROM documents WHERE doc_id < 250),
-             |inc AS (
-             |  SELECT doc_id, text FROM documents WHERE doc_id >= 250
-             |  UNION ALL
-             |  SELECT doc_id + 20000, text || ' updated crawl snapshot'
-             |  FROM documents WHERE doc_id < 100
-             |  UNION ALL
-             |  SELECT doc_id + 40000, text || ' minor edit'
-             |  FROM documents WHERE doc_id >= 250 AND doc_id < 300),
-             |alld AS (SELECT * FROM corpus UNION ALL SELECT * FROM inc),
-             |${QueryDef.shingleCtes(src = "alld")},
-             |${QueryDef.jaccardPairCtes(2, 5)}
-             |SELECT i.doc_id FROM inc i
-             |WHERE i.doc_id NOT IN (SELECT db FROM qp)
-             |ORDER BY 1""".stripMargin)),
+      Some(d12OracleSql)),
+
+
+    // The PERSISTED-index twin of d12 (sim3's materialized-index
+    // pattern, text flavor): the corpus's band-bucket + shingle-hash
+    // tables are BUILT ONCE to parquet (buckets partitioned by band)
+    // and every later crawl batch probes the files — corpus text is
+    // never rescanned, which is the production admission shape when
+    // the corpus is 100 TB and the daily batch is 0.1%. Same fixture,
+    // same EXACT all-pairs oracle as d12: the two paths must emit
+    // identical survivors (also spec-pinned directly).
+    "d25_neardup_index" -> QueryDef(
+      (s, dir) => {
+        val idxPath = Staged.nearDupIndex(s, dir)
+        Dedup.indexedNearDupSurvivors(s, idxPath, d12Incoming(s, dir),
+            "text", "doc_id")
+          .orderBy("doc_id")
+      },
+      Some(d12OracleSql)),
 
     // Semantic dedup (SemDeDup): k-means the embedding space (sim4's
     // exact-integer Lloyd, same geometry constants), then prune

@@ -206,6 +206,22 @@ object Staged {
       path
     }).asInstanceOf[String]
 
+  /** Build-once persisted near-dup index for the `doc_id < 250` corpus
+    * slice (d12/d25's contract) under target/, memoized per (session,
+    * dir) — the d25 query probes these files instead of rescanning the
+    * corpus.
+    */
+  def nearDupIndex(s: SparkSession, dir: String): String =
+    cacheFor(s).getOrElseUpdate(s"ndidx:$dir", {
+      val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val path = s"target/neardup_idx_$tag"
+      graft.operators.Dedup.buildNearDupIndex(
+        table(s, dir, "documents").filter(col("doc_id") < 250)
+          .select("doc_id", "text"),
+        path, "text", "doc_id")
+      path
+    }).asInstanceOf[String]
+
   def bucketedLiOrd(s: SparkSession, dir: String): (DataFrame, DataFrame) =
     cacheFor(s).getOrElseUpdate(s"bkt:$dir", {
       val tag = dir.replaceAll("[^A-Za-z0-9]", "_")

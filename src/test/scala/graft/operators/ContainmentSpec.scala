@@ -95,6 +95,29 @@ class ContainmentSpec extends SparkTestBase {
     assert(nBoth == (a & b).size)
   }
 
+  test("persisted near-dup index emits the same survivors as the inline path") {
+    val corpus = docs(
+      1L -> ("alpha beta gamma delta epsilon zeta eta theta " * 4).trim,
+      2L -> ("completely different corpus article about mountains and rivers " * 4).trim)
+    val incoming = docs(
+      10L -> (("alpha beta gamma delta epsilon zeta eta theta " * 4).trim
+        + " appended re-crawl banner"), // near-dup of corpus 1 -> dropped
+      11L -> ("a genuinely new piece of writing about telemetry " * 4).trim,
+      12L -> (("a genuinely new piece of writing about telemetry " * 4).trim
+        + " trailing edit"), // near-dup of 11 -> dropped
+      13L -> ("unrelated content with no overlap whatsoever at all " * 4).trim)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ndidx").toString
+    Dedup.buildNearDupIndex(corpus, dir, "text", "doc_id")
+    assert(new java.io.File(s"$dir/buckets").exists &&
+      new java.io.File(s"$dir/hashes").exists)
+    val fromIndex = Dedup.indexedNearDupSurvivors(spark, dir, incoming,
+      "text", "doc_id").as[Long].collect().sorted.toSeq
+    val inline = Dedup.incrementalNearDupSurvivors(corpus, incoming,
+      "text", "doc_id").as[Long].collect().sorted.toSeq
+    assert(fromIndex == inline && inline == Seq(11L, 13L),
+      s"index=$fromIndex inline=$inline")
+  }
+
   test("round-7 operators tolerate empty and degenerate inputs") {
     val emptyDocs = spark.emptyDataset[(Long, String)].toDF("doc_id", "text")
     val shingled = emptyDocs.select(col("doc_id"),
