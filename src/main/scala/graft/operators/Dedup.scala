@@ -368,7 +368,11 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     bandBuckets(hashed, bands, rows)
       .write.mode("overwrite").partitionBy("band").parquet(s"$path/buckets")
-    hashed.write.mode("overwrite").parquet(s"$path/hashes")
+    // sets are PRE-GROUPED at build time: the probe's verify step reads
+    // (id, hash-set) rows directly instead of re-aggregating the whole
+    // corpus hash table on every batch
+    hashed.groupBy("__id").agg(collect_set("__h").as("__hs"))
+      .write.mode("overwrite").parquet(s"$path/hashes")
     hashed.unpersist()
     sh.unpersist()
   }
@@ -398,8 +402,8 @@ object Dedup {
       .select(col("c.__id").as("doc_a"), col("i.__id").as("doc_b"))
       .distinct()
     val inBatchCand = pairsFromBuckets(iB)
-    val allSets = cH.unionByName(iH)
-      .groupBy("__id").agg(collect_set("__h").as("__hs"))
+    val allSets = cH.unionByName(
+      iH.groupBy("__id").agg(collect_set("__h").as("__hs")))
     val dropped = verifyJaccard(crossCand, allSets, "__id", "__hs",
         thresholdNum, thresholdDen)
       .select(col("doc_b").as("__id"))
