@@ -392,6 +392,9 @@ object Dedup {
                               thresholdNum: Int = 2, thresholdDen: Int = 5): DataFrame = {
     val cB = spark.read.parquet(s"$path/buckets")
     val cH = spark.read.parquet(s"$path/hashes")
+    // batch-shingle frame has two consumers (banding, survivor list);
+    // self-contained persist with no release path, same bounded-per-
+    // invocation convention as incrementalNearDupSurvivors' default
     val iSh = incoming.select(col(idCol).as("__id"),
       TextOps.shingles(col(textCol), shingleN).as("__sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
