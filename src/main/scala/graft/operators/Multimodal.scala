@@ -679,6 +679,92 @@ object Multimodal {
     out.toByteArray
   }
 
+  /** Deterministic WAV with a planted MULTI-SEGMENT geometry: `lead`
+    * zero frames, then `nSeg` loud blocks (frame counts from
+    * `loudLen(i)`) separated by silent gaps (`gapLen(i)`), then
+    * `trail` zeros — the voice-activity fixture for [[audioSegments]].
+    */
+  def encodeWavSegments(channels: Int, sampleRateHz: Int, lead: Int,
+                        nSeg: Int, trail: Int, id: Long): Array[Byte] = {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    def loudLen(i: Int): Int = 20 + ((id + i) % 30).toInt
+    def gapLen(i: Int): Int = 8 + (i % 5)
+    val nFrames = lead + trail +
+      (0 until nSeg).map(loudLen).sum +
+      (0 until math.max(0, nSeg - 1)).map(gapLen).sum
+    val pcm = new Array[Byte](nFrames * channels * 2)
+    var f = lead
+    var li = 0L
+    var i = 0
+    while (i < nSeg) {
+      var j = 0
+      while (j < loudLen(i)) {
+        var c = 0
+        while (c < channels) {
+          val s = loudSample(id, li)
+          val p = f * channels + c
+          pcm(2 * p) = (s & 0xff).toByte
+          pcm(2 * p + 1) = ((s >> 8) & 0xff).toByte
+          li += 1
+          c += 1
+        }
+        f += 1
+        j += 1
+      }
+      if (i < nSeg - 1) f += gapLen(i)
+      i += 1
+    }
+    val fmt = new AudioFormat(sampleRateHz.toFloat, 16, channels, true, false)
+    val ais = new AudioInputStream(new ByteArrayInputStream(pcm), fmt, nFrames.toLong)
+    val out = new ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  /** REAL PCM decode + voice-activity segmentation — [[trimSilence]]'s
+    * interior sibling: count the maximal runs of non-silent frames
+    * (any silent frame separates runs) and the total active frames —
+    * the speech-segmentation step an audio ingest pipeline runs before
+    * per-utterance processing. Same 16-bit LE PCM contract and
+    * threshold rule as trimSilence. Returns
+    * (channels, nFrames, nSegments, activeFrames).
+    */
+  def audioSegments(bytes: Array[Byte], threshold: Int = 512)
+      : Option[(Int, Long, Long, Long)] = {
+    if (bytes.isEmpty) return None
+    try {
+      val ais = javax.sound.sampled.AudioSystem
+        .getAudioInputStream(new ByteArrayInputStream(bytes))
+      val fmt = ais.getFormat
+      if (fmt.getSampleSizeInBits != 16 || fmt.isBigEndian ||
+        fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED)
+        return None
+      val ch = fmt.getChannels
+      val nF = ais.getFrameLength.toInt
+      val pcm = ais.readAllBytes()
+      var segs = 0L
+      var active = 0L
+      var inSeg = false
+      var f = 0
+      while (f < nF) {
+        var silent = true
+        var c = 0
+        while (silent && c < ch) {
+          val i = f * ch + c
+          val s = (pcm(2 * i + 1) << 8) | (pcm(2 * i) & 0xff)
+          if (s <= -threshold || s >= threshold) silent = false
+          c += 1
+        }
+        if (!silent) {
+          active += 1
+          if (!inSeg) { segs += 1; inSeg = true }
+        } else inSeg = false
+        f += 1
+      }
+      Some((ch, nF.toLong, segs, active))
+    } catch { case _: Exception => None }
+  }
+
   /** REAL PCM decode + leading/trailing silence measurement — the
     * ingest-normalization primitive (voice clips ship with dead air;
     * trimming it is the first step of any audio pipeline). A frame is

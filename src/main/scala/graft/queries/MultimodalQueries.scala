@@ -443,6 +443,47 @@ object MultimodalQueries {
              |  CAST(sum(g) AS BIGINT) AS luma_checksum
              |FROM px GROUP BY 1, 2, 3, 4 ORDER BY 1, 2""".stripMargin)),
 
+    // REAL PCM decode + voice-activity segmentation: per-doc WAVs with
+    // a planted multi-segment geometry (loud utterance blocks
+    // separated by silent gaps), decoded and scanned with javax.sound
+    // — the per-utterance splitting step of an audio ingest pipeline
+    // (mm13 trims the edges; this counts and sizes the interior). The
+    // oracle recomputes segment count and active frames from the
+    // plant's closed-form block lengths: a scanner that merges or
+    // splits one run cannot hash-match.
+    "mm17_audio_segments" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val docs = table(s, dir, "documents")
+          .select(col("doc_id").cast("long"), col("n_chars").cast("long"))
+          .as[(Long, Long)]
+        val metas = docs.mapPartitions(_.flatMap { case (id, nChars) =>
+          val bytes = graft.operators.Multimodal.encodeWavSegments(
+            channels = 1 + (id % 2).toInt, sampleRateHz = 8000,
+            lead = (id % 6).toInt, nSeg = 1 + (nChars % 4).toInt,
+            trail = (id % 3).toInt, id = id)
+          graft.operators.Multimodal.audioSegments(bytes)
+            .map { case (ch, nf, sg, af) => (id, ch.toLong, nf, sg, af) }
+        })
+        metas.toDF("doc_id", "channels", "n_frames", "n_segments", "active_frames")
+          .orderBy("doc_id")
+      },
+      Some("""WITH geo AS (SELECT doc_id, n_chars,
+             |    1 + n_chars % 4 AS nseg FROM documents),
+             |loud AS (SELECT doc_id, sum(20 + (doc_id + i) % 30) AS act
+             |  FROM geo, UNNEST(range(0, nseg)) AS t(i) GROUP BY 1),
+             |gaps AS (SELECT doc_id, CASE nseg WHEN 1 THEN 0 WHEN 2 THEN 8
+             |    WHEN 3 THEN 17 ELSE 27 END AS gap
+             |  FROM geo)
+             |SELECT g.doc_id,
+             |  CAST(1 + g.doc_id % 2 AS BIGINT) AS channels,
+             |  CAST(g.doc_id % 6 + g.doc_id % 3 + l.act + p.gap AS BIGINT)
+             |    AS n_frames,
+             |  CAST(g.nseg AS BIGINT) AS n_segments,
+             |  CAST(l.act AS BIGINT) AS active_frames
+             |FROM geo g JOIN loud l USING (doc_id) JOIN gaps p USING (doc_id)
+             |ORDER BY 1""".stripMargin)),
+
     // REAL PCM decode + silence trim: per-doc WAVs with a PLANTED
     // lead/active/trail geometry (active frames guaranteed above the
     // threshold — Multimodal.loudSample), decoded and scanned with

@@ -1009,6 +1009,23 @@ class MultimodalSpec extends SparkTestBase {
     assert(Multimodal.gifFrames(Multimodal.encodePng(8, 8, 1L)).isEmpty)
   }
 
+  test("audioSegments counts the planted utterance runs through a real WAV round-trip") {
+    for (id <- Seq(0L, 5L, 17L)) {
+      val nSeg = 1 + (id % 4).toInt
+      val bytes = Multimodal.encodeWavSegments(
+        channels = 1 + (id % 2).toInt, sampleRateHz = 8000,
+        lead = (id % 6).toInt, nSeg = nSeg, trail = (id % 3).toInt, id = id)
+      val Some((ch, _, segs, active)) = Multimodal.audioSegments(bytes)
+      assert(ch == 1 + (id % 2).toInt && segs == nSeg, s"id=$id got $segs")
+      assert(active == (0 until nSeg).map(i => 20 + ((id + i) % 30)).sum,
+        s"id=$id active=$active")
+    }
+    // an all-silent clip has zero segments; corrupt bytes fall through
+    val silent = Multimodal.encodeWavSilence(1, 8000, 12, 0, 0, 1L)
+    assert(Multimodal.audioSegments(silent).contains((1, 12L, 0L, 0L)))
+    assert(Multimodal.audioSegments(Array[Byte](7)).isEmpty)
+  }
+
   test("trimSilence recovers the planted lead/trail geometry through a real WAV round-trip") {
     for (id <- Seq(0L, 3L, 14L, 29L)) {
       val (lead, active, trail) = ((id % 7).toInt, 5 + (id % 90).toInt, (id % 5).toInt)
