@@ -25,6 +25,59 @@ object EventQueries {
 
   val defs: Map[String, QueryDef] = Map(
 
+    // ---- inter-arrival time quantiles -------------------------------
+    // Per event type, EXACT p50/p90/p99/max of the gaps (whole
+    // seconds) between consecutive events — the ops/capacity metric
+    // behind timeout tuning and liveness alerts. t19's value-histogram
+    // trick on a NEW signal: one per-type lag window produces the
+    // gaps, the only full-data agg is the (type, gap) count, and the
+    // cumulative/nearest-rank windows run over the histogram (bounded
+    // by the gap-value domain, never a distributed sort of raw gaps);
+    // rank rule is the integer cross-multiply.
+    "q77_interarrival_quantiles" -> QueryDef(
+      (s, dir) => {
+        val w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+        val gaps = Relational.eventsRaw(s, dir)
+          .select(col("event_type"), col("ts"), col("event_id"))
+          .withColumn("prev", lag("ts", 1).over(w))
+          .filter(col("prev").isNotNull)
+          .select(col("event_type"),
+            expr("(ts - prev) div 1000000000").as("gap_s"))
+        val hist = gaps.groupBy("event_type", "gap_s").agg(count(lit(1)).as("c"))
+        val cum = hist
+          .withColumn("cum", sum("c").over(Window.partitionBy("event_type")
+            .orderBy("gap_s").rowsBetween(Window.unboundedPreceding, 0)))
+          .withColumn("total", sum("c").over(Window.partitionBy("event_type")))
+        cum.groupBy("event_type").agg(
+          sum("c").as("n_gaps"),
+          min(when(col("cum") * 2 >= col("total"), col("gap_s"))).as("p50_s"),
+          min(when(col("cum") * 10 >= col("total") * 9, col("gap_s"))).as("p90_s"),
+          min(when(col("cum") * 100 >= col("total") * 99, col("gap_s"))).as("p99_s"),
+          max("gap_s").as("max_s"))
+          .orderBy("event_type")
+      },
+      Some("""WITH g AS (
+             |  SELECT event_type,
+             |    (epoch_ns(ts) - lag(epoch_ns(ts)) OVER (PARTITION BY event_type
+             |      ORDER BY ts, event_id)) // 1000000000 AS gap_s
+             |  FROM events),
+             |h AS (SELECT event_type, gap_s, count(*) AS c
+             |  FROM g WHERE gap_s IS NOT NULL GROUP BY 1, 2),
+             |cum AS (SELECT event_type, gap_s, c,
+             |    sum(c) OVER (PARTITION BY event_type ORDER BY gap_s
+             |      ROWS UNBOUNDED PRECEDING) AS cum,
+             |    sum(c) OVER (PARTITION BY event_type) AS total
+             |  FROM h)
+             |SELECT event_type, CAST(sum(c) AS BIGINT) AS n_gaps,
+             |  CAST(min(CASE WHEN cum * 2 >= total THEN gap_s END) AS BIGINT)
+             |    AS p50_s,
+             |  CAST(min(CASE WHEN cum * 10 >= total * 9 THEN gap_s END) AS BIGINT)
+             |    AS p90_s,
+             |  CAST(min(CASE WHEN cum * 100 >= total * 99 THEN gap_s END) AS BIGINT)
+             |    AS p99_s,
+             |  CAST(max(gap_s) AS BIGINT) AS max_s
+             |FROM cum GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // ---- per-type linear trend fit (exact-integer OLS) --------------
     // Least-squares slope/intercept over each type's hourly counts —
     // trend detection and one-step forecast with ZERO floats: with

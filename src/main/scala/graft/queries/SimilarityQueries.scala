@@ -537,6 +537,46 @@ object SimilarityQueries {
       },
       Some(ivfPqOracleSql)),
 
+    // Per-dimension embedding statistics — the NORMALIZATION-CONSTANT
+    // fit (feature scaler) run before standardizing vectors for
+    // downstream models: per dimension, count, floor-mean (milli) and
+    // the population variance as the exact rational
+    // (n·Σx² − (Σx)²) / n² under sim4's quantize-once discipline —
+    // numerator and denominator emitted separately (d24's no-division
+    // rule) plus the floor-divided readable value. ONE (dim) map-side-
+    // combining agg over the posexploded table; 64 rows out.
+    "sim11_dim_stats" -> QueryDef(
+      (s, dir) => {
+        table(s, dir, "embeddings")
+          .select(posexplode(col("embedding")).as(Seq("dim", "x")))
+          .select(col("dim").cast("long").as("dim"),
+            expr("CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)").as("xi"))
+          .groupBy("dim")
+          .agg(count(lit(1)).as("n"), sum("xi").as("sx"),
+            sum(col("xi") * col("xi")).as("sxx"))
+          .select(col("dim"), col("n"),
+            // sx can be NEGATIVE: Spark DIV truncates toward zero but
+            // DuckDB // floors — use an explicit FLOOR over exact-in-
+            // double operands (|sx| << 2^53) so both engines floor
+            expr("CAST(FLOOR(CAST(sx AS DOUBLE) / n) AS BIGINT)").as("mean_milli"),
+            expr("n * sxx - sx * sx").as("var_num"),
+            expr("n * n").as("var_den"),
+            expr("(n * sxx - sx * sx) DIV (n * n)").as("var_milli2"))
+          .orderBy("dim")
+      },
+      Some(s"""WITH q AS (SELECT d.i - 1 AS dim,
+             |    CAST(round(CAST(embedding[d.i] AS DOUBLE) * 1000) AS BIGINT) AS xi
+             |  FROM embeddings, UNNEST(range(1, ${Dims + 1})) AS d(i)),
+             |mo AS (SELECT dim, count(*) AS n, CAST(sum(xi) AS BIGINT) AS sx,
+             |    CAST(sum(xi * xi) AS BIGINT) AS sxx
+             |  FROM q GROUP BY 1)
+             |SELECT CAST(dim AS BIGINT) AS dim, n,
+             |  CAST(floor(CAST(sx AS DOUBLE) / n) AS BIGINT) AS mean_milli,
+             |  CAST(n * sxx - sx * sx AS BIGINT) AS var_num,
+             |  CAST(n * n AS BIGINT) AS var_den,
+             |  CAST((n * sxx - sx * sx) // (n * n) AS BIGINT) AS var_milli2
+             |FROM mo ORDER BY 1""".stripMargin)),
+
     // Embedding distribution drift between two ingest halves: per
     // label, the exact-integer squared-L2 distance between the
     // half-corpora's centroids (sim4's quantize-once discipline:
