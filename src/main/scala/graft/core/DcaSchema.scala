@@ -16,12 +16,25 @@ final case class DcaField(
     name: String,
     dtype: DataType,
     inner: Vector[Dim] = Vector.empty,
-    nested: Option[DcaSchema] = None) {
+    nested: Option[DcaSchema] = None,
+    unsignedBits: Option[Int] = None) {
 
   /** Spark column type: inner dims wrap the scalar dtype in ArrayType. */
   def sparkType: DataType = {
     val base = nested.map(_.structType).getOrElse(dtype)
     inner.foldRight(base)((_, t) => ArrayType(t))
+  }
+
+  /** [[sparkType]] as a StructField, carrying the unsigned-width tag
+    * (SURVEY §1.2: unsigned dtypes are stored WIDENED in signed Spark
+    * types — the declared width survives in column metadata so a
+    * writer/reader can round-trip the logical type).
+    */
+  def structField: StructField = {
+    val m = unsignedBits.map(b => new MetadataBuilder()
+        .putBoolean("unsigned", true).putLong("unsignedBits", b).build())
+      .getOrElse(Metadata.empty)
+    StructField(name, sparkType, nullable = true, m)
   }
 
   /** Validation predicate for fixed inner dims, recursing into nested
@@ -47,7 +60,20 @@ final case class DcaField(
       case Some(sub) =>
         sub.fields.map(sf => sf.validExprObs(cc.getField(sf.name), obs))
           .foldLeft(lit(true))(_ && _)
-      case None => lit(true)
+      case None => unsignedBits match {
+        // unsigned range check on the widened signed storage (SURVEY
+        // §1.2): a value outside [0, 2^bits-1] is a dtype violation,
+        // not a representable unsigned. NULL is unconstrained
+        // (nullable field), same rule as shape checks. Under inner
+        // dims this binds along the first-element path, like Static
+        // dims (full-array rectangularity/range is the writer's
+        // contract).
+        case Some(b) =>
+          when(obs, coalesce(
+              cc >= lit(0) && cc <= DcaSchema.unsignedMax(b), lit(true)))
+            .otherwise(lit(true))
+        case None => lit(true)
+      }
     }
     def go(cc: Column, dims: List[Dim], obs: Column): Column = dims match {
       case Nil => leaf(cc, obs)
@@ -120,8 +146,7 @@ final case class DcaSchema(
     castList: Boolean = true,
     broadcastScalars: Boolean = true) {
 
-  def structType: StructType =
-    StructType(fields.map(f => StructField(f.name, f.sparkType)))
+  def structType: StructType = StructType(fields.map(_.structField))
 
   def fieldNames: Vector[String] = fields.map(_.name)
 
@@ -170,7 +195,8 @@ final case class DcaSchema(
       // raise_error inside a filter branch: rows all pass or the job fails
       projected.withColumn("__shape_ok",
           when(shapeOk && namedOk, lit(true))
-            .when(!shapeOk, raise_error(lit("inner shape mismatch")))
+            .when(!shapeOk,
+              raise_error(lit("inner shape or unsigned-range mismatch")))
             .otherwise(raise_error(
               lit("named inner dims resolve inconsistently across fields"))))
         .filter(col("__shape_ok"))
@@ -193,7 +219,9 @@ final case class DcaSchema(
           s"$p: expected struct, got ${other.catalogString}")
       }
       case None =>
-        if (at == f.dtype) cc
+        // sameType, not ==: struct dtypes (complex64/128) may differ
+        // only in component nullability flags, which is not a cast
+        if (DcaSchema.sameType(at, f.dtype)) cc
         else {
           require(castDtype,
             s"$p: dtype ${at.catalogString} != declared ${f.dtype.catalogString} and castDtype=false")
@@ -268,6 +296,55 @@ object DcaSchema {
 
   def field(name: String, dtype: DataType): DcaField =
     DcaField(name, dtype)
+
+  // ---- dtype parity tail (reference typing.py:29-51) ----
+
+  /** complex64/complex128: Spark has no complex scalar — SURVEY §1.2
+    * maps them to a struct(re, im) of the matching float width. A
+    * plain dtype value: conform's struct cast handles double->float
+    * component narrowing, sameType handles equality, and inner dims
+    * wrap it in arrays like any scalar.
+    */
+  val Complex64: StructType = StructType(Seq(
+    StructField("re", FloatType), StructField("im", FloatType)))
+  val Complex128: StructType = StructType(Seq(
+    StructField("re", DoubleType), StructField("im", DoubleType)))
+
+  def complexField(name: String, bits: Int = 64): DcaField =
+    DcaField(name, complexType(bits))
+  def complexField(name: String, bits: Int, shapeStr: String): DcaField =
+    DcaField(name, complexType(bits), ShapeParser.innerShape(shapeStr))
+  private def complexType(bits: Int): StructType = bits match {
+    case 64  => Complex64
+    case 128 => Complex128
+    case b => throw new IllegalArgumentException(
+      s"complex$b: only complex64/complex128 exist (typing.py:29-51)")
+  }
+
+  /** ui8/ui16/ui32/ui64 (reference typing.py:32): stored WIDENED in
+    * the next signed Spark type (JVM/Spark have no unsigned scalars),
+    * tagged `unsigned`+`unsignedBits` in column metadata, and
+    * range-checked [0, 2^bits-1] by conform — out-of-range input is a
+    * dtype violation, exactly like a shape violation. ui64 widens to
+    * decimal(20,0) (the only exact >=64-bit unsigned container).
+    */
+  def unsignedField(name: String, bits: Int): DcaField =
+    DcaField(name, unsignedType(bits), unsignedBits = Some(bits))
+  def unsignedField(name: String, bits: Int, shapeStr: String): DcaField =
+    DcaField(name, unsignedType(bits), ShapeParser.innerShape(shapeStr),
+      unsignedBits = Some(bits))
+  def unsignedType(bits: Int): DataType = bits match {
+    case 8  => ShortType
+    case 16 => IntegerType
+    case 32 => LongType
+    case 64 => DecimalType(20, 0)
+    case b => throw new IllegalArgumentException(
+      s"ui$b: only ui8/ui16/ui32/ui64 exist (typing.py:32)")
+  }
+  private[core] def unsignedMax(bits: Int): Column = bits match {
+    case 64 => lit(new java.math.BigDecimal("18446744073709551615"))
+    case b  => lit((1L << b) - 1)
+  }
 
   /** Nested dataclass field (`c: Ray`). */
   def nested(name: String, schema: DcaSchema): DcaField =

@@ -380,10 +380,11 @@ object Dedup {
   /** [[incrementalNearDupSurvivors]] against a PERSISTED index: the
     * corpus side comes from [[buildNearDupIndex]]'s parquet (one
     * equi-join probe on (band, bh), one hash-set verify), the corpus
-    * text never rescanned. Verification intersects 60-bit shingle-HASH
-    * sets instead of shingle strings — identical output unless two
-    * distinct shingles collide (≤ n²/2⁶⁰, the d5-documented hash-join
-    * assumption); the spec pins index-path ≡ inline-path equality.
+    * text never rescanned. Verification intersects 64-bit xxhash64
+    * shingle-HASH sets instead of shingle strings — identical output
+    * unless two distinct shingles collide (≤ n²/2⁶⁴, the d5-documented
+    * hash-join assumption); the spec pins index-path ≡ inline-path
+    * equality.
     */
   def indexedNearDupSurvivors(spark: org.apache.spark.sql.SparkSession,
                               path: String, incoming: DataFrame,

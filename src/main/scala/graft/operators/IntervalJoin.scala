@@ -49,21 +49,28 @@ object IntervalJoin {
     require(binWidth > 0, s"binWidth must be positive, got $binWidth")
     val lb = binned(left, lLo, lHi, binWidth, "__lbin")
     val rb = binned(right, rLo, rHi, binWidth, "__rbin")
-    val firstBin = floorDiv(greatest(col(lLo), col(rLo)), binWidth)
+    val firstBin = expr(floorDivSql(s"greatest(`$lLo`, `$rLo`)", binWidth))
     lb.join(rb, col("__lbin") === col("__rbin"))
       .filter(col(lLo) <= col(rHi) && col(rLo) <= col(lHi) &&
         col("__lbin") === firstBin)
       .drop("__lbin", "__rbin")
   }
 
-  /** floor(x / w) for possibly-negative x (Spark's `div` on longs is
-    * floor division only for same-sign operands).
+  /** floor(x / w) for possibly-negative x, in EXACT long arithmetic —
+    * the operator's contract is a generic LONG axis, and nanosecond
+    * epochs (~1.7e18) exceed double's 2^53 exact range, so a
+    * floor(double) round-trip would mis-bin. `pmod(x, w)` is the
+    * non-negative remainder, making `x - pmod(x, w)` an exact multiple
+    * of w; `DIV` (truncating) on an exact multiple IS floor division.
+    * Precondition: x - pmod(x, w) must not underflow, i.e.
+    * x >= Long.MinValue + w — trivially true for any real time axis.
     */
-  private def floorDiv(x: org.apache.spark.sql.Column, w: Long) =
-    floor(x.cast("double") / w).cast("long")
+  private def floorDivSql(x: String, w: Long): String =
+    s"(($x - pmod($x, ${w}L)) DIV ${w}L)"
 
   private def binned(df: DataFrame, lo: String, hi: String, w: Long,
                      binCol: String): DataFrame =
     df.withColumn(binCol,
-      explode(sequence(floorDiv(col(lo), w), floorDiv(col(hi), w))))
+      explode(sequence(expr(floorDivSql(s"`$lo`", w)),
+        expr(floorDivSql(s"`$hi`", w)))))
 }

@@ -377,6 +377,44 @@ object Similarity {
     * a full candidate set. Recall < 1 by construction, same
     * planes/rowsPerBand trade as lshTopK.
     */
+  /** Auto-derived sign-LSH SELF-join geometry: the smallest
+    * rows-per-band r (a divisor of `planes`, so bands·r = planes
+    * exactly) whose estimated candidate volume fits the budget, per
+    * the measured law cand ≈ bands·n²/2^r (PROBES.md — uniform-bucket
+    * estimate; real sign buckets are skewed, the budget absorbs the
+    * constant). Smallest-r-that-fits maximizes recall within the
+    * budget: fewer bits per band = more collisions = higher recall.
+    * A CONSTANT geometry is the 100-TB failure mode this replaces: at
+    * 100× corpus a fixed r yields 10⁴× candidates; deriving r from n
+    * keeps candidate volume ~budget at every scale (r grows ~2·log2 of
+    * the corpus growth). Falls back to the widest geometry (r =
+    * planes/2, 2 bands) when even that exceeds the budget — candidates
+    * then overshoot, but recall stays the priority over silently
+    * degenerating to 1 band. Exact integer arithmetic (BigInt) — no
+    * double rounding at any n.
+    */
+  def tuneSignBanding(n: Long, candidateBudget: Long, planes: Int = 60): Int = {
+    require(planes >= 4 && candidateBudget > 0)
+    val divisors = (2 to planes / 2).filter(planes % _ == 0)
+    divisors.find { r =>
+      BigInt(planes / r) * BigInt(n) * BigInt(n) <= (BigInt(candidateBudget) << r)
+    }.getOrElse(planes / 2)
+  }
+
+  /** [[knnJoin]] with the banding geometry derived from the corpus
+    * size by [[tuneSignBanding]] — the registered sim7 path. The one
+    * driver-side action is the corpus count (the tuner's input:
+    * control flow, not data movement — parquet metadata makes it
+    * near-free).
+    */
+  def knnJoinAuto(corpus: DataFrame, k: Int, dims: Int,
+                  candidateBudget: Long, planes: Int = 60,
+                  idCol: String = "vec_id", vecCol: String = "embedding")
+      : DataFrame = {
+    val r = tuneSignBanding(corpus.count(), candidateBudget, planes)
+    knnJoin(corpus, k, dims, planes, r, idCol, vecCol)
+  }
+
   def knnJoin(corpus: DataFrame, k: Int, dims: Int,
               planes: Int = 24, rowsPerBand: Int = 3,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
@@ -427,14 +465,25 @@ object Similarity {
     * out[j] = Σ_i v[i]·s(i,j), each sum folded in index order — the
     * same left-fold the DuckDB mirror uses, so projections are
     * bit-identical doubles.
+    *
+    * projDims is capped at 31: [[rpSign]] mixes (i, j) as i·31 + j, so
+    * output columns j and j+31 would be the same sign sequence shifted
+    * by one input dim — correlated projections that silently degrade
+    * the JL guarantee. Enforced rather than silently allowed; widening
+    * requires independent multipliers in rpSign AND its DuckDB mirror
+    * (SimilarityQueries sim8) in lockstep.
     */
-  def randProject(vec: Column, dims: Int, projDims: Int): Column =
+  def randProject(vec: Column, dims: Int, projDims: Int): Column = {
+    require(projDims <= 31,
+      s"projDims must be <= 31 (rpSign's i*31+j mixing repeats sign " +
+        s"sequences at j+31, correlating projections); got $projDims")
     array((0 until projDims).map { j =>
       aggregate(
         zip_with(vec, array((0 until dims).map(i => lit(rpSign(i, j))): _*),
           (x, s) => x.cast("double") * s),
         lit(0.0), (acc, v) => acc + v)
     }: _*)
+  }
 
   /** Squared L2 distance between two double arrays, folded in index
     * order (the candidate scorer of [[randProjTopK]]).

@@ -430,6 +430,97 @@ object DcaQueries {
           |SELECT b1.rn AS __idx0, b1.l_orderkey, b1.l_linenumber, b1.qty_c,
           |  b2.l_orderkey AS l_orderkey_r, b2.l_linenumber AS l_linenumber_r, b2.qty_c AS qty_c_r
           |FROM base b1 JOIN base b2 ON b2.rn = b1.rn + 1
-          |WHERE b1.rn < 2000 ORDER BY 1""".stripMargin))
+          |WHERE b1.rn < 2000 ORDER BY 1""".stripMargin)),
+
+    // I4: parquet persistence round-trip (the reference's pickle
+    // analog, array_dataclass.py:863-878): save the indexed frame,
+    // load it back (shape re-derived from the dense-index invariant),
+    // and surface EVERY row with its index — the oracle recomputes the
+    // identical rows from the SOURCE table, so any row lost, dup'd,
+    // reordered, or value-mangled by the save/load boundary fails the
+    // hash. Write path is memoized per session (one disk write, the
+    // production shape: a checkpointed table is written once).
+    "dca_i4_roundtrip" -> QueryDef(
+      (s, dir) => {
+        val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+        val path = s"target/dca_i4_$tag"
+        Staged.cached(s, s"i4:$dir") {
+          liFrame(s, dir).saveParquet(path)
+          out(DcaFrame.loadParquet(s, path))
+        }
+      },
+      Some(baseCte + """
+          |SELECT rn AS __idx0, l_orderkey, l_linenumber, qty_c
+          |FROM base ORDER BY 1""".stripMargin)),
+
+    // C5: coercion policy flags on the POSITIVE paths, surfaced as
+    // rows (the raise paths are DcaSchemaSpec negatives): castDtype
+    // (long -> float leaf cast), castList (array<double> elements ->
+    // float through one array level), broadcastScalars (scalar
+    // replicated across a Static(3) inner dim). Labels are small ints,
+    // embedding values were float32 originally — every cast is exact,
+    // so the floor-micro encodings are engine-portable.
+    "dca_c5_policies" -> QueryDef(
+      (s, dir) => {
+        import org.apache.spark.sql.types.{FloatType, LongType}
+        val schema = graft.core.DcaSchema(Vector(
+          graft.core.DcaSchema.field("vec_id", LongType),
+          graft.core.DcaSchema.field("labf", FloatType),
+          graft.core.DcaSchema.field("lab3", FloatType, "*b 3"),
+          graft.core.DcaSchema.field("e4", FloatType, "*b 4")),
+          castDtype = true, castList = true, broadcastScalars = true)
+        val raw = table(s, dir, "embeddings").select(
+          col("vec_id"),
+          col("label").as("labf"),          // long scalar -> float (castDtype)
+          col("label").as("lab3"),          // scalar -> float[3] (broadcastScalars)
+          transform(slice(col("embedding"), 1, 4), e => e.cast("double"))
+            .as("e4"))                      // double elems -> float (castList)
+        schema.conform(raw)
+          .select(col("vec_id"),
+            col("labf").cast("long").as("labf_l"),
+            size(col("lab3")).cast("long").as("lab3_len"),
+            element_at(col("lab3"), 3).cast("long").as("lab3_2"),
+            floor(element_at(col("e4"), 4).cast("double") * 1e6).cast("long")
+              .as("e3_micro"))
+          .orderBy("vec_id")
+      },
+      Some("""SELECT vec_id, CAST(label AS BIGINT) AS labf_l,
+             |  CAST(3 AS BIGINT) AS lab3_len, CAST(label AS BIGINT) AS lab3_2,
+             |  CAST(floor(CAST(embedding[4] AS DOUBLE) * 1e6) AS BIGINT) AS e3_micro
+             |FROM embeddings ORDER BY vec_id""".stripMargin)),
+
+    // §1.2 dtype tail: complex64 (struct(re,im), double components
+    // narrowed to float — exact here: the doubles came from float32)
+    // and unsigned widen+range (ui16 in int storage, ui64 in
+    // decimal(20,0)) conformed in one schema; outputs re-encode to
+    // BIGINT so the oracle is float-free.
+    "dca_c6_complex" -> QueryDef(
+      (s, dir) => {
+        import org.apache.spark.sql.types.LongType
+        val schema = graft.core.DcaSchema(Vector(
+          graft.core.DcaSchema.field("vec_id", LongType),
+          graft.core.DcaSchema.complexField("z", 64),
+          graft.core.DcaSchema.unsignedField("u16", 16),
+          graft.core.DcaSchema.unsignedField("u64", 64)))
+        val raw = table(s, dir, "embeddings").select(
+          col("vec_id"),
+          struct(element_at(col("embedding"), 1).cast("double").as("re"),
+            element_at(col("embedding"), 2).cast("double").as("im")).as("z"),
+          (col("vec_id") % 50000).cast("int").as("u16"),
+          col("vec_id").as("u64"))
+        schema.conform(raw)
+          .select(col("vec_id"),
+            floor(col("z.re").cast("double") * 1e6).cast("long").as("re_micro"),
+            floor(col("z.im").cast("double") * 1e6).cast("long").as("im_micro"),
+            col("u16").cast("long").as("u16_l"),
+            col("u64").cast("long").as("u64_l"))
+          .orderBy("vec_id")
+      },
+      Some("""SELECT vec_id,
+             |  CAST(floor(CAST(embedding[1] AS DOUBLE) * 1e6) AS BIGINT) AS re_micro,
+             |  CAST(floor(CAST(embedding[2] AS DOUBLE) * 1e6) AS BIGINT) AS im_micro,
+             |  CAST(vec_id % 50000 AS BIGINT) AS u16_l,
+             |  CAST(vec_id AS BIGINT) AS u64_l
+             |FROM embeddings ORDER BY vec_id""".stripMargin))
   )
 }

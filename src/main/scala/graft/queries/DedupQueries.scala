@@ -284,8 +284,10 @@ object DedupQueries {
     // to Q·4m² is 4m·e_c − d_c² (e_c intra-edges, d_c degree sum, m
     // total edges) — numerator rows are emitted EXACTLY and the global
     // denominator 4m² rides along, so no floating modularity and no
-    // negative-division engine skew (Spark DIV truncates toward zero,
-    // DuckDB // floors — avoided entirely by never dividing). One
+    // division at all. (Both engines truncate toward zero on integer
+    // division — Spark DIV and DuckDB // agree, and q72/sim10 rely on
+    // that match — but emitting num/den separately avoids the whole
+    // question and keeps the result rational-exact.) One
     // 1-row m broadcast (audited BNLJ class), dimension-sized output.
     "d24_modularity" -> QueryDef(
       (s, dir) => {
@@ -746,8 +748,12 @@ object DedupQueries {
         val entities = base.select("k", "s").unionByName(typos)
         val pairs = graft.operators.EditDistance.editDistanceJoin(
           entities, "k", "s")
-        val cc = Dedup.connectedComponents(
-          pairs.select(col("ka").as("doc_a"), col("kb").as("doc_b")))
+        // connectedComponents returns an owned checkpoint-leaf frame —
+        // memoize it under the session lifecycle (Staged.release frees
+        // it) instead of leaking one per invocation across bench reruns
+        val cc = Staged.cachedOwned(s, s"q75cc:$dir")(
+          Dedup.connectedComponents(
+            pairs.select(col("ka").as("doc_a"), col("kb").as("doc_b"))))
         cc.groupBy("rep").agg(count(lit(1)).as("n_members"))
           .join(entities.select(col("k").as("rep"), col("s").as("canonical_name")),
             "rep")

@@ -1325,37 +1325,44 @@ object Relational {
     // Spark 4's WITH RECURSIVE (UnionLoopExec): every order walks its
     // synthetic binary-tree ancestor chain (k → k div 2) to the root —
     // the BOM-explosion / org-chart shape SQL engines answer with
-    // recursion. UNION ALL + a strictly-shrinking key guarantees
-    // termination in ~log2(maxKey) rounds (33 at sf1's shifted keys,
-    // well under the 100-round engine limit); per-round work is one
-    // codegen'd projection + filter, and only the depth histogram
-    // aggregates at the end. The third formulation of iterative
-    // reachability in the engine, next to d6's checkpointed DataFrame
-    // loop and d6b's star contraction — this one entirely inside the
-    // SQL surface. DuckDB runs the identical recursion.
+    // recursion. The 100-TB discipline: the walk is PRE-AGGREGATED
+    // before the recursion. Neither engine permits aggregates over the
+    // recursive reference (INVALID_RECURSIVE_REFERENCE — verified), so
+    // the per-(depth, ancestor) contraction can't live inside the
+    // loop; instead the fact table contracts FIRST. A key with
+    // floor(log2 k) = b (computed exactly as length(bin(k))-1 — no
+    // double log) reaches exactly depths 0..b, so the recursion walks
+    // the ~33-row log-bucket dimension carrying (cnt, min, max) state,
+    // not the n-row fact table: row volume drops from n·log2(maxKey)
+    // (~50M at sf1) to log²(maxKey)/2 (~600), and the default 1M
+    // recursion safety limit no longer needs raising. Termination is
+    // d-1 to 0 — provable, ~33 rounds. Still a genuine UnionLoopExec
+    // capability row; DuckDB runs the identical recursion.
     "q57_recursive_walk" -> QueryDef(
       (s, dir) => {
-        // rows accumulated across rounds = n_orders * ~log2(maxKey)
-        // (2.7M at sf0.1, ~50M at sf1) — above the engine's 1M default
-        // safety LIMIT, which exists to catch non-terminating
-        // recursions; this one provably terminates (the anchor key
-        // strictly halves), so raise the guard rather than the depth
-        s.conf.set("spark.sql.cteRecursionRowLimit", "1000000000")
         table(s, dir, "orders").createOrReplaceTempView("graft_q57_orders")
-        s.sql("""WITH RECURSIVE walk(k, anc, d) AS (
-                |  SELECT o_orderkey, o_orderkey, 0 FROM graft_q57_orders
+        s.sql("""WITH RECURSIVE lg AS (
+                |  SELECT length(bin(o_orderkey)) - 1 AS b, count(*) AS cnt,
+                |    min(o_orderkey) AS mn, max(o_orderkey) AS mx
+                |  FROM graft_q57_orders GROUP BY 1),
+                |walk(b, d, cnt, mn, mx) AS (
+                |  SELECT b, b, cnt, mn, mx FROM lg
                 |  UNION ALL
-                |  SELECT k, anc DIV 2, d + 1 FROM walk WHERE anc > 1)
-                |SELECT CAST(d AS BIGINT) AS depth, count(*) AS n_orders,
-                |  min(k) AS min_key, max(k) AS max_key
+                |  SELECT b, d - 1, cnt, mn, mx FROM walk WHERE d > 0)
+                |SELECT CAST(d AS BIGINT) AS depth, sum(cnt) AS n_orders,
+                |  min(mn) AS min_key, max(mx) AS max_key
                 |FROM walk GROUP BY d ORDER BY depth""".stripMargin)
       },
-      Some("""WITH RECURSIVE walk(k, anc, d) AS (
-             |  SELECT o_orderkey, o_orderkey, 0 FROM orders
+      Some("""WITH RECURSIVE lg AS (
+             |  SELECT length(bin(o_orderkey)) - 1 AS b, count(*) AS cnt,
+             |    min(o_orderkey) AS mn, max(o_orderkey) AS mx
+             |  FROM orders GROUP BY 1),
+             |walk(b, d, cnt, mn, mx) AS (
+             |  SELECT b, b, cnt, mn, mx FROM lg
              |  UNION ALL
-             |  SELECT k, anc // 2, d + 1 FROM walk WHERE anc > 1)
-             |SELECT CAST(d AS BIGINT) AS depth, count(*) AS n_orders,
-             |  CAST(min(k) AS BIGINT) AS min_key, CAST(max(k) AS BIGINT) AS max_key
+             |  SELECT b, d - 1, cnt, mn, mx FROM walk WHERE d > 0)
+             |SELECT CAST(d AS BIGINT) AS depth, CAST(sum(cnt) AS BIGINT) AS n_orders,
+             |  CAST(min(mn) AS BIGINT) AS min_key, CAST(max(mx) AS BIGINT) AS max_key
              |FROM walk GROUP BY d ORDER BY depth""".stripMargin)),
 
     // ---- data-quality audit (long format) ---------------------------
@@ -1581,7 +1588,7 @@ object Relational {
         table(s, dir, "orders")
           .select(col("o_orderkey"), col("o_custkey"),
             cents(col("o_totalprice")).as("price_c"))
-          .withColumn("cust_rank", row_number().over(w))
+          .withColumn("cust_rank", row_number().over(w).cast("long"))
           .filter(col("cust_rank") <= 2)
           .orderBy(col("price_c").desc, col("o_orderkey"))
           .limit(10)

@@ -45,8 +45,11 @@ object SimilarityQueries {
   // n^2·bands/2^bits documented in PROBES.md. Planted near-dups
   // (s ~= 1) collide w.p. ~1 under any of these bandings.
   private val KnnPlanes = 60
-  private val KnnRowsPerBand = 10
-  private val KnnBands = KnnPlanes / KnnRowsPerBand
+  // candidate-pair budget for the self-join: bits-per-band derive from
+  // corpus size n against this cap (smallest divisor-of-60 r with
+  // bands·n²/2^r <= budget): n=500 -> r=4, n=2000 -> r=10 (the round-7
+  // measured sweet spot at sf0.1), n=20000 -> r=12. One knob, every SF.
+  private val KnnBudget = 500000L
 
   /** The ONE DuckDB rendering of [[Similarity.dot]]'s left fold:
     * prepend-0.0 list_reduce over per-index double products — the same
@@ -134,16 +137,34 @@ object SimilarityQueries {
        |$rerankSql""".stripMargin
   }
 
-  /** sim7 oracle: same codes/banding rendering, but every corpus row
-    * is a query (self-join), k = 5.
+  /** sim7 oracle: same codes rendering, but every corpus row is a
+    * query (self-join), k = 5 — and the banding geometry is DERIVED in
+    * SQL exactly as [[Similarity.tuneSignBanding]] derives it in Scala
+    * (smallest divisor-of-60 r with bands·n²/2^r <= budget, HUGEINT
+    * exact), so the two sides can never desynchronize on a corpus-size
+    * change. Bands are exploded per the derived r (the lateral
+    * UNNEST(range) mirrors Spark's bandExplode).
     */
   private def knnJoinOracleSql: String = {
-    val bandMatch = bandMatchSql("c", "qc", "code", KnnBands, KnnRowsPerBand)
+    val divisors = (2 to KnnPlanes / 2).filter(KnnPlanes % _ == 0)
+      .map(r => s"($r)").mkString(", ")
     s"""WITH ${codesCteSql(KnnPlanes)},
+       |geom AS (
+       |  SELECT coalesce(min(d.r), ${KnnPlanes / 2}) AS r
+       |  FROM (VALUES $divisors) d(r)
+       |  WHERE ($KnnPlanes // d.r)
+       |      * CAST((SELECT count(*) FROM embeddings) AS HUGEINT)
+       |      * (SELECT count(*) FROM embeddings)
+       |    <= (CAST(1 AS BIGINT) << d.r) * $KnnBudget),
+       |bc AS (
+       |  SELECT c.vec_id, t.b,
+       |    substr(c.code, CAST(t.b * g.r + 1 AS INTEGER),
+       |      CAST(g.r AS INTEGER)) AS bits
+       |  FROM codes c, geom g, UNNEST(range(0, $KnnPlanes // g.r)) AS t(b)),
        |cands AS (
-       |  SELECT qc.vec_id AS qid, c.vec_id
-       |  FROM codes c JOIN codes qc ON c.vec_id <> qc.vec_id
-       |   AND ($bandMatch)),
+       |  SELECT DISTINCT a.vec_id AS qid, b2.vec_id
+       |  FROM bc a JOIN bc b2
+       |    ON a.b = b2.b AND a.bits = b2.bits AND a.vec_id <> b2.vec_id),
        |scored AS (
        |  SELECT cands.qid, cands.vec_id,
        |    ${cosineSql("e.embedding", "qe.embedding")} AS cos
@@ -555,9 +576,11 @@ object SimilarityQueries {
           .agg(count(lit(1)).as("n"), sum("xi").as("sx"),
             sum(col("xi") * col("xi")).as("sxx"))
           .select(col("dim"), col("n"),
-            // sx can be NEGATIVE: Spark DIV truncates toward zero but
-            // DuckDB // floors — use an explicit FLOOR over exact-in-
-            // double operands (|sx| << 2^53) so both engines floor
+            // sx can be NEGATIVE: Spark DIV and DuckDB // both truncate
+            // toward zero (they agree — q72/sim10 depend on that), but
+            // a floored mean is the conventional statistic, so use an
+            // explicit FLOOR over exact-in-double operands (|sx| << 2^53)
+            // to get flooring on both engines
             expr("CAST(FLOOR(CAST(sx AS DOUBLE) / n) AS BIGINT)").as("mean_milli"),
             expr("n * sxx - sx * sx").as("var_num"),
             expr("n * n").as("var_den"),
@@ -772,11 +795,16 @@ object SimilarityQueries {
     // audits), distinct from sim2's query-set shape: both sides are
     // the corpus, so the band-bucket join is a plain shuffle join (no
     // broadcast) and per-bucket fanout is bucketSize² under the same
-    // banding geometry knob. The oracle replays codes, banding,
-    // candidates, and the exact re-rank for ALL corpus rows.
+    // banding geometry knob. The geometry is NOT a constant: bits per
+    // band are derived from the corpus size against a candidate budget
+    // (Similarity.tuneSignBanding — the n²·bands/2^bits law from
+    // PROBES.md), so a 100× corpus tightens the banding instead of
+    // exploding the candidate join 10⁴×. The oracle replays the SAME
+    // derivation in SQL (geom CTE), then codes, banding, candidates,
+    // and the exact re-rank for ALL corpus rows.
     "sim7_knn_join" -> QueryDef(
-      (s, dir) => Similarity.knnJoin(table(s, dir, "embeddings"),
-          k = 5, dims = Dims, planes = KnnPlanes, rowsPerBand = KnnRowsPerBand)
+      (s, dir) => Similarity.knnJoinAuto(table(s, dir, "embeddings"),
+          k = 5, dims = Dims, candidateBudget = KnnBudget, planes = KnnPlanes)
         .orderBy("qid", "rank"),
       Some(knnJoinOracleSql))
   )

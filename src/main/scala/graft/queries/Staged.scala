@@ -119,6 +119,16 @@ object Staged {
     cacheFor(s).getOrElseUpdate(key,
       build.persist(StorageLevel.MEMORY_AND_DISK)).asInstanceOf[DataFrame]
 
+  /** Memoizer for operator results that arrive ALREADY persisted /
+    * checkpoint-leafed under a caller-owns-release contract (e.g.
+    * [[graft.operators.Dedup.connectedComponents]]): memoized WITHOUT
+    * re-persisting (persist with a second level would throw) and freed
+    * by [[release]] via `Dedup.release` like every entry — so repeated
+    * bench/determinism runs don't leak localCheckpoint executor blocks.
+    */
+  def cachedOwned(s: SparkSession, key: String)(build: => DataFrame): DataFrame =
+    cacheFor(s).getOrElseUpdate(key, build).asInstanceOf[DataFrame]
+
   /** documents overlapping k-word window hash table (__id, __i, __h),
     * persisted — [[graft.operators.Dedup.substringDedupFromGrams]]
     * consumes it twice (first-occurrence agg + per-occurrence probe);

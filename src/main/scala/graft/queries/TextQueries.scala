@@ -1152,7 +1152,7 @@ object TextQueries {
           .orderBy("round")
       },
       Some(s"""WITH ${bpeRoundsSql(6)}
-             |${(1 to 6).map(r => s"SELECT $r AS round, a AS lhs, b AS rhs, cnt AS pair_count FROM b$r")
+             |${(1 to 6).map(r => s"SELECT CAST($r AS BIGINT) AS round, a AS lhs, b AS rhs, CAST(cnt AS BIGINT) AS pair_count FROM b$r")
                 .mkString("", "\nUNION ALL\n", "")}
              |ORDER BY round""".stripMargin)),
 

@@ -446,6 +446,60 @@ class DcaSchemaSpec extends SparkTestBase {
     intercept[IllegalArgumentException](dyn.conform(df))
   }
 
+  test("complex64/128 map to struct(re, im); components cast by width (typing.py:29-51)") {
+    import spark.implicits._
+    val df = Seq((1.0, 2.0), (3.5, -4.5)).toDF("re", "im")
+      .select(struct(col("re"), col("im")).as("z"))
+    // complex64: double components narrow to float via the struct cast
+    val c64 = DcaSchema(Vector(DcaSchema.complexField("z", 64)))
+    assert(c64.structType("z").dataType == DcaSchema.Complex64)
+    val out = c64.conform(df).collect()
+    assert(out.map(r => r.getStruct(0).getFloat(0)).toSeq == Seq(1f, 3.5f))
+    assert(out.map(r => r.getStruct(0).getFloat(1)).toSeq == Seq(2f, -4.5f))
+    // complex128: already-exact passthrough
+    val c128 = DcaSchema(Vector(DcaSchema.complexField("z", 128)))
+    assert(c128.conform(df).collect()
+      .map(r => r.getStruct(0).getDouble(1)).toSeq == Seq(2.0, -4.5))
+    // castDtype=false rejects the narrowing, passes the exact match
+    val strict = DcaSchema(Vector(DcaSchema.complexField("z", 128)), castDtype = false)
+    assert(strict.conform(df).count() == 2)
+    // an array of complex wraps like any scalar dtype
+    val arr = DcaSchema(Vector(DcaSchema.complexField("zs", 64, "*b 2")))
+    assert(arr.structType("zs").dataType == ArrayType(DcaSchema.Complex64))
+    // only 64/128 exist
+    intercept[IllegalArgumentException](DcaSchema.complexField("z", 32))
+  }
+
+  test("unsigned dtypes widen + tag + range-check (typing.py:32)") {
+    import spark.implicits._
+    // widened storage per width; declared width survives in metadata
+    val schema = DcaSchema(Vector(
+      DcaSchema.unsignedField("a", 8), DcaSchema.unsignedField("b", 16),
+      DcaSchema.unsignedField("c", 32), DcaSchema.unsignedField("d", 64)))
+    val st = schema.structType
+    assert(st("a").dataType == ShortType && st("b").dataType == IntegerType)
+    assert(st("c").dataType == LongType && st("d").dataType == DecimalType(20, 0))
+    assert(st("a").metadata.getBoolean("unsigned") &&
+      st("d").metadata.getLong("unsignedBits") == 64L)
+    val good = Seq((255, 65535, 4294967295L, Long.MaxValue))
+      .toDF("a", "b", "c", "d")
+    assert(schema.conform(good).count() == 1)
+    // out-of-range IS a dtype violation: 256 does not fit ui8...
+    val over = Seq((256, 0, 0L, 0L)).toDF("a", "b", "c", "d")
+    val e1 = intercept[Exception](schema.conform(over).collect())
+    assert(e1.getMessage.contains("unsigned-range"))
+    // ...and negatives never fit any unsigned width
+    val neg = Seq((0, -1, 0L, 0L)).toDF("a", "b", "c", "d")
+    intercept[Exception](schema.conform(neg).collect())
+    // ui64 range check works above Long.MaxValue: 2^64-1 passes, 2^64 fails
+    val d64 = DcaSchema(Vector(DcaSchema.unsignedField("d", 64)))
+    val edge = Seq("18446744073709551615", "18446744073709551616")
+      .toDF("s").select(col("s").cast("decimal(21,0)").as("d"))
+    assert(d64.conform(edge.limit(1)).count() == 1)
+    intercept[Exception](d64.conform(edge).collect())
+    intercept[IllegalArgumentException](DcaSchema.unsignedField("x", 24))
+  }
+
   test("named inner dims must resolve consistently per row (dynamic-shape conflicts)") {
     // the reference's per-instance shape resolution + conflict errors
     // (array_dataclass.py:1121-1143, array_dataclass_test.py:694-747)
@@ -482,12 +536,12 @@ class DcaSchemaSpec extends SparkTestBase {
     val nullable = DcaSchema(Vector(DcaSchema.field("a", FloatType, "*b 2")))
     val withNull = Seq(Tuple1(null.asInstanceOf[Seq[Float]])).toDF("a")
     val e2 = intercept[Exception](nullable.conform(withNull).collect())
-    assert(e2.getMessage.contains("inner shape mismatch"))
+    assert(e2.getMessage.contains("inner shape or unsigned-range mismatch"))
     // ...and under a NAMED dim too: an observable NULL array is a shape
     // failure regardless of dim kind
     val namedNull = DcaSchema(Vector(DcaSchema.field("a", FloatType, "*b k")))
     val e3 = intercept[Exception](namedNull.conform(withNull).collect())
-    assert(e3.getMessage.contains("inner shape mismatch"))
+    assert(e3.getMessage.contains("inner shape or unsigned-range mismatch"))
     // nested static dims reached through an EMPTY outer array stay
     // unobservable (observability threads through the nested-schema
     // recursion, it does not reset)

@@ -49,6 +49,22 @@ class IntervalJoinSpec extends SparkTestBase {
       s"interval join must not fall back to a nested loop:\n$plan")
   }
 
+  test("exact binning beyond 2^53 (nanosecond-epoch axis)") {
+    // floor(double)-based binning would mis-bin here: 2^53 + 1 and
+    // 2^53 + 3 are distinct longs but the same double. Intervals at
+    // ±(2^53 + k) with width-3 bins must land in exact bins, and the
+    // negative side must floor (not truncate toward zero).
+    val big = (1L << 53) + 1L // not representable as double (rounds to 2^53)
+    val a = Seq((1L, big, big), (2L, -big, -big)).toDF("a_id", "a_lo", "a_hi")
+    val b = Seq((10L, big - 1L, big + 1L), // same bin as +big for w=3
+                (11L, big + 2L, big + 4L), // adjacent bin, still overlaps? no: lo > a_hi
+                (12L, -big - 1L, -big + 1L))
+      .toDF("b_id", "b_lo", "b_hi")
+    val got = IntervalJoin.overlapJoin(a, b, "a_lo", "a_hi", "b_lo", "b_hi", 3L)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSeq.sorted
+    assert(got == Seq((1L, 10L), (2L, 12L)), s"got $got")
+  }
+
   test("touching endpoints count as overlap; disjoint do not") {
     val a = Seq((1L, 0L, 5L)).toDF("a_id", "a_lo", "a_hi")
     val b = Seq((10L, 5L, 9L), (11L, 6L, 9L)).toDF("b_id", "b_lo", "b_hi")

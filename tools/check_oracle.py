@@ -10,10 +10,43 @@ sort columns by name, sort rows, and compare values cell-by-cell
 """
 import sys, json, glob, os
 import duckdb
+import pyarrow as pa
 import pyarrow.parquet as pq
 import pandas as pd
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+def _norm_type(t):
+    """Normalize Arrow types that differ only in representation, not value
+    semantics, so the audit flags real driver-hash hazards (int32 vs int64,
+    HUGEINT/decimal vs int64) without false positives on string width or
+    timestamp unit."""
+    if pa.types.is_large_string(t):
+        return pa.string()
+    if pa.types.is_large_binary(t):
+        return pa.binary()
+    if pa.types.is_dictionary(t):
+        return _norm_type(t.value_type)
+    if pa.types.is_large_list(t) or pa.types.is_list(t):
+        return pa.list_(_norm_type(t.value_type))
+    if pa.types.is_struct(t):
+        return pa.struct([pa.field(f.name, _norm_type(f.type)) for f in t])
+    if pa.types.is_timestamp(t):
+        return pa.timestamp('us')
+    return t
+
+def type_audit(name, spark_schema, duck_schema):
+    """The driver's hash is TYPE-SENSITIVE (t28: DuckDB int32/HUGEINT vs
+    Spark int64 failed the hash with rows+schema green). Compare normalized
+    Arrow types column-by-column; any diff is a fail unless
+    GRAFT_TYPE_AUDIT=warn."""
+    s_types = {f.name: _norm_type(f.type) for f in spark_schema}
+    d_types = {f.name: _norm_type(f.type) for f in duck_schema}
+    diffs = []
+    for c in sorted(set(s_types) & set(d_types)):
+        if s_types[c] != d_types[c]:
+            diffs.append(f"{name}.{c}: spark={s_types[c]} duck={d_types[c]}")
+    return diffs
 
 def norm(df):
     df = df[sorted(df.columns)]
@@ -63,12 +96,15 @@ def main():
             n_fail += 1
             continue
         try:
-            spark_df = pd.concat([pq.read_table(f).to_pandas() for f in files])
-            duck_df = con.execute(sql).df()
+            spark_tabs = [pq.read_table(f) for f in files]
+            spark_df = pd.concat([t.to_pandas() for t in spark_tabs])
+            duck_at = con.execute(sql).arrow()
+            duck_df = duck_at.to_pandas()
         except Exception as e:
             print(f"[FAIL] {name}: {type(e).__name__}: {e}")
             n_fail += 1
             continue
+        type_diffs = type_audit(name, spark_tabs[0].schema, duck_at.schema)
         s, d = norm(spark_df), norm(duck_df)
         if list(s.columns) != list(d.columns):
             print(f"[FAIL] {name}: columns spark={list(s.columns)} duck={list(d.columns)}")
@@ -79,6 +115,10 @@ def main():
             n_fail += 1
             continue
         ok = True
+        for td in type_diffs:
+            print(f"[TYPE] {td}")
+            if os.environ.get("GRAFT_TYPE_AUDIT") != "warn":
+                ok = False
         for c in s.columns:
             sv, dv = s[c], d[c]
             try:
