@@ -699,7 +699,52 @@ object MultimodalQueries {
              |verts AS (SELECT DISTINCT src AS id FROM edges)
              |SELECT v.id AS id, least(v.id, min(r.b)) AS rep
              |FROM verts v LEFT JOIN reach r ON r.a = v.id
-             |GROUP BY v.id ORDER BY 1""".stripMargin))
+             |GROUP BY v.id ORDER BY 1""".stripMargin)),
+
+    // COMPRESSED-STREAM FALLBACK CONTRACT (the COVERAGE.md permanent
+    // exemption, oracle-tested): no mp3/aac/h264 codec ships with the
+    // JDK and this build can add no dependency, so compressed-stream
+    // payloads route through the LABELED deterministic fallback
+    // (Multimodal.decodeStub, format 'fake/raw'). This query pins that
+    // ROUTE end to end on a mixed corpus: every 3rd doc is an
+    // MPEG-audio-sync-framed blob (0xFF 0xEx — 0xD8 excluded, so no
+    // registered ImageIO reader can claim it), the rest real PNGs. A
+    // dispatcher bug sending a PNG to the stub (or a compressed frame
+    // to a codec) changes dims AND format and cannot hash-match.
+    "mm18_stub_fallback" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val docs = table(s, dir, "documents")
+          .select(col("doc_id").cast("long"), col("n_chars").cast("long"))
+          .as[(Long, Long)]
+        val blobs = docs.map { case (id, nChars) =>
+          if (id % 3 == 0) {
+            val len = (4 + nChars % 100).toInt
+            val b = Array.tabulate[Byte](len)(i => (i * 37 + id).toByte)
+            b(0) = 0xFF.toByte
+            b(1) = (0xE0 + (id % 32)).toByte
+            (id, b)
+          } else
+            (id, graft.operators.Multimodal.encodePng(
+              1 + (id % 16).toInt, 1 + (nChars % 16).toInt, id))
+        }
+        graft.operators.Multimodal.decodeAll(s, blobs).toDF()
+          .select(col("id").as("doc_id"),
+            col("width").cast("long").as("width"),
+            col("height").cast("long").as("height"),
+            col("channels").cast("long").as("channels"),
+            col("format"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+             |  CASE WHEN doc_id % 3 = 0 THEN CAST(316 AS BIGINT)
+             |       ELSE CAST(1 + doc_id % 16 AS BIGINT) END AS width,
+             |  CASE WHEN doc_id % 3 = 0 THEN CAST(192 + (doc_id % 32) * 4 AS BIGINT)
+             |       ELSE CAST(1 + n_chars % 16 AS BIGINT) END AS height,
+             |  CAST(3 AS BIGINT) AS channels,
+             |  CASE WHEN doc_id % 3 = 0 THEN 'fake/raw'
+             |       ELSE 'image/png' END AS format
+             |FROM documents ORDER BY doc_id""".stripMargin))
   )
 
   /** The ONE rendering of the mm9 sketch derivation (mixedPixel raster
