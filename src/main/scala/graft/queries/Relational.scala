@@ -1677,7 +1677,113 @@ object Relational {
              |    '%Y-%m-%d %H:%M') AS wstart,
              |  event_type, count(*) AS n,
              |  CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS value_c
-             |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+             |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // ---- SCD Type-2 dimension build (change-collapse) ---------------
+    // q55's missing half: q55 emits one validity interval per
+    // OBSERVATION; real Type-2 maintenance versions only on CHANGE —
+    // consecutive re-observations of the same attribute value collapse
+    // into one interval (lag-filter), then versions renumber and
+    // valid_to re-derives over the SURVIVORS. Shape: ONE
+    // shuffle by the dimension key for the lag/lead/row_number windows
+    // (all three share the same (key, date, tiebreak) sort, so Spark
+    // plans ONE sort + window chain); no self-join, no global window.
+    // At 100 TB the observation log is naturally keyed by the
+    // dimension key — this is exactly the partitioning the window
+    // needs, and per-key history is small (window state is bounded).
+    "q78_scd2_build" -> QueryDef(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("o_custkey").orderBy("od", "o_orderkey")
+        table(s, dir, "orders")
+          .select(col("o_custkey"), col("o_orderdate").cast("date").as("od"),
+            col("o_orderkey"), col("o_orderpriority").as("attr"))
+          .withColumn("prev", lag("attr", 1).over(w))
+          .filter(col("prev").isNull || col("prev") =!= col("attr"))
+          .withColumn("version", row_number().over(w).cast("long"))
+          .withColumn("valid_to", lead("od", 1).over(w))
+          .select(col("o_custkey"), col("version"), col("attr"),
+            col("od").as("valid_from"), col("valid_to"),
+            col("valid_to").isNull.cast("long").as("is_current"))
+          .orderBy("o_custkey", "version")
+      },
+      Some("""WITH obs AS (
+             |  SELECT o_custkey, CAST(o_orderdate AS DATE) AS od, o_orderkey,
+             |    o_orderpriority AS attr FROM orders),
+             |ch AS (
+             |  SELECT *, lag(attr) OVER
+             |      (PARTITION BY o_custkey ORDER BY od, o_orderkey) AS prev
+             |  FROM obs),
+             |flt AS (SELECT * FROM ch WHERE prev IS NULL OR prev <> attr)
+             |SELECT o_custkey, CAST(row_number() OVER w AS BIGINT) AS version,
+             |  attr, od AS valid_from, lead(od) OVER w AS valid_to,
+             |  CAST(CASE WHEN lead(od) OVER w IS NULL THEN 1 ELSE 0 END AS BIGINT)
+             |    AS is_current
+             |FROM flt
+             |WINDOW w AS (PARTITION BY o_custkey ORDER BY od, o_orderkey)
+             |ORDER BY o_custkey, version""".stripMargin)),
+
+    // ---- UNPIVOT (wide -> long melt) --------------------------------
+    // The long-format normalization every metrics pipeline needs:
+    // attribute columns become (attr, val) rows via the native unpivot
+    // operator (an Expand node — narrow, zero shuffle, stays inside
+    // whole-stage codegen; NOT a union of N scans, which would read
+    // the table N times at 100 TB). DuckDB runs its own UNPIVOT.
+    "q79_unpivot" -> QueryDef(
+      (s, dir) => table(s, dir, "customer")
+        .select(col("c_custkey"),
+          cents(col("c_acctbal")).as("acctbal_c"),
+          col("c_nationkey").cast("long").as("nationkey"))
+        .unpivot(Array(col("c_custkey")),
+          Array(col("acctbal_c"), col("nationkey")), "attr", "val")
+        .orderBy("c_custkey", "attr"),
+      Some("""SELECT c_custkey, attr, val FROM (
+             |  SELECT c_custkey, CAST(round(c_acctbal*100) AS BIGINT) AS acctbal_c,
+             |    CAST(c_nationkey AS BIGINT) AS nationkey FROM customer)
+             |UNPIVOT (val FOR attr IN (acctbal_c, nationkey))
+             |ORDER BY c_custkey, attr""".stripMargin)),
+
+    // ---- CDC changelog compaction (upsert/delete apply) -------------
+    // The lakehouse MERGE shape without a table format — q44's
+    // two-snapshot merge generalized to a MULTI-VERSION log: a change
+    // log keyed by primary key (events as upserts; 'error' = tombstone)
+    // with TIMESTAMP ordering (not an explicit version column)
+    // compacts to final state = the LAST operation per key, dropped if
+    // it is a delete; EventStream.streamingCompaction maintains the
+    // same rule live (stream==batch spec-pinned).
+    // Shape: one map-side-combinable max(struct) agg
+    // keyed by the primary key — NO window over the log (a hot key
+    // would serialize a window; max(struct) stays mergeable and
+    // skew-safe, the repo's d16 keep-rule discipline), no join.
+    // (ts, event_id) leads the struct, so lexicographic max IS
+    // last-writer-wins with a deterministic unique tiebreak.
+    "q80_cdc_compaction" -> QueryDef(
+      (s, dir) => eventsRaw(s, dir)
+        .select(col("user_id"), expr("ts div 1000").as("tsu"),
+          col("event_id"),
+          when(col("event_type") === "error", lit("D")).otherwise(lit("U")).as("op"),
+          cents(col("value")).as("value_c"))
+        .groupBy("user_id")
+        .agg(max(struct(col("tsu"), col("event_id"), col("op"), col("value_c"))).as("last"),
+          count(lit(1)).as("n_versions"))
+        .filter(col("last.op") =!= "D")
+        .select(col("user_id"), col("last.tsu").as("last_ts_us"),
+          col("last.value_c").as("value_c"), col("n_versions"))
+        .orderBy("user_id"),
+      Some("""WITH log AS (
+             |  SELECT user_id, epoch_us(ts) AS tsu, event_id,
+             |    CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+             |    CAST(round(value*100) AS BIGINT) AS value_c
+             |  FROM events),
+             |r AS (
+             |  SELECT *, row_number() OVER
+             |      (PARTITION BY user_id ORDER BY tsu DESC, event_id DESC) AS rn,
+             |    count(*) OVER (PARTITION BY user_id) AS nv
+             |  FROM log)
+             |SELECT user_id, tsu AS last_ts_us, value_c,
+             |  CAST(nv AS BIGINT) AS n_versions
+             |FROM r WHERE rn = 1 AND op <> 'D'
+             |ORDER BY user_id""".stripMargin))
   )
 
   /** events with `ts` normalized to raw epoch-nanos LongType, whatever

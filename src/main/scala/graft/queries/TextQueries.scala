@@ -1804,6 +1804,53 @@ object TextQueries {
       },
       Some(s"""SELECT doc_id,
              |  CAST(${QueryDef.polyHashSql("text")} AS BIGINT) AS fp
-             |FROM documents ORDER BY doc_id""".stripMargin))
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // Weighted mixture MANIFEST: the training-mix construction step —
+    // each source gets a document budget proportional to its mixture
+    // weight (here the deterministic 1 + ord%3 weight table), and the
+    // selection within a source is a deterministic simple random
+    // sample: bottom-budget docs by scrambled content-key hash (q34's
+    // consistent-sampling pattern). Shape: per-source O(kMax)
+    // MERGEABLE TopKAgg state — no global sort and no per-source
+    // window over the corpus, so at 100 TB the manifest costs one
+    // map-side-combining agg over (source) regardless of corpus size,
+    // and re-running on a grown corpus keeps previously-sampled docs
+    // stable except where a new doc's hash displaces the cutoff
+    // (consistent sampling). Oracle replays scramble + per-source
+    // row_number + the same budget arithmetic.
+    "t45_mixture_sample" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        import graft.functions.{KMinAgg, ScoredId, TopKAgg}
+        graft.functions.VectorExpressions.register(s)
+        val kMax = 15 // = max budget: 5 * max weight 3
+        val docs = table(s, dir, "documents")
+          .select(col("source"), col("doc_id"),
+            KMinAgg.scramble(call_function("poly_hash",
+              col("doc_id").cast("string"))).as("h"))
+          .as[(String, Long, Long)]
+        docs.groupByKey(_._1)
+          // score = -hash: TopKAgg's (score desc, id asc) = (hash asc,
+          // doc asc); scrambled hashes < 2^30 are exact in double
+          .mapValues { case (_, id, h) => ScoredId(id, -h.toDouble) }
+          .agg(new TopKAgg(kMax).toColumn.name("picked"))
+          .flatMap { case (src, picked) =>
+            val budget = 5 * (1 + src.stripPrefix("src").toInt % 3)
+            picked.sortBy(x => (-x.score, x.id)).take(budget).zipWithIndex
+              .map { case (x, i) => (src, (i + 1).toLong, x.id) }
+          }
+          .toDF("source", "rank", "doc_id")
+          .orderBy("source", "rank")
+      },
+      Some(s"""WITH ${QueryDef.scrambledHashCtes(
+                 "(SELECT source, doc_id, CAST(doc_id AS VARCHAR) AS rk FROM documents)",
+                 Seq("source", "doc_id"), "rk")},
+             |r AS (SELECT source, doc_id, row_number() OVER
+             |    (PARTITION BY source ORDER BY hv, doc_id) AS rank FROM h)
+             |SELECT source, CAST(rank AS BIGINT) AS rank, doc_id
+             |FROM r
+             |WHERE rank <= 5 * (1 + CAST(substr(source, 4) AS INTEGER) % 3)
+             |ORDER BY source, rank""".stripMargin))
   )
 }

@@ -408,6 +408,51 @@ object EventStream {
       }
   }
 
+  final case class CdcEvent(userId: Long, tsUs: Long, eventId: Long,
+                            op: String, valueC: Long)
+  final case class CdcState(tsUs: Long, eventId: Long, op: String,
+                            valueC: Long, nVersions: Long)
+  final case class CdcRow(userId: Long, tsUs: Long, valueC: Long,
+                          nVersions: Long, deleted: Boolean)
+
+  /** Streaming twin of the batch CDC compaction (q80): last-writer-wins
+    * keyed state with delete tombstones, maintained live. Each
+    * micro-batch folds arrivals under the SAME lexicographic
+    * (tsUs, eventId) max rule as the batch `max(struct(...))` — a pure
+    * commutative/associative fold, so arrival order (out-of-order
+    * replays, duplicated micro-batches across retries of the same
+    * epoch) can never change the converged state; no watermark-ordered
+    * buffer is needed, unlike the funnel/attribution twins whose folds
+    * are order-SENSITIVE. Tombstones are RETAINED in state rather than
+    * dropped: a late upsert with a lower (ts, id) must still lose to
+    * the delete; consumers filter `deleted`. Update mode: every
+    * micro-batch emits the keys it touched with their CURRENT state —
+    * the changelog a downstream materialized view applies. State is
+    * one fixed-size record per live key (the minimum any keyed upsert
+    * view can hold).
+    */
+  def streamingCompaction(spark: SparkSession, events: Dataset[CdcEvent])
+      : Dataset[CdcRow] = {
+    import spark.implicits._
+    events
+      .groupByKey(_.userId)
+      .mapGroupsWithState[CdcState, CdcRow](GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[CdcEvent], state: GroupState[CdcState]) =>
+          var cur = state.getOption.getOrElse(
+            CdcState(Long.MinValue, Long.MinValue, "U", 0L, 0L))
+          rows.foreach { e =>
+            val wins = e.tsUs > cur.tsUs ||
+              (e.tsUs == cur.tsUs && e.eventId > cur.eventId)
+            cur =
+              if (wins) CdcState(e.tsUs, e.eventId, e.op, e.valueC,
+                cur.nVersions + 1)
+              else cur.copy(nVersions = cur.nVersions + 1)
+          }
+          state.update(cur)
+          CdcRow(uid, cur.tsUs, cur.valueC, cur.nVersions, cur.op == "D")
+      }
+  }
+
   final case class RateEvent(eventType: String, tsUs: Long)
   final case class RateState(pending: Map[Long, Long], history: Seq[(Long, Long)])
   final case class RateAnomaly(eventType: String, hr: Long, n: Long,

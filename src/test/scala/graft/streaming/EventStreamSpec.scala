@@ -372,6 +372,49 @@ class EventStreamSpec extends SparkTestBase {
       Seq(Session(1L, T0, T0 + 10 * Min, 3L, 60L)))
   }
 
+  test("streaming CDC compaction converges to the batch max(struct) state, in any arrival order") {
+    implicit val sqlCtx = spark.sqlContext
+    import EventStream.{CdcEvent, CdcRow}
+    val fixture = Seq(
+      CdcEvent(1L, 100L, 1L, "U", 10L),
+      CdcEvent(1L, 300L, 3L, "U", 30L), // final winner for user 1
+      CdcEvent(2L, 100L, 2L, "U", 20L),
+      CdcEvent(2L, 200L, 4L, "D", 0L), // tombstone
+      CdcEvent(3L, 500L, 5L, "U", 55L))
+    val late = Seq(
+      CdcEvent(1L, 200L, 6L, "U", 99L), // late upsert, loses to ts 300
+      CdcEvent(2L, 150L, 7L, "U", 77L), // late after tombstone: still loses
+      CdcEvent(3L, 500L, 8L, "U", 66L)) // same ts, higher eventId wins
+    // batch twin: q80's exact rule — max(struct(ts, id, op, val)) +
+    // count, tombstones surfaced (q80 filters them; the stream retains)
+    val batch = (fixture ++ late).toDS()
+      .groupByKey(_.userId)
+      .mapGroups { (uid, it) =>
+        val rows = it.toSeq
+        val w = rows.maxBy(e => (e.tsUs, e.eventId))
+        CdcRow(uid, w.tsUs, w.valueC, rows.size.toLong, w.op == "D")
+      }.collect().toSet
+    def run(name: String, batches: Seq[Seq[CdcEvent]]): Set[CdcRow] = {
+      val input = MemoryStream[CdcEvent]
+      val q = EventStream.streamingCompaction(spark, input.toDS())
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Update).start()
+      try {
+        batches.foreach { b => input.addData(b: _*); q.processAllAvailable() }
+        // Update mode emits per micro-batch; nVersions is monotone, so
+        // the max-nVersions emission per key IS the converged state
+        spark.table(name).as[CdcRow].collect()
+          .groupBy(_.userId).map(_._2.maxBy(_.nVersions)).toSet
+      } finally q.stop()
+    }
+    val streamed = run("cdc_eq", Seq(fixture, late))
+    assert(streamed == batch, s"stream/batch drift: $streamed vs $batch")
+    // the fold is commutative: reversed arrival converges identically
+    val reversed = run("cdc_eq_rev", Seq(late.reverse, fixture.reverse))
+    assert(reversed == batch, s"arrival-order drift: $reversed vs $batch")
+    assert(batch.exists(r => r.userId == 2L && r.deleted && r.nVersions == 3L))
+  }
+
   test("streaming dedup state survives a checkpoint restart") {
     // the production fault-tolerance property: stop the query, restart
     // from the same checkpoint, and a duplicate id arriving AFTER the
