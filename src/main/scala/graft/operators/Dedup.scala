@@ -377,6 +377,44 @@ object Dedup {
     sh.unpersist()
   }
 
+  /** Incremental index MAINTENANCE: merge a persisted
+    * [[buildNearDupIndex]] index with a newly-admitted delta batch into
+    * a compacted index at `outPath` — the lakehouse compaction shape
+    * for the near-dup index. The base index's parquet band/hash tables
+    * are UNIONED with the delta's freshly-computed ones and rewritten
+    * under the same layout (buckets partitioned by band, hash sets
+    * pre-grouped), so the corpus text behind the base index is NEVER
+    * rescanned and maintenance cost is ∝ |delta| + |index|, never
+    * ∝ corpus text — at 100 TB the index tables are the only thing
+    * rewritten, and band-partitioned writes compact each band's
+    * fragments in the same pass (the small-files story of daily
+    * appends). Contract (spec-pinned): probing merge(build(A), Δ)
+    * equals probing build(A ∪ Δ) for every incoming batch.
+    * `outPath` must differ from `basePath` (parquet cannot overwrite
+    * its own input mid-scan).
+    */
+  def mergeNearDupIndex(spark: org.apache.spark.sql.SparkSession,
+                        basePath: String, delta: DataFrame, outPath: String,
+                        textCol: String, idCol: String,
+                        shingleN: Int = 3, bands: Int = 32, rows: Int = 2): Unit = {
+    require(basePath != outPath,
+      "mergeNearDupIndex: outPath must differ from basePath (cannot " +
+        "overwrite the parquet being read)")
+    val sh = delta.select(col(idCol).as("__id"),
+      TextOps.shingles(col(textCol), shingleN).as("__sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val hashed = shingleHashTable(sh, "__id", "__sh")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    spark.read.parquet(s"$basePath/buckets")
+      .unionByName(bandBuckets(hashed, bands, rows))
+      .write.mode("overwrite").partitionBy("band").parquet(s"$outPath/buckets")
+    spark.read.parquet(s"$basePath/hashes")
+      .unionByName(hashed.groupBy("__id").agg(collect_set("__h").as("__hs")))
+      .write.mode("overwrite").parquet(s"$outPath/hashes")
+    hashed.unpersist()
+    sh.unpersist()
+  }
+
   /** [[incrementalNearDupSurvivors]] against a PERSISTED index: the
     * corpus side comes from [[buildNearDupIndex]]'s parquet (one
     * equi-join probe on (band, bh), one hash-set verify), the corpus

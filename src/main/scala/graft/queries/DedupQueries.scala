@@ -134,6 +134,47 @@ object DedupQueries {
       },
       Some(d12OracleSql)),
 
+    // Index MAINTENANCE: d25's persisted index merged with a newly
+    // admitted delta batch (docs 250..299) into a compacted index
+    // (Dedup.mergeNearDupIndex — union of the parquet band/hash tables,
+    // rewritten band-partitioned; base corpus text never rescanned, so
+    // maintenance cost is ∝ delta + index size at any corpus scale).
+    // The probe batch plants near-copies of BOTH the base corpus
+    // (doc_id < 50) and the delta (260..279): the delta plants can only
+    // be caught if the merge actually carried the delta's bands into
+    // the probed index — a broken merge cannot hash-match the oracle,
+    // which replays exact all-pairs jaccard over corpus(0..299) + batch.
+    "d26_index_compaction" -> QueryDef(
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+        val incoming = docs.filter(col("doc_id") >= 300).select("doc_id", "text")
+          .unionByName(docs.filter(col("doc_id") < 50)
+            .select((col("doc_id") + 60000L).as("doc_id"),
+              concat(col("text"), lit(" base recrawl")).as("text")))
+          .unionByName(docs.filter(col("doc_id") >= 250 && col("doc_id") < 280)
+            .select((col("doc_id") + 80000L).as("doc_id"),
+              concat(col("text"), lit(" delta recrawl")).as("text")))
+        Dedup.indexedNearDupSurvivors(s, Staged.mergedNearDupIndex(s, dir),
+            incoming, "text", "doc_id")
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH corpus AS (
+             |  SELECT doc_id, text FROM documents WHERE doc_id < 300),
+             |inc AS (
+             |  SELECT doc_id, text FROM documents WHERE doc_id >= 300
+             |  UNION ALL
+             |  SELECT doc_id + 60000, text || ' base recrawl'
+             |  FROM documents WHERE doc_id < 50
+             |  UNION ALL
+             |  SELECT doc_id + 80000, text || ' delta recrawl'
+             |  FROM documents WHERE doc_id >= 250 AND doc_id < 280),
+             |alld AS (SELECT * FROM corpus UNION ALL SELECT * FROM inc),
+             |${QueryDef.shingleCtes(src = "alld")},
+             |${QueryDef.jaccardPairCtes(2, 5)}
+             |SELECT i.doc_id FROM inc i
+             |WHERE i.doc_id NOT IN (SELECT db FROM qp)
+             |ORDER BY 1""".stripMargin)),
+
     // Semantic dedup (SemDeDup): k-means the embedding space (sim4's
     // exact-integer Lloyd, same geometry constants), then prune
     // within-cluster near-duplicates at cos >= 19/20, keeping the

@@ -914,6 +914,63 @@ object EventQueries {
              |  trail_n, CAST(trail_sum AS BIGINT) AS trail_sum
              |FROM trailed
              |WHERE trail_n >= 6 AND n * trail_n * 100 > trail_sum * 150
-             |ORDER BY 1, 2""".stripMargin))
+             |ORDER BY 1, 2""".stripMargin)),
+
+    // ---- sequence pattern with NEGATION (A then B with no C between) -
+    // The MATCH_RECOGNIZE shape q52's funnel cannot express: a
+    // conversion counts only when a view precedes the purchase with NO
+    // error in between. No self-join and no per-row pattern automaton:
+    // negation becomes COUNTER EQUALITY — errBefore(e) = running count
+    // of errors strictly before e in the user's timeline, and the span
+    // (view, purchase) is error-free iff both endpoints see the same
+    // counter. One per-user sort serves both windows (the q18/q52/q60
+    // exchange); per-user state is two running values, so a hot user
+    // streams through one partition's sort rather than exploding a
+    // join. Output is per-user, dimension-sized.
+    "q81_absence_pattern" -> QueryDef(
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy("tsu", "event_id")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        Relational.eventsRaw(s, dir)
+          .select(col("user_id"), expr("ts div 1000").as("tsu"),
+            col("event_id"), col("event_type"))
+          .withColumn("err_before", coalesce(
+            sum(when(col("event_type") === "error", 1L).otherwise(0L)).over(w),
+            lit(0L)))
+          .withColumn("last_view_err", last(
+            when(col("event_type") === "view", col("err_before")),
+            ignoreNulls = true).over(w))
+          .filter(col("event_type") === "purchase")
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_purchases"),
+            sum(col("last_view_err").isNotNull.cast("long")).as("n_with_view"),
+            sum((col("last_view_err") === col("err_before")).cast("long"))
+              .as("n_clean"))
+          .orderBy("user_id")
+      },
+      Some("""WITH ev AS (
+             |  SELECT user_id, epoch_us(ts) AS tsu, event_id, event_type
+             |  FROM events),
+             |m1 AS (
+             |  SELECT *,
+             |    coalesce(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+             |      OVER w, 0) AS err_before
+             |  FROM ev
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+             |m2 AS (
+             |  SELECT *,
+             |    last_value(CASE WHEN event_type = 'view' THEN err_before END
+             |      IGNORE NULLS) OVER w AS last_view_err
+             |  FROM m1
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+             |SELECT user_id, count(*) AS n_purchases,
+             |  CAST(sum(CASE WHEN last_view_err IS NOT NULL THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_with_view,
+             |  CAST(sum(CASE WHEN last_view_err = err_before THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_clean
+             |FROM m2 WHERE event_type = 'purchase'
+             |GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }

@@ -232,6 +232,23 @@ object Staged {
       path
     }).asInstanceOf[String]
 
+  /** [[nearDupIndex]] (docs < 250) merged with the 250..299 delta via
+    * [[graft.operators.Dedup.mergeNearDupIndex]] — the compacted index
+    * d26 probes; memoized so bench reruns pay one merge.
+    */
+  def mergedNearDupIndex(s: SparkSession, dir: String): String =
+    cacheFor(s).getOrElseUpdate(s"ndidxm:$dir", {
+      val base = nearDupIndex(s, dir)
+      val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val path = s"target/neardup_idx_merged_$tag"
+      graft.operators.Dedup.mergeNearDupIndex(s, base,
+        table(s, dir, "documents")
+          .filter(col("doc_id") >= 250 && col("doc_id") < 300)
+          .select("doc_id", "text"),
+        path, "text", "doc_id")
+      path
+    }).asInstanceOf[String]
+
   def bucketedLiOrd(s: SparkSession, dir: String): (DataFrame, DataFrame) =
     cacheFor(s).getOrElseUpdate(s"bkt:$dir", {
       val tag = dir.replaceAll("[^A-Za-z0-9]", "_")

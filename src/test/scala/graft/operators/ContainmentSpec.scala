@@ -118,6 +118,37 @@ class ContainmentSpec extends SparkTestBase {
       s"index=$fromIndex inline=$inline")
   }
 
+  test("merged index probes identically to an index built over the union") {
+    // the mergeNearDupIndex contract: merge(build(A), delta) == build(A ∪ delta)
+    // as observed through every probe — including an incoming near-dup
+    // of a DELTA doc, which only the delta's carried bands can catch
+    val baseCorpus = docs(
+      1L -> ("alpha beta gamma delta epsilon zeta eta theta " * 4).trim,
+      2L -> ("completely different corpus article about mountains and rivers " * 4).trim)
+    val delta = docs(
+      5L -> ("fresh delta document about distributed index maintenance " * 4).trim)
+    val incoming = docs(
+      10L -> (("alpha beta gamma delta epsilon zeta eta theta " * 4).trim
+        + " appended banner"), // near-dup of BASE 1 -> dropped
+      11L -> (("fresh delta document about distributed index maintenance " * 4).trim
+        + " trailing edit"), // near-dup of DELTA 5 -> dropped iff merge carried it
+      12L -> ("unrelated content with no overlap whatsoever at all " * 4).trim)
+    val baseDir = java.nio.file.Files.createTempDirectory("graft_ndm_base").toString
+    val mergedDir = java.nio.file.Files.createTempDirectory("graft_ndm_m").toString
+    val unionDir = java.nio.file.Files.createTempDirectory("graft_ndm_u").toString
+    Dedup.buildNearDupIndex(baseCorpus, baseDir, "text", "doc_id")
+    Dedup.mergeNearDupIndex(spark, baseDir, delta, mergedDir, "text", "doc_id")
+    Dedup.buildNearDupIndex(baseCorpus.unionByName(delta), unionDir, "text", "doc_id")
+    val viaMerged = Dedup.indexedNearDupSurvivors(spark, mergedDir, incoming,
+      "text", "doc_id").as[Long].collect().sorted.toSeq
+    val viaUnion = Dedup.indexedNearDupSurvivors(spark, unionDir, incoming,
+      "text", "doc_id").as[Long].collect().sorted.toSeq
+    assert(viaMerged == viaUnion && viaMerged == Seq(12L),
+      s"merged=$viaMerged union=$viaUnion")
+    intercept[IllegalArgumentException](
+      Dedup.mergeNearDupIndex(spark, mergedDir, delta, mergedDir, "text", "doc_id"))
+  }
+
   test("round-7 operators tolerate empty and degenerate inputs") {
     val emptyDocs = spark.emptyDataset[(Long, String)].toDF("doc_id", "text")
     val shingled = emptyDocs.select(col("doc_id"),
