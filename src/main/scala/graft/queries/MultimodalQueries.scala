@@ -701,6 +701,47 @@ object MultimodalQueries {
              |FROM verts v LEFT JOIN reach r ON r.a = v.id
              |GROUP BY v.id ORDER BY 1""".stripMargin)),
 
+    // ASPECT-RATIO BUCKETING — the vision-training batch-construction
+    // step (variable-aspect corpora train in buckets of similar shape
+    // so crops stay minimal): REAL ImageIO header decode of per-row
+    // generated PNGs, quantized aspect = clamp(4·w DIV h, 1, 8) in
+    // exact integer arithmetic (no float ratio), per-bucket counts +
+    // dim ranges. Header-only decode: at 100 TB this is a metadata
+    // pass over blob headers, never a raster materialization; the agg
+    // is dimension-sized (8 buckets). Oracle recomputes dims AND the
+    // bucket rule arithmetically — a decode or bucketing bug cannot
+    // hash-match.
+    "mm19_aspect_buckets" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val docs = table(s, dir, "documents")
+          .select(col("doc_id").cast("long"), col("n_chars").cast("long"))
+          .as[(Long, Long)]
+        val blobs = docs.map { case (id, nChars) =>
+          (id, graft.operators.Multimodal.encodePng(
+            1 + (id % 16).toInt, 1 + (nChars % 16).toInt, id))
+        }
+        graft.operators.Multimodal.decodeAll(s, blobs).toDF()
+          .select(col("width").cast("long").as("w"), col("height").cast("long").as("h"))
+          .withColumn("bucket",
+            least(greatest(expr("(4 * w) DIV h"), lit(1L)), lit(8L)))
+          .groupBy("bucket")
+          .agg(count(lit(1)).as("n_images"),
+            min("w").as("min_w"), max("w").as("max_w"),
+            min("h").as("min_h"), max("h").as("max_h"))
+          .orderBy("bucket")
+      },
+      Some("""WITH dims AS (
+             |  SELECT CAST(1 + doc_id % 16 AS BIGINT) AS w,
+             |    CAST(1 + n_chars % 16 AS BIGINT) AS h
+             |  FROM documents),
+             |b AS (SELECT w, h,
+             |    least(greatest((4 * w) // h, 1), 8) AS bucket FROM dims)
+             |SELECT CAST(bucket AS BIGINT) AS bucket, count(*) AS n_images,
+             |  min(w) AS min_w, max(w) AS max_w,
+             |  min(h) AS min_h, max(h) AS max_h
+             |FROM b GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // COMPRESSED-STREAM FALLBACK CONTRACT (the COVERAGE.md permanent
     // exemption, oracle-tested): no mp3/aac/h264 codec ships with the
     // JDK and this build can add no dependency, so compressed-stream
