@@ -1783,7 +1783,47 @@ object Relational {
              |SELECT user_id, tsu AS last_ts_us, value_c,
              |  CAST(nv AS BIGINT) AS n_versions
              |FROM r WHERE rn = 1 AND op <> 'D'
-             |ORDER BY user_id""".stripMargin))
+             |ORDER BY user_id""".stripMargin)),
+
+    // ---- incremental VIEW maintenance (retraction model) ------------
+    // Exact GROUP BY views maintained from a changelog with SIGNED
+    // multiplicities (+1 insert, -1 retraction — the Flink/differential
+    // dataflow retract stream): view' = merge(view, agg(changelog)),
+    // additive in every column, so maintenance NEVER rescans the base
+    // fact table — the 100-TB materialized-view contract (q51 does this
+    // for sketch state; this is the exact-aggregate face). Changelog:
+    // post-cutoff orders arrive as inserts, every pre-cutoff order with
+    // key%10=3 is retracted. Oracle recomputes the final corpus from
+    // scratch — hash equality proves the retraction algebra: to the
+    // reader, merge(build(base), delta) IS build(base' ∪ new).
+    "q82_view_maintenance" -> QueryDef(
+      (s, dir) => {
+        val cutoff = "1996-01-01"
+        val orders = table(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderpriority").as("pri"),
+            col("o_orderdate"), cents(col("o_totalprice")).as("price_c"))
+        def agg(df: DataFrame) = df.groupBy("pri")
+          .agg(sum(col("w")).as("n"), sum(col("w") * col("price_c")).as("total_c"))
+        val view = agg(orders.filter(col("o_orderdate") < lit(cutoff))
+          .withColumn("w", lit(1L)))
+        val changelog =
+          orders.filter(col("o_orderdate") >= lit(cutoff)).withColumn("w", lit(1L))
+            .unionByName(orders.filter(col("o_orderdate") < lit(cutoff) &&
+              pmod(col("o_orderkey"), lit(10L)) === 3).withColumn("w", lit(-1L)))
+        view.unionByName(agg(changelog))
+          .groupBy("pri").agg(sum("n").as("n"), sum("total_c").as("total_c"))
+          .filter(col("n") > 0)
+          .orderBy("pri")
+      },
+      Some("""WITH final AS (
+             |  SELECT o_orderpriority AS pri,
+             |    CAST(round(o_totalprice*100) AS BIGINT) AS price_c
+             |  FROM orders
+             |  WHERE o_orderdate >= DATE '1996-01-01'
+             |     OR o_orderkey % 10 <> 3)
+             |SELECT pri, count(*) AS n,
+             |  CAST(sum(price_c) AS BIGINT) AS total_c
+             |FROM final GROUP BY 1 HAVING count(*) > 0 ORDER BY 1""".stripMargin))
   )
 
   /** events with `ts` normalized to raw epoch-nanos LongType, whatever

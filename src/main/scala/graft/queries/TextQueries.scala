@@ -1851,6 +1851,58 @@ object TextQueries {
              |SELECT source, CAST(rank AS BIGINT) AS rank, doc_id
              |FROM r
              |WHERE rank <= 5 * (1 + CAST(substr(source, 4) AS INTEGER) % 3)
-             |ORDER BY source, rank""".stripMargin))
+             |ORDER BY source, rank""".stripMargin)),
+
+    // Vocabulary DRIFT between corpus snapshots — the tokenizer-health
+    // check a pretraining pipeline runs on every ingest: how much of
+    // the new snapshot's token mass is out-of-vocabulary w.r.t. the
+    // tokenizer's training snapshot (high OOV permille = retrain the
+    // tokenizer / inspect the source). Snapshot A = docs < 250 (the
+    // vocab), B = the rest. Shape: A contracts to its DISTINCT-word
+    // vocab FIRST (the only thing that moves from the old corpus —
+    // at 100 TB the vocab table is persisted once, like d25's index),
+    // then one left join from B's per-word COUNTS (not occurrences:
+    // the join input is pre-aggregated per (lang, word), so the
+    // shuffle carries the word dimension, never the corpus). Exact
+    // integer permille.
+    "t46_vocab_drift" -> QueryDef(
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+        val vocabA = docs.filter(col("doc_id") < 250)
+          .select(explode(TextOps.words(col("text"))).as("word"))
+          .filter(length(col("word")) > 0).distinct()
+          .withColumn("known", lit(1L))
+        val countsB = docs.filter(col("doc_id") >= 250)
+          .select(col("lang"), explode(TextOps.words(col("text"))).as("word"))
+          .filter(length(col("word")) > 0)
+          .groupBy("lang", "word").agg(count(lit(1)).as("n"))
+        countsB.join(vocabA, Seq("word"), "left")
+          .groupBy("lang")
+          .agg(sum("n").as("n_tokens"),
+            sum(when(col("known").isNull, col("n")).otherwise(0L)).as("n_oov"),
+            countDistinct(when(col("known").isNull, col("word"))).as("n_oov_types"))
+          .withColumn("oov_permille",
+            expr("CAST(1000 * n_oov DIV n_tokens AS BIGINT)"))
+          .orderBy("lang")
+      },
+      Some("""WITH va AS (
+             |  SELECT DISTINCT t.w AS word
+             |  FROM (SELECT string_split(text, ' ') AS ws FROM documents
+             |        WHERE doc_id < 250), UNNEST(ws) AS t(w)
+             |  WHERE len(t.w) > 0),
+             |cb AS (
+             |  SELECT lang, t.w AS word, count(*) AS n
+             |  FROM (SELECT lang, string_split(text, ' ') AS ws FROM documents
+             |        WHERE doc_id >= 250), UNNEST(ws) AS t(w)
+             |  WHERE len(t.w) > 0 GROUP BY 1, 2)
+             |SELECT lang, CAST(sum(n) AS BIGINT) AS n_tokens,
+             |  CAST(sum(CASE WHEN va.word IS NULL THEN n ELSE 0 END) AS BIGINT)
+             |    AS n_oov,
+             |  CAST(count(DISTINCT CASE WHEN va.word IS NULL THEN cb.word END)
+             |    AS BIGINT) AS n_oov_types,
+             |  CAST(1000 * sum(CASE WHEN va.word IS NULL THEN n ELSE 0 END)
+             |    // sum(n) AS BIGINT) AS oov_permille
+             |FROM cb LEFT JOIN va ON cb.word = va.word
+             |GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }
