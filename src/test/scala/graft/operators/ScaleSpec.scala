@@ -62,6 +62,38 @@ class PlanShapeSpec extends SparkTestBase {
       plan.take(800))
   }
 
+  test("q79 unpivot is an Expand, not a union of scans") {
+    // the scale property: wide->long must read the table ONCE; N
+    // single-column scans unioned would multiply the 100-TB read by N
+    val df = graft.SparkEntry.queries("q79_unpivot")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString()
+    assert(plan.contains("Expand"), plan.take(800))
+    assert(!plan.contains("Union"), plan.take(800))
+    // no shuffle before the presentation sort: Expand is narrow
+    assert("Exchange hashpartitioning".r.findAllIn(plan).isEmpty, plan.take(800))
+  }
+
+  test("q80 CDC compaction aggregates partially map-side (no window over the log)") {
+    val df = graft.SparkEntry.queries("q80_cdc_compaction")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString()
+    // skew-safety: the last-writer-wins rule must be a two-phase hash
+    // agg (partial max(struct) before the exchange), never a Window
+    // (a hot key would serialize a per-key sort)
+    assert(!plan.contains("Window"), plan.take(800))
+    assert("HashAggregate.*partial_max|partial_max".r.findFirstIn(plan).isDefined
+      || plan.contains("ObjectHashAggregate"), plan.take(1200))
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1, plan.take(800))
+  }
+
+  test("q78 SCD2 build plans ONE key exchange for its whole window chain") {
+    // lag-filter, row_number, and lead share the same (key, date, tiebreak)
+    // sort — Spark must plan a single hashpartitioning exchange, not one
+    // per window
+    val df = graft.SparkEntry.queries("q78_scd2_build")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString()
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1, plan.take(800))
+  }
+
   test("q23b: the bounded-domain assumption behind its global window HOLDS") {
     // q23b's cumulative window runs over DISTINCT s_acctbal values with
     // no partitionBy — safe only while that domain stays
