@@ -1823,7 +1823,63 @@ object Relational {
              |     OR o_orderkey % 10 <> 3)
              |SELECT pri, count(*) AS n,
              |  CAST(sum(price_c) AS BIGINT) AS total_c
-             |FROM final GROUP BY 1 HAVING count(*) > 0 ORDER BY 1""".stripMargin))
+             |FROM final GROUP BY 1 HAVING count(*) > 0 ORDER BY 1""".stripMargin)),
+
+    // ---- bitemporal point-in-time reconstruction --------------------
+    // Two time axes (Snodgrass/SQL:2011 shape): VALID time = the order
+    // date (when the attribute held in the world), TRANSACTION time =
+    // the ingest sequence (o_orderkey — when the warehouse learned it).
+    // Question answered: "which answers about the past CHANGED as late
+    // data arrived" — each customer's priority valid on D, as known at
+    // transaction time K (half the ingest) vs known now; rows where
+    // the two reconstructions disagree are the late-arriving
+    // corrections an audit must surface. Shape: the per-axis
+    // reconstruction is ONE skew-safe max(struct) agg (last
+    // observation with od <= D in (valid, tx) order — never a global
+    // sort, never a window over the fact table), then one key join of
+    // the two dimension-sized snapshots. The single driver-side action
+    // is the 1-row max-ingest-id read (the K cutoff — control flow).
+    "q83_bitemporal" -> QueryDef(
+      (s, dir) => {
+        val d = "1995-06-30"
+        val orders = table(s, dir, "orders")
+        val kmax = orders.agg(max("o_orderkey")).head.getLong(0)
+        val obs = orders.filter(col("o_orderdate") <= lit(d))
+          .select(col("o_custkey"), col("o_orderkey"),
+            col("o_orderdate").cast("date").as("od"),
+            col("o_orderpriority").as("attr"))
+        def asOfTx(k: Long) = obs.filter(col("o_orderkey") <= k)
+          .groupBy("o_custkey")
+          .agg(max(struct(col("od"), col("o_orderkey"), col("attr"))).as("m"))
+          .select(col("o_custkey"), col("m.attr").as("attr"))
+        asOfTx(kmax / 2).withColumnRenamed("attr", "attr_then")
+          .join(asOfTx(kmax).withColumnRenamed("attr", "attr_now"),
+            Seq("o_custkey"), "full_outer")
+          .filter(!(col("attr_then") <=> col("attr_now")))
+          .orderBy("o_custkey")
+      },
+      Some("""WITH mx AS (SELECT max(o_orderkey) // 2 AS k1 FROM orders),
+             |obs AS (
+             |  SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS od,
+             |    o_orderpriority AS attr
+             |  FROM orders WHERE o_orderdate <= DATE '1995-06-30'),
+             |a1 AS (
+             |  SELECT o_custkey, attr FROM (
+             |    SELECT o_custkey, attr, row_number() OVER
+             |      (PARTITION BY o_custkey ORDER BY od DESC, o_orderkey DESC) AS rn
+             |    FROM obs WHERE o_orderkey <= (SELECT k1 FROM mx))
+             |  WHERE rn = 1),
+             |a2 AS (
+             |  SELECT o_custkey, attr FROM (
+             |    SELECT o_custkey, attr, row_number() OVER
+             |      (PARTITION BY o_custkey ORDER BY od DESC, o_orderkey DESC) AS rn
+             |    FROM obs)
+             |  WHERE rn = 1)
+             |SELECT coalesce(a1.o_custkey, a2.o_custkey) AS o_custkey,
+             |  a1.attr AS attr_then, a2.attr AS attr_now
+             |FROM a1 FULL OUTER JOIN a2 ON a1.o_custkey = a2.o_custkey
+             |WHERE a1.attr IS DISTINCT FROM a2.attr
+             |ORDER BY 1""".stripMargin))
   )
 
   /** events with `ts` normalized to raw epoch-nanos LongType, whatever

@@ -147,6 +147,17 @@ class ContainmentSpec extends SparkTestBase {
       s"merged=$viaMerged union=$viaUnion")
     intercept[IllegalArgumentException](
       Dedup.mergeNearDupIndex(spark, mergedDir, delta, mergedDir, "text", "doc_id"))
+    // quiet ingest day: merging an EMPTY delta must produce an index
+    // that probes identically to the base (schemas union cleanly, no
+    // crash on the empty band/hash tables)
+    val emptyDelta = spark.emptyDataset[(Long, String)].toDF("doc_id", "text")
+    val quietDir = java.nio.file.Files.createTempDirectory("graft_ndm_q").toString
+    Dedup.mergeNearDupIndex(spark, baseDir, emptyDelta, quietDir, "text", "doc_id")
+    val viaQuiet = Dedup.indexedNearDupSurvivors(spark, quietDir, incoming,
+      "text", "doc_id").as[Long].collect().sorted.toSeq
+    val viaBase = Dedup.indexedNearDupSurvivors(spark, baseDir, incoming,
+      "text", "doc_id").as[Long].collect().sorted.toSeq
+    assert(viaQuiet == viaBase, s"quiet=$viaQuiet base=$viaBase")
   }
 
   test("round-7 operators tolerate empty and degenerate inputs") {
