@@ -521,6 +521,48 @@ object DcaQueries {
              |  CAST(floor(CAST(embedding[2] AS DOUBLE) * 1e6) AS BIGINT) AS im_micro,
              |  CAST(vec_id % 50000 AS BIGINT) AS u16_l,
              |  CAST(vec_id AS BIGINT) AS u64_l
-             |FROM embeddings ORDER BY vec_id""".stripMargin))
+             |FROM embeddings ORDER BY vec_id""".stripMargin)),
+
+    // S1: shape/size/ndim/len through a reshape chain, surfaced as ONE
+    // row the oracle recomputes from count(*) arithmetic — driver
+    // metadata, but metadata DERIVED from the data (the dense-index
+    // invariant), so a wrong batch count or a broken reshape factor
+    // cannot hash-match.
+    "dca_s1_meta" -> QueryDef(
+      (s, dir) => {
+        val f = liFrame(s, dir)
+        // scale-robust: trim to a multiple of 6, then a 2-D reshape —
+        // every emitted number is count arithmetic the oracle replays
+        val m = f.length - f.length % 6
+        val r = f(Ix.S(None, Some(m))).reshape(6, -1)
+        val sess = s
+        import sess.implicits._
+        Seq((f.ndim.toLong, f.length, r.ndim.toLong, r.shape.head,
+            r.shape(1), r.size))
+          .toDF("base_ndim", "base_len", "r_ndim", "r_dim0", "r_dim1", "r_size")
+      },
+      Some("""SELECT CAST(1 AS BIGINT) AS base_ndim,
+             |  (SELECT count(*) FROM lineitem) AS base_len,
+             |  CAST(2 AS BIGINT) AS r_ndim, CAST(6 AS BIGINT) AS r_dim0,
+             |  (SELECT (count(*) - count(*) % 6) // 6 FROM lineitem) AS r_dim1,
+             |  (SELECT count(*) - count(*) % 6 FROM lineitem) AS r_size""".stripMargin)),
+
+    // V8: static (non-array) fields captured as plan literals — the
+    // reference's static_args (`vectorization.py` static capture):
+    // statics ride the frame without touching data, replaceStatic
+    // swaps them, and a vectorized expression consumes them as lit()
+    // constants. The oracle recomputes the same arithmetic, so a
+    // static that leaked into (or out of) the data path cannot match.
+    "dca_v8_statics" -> QueryDef(
+      (s, dir) => {
+        val f = liFrame(s, dir).replaceStatic("scale_c", 7L)
+          .replaceStatic("scale_c", 9L) // S13's static half: last write wins
+        val scale = f.statics("scale_c").asInstanceOf[Long]
+        out(f(Ix.S(None, Some(2000)))
+          .replaceField("qty_c", col("qty_c") * lit(scale)))
+      },
+      Some(baseCte + """
+          |SELECT rn AS __idx0, l_orderkey, l_linenumber, qty_c * 9 AS qty_c
+          |FROM base WHERE rn < 2000 ORDER BY 1""".stripMargin))
   )
 }

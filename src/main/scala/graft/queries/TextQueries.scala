@@ -1903,6 +1903,89 @@ object TextQueries {
              |  CAST(1000 * sum(CASE WHEN va.word IS NULL THEN n ELSE 0 END)
              |    // sum(n) AS BIGINT) AS oov_permille
              |FROM cb LEFT JOIN va ON cb.word = va.word
-             |GROUP BY 1 ORDER BY 1""".stripMargin))
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // END-TO-END TRAINING-DATA MANIFEST — the full pretraining
+    // data-prep chain as ONE query, every stage the registered
+    // operator itself: quality gate (t5's rule) → exact dedup over the
+    // gated pool (d1) → eval holdout + d8 4-gram decontamination
+    // (broadcast eval grams, train side scan-filtered) → per-source
+    // weighted budget sampling (t45's bounded TopKAgg state) →
+    // per-source manifest (pool size, selected docs, token/char mass).
+    // The "switch your whole pipeline to this engine" flagship one
+    // step beyond t5: t5 stops at corpus stats, this emits the actual
+    // training-mix manifest a run would consume. Scale shape: narrow
+    // gates, one content-hash dedup shuffle, one broadcast gram join,
+    // O(k) per-source sampler state, dimension-sized output — no stage
+    // materializes the corpus twice (the pool is staged once, the
+    // production analog of writing the cleaned pool to parquet).
+    "t47_training_manifest" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        import graft.functions.{KMinAgg, ScoredId, TopKAgg}
+        graft.functions.VectorExpressions.register(s)
+        val docs = table(s, dir, "documents")
+        val pooled = Staged.cached(s, s"t47pool:$dir") {
+          val gated = docs.filter(TextOps.qualityPass(col("text"), col("n_chars")))
+          val surv = graft.operators.Dedup.exactSurvivors(gated, "text", "doc_id")
+          val contaminated = graft.operators.Dedup.contaminationReport(
+            docs, "doc_id", "text", 4, id => id % 50 === 0).select("doc_id")
+          gated.join(surv, "doc_id")
+            .filter(col("doc_id") % 50 =!= 0)
+            .join(contaminated, Seq("doc_id"), "left_anti")
+            .select(col("source"), col("doc_id"))
+        }
+        val kMax = 15
+        val picked = pooled
+          .select(col("source"), col("doc_id"),
+            KMinAgg.scramble(call_function("poly_hash",
+              col("doc_id").cast("string"))).as("h"))
+          .as[(String, Long, Long)]
+          .groupByKey(_._1)
+          .mapValues { case (_, id, h) => ScoredId(id, -h.toDouble) }
+          .agg(new TopKAgg(kMax).toColumn.name("picked"))
+          .flatMap { case (src, p) =>
+            val budget = 5 * (1 + src.stripPrefix("src").toInt % 3)
+            p.sortBy(x => (-x.score, x.id)).take(budget).map(x => (src, x.id))
+          }.toDF("source", "doc_id")
+        val poolN = pooled.groupBy("source").agg(count(lit(1)).as("n_pool"))
+        picked.join(docs.select("doc_id", "text", "n_chars"), "doc_id")
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_selected"),
+            sum(TextOps.tokenCount(col("text"))).as("sel_tokens"),
+            sum(col("n_chars").cast("long")).as("sel_chars"))
+          .join(poolN, "source")
+          .select("source", "n_pool", "n_selected", "sel_tokens", "sel_chars")
+          .orderBy("source")
+      },
+      Some(s"""WITH t AS (
+             |  SELECT doc_id, source, n_chars, text,
+             |    string_split(text, ' ') AS w FROM documents),
+             |q AS (SELECT * FROM t
+             |  WHERE n_chars >= 100 AND n_chars <= 20000 AND len(w) >= 20
+             |    AND floor(1000.0 * len(list_filter(w, x -> x IN
+             |      ('the','a','of','and','to','in','is','it'))) / len(w)) >= 10),
+             |surv AS (SELECT min(doc_id) AS doc_id FROM q GROUP BY text),
+             |${QueryDef.shingleCtes(4)},
+             |ev AS (SELECT DISTINCT s FROM sh WHERE doc_id % 50 = 0),
+             |contam AS (SELECT DISTINCT sh.doc_id FROM sh JOIN ev USING (s)
+             |  WHERE sh.doc_id % 50 <> 0),
+             |pool AS (
+             |  SELECT q.source, q.doc_id FROM q JOIN surv USING (doc_id)
+             |  WHERE q.doc_id % 50 <> 0
+             |    AND q.doc_id NOT IN (SELECT doc_id FROM contam)),
+             |${QueryDef.scrambledHashCtes(
+                 "(SELECT source, doc_id, CAST(doc_id AS VARCHAR) AS rk FROM pool)",
+                 Seq("source", "doc_id"), "rk")},
+             |r AS (SELECT source, doc_id, row_number() OVER
+             |    (PARTITION BY source ORDER BY hv, doc_id) AS rank FROM h),
+             |sel AS (SELECT source, doc_id FROM r
+             |  WHERE rank <= 5 * (1 + CAST(substr(source, 4) AS INTEGER) % 3)),
+             |pn AS (SELECT source, count(*) AS n_pool FROM pool GROUP BY 1)
+             |SELECT sel.source, pn.n_pool, count(*) AS n_selected,
+             |  CAST(sum(len(d.w)) AS BIGINT) AS sel_tokens,
+             |  CAST(sum(d.n_chars) AS BIGINT) AS sel_chars
+             |FROM sel JOIN t d USING (doc_id) JOIN pn ON pn.source = sel.source
+             |GROUP BY 1, 2 ORDER BY 1""".stripMargin))
   )
 }
