@@ -563,6 +563,31 @@ object DcaQueries {
       },
       Some(baseCte + """
           |SELECT rn AS __idx0, l_orderkey, l_linenumber, qty_c * 9 AS qty_c
-          |FROM base WHERE rn < 2000 ORDER BY 1""".stripMargin))
+          |FROM base WHERE rn < 2000 ORDER BY 1""".stripMargin)),
+
+    // C7: list→tensor ingest — a frame constructed from DRIVER-LOCAL
+    // rows (the reference's list/np ingestion, `array_dataclass.py`
+    // construction path): scalar + array field from a Seq, reshaped to
+    // 2-D; the oracle regenerates the identical rows from range()
+    // arithmetic, so the ingest (row order, index density, array
+    // element layout, reshape factorization) is value-checked without
+    // any parquet input.
+    "dca_c7_fromlocal" -> QueryDef(
+      (s, dir) => {
+        import org.apache.spark.sql.Row
+        import org.apache.spark.sql.types._
+        val rows = (0 until 48).map(i =>
+          Row(i.toLong * i, Seq(i.toLong, i.toLong + 1, i.toLong + 2)))
+        val schema = StructType(Seq(StructField("v", LongType),
+          StructField("arr", ArrayType(LongType))))
+        val f = DcaFrame.fromLocal(s, rows, schema).reshape(4, -1)
+        out(f).select(col("__idx0"), col("__idx1"), col("v"),
+          element_at(col("arr"), 1).as("a0"),
+          element_at(col("arr"), 3).as("a2"))
+      },
+      Some("""SELECT i // 12 AS __idx0, i % 12 AS __idx1,
+             |  CAST(i * i AS BIGINT) AS v, CAST(i AS BIGINT) AS a0,
+             |  CAST(i + 2 AS BIGINT) AS a2
+             |FROM range(0, 48) t(i) ORDER BY 1, 2""".stripMargin))
   )
 }
