@@ -17,7 +17,8 @@ final case class DcaField(
     dtype: DataType,
     inner: Vector[Dim] = Vector.empty,
     nested: Option[DcaSchema] = None,
-    unsignedBits: Option[Int] = None) {
+    unsignedBits: Option[Int] = None,
+    float16: Boolean = false) {
 
   /** Spark column type: inner dims wrap the scalar dtype in ArrayType. */
   def sparkType: DataType = {
@@ -31,10 +32,12 @@ final case class DcaField(
     * writer/reader can round-trip the logical type).
     */
   def structField: StructField = {
-    val m = unsignedBits.map(b => new MetadataBuilder()
-        .putBoolean("unsigned", true).putLong("unsignedBits", b).build())
-      .getOrElse(Metadata.empty)
-    StructField(name, sparkType, nullable = true, m)
+    val mb = new MetadataBuilder()
+    unsignedBits.foreach { b =>
+      mb.putBoolean("unsigned", true).putLong("unsignedBits", b)
+    }
+    if (float16) mb.putBoolean("float16", true)
+    StructField(name, sparkType, nullable = true, mb.build())
   }
 
   /** Validation predicate for fixed inner dims, recursing into nested
@@ -320,6 +323,17 @@ object DcaSchema {
     case b => throw new IllegalArgumentException(
       s"complex$b: only complex64/complex128 exist (typing.py:29-51)")
   }
+
+  /** f16 (reference typing.py:29-51): no Spark half-float — stored
+    * WIDENED as FloatType with a `float16` metadata tag (SURVEY §1.2),
+    * the same widen-plus-tag story as the unsigned ints. Every f32 is
+    * exact, so no range check is needed; a writer honoring the tag can
+    * downcast on serialization.
+    */
+  def float16Field(name: String): DcaField =
+    DcaField(name, FloatType, float16 = true)
+  def float16Field(name: String, shapeStr: String): DcaField =
+    DcaField(name, FloatType, ShapeParser.innerShape(shapeStr), float16 = true)
 
   /** ui8/ui16/ui32/ui64 (reference typing.py:32): stored WIDENED in
     * the next signed Spark type (JVM/Spark have no unsigned scalars),

@@ -498,6 +498,13 @@ class DcaSchemaSpec extends SparkTestBase {
     assert(d64.conform(edge.limit(1)).count() == 1)
     intercept[Exception](d64.conform(edge).collect())
     intercept[IllegalArgumentException](DcaSchema.unsignedField("x", 24))
+    // f16: widened to FloatType with the float16 tag (every f32 exact,
+    // no range check); double input narrows via castDtype like any f32
+    val h = DcaSchema(Vector(DcaSchema.float16Field("x")))
+    assert(h.structType("x").dataType == FloatType &&
+      h.structType("x").metadata.getBoolean("float16"))
+    assert(h.conform(Seq(1.5, -2.25).toDF("x")).collect()
+      .map(_.getFloat(0)).toSeq == Seq(1.5f, -2.25f))
   }
 
   test("named inner dims must resolve consistently per row (dynamic-shape conflicts)") {
