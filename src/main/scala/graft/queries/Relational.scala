@@ -1825,6 +1825,35 @@ object Relational {
              |  CAST(sum(price_c) AS BIGINT) AS total_c
              |FROM final GROUP BY 1 HAVING count(*) > 0 ORDER BY 1""".stripMargin)),
 
+    // ---- dynamic partition pruning (DPP) ----------------------------
+    // The partitioned-fact-table join every warehouse runs: the fact
+    // side is hive-partitioned on the join key (Staged.partitionedOrders
+    // — at 100 TB this is the date/category layout), the dim side is a
+    // tiny parquet filtered on an attribute whose qualifying keys are
+    // NOT knowable at plan time — so static pruning is impossible and
+    // Spark must inject a runtime dynamicpruning subquery that reads
+    // the broadcast dim ONCE and opens only matching fact partitions
+    // (3 of 5 here; plan-asserted in PlanShapeSpec). Without DPP this
+    // scans the full fact table; with it, scan volume ∝ selected
+    // partitions — THE reason to co-design partition layout with join
+    // keys at scale.
+    "q84_dpp_join" -> QueryDef(
+      (s, dir) => {
+        val (factPath, dimPath) = Staged.partitionedOrders(s, dir)
+        val fact = s.read.parquet(factPath)
+        val dim = s.read.parquet(dimPath).filter(col("cls") === "hot")
+        fact.join(dim, fact("o_orderpriority") === dim("pri"))
+          .groupBy("pri")
+          .agg(count(lit(1)).as("n"), sum(cents(col("o_totalprice"))).as("total_c"))
+          .orderBy("pri")
+      },
+      Some("""SELECT o_orderpriority AS pri, count(*) AS n,
+             |  CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT)
+             |    AS total_c
+             |FROM orders
+             |WHERE o_orderpriority LIKE '1-%' OR o_orderpriority LIKE '2-%'
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // ---- bitemporal point-in-time reconstruction --------------------
     // Two time axes (Snodgrass/SQL:2011 shape): VALID time = the order
     // date (when the attribute held in the world), TRANSACTION time =

@@ -249,6 +249,29 @@ object Staged {
       path
     }).asInstanceOf[String]
 
+  /** orders written ONCE per (session, dir) PARTITIONED BY
+    * o_orderpriority (hive-style dirs) + a 5-row (pri, cls) dimension
+    * parquet — the q84 dynamic-partition-pruning fixture: at 100 TB
+    * the fact table is date/category-partitioned exactly like this,
+    * and a dim-side filter must prune fact PARTITIONS at runtime (the
+    * dim rows aren't knowable at plan time). Disk-backed, nothing to
+    * unpersist.
+    */
+  def partitionedOrders(s: SparkSession, dir: String): (String, String) =
+    cacheFor(s).getOrElseUpdate(s"partord:$dir", {
+      val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val factPath = s"target/orders_part_$tag"
+      val dimPath = s"target/orders_pridim_$tag"
+      table(s, dir, "orders")
+        .write.mode("overwrite").partitionBy("o_orderpriority").parquet(factPath)
+      table(s, dir, "orders").select(col("o_orderpriority").as("pri")).distinct()
+        .withColumn("cls",
+          when(col("pri").startsWith("1-") || col("pri").startsWith("2-"),
+            lit("hot")).otherwise(lit("cold")))
+        .write.mode("overwrite").parquet(dimPath)
+      (factPath, dimPath)
+    }).asInstanceOf[(String, String)]
+
   def bucketedLiOrd(s: SparkSession, dir: String): (DataFrame, DataFrame) =
     cacheFor(s).getOrElseUpdate(s"bkt:$dir", {
       val tag = dir.replaceAll("[^A-Za-z0-9]", "_")

@@ -94,6 +94,15 @@ class PlanShapeSpec extends SparkTestBase {
     assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1, plan.take(800))
   }
 
+  test("q84 plans a runtime dynamicpruning subquery on the fact scan") {
+    // the 100-TB property: the partition filter must be RUNTIME-driven
+    // (dim rows aren't knowable at plan time) — a plan without
+    // dynamicpruning scans every fact partition
+    val df = graft.SparkEntry.queries("q84_dpp_join")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString()
+    assert(plan.contains("dynamicpruning"), plan.take(1200))
+  }
+
   test("q23b: the bounded-domain assumption behind its global window HOLDS") {
     // q23b's cumulative window runs over DISTINCT s_acctbal values with
     // no partitionBy — safe only while that domain stays
