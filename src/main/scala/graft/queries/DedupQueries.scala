@@ -455,6 +455,47 @@ object DedupQueries {
              |FROM verts v LEFT JOIN reach r ON r.a = v.id
              |GROUP BY v.id ORDER BY 1""".stripMargin)),
 
+    // Dedup ROI report — the number a platform team takes to planning:
+    // per near-dup cluster, the char mass REMOVED if only the
+    // representative is kept, rolled up by cluster size (how much of
+    // the saving sits in pairs vs deep families). Composes the staged
+    // d6 labeling with one dimension join (labels are (id, rep) pairs;
+    // doc payloads join once, never move through the closure) and two
+    // dimension-sized aggs. Oracle: the d6 recursive-CTE closure +
+    // the same rollup, so the ROI arithmetic is checked end to end.
+    "d27_dedup_roi" -> QueryDef(
+      (s, dir) => {
+        val labels = Staged.docDupComponents(s, dir)
+        val sizes = table(s, dir, "documents")
+          .select(col("doc_id").as("id"), col("n_chars"))
+        labels.join(sizes, "id")
+          .groupBy("rep")
+          .agg(count(lit(1)).as("csize"), sum("n_chars").as("bytes"),
+            sum(when(col("id") === col("rep"), col("n_chars")).otherwise(0L))
+              .as("kept"))
+          .groupBy("csize")
+          .agg(count(lit(1)).as("n_clusters"),
+            sum(expr("bytes - kept")).as("savings_chars"))
+          .orderBy("csize")
+      },
+      Some(s"""WITH RECURSIVE ${QueryDef.shingleCtes()},
+             |${QueryDef.jaccardPairCtes(2, 5)},
+             |edges AS (SELECT da AS src, db AS dst FROM qp
+             |          UNION SELECT db, da FROM qp),
+             |reach(a, b) AS (
+             |  SELECT src, dst FROM edges
+             |  UNION
+             |  SELECT r.a, e.dst FROM reach r JOIN edges e ON e.src = r.b),
+             |verts AS (SELECT DISTINCT src AS id FROM edges),
+             |lab AS (SELECT v.id, least(v.id, min(r.b)) AS rep
+             |  FROM verts v LEFT JOIN reach r ON r.a = v.id GROUP BY v.id),
+             |cl AS (SELECT l.rep, count(*) AS csize, sum(d.n_chars) AS bytes,
+             |    sum(CASE WHEN l.id = l.rep THEN d.n_chars ELSE 0 END) AS kept
+             |  FROM lab l JOIN documents d ON d.doc_id = l.id GROUP BY 1)
+             |SELECT CAST(csize AS BIGINT) AS csize, count(*) AS n_clusters,
+             |  CAST(sum(bytes - kept) AS BIGINT) AS savings_chars
+             |FROM cl GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // The SAME clustering through the star-contraction path (Kiveris
     // et al. SOCC'14): alternating large/small-star rounds, count
     // logarithmic in component size — the fallback for adversarially

@@ -453,6 +453,67 @@ object EventStream {
       }
   }
 
+  final case class SampleDoc(source: String, docId: Long)
+  final case class SamplerState(picked: Seq[(Long, Long)], nSeen: Long)
+  final case class SampleRow(source: String, rank: Long, docId: Long,
+                             nSeen: Long)
+
+  /** JVM replica of the t45 sampler's hash chain — poly_hash (base-31
+    * rolling hash of the decimal id string, mod 1e9+7) followed by
+    * KMinAgg.scramble's multiply/xor-shift rounds. Must stay
+    * BIT-IDENTICAL to the Column path (EventStreamSpec pins equality
+    * against the SQL chain), so the streaming sample converges to the
+    * exact batch selection. All intermediates < 2^46: no overflow.
+    */
+  private[graft] def sampleHash(id: Long): Long = {
+    val p = 1000000007L
+    var h = 0L
+    id.toString.foreach(c => h = (h * 31 + c.toLong) % p)
+    var x = (h * 2654435761L) % p
+    x = x ^ (x >>> 15)
+    x = (x * 48271L) % p
+    x ^ (x >>> 13)
+  }
+
+  /** Streaming twin of the t45 consistent mixture sampler: per-source
+    * bottom-k-by-scrambled-hash selection maintained LIVE in keyed
+    * state — the training-mix manifest that stays current as a crawl
+    * streams in. The fold is a set-min over a bounded ordered buffer:
+    * commutative and idempotent, so arrival order, batching, and
+    * replays can never change the converged selection (same argument
+    * as [[streamingCompaction]]; spec-pinned against the batch
+    * DataFrame chain). State per source is <= kMax (hash, id) pairs —
+    * constant memory however large the corpus grows. Update mode:
+    * each micro-batch re-emits the CURRENT selection (with ranks) of
+    * every source it touched.
+    */
+  def streamingMixtureSample(spark: SparkSession, docs: Dataset[SampleDoc],
+                             budget: String => Int, kMax: Int = 15)
+      : Dataset[SampleRow] = {
+    import spark.implicits._
+    docs.groupByKey(_.source)
+      .flatMapGroupsWithState[SamplerState, SampleRow](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (src: String, rows: Iterator[SampleDoc], state: GroupState[SamplerState]) =>
+          val st0 = state.getOption.getOrElse(SamplerState(Nil, 0L))
+          var cur = st0.picked
+          var seen = st0.nSeen
+          rows.foreach { d =>
+            seen += 1
+            val e = (sampleHash(d.docId), d.docId)
+            if (!cur.contains(e))
+              cur = (e +: cur).sorted.take(kMax)
+          }
+          state.update(SamplerState(cur, seen))
+          // nSeen rides along as the emission's MONOTONE version marker:
+          // a consumer (or test) keeps the max-nSeen row per (source,
+          // rank) and has the converged selection regardless of sink
+          // ordering — the same role nVersions plays for the CDC twin
+          cur.take(math.min(budget(src), kMax)).zipWithIndex.iterator
+            .map { case ((_, id), i) => SampleRow(src, i + 1L, id, seen) }
+      }
+  }
+
   final case class RateEvent(eventType: String, tsUs: Long)
   final case class RateState(pending: Map[Long, Long], history: Seq[(Long, Long)])
   final case class RateAnomaly(eventType: String, hr: Long, n: Long,

@@ -415,6 +415,46 @@ class EventStreamSpec extends SparkTestBase {
     assert(batch.exists(r => r.userId == 2L && r.deleted && r.nVersions == 3L))
   }
 
+  test("streaming mixture sample converges to the batch selection, any arrival order") {
+    implicit val sqlCtx = spark.sqlContext
+    import EventStream.{SampleDoc, SampleRow}
+    import org.apache.spark.sql.functions._
+    graft.functions.VectorExpressions.register(spark)
+    val docs = (1L to 40L).map(i => SampleDoc(s"src${i % 3}", i * 7 + 1))
+    val budget = (src: String) => 3 + src.stripPrefix("src").toInt // 3..5
+    // batch expectation through the SQL chain t45 uses — also pins the
+    // JVM sampleHash replica bit-identical to poly_hash + scramble
+    val expected = docs.toDF("source", "docId")
+      .select(col("source"), col("docId"),
+        graft.functions.KMinAgg.scramble(call_function("poly_hash",
+          col("docId").cast("string"))).as("h"))
+      .as[(String, Long, Long)].collect()
+      .groupBy(_._1).flatMap { case (src, rs) =>
+        rs.sortBy(r => (r._3, r._2)).take(budget(src)).zipWithIndex
+          .map { case (r, i) => SampleRow(src, i + 1L, r._2, rs.size.toLong) }
+          .toSeq
+      }.toSet
+    def run(name: String, batches: Seq[Seq[SampleDoc]]): Set[SampleRow] = {
+      val input = MemoryStream[SampleDoc]
+      val q = EventStream.streamingMixtureSample(spark, input.toDS(), budget)
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Update).start()
+      try {
+        batches.foreach { b => input.addData(b: _*); q.processAllAvailable() }
+        // Update mode re-emits per touched source; nSeen is the
+        // monotone version marker, so max-nSeen per (source, rank) is
+        // the converged selection regardless of sink row order
+        spark.table(name).as[SampleRow].collect()
+          .groupBy(r => (r.source, r.rank))
+          .map(_._2.maxBy(_.nSeen)).toSet
+      } finally q.stop()
+    }
+    val a = run("mix_a", Seq(docs.take(25), docs.drop(25)))
+    assert(a == expected, s"stream/batch drift: $a vs $expected")
+    val b = run("mix_b", Seq(docs.reverse.take(10), docs.reverse.drop(10)))
+    assert(b == expected, s"arrival-order drift: $b vs $expected")
+  }
+
   test("streaming dedup state survives a checkpoint restart") {
     // the production fault-tolerance property: stop the query, restart
     // from the same checkpoint, and a duplicate id arriving AFTER the
