@@ -1854,6 +1854,43 @@ object Relational {
              |WHERE o_orderpriority LIKE '1-%' OR o_orderpriority LIKE '2-%'
              |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // ---- schema evolution across ingest generations -----------------
+    // The 100-TB ingest reality: files written before a producer
+    // upgrade lack the new column. Generation 1 writes orders WITHOUT
+    // the priority column (pre-cutoff), generation 2 WITH it; a
+    // mergeSchema read (GraftIO.readParquetEvolving — explicit opt-in,
+    // it costs a footer pass per file) surfaces the old rows with NULL
+    // priority, and the aggregate must treat the generations
+    // uniformly. Oracle replays the generation rule directly (NULL
+    // priority for pre-cutoff rows).
+    "q86_schema_evolution" -> QueryDef(
+      (s, dir) => {
+        val cutoff = "1996-01-01"
+        val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+        val path = Staged.cachedPath(s, s"evo:$dir") {
+          val p = s"target/orders_evo_$tag"
+          val orders = table(s, dir, "orders")
+          orders.filter(col("o_orderdate") < lit(cutoff))
+            .select(col("o_orderkey"), cents(col("o_totalprice")).as("price_c"))
+            .write.mode("overwrite").parquet(s"$p/gen=1")
+          orders.filter(col("o_orderdate") >= lit(cutoff))
+            .select(col("o_orderkey"), cents(col("o_totalprice")).as("price_c"),
+              col("o_orderpriority").as("pri"))
+            .write.mode("overwrite").parquet(s"$p/gen=2")
+          p
+        }
+        graft.sources.GraftIO.readParquetEvolving(s, path)
+          .groupBy(coalesce(col("pri"), lit("<pre-upgrade>")).as("pri"))
+          .agg(count(lit(1)).as("n"), sum("price_c").as("total_c"))
+          .orderBy("pri")
+      },
+      Some("""SELECT coalesce(CASE WHEN o_orderdate >= DATE '1996-01-01'
+             |    THEN o_orderpriority END, '<pre-upgrade>') AS pri,
+             |  count(*) AS n,
+             |  CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT)
+             |    AS total_c
+             |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // ---- bitemporal point-in-time reconstruction --------------------
     // Two time axes (Snodgrass/SQL:2011 shape): VALID time = the order
     // date (when the attribute held in the world), TRANSACTION time =

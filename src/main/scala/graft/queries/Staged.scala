@@ -119,6 +119,14 @@ object Staged {
     cacheFor(s).getOrElseUpdate(key,
       build.persist(StorageLevel.MEMORY_AND_DISK)).asInstanceOf[DataFrame]
 
+  /** Memoized disk-artifact path: the builder writes its files once
+    * per (session, key) and returns the path; later calls reuse the
+    * on-disk artifact (nothing to unpersist — the next session
+    * overwrites).
+    */
+  def cachedPath(s: SparkSession, key: String)(build: => String): String =
+    cacheFor(s).getOrElseUpdate(key, build).asInstanceOf[String]
+
   /** Memoizer for operator results that arrive ALREADY persisted /
     * checkpoint-leafed under a caller-owns-release contract (e.g.
     * [[graft.operators.Dedup.connectedComponents]]): memoized WITHOUT
