@@ -22,6 +22,46 @@ class SkewJoinSpec extends SparkTestBase {
       .select("k", "payload", "v").as[(Long, Int, String)].collect().sorted.toSeq
     assert(salted == plain && plain.size == 501)
   }
+
+  test("AQE splits a skewed sort-merge join partition at runtime") {
+    // the automatic complement of the manual salted join: on a hot-key
+    // shuffle, AQE's OptimizeSkewedJoin must split the oversized
+    // partition into parallel subtasks (visible as a `skewed` AQE
+    // shuffle read in the FINAL adaptive plan — only known after
+    // execution). Thresholds are lowered so a local fixture trips the
+    // same machinery a 100-TB hot key would.
+    import org.apache.spark.sql.functions._
+    val keys = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+    val saved = keys.map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "32KB")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32KB")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      val left = spark.range(0, 300000)
+        .select(when(col("id") < 280000, lit(1L)).otherwise(col("id")).as("k"),
+          concat(lit("payload-"), col("id")).as("p"))
+      val right = spark.range(0, 2000).select(col("id").as("k"),
+        lit("dim").as("v"))
+      val joined = left.join(right, "k")
+      // execute THIS QueryExecution (count() would plan a fresh one and
+      // the adaptive plan would never finalize); hot rows (k=1) all
+      // match, tail keys exceed the dim's range, so matches = hot only
+      assert(joined.collect().length == 280000)
+      val finalPlan = joined.queryExecution.executedPlan.toString()
+      assert(finalPlan.contains("skewed"),
+        s"AQE did not mark/split the skewed partition:\n${finalPlan.take(1500)}")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }
 
 /** Plan-shape regression guards for the sketch/sampling queries: the
