@@ -1854,6 +1854,37 @@ object Relational {
              |WHERE o_orderpriority LIKE '1-%' OR o_orderpriority LIKE '2-%'
              |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // ---- LATERAL correlated subquery in FROM ------------------------
+    // The third correlated-subquery surface beside q25 (scalar in
+    // WHERE) and q58 (EXISTS): a LATERAL derived table per outer row —
+    // each customer's order count and priciest order in one FROM-clause
+    // correlation. Catalyst DECORRELATES it to an aggregate + join
+    // (plan has no per-row subquery execution — the property that makes
+    // the surface usable at 100 TB; same rewrite class DuckDB applies).
+    // Top-level customers only (c_custkey <= 200) to keep output
+    // dimension-sized.
+    "q87_lateral" -> QueryDef(
+      (s, dir) => {
+        table(s, dir, "customer").createOrReplaceTempView("graft_q87_cust")
+        table(s, dir, "orders").createOrReplaceTempView("graft_q87_ord")
+        s.sql("""SELECT c.c_custkey, l.n_orders, l.max_price_c
+                |FROM graft_q87_cust c,
+                |LATERAL (
+                |  SELECT count(*) AS n_orders,
+                |    CAST(round(max(o_totalprice) * 100) AS BIGINT) AS max_price_c
+                |  FROM graft_q87_ord o WHERE o.o_custkey = c.c_custkey) l
+                |WHERE c.c_custkey <= 200 AND l.n_orders > 0
+                |ORDER BY c.c_custkey""".stripMargin)
+      },
+      Some("""SELECT c.c_custkey, l.n_orders, l.max_price_c
+             |FROM customer c,
+             |LATERAL (
+             |  SELECT count(*) AS n_orders,
+             |    CAST(round(max(o_totalprice) * 100) AS BIGINT) AS max_price_c
+             |  FROM orders o WHERE o.o_custkey = c.c_custkey) l
+             |WHERE c.c_custkey <= 200 AND l.n_orders > 0
+             |ORDER BY c.c_custkey""".stripMargin)),
+
     // ---- schema evolution across ingest generations -----------------
     // The 100-TB ingest reality: files written before a producer
     // upgrade lack the new column. Generation 1 writes orders WITHOUT
