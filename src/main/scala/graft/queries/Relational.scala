@@ -1976,7 +1976,168 @@ object Relational {
              |  a1.attr AS attr_then, a2.attr AS attr_now
              |FROM a1 FULL OUTER JOIN a2 ON a1.o_custkey = a2.o_custkey
              |WHERE a1.attr IS DISTINCT FROM a2.attr
-             |ORDER BY 1""".stripMargin))
+             |ORDER BY 1""".stripMargin)),
+
+    // ---- TPC-H Q5 shape: 6-way star join, revenue by nation ---------
+    // The canonical fact×fact×4-dims plan: lineitem⋈orders⋈customer are
+    // the shuffle joins (AQE picks the build sides), supplier joins on
+    // BOTH l_suppkey and the c_nationkey = s_nationkey locality
+    // condition, nation/region are explicit broadcasts. At 100 TB the
+    // only full-size exchanges are the two fact keys; the date filter
+    // reaches the orders scan (pushed predicate prunes row groups).
+    "q88_regional_revenue" -> QueryDef(
+      (s, dir) => {
+        val li = table(s, dir, "lineitem")
+        val o = table(s, dir, "orders")
+          .filter(col("o_orderdate") >= lit("1996-01-01") &&
+            col("o_orderdate") < lit("1997-01-01"))
+        val c = table(s, dir, "customer")
+        val su = table(s, dir, "supplier")
+        val n = table(s, dir, "nation")
+        val r = table(s, dir, "region")
+        li.join(o, li("l_orderkey") === o("o_orderkey"))
+          .join(c, o("o_custkey") === c("c_custkey"))
+          .join(su, li("l_suppkey") === su("s_suppkey") &&
+            c("c_nationkey") === su("s_nationkey"))
+          .join(broadcast(n), su("s_nationkey") === n("n_nationkey"))
+          .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+          .filter(r("r_name") === "ASIA")
+          .groupBy(n("n_name"))
+          .agg(sum(round(li("l_extendedprice") * (lit(1) - li("l_discount")) * 100)
+              .cast("long")).as("revenue_c"),
+            count(lit(1)).as("n_items"))
+          .orderBy(desc("revenue_c"), asc("n_name"))
+      },
+      Some("""SELECT n_name,
+             |  CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+             |    AS BIGINT)) AS BIGINT) AS revenue_c,
+             |  count(*) AS n_items
+             |FROM lineitem
+             |JOIN orders ON l_orderkey = o_orderkey
+             |JOIN customer ON o_custkey = c_custkey
+             |JOIN supplier ON l_suppkey = s_suppkey
+             |  AND c_nationkey = s_nationkey
+             |JOIN nation ON s_nationkey = n_nationkey
+             |JOIN region ON n_regionkey = r_regionkey
+             |WHERE r_name = 'ASIA'
+             |  AND o_orderdate >= DATE '1996-01-01'
+             |  AND o_orderdate < DATE '1997-01-01'
+             |GROUP BY 1 ORDER BY revenue_c DESC, n_name""".stripMargin)),
+
+    // ---- TPC-H Q8 shape: market share by order year -----------------
+    // Conditional aggregation over the joined facts: one pass computes
+    // total revenue AND the NATION_7-supplied slice per year; the share
+    // is exact integer permille (DIV truncates identically on both
+    // engines — see DedupQueries' division convention note).
+    "q89_market_share" -> QueryDef(
+      (s, dir) => {
+        val li = table(s, dir, "lineitem")
+        val o = table(s, dir, "orders")
+        val c = table(s, dir, "customer")
+        val su = table(s, dir, "supplier")
+        val cn = table(s, dir, "nation")
+        val sn = table(s, dir, "nation")
+          .select(col("n_nationkey").as("sn_key"), col("n_name").as("sn_name"))
+        val r = table(s, dir, "region")
+        val rev = round(li("l_extendedprice") * (lit(1) - li("l_discount")) * 100)
+          .cast("long")
+        li.join(o, li("l_orderkey") === o("o_orderkey"))
+          .join(c, o("o_custkey") === c("c_custkey"))
+          .join(broadcast(cn), c("c_nationkey") === cn("n_nationkey"))
+          .join(broadcast(r), cn("n_regionkey") === r("r_regionkey"))
+          .join(su, li("l_suppkey") === su("s_suppkey"))
+          .join(broadcast(sn), su("s_nationkey") === col("sn_key"))
+          .filter(r("r_name") === "EUROPE")
+          .groupBy(year(o("o_orderdate")).cast("long").as("yr"))
+          .agg(sum(when(col("sn_name") === "NATION_7", rev).otherwise(0L)).as("nat_c"),
+            sum(rev).as("total_c"))
+          .withColumn("share_pm", expr("1000 * nat_c DIV total_c"))
+          .select("yr", "nat_c", "total_c", "share_pm")
+          .orderBy("yr")
+      },
+      Some("""SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+             |  CAST(sum(CASE WHEN sn.n_name = 'NATION_7'
+             |    THEN CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+             |    ELSE 0 END) AS BIGINT) AS nat_c,
+             |  CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+             |    AS BIGINT)) AS BIGINT) AS total_c,
+             |  (1000 * CAST(sum(CASE WHEN sn.n_name = 'NATION_7'
+             |    THEN CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+             |    ELSE 0 END) AS BIGINT))
+             |    // CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+             |      AS BIGINT)) AS BIGINT) AS share_pm
+             |FROM lineitem
+             |JOIN orders ON l_orderkey = o_orderkey
+             |JOIN customer ON o_custkey = c_custkey
+             |JOIN nation cn ON c_nationkey = cn.n_nationkey
+             |JOIN region ON cn.n_regionkey = r_regionkey
+             |JOIN supplier ON l_suppkey = s_suppkey
+             |JOIN nation sn ON s_nationkey = sn.n_nationkey
+             |WHERE r_name = 'EUROPE'
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ---- TPC-H Q15 shape: argmax via scalar subquery ----------------
+    // Quarterly revenue per supplier, keep the supplier(s) at the max:
+    // the scalar subquery over the SAME aggregate is planned once and
+    // reused (Spark materializes the subquery result as a 1-row
+    // broadcast; the CTE is not re-scanned per row).
+    "q90_top_supplier" -> QueryDef(
+      (s, dir) => {
+        table(s, dir, "lineitem").createOrReplaceTempView("graft_q90_li")
+        table(s, dir, "supplier").createOrReplaceTempView("graft_q90_su")
+        s.sql("""WITH rev AS (
+                |  SELECT l_suppkey,
+                |    CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                |      AS BIGINT)) AS BIGINT) AS total_c
+                |  FROM graft_q90_li
+                |  WHERE l_shipdate >= DATE '1996-01-01'
+                |    AND l_shipdate < DATE '1996-04-01'
+                |  GROUP BY 1)
+                |SELECT s_suppkey, s_name, total_c
+                |FROM graft_q90_su JOIN rev ON s_suppkey = l_suppkey
+                |WHERE total_c = (SELECT max(total_c) FROM rev)
+                |ORDER BY s_suppkey""".stripMargin)
+      },
+      Some("""WITH rev AS (
+             |  SELECT l_suppkey,
+             |    CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+             |      AS BIGINT)) AS BIGINT) AS total_c
+             |  FROM lineitem
+             |  WHERE l_shipdate >= DATE '1996-01-01'
+             |    AND l_shipdate < DATE '1996-04-01'
+             |  GROUP BY 1)
+             |SELECT s_suppkey, s_name, total_c
+             |FROM supplier JOIN rev ON s_suppkey = l_suppkey
+             |WHERE total_c = (SELECT max(total_c) FROM rev)
+             |ORDER BY s_suppkey""".stripMargin)),
+
+    // ---- NOT IN (subquery) with a nullable inner key ----------------
+    // The three-valued-logic trap: `k NOT IN (set)` is NULL (not TRUE)
+    // whenever the inner set contains a NULL, so the planner cannot use
+    // a plain anti join — Spark plans a NULL-aware anti join (NAAJ:
+    // broadcast hash with the null-check fallback). nullif keeps the
+    // inner key STATICALLY nullable while holding the data null-free,
+    // so the query exercises the NAAJ plan with a non-degenerate
+    // result. PlanShapeSpec pins the NAAJ operator.
+    "q91_not_in_nulls" -> QueryDef(
+      (s, dir) => {
+        table(s, dir, "customer").createOrReplaceTempView("graft_q91_cust")
+        table(s, dir, "orders").createOrReplaceTempView("graft_q91_ord")
+        s.sql("""SELECT c_custkey, c_name
+                |FROM graft_q91_cust
+                |WHERE c_custkey <= 500
+                |  AND c_custkey NOT IN (
+                |    SELECT nullif(o_custkey, -1) FROM graft_q91_ord
+                |    WHERE o_orderstatus = 'F')
+                |ORDER BY c_custkey""".stripMargin)
+      },
+      Some("""SELECT c_custkey, c_name
+             |FROM customer
+             |WHERE c_custkey <= 500
+             |  AND c_custkey NOT IN (
+             |    SELECT nullif(o_custkey, -1) FROM orders
+             |    WHERE o_orderstatus = 'F')
+             |ORDER BY c_custkey""".stripMargin))
   )
 
   /** events with `ts` normalized to raw epoch-nanos LongType, whatever

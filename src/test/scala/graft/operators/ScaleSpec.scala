@@ -143,6 +143,28 @@ class PlanShapeSpec extends SparkTestBase {
     assert(plan.contains("dynamicpruning"), plan.take(1200))
   }
 
+  test("q91 NOT IN (nullable subquery) plans the null-aware anti join") {
+    // three-valued logic makes a plain LeftAnti WRONG here; Spark's
+    // NAAJ (BroadcastHashJoin with the null-aware flag) is the only
+    // hash-based plan — losing it means a BNLJ over the fact table
+    val df = graft.SparkEntry.queries("q91_not_in_nulls")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString()
+    // BroadcastHashJoinExec prints isNullAwareAntiJoin as the trailing
+    // `true` after the build side
+    assert("BroadcastHashJoin .*LeftAnti, BuildRight, true".r
+      .findFirstIn(plan).isDefined, plan.take(1200))
+  }
+
+  test("q88 Q5-star: dims broadcast, facts hash-join — no product") {
+    // nation/region must ride broadcasts; the two fact joins are the
+    // only exchanges that may scale with data
+    val df = graft.SparkEntry.queries("q88_regional_revenue")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString()
+    assert(plan.contains("BroadcastHashJoin"), plan.take(1200))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan.take(1200))
+  }
+
   test("q23b: the bounded-domain assumption behind its global window HOLDS") {
     // q23b's cumulative window runs over DISTINCT s_acctbal values with
     // no partitionBy — safe only while that domain stays
