@@ -1986,6 +1986,101 @@ object TextQueries {
              |  CAST(sum(len(d.w)) AS BIGINT) AS sel_tokens,
              |  CAST(sum(d.n_chars) AS BIGINT) AS sel_chars
              |FROM sel JOIN t d USING (doc_id) JOIN pn ON pn.source = sel.source
-             |GROUP BY 1, 2 ORDER BY 1""".stripMargin))
+             |GROUP BY 1, 2 ORDER BY 1""".stripMargin)),
+
+    // ---- Zipf rank-bucket profile --------------------------------
+    // The corpus-health diagnostic behind every tokenizer/vocab
+    // decision: bucket the term-frequency ranks by powers of two and
+    // report per-bucket type counts and frequency mass. All integer
+    // arithmetic — the bucket is the bit length of the rank
+    // (length(bin(rank)) - 1), never floor(log2(double)), so engines
+    // cannot disagree on boundaries. The global rank window runs over
+    // the VOCABULARY table (Heaps-bounded — t37's class), not the
+    // corpus; the corpus-sized work is the one word-count aggregation.
+    "t48_zipf_buckets" -> QueryDef(
+      (s, dir) => {
+        val freq = table(s, dir, "documents")
+          .select(explode(TextOps.words(col("text"))).as("tok"))
+          .groupBy("tok").agg(count(lit(1)).as("freq"))
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(col("freq").desc, col("tok"))
+        freq.withColumn("rank", row_number().over(w).cast("long"))
+          .withColumn("bucket", (length(bin(col("rank"))) - 1).cast("long"))
+          .groupBy("bucket")
+          .agg(count(lit(1)).as("n_types"), sum("freq").as("sum_freq"),
+            max("freq").as("max_freq"), min("freq").as("min_freq"))
+          .orderBy("bucket")
+      },
+      Some("""WITH freq AS (
+             |  SELECT tok, count(*) AS freq
+             |  FROM (SELECT unnest(string_split(text, ' ')) AS tok
+             |        FROM documents)
+             |  GROUP BY 1),
+             |ranked AS (
+             |  SELECT freq, CAST(row_number() OVER
+             |      (ORDER BY freq DESC, tok) AS BIGINT) AS rank
+             |  FROM freq)
+             |SELECT CAST(length(bin(rank)) - 1 AS BIGINT) AS bucket,
+             |  count(*) AS n_types,
+             |  CAST(sum(freq) AS BIGINT) AS sum_freq,
+             |  CAST(max(freq) AS BIGINT) AS max_freq,
+             |  CAST(min(freq) AS BIGINT) AS min_freq
+             |FROM ranked GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ---- term dispersion across sources --------------------------
+    // Burstiness detector: a term whose occurrences concentrate in one
+    // source is template/boilerplate-suspect even when its corpus-wide
+    // frequency looks normal. Per-term per-source shares in exact ppm
+    // (integer DIV — both engines truncate toward zero), dispersion as
+    // the exact integer S·Σx² − (Σx)² over ALL S sources (absent
+    // sources contribute x = 0, so present-source sums suffice).
+    // Magnitudes: x ≤ 1e6 ⇒ Σx² ≤ 20e12, ×S=20 ≪ 2⁶³. The source
+    // count is an uncorrelated scalar subquery (q25's class — a
+    // Subquery node, not a join).
+    "t49_term_dispersion" -> QueryDef(
+      (s, dir) => {
+        table(s, dir, "documents").createOrReplaceTempView("graft_t49_docs")
+        s.sql("""WITH words AS (
+                |  SELECT source, explode(split(text, ' ')) AS tok
+                |  FROM graft_t49_docs),
+                |by_src AS (
+                |  SELECT tok, source, count(*) AS c FROM words GROUP BY 1, 2),
+                |tot AS (
+                |  SELECT tok, CAST(sum(c) AS BIGINT) AS total_cnt,
+                |    count(*) AS n_sources
+                |  FROM by_src GROUP BY 1),
+                |x AS (
+                |  SELECT b.tok, t.total_cnt, t.n_sources,
+                |    1000000 * b.c DIV t.total_cnt AS xs
+                |  FROM by_src b JOIN tot t ON b.tok = t.tok
+                |  WHERE t.total_cnt >= 50)
+                |SELECT tok, total_cnt, n_sources,
+                |  (SELECT count(DISTINCT source) FROM graft_t49_docs)
+                |      * CAST(sum(xs * xs) AS BIGINT)
+                |    - CAST(sum(xs) AS BIGINT) * CAST(sum(xs) AS BIGINT) AS disp
+                |FROM x GROUP BY tok, total_cnt, n_sources
+                |ORDER BY disp DESC, tok LIMIT 50""".stripMargin)
+      },
+      Some("""WITH words AS (
+             |  SELECT source, unnest(string_split(text, ' ')) AS tok
+             |  FROM documents),
+             |by_src AS (
+             |  SELECT tok, source, count(*) AS c FROM words GROUP BY 1, 2),
+             |tot AS (
+             |  SELECT tok, CAST(sum(c) AS BIGINT) AS total_cnt,
+             |    count(*) AS n_sources
+             |  FROM by_src GROUP BY 1),
+             |x AS (
+             |  SELECT b.tok, t.total_cnt, t.n_sources,
+             |    (1000000 * b.c) // t.total_cnt AS xs
+             |  FROM by_src b JOIN tot t ON b.tok = t.tok
+             |  WHERE t.total_cnt >= 50)
+             |SELECT tok, total_cnt, n_sources,
+             |  CAST((SELECT count(DISTINCT source) FROM documents)
+             |      * CAST(sum(xs * xs) AS BIGINT)
+             |    - CAST(sum(xs) AS BIGINT) * CAST(sum(xs) AS BIGINT) AS BIGINT)
+             |      AS disp
+             |FROM x GROUP BY tok, total_cnt, n_sources
+             |ORDER BY disp DESC, tok LIMIT 50""".stripMargin))
   )
 }
