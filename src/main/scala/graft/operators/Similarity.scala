@@ -103,6 +103,70 @@ object Similarity {
     topKReRank(scored, k, qidCol, idCol, "__cos")
   }
 
+  /** Maximal-Marginal-Relevance re-rank: greedily pick k of the top
+    * nCand candidates, each step maximizing
+    * `rel(c) − λ · max_{s∈selected} cos(c, s)` (λ = 0.5, exact in
+    * binary), ties broken by id asc.
+    *
+    * Shape: candidate generation is the DISTRIBUTED part (brute-force
+    * cosine against the 1-row broadcast query — sim1's replicate-join
+    * class; swap in [[ivfTopK]]/[[lshTopK]] at larger corpora). The
+    * greedy selection is inherently sequential over k·nCand pairwise
+    * cosines on a few KB of collected vectors — driver control flow,
+    * the same class as Bpe's one-row argmax. All doubles follow
+    * [[dot]]'s left-fold accumulation, so the DuckDB unrolled-round
+    * oracle replays them bit-for-bit.
+    *
+    * @return (step, vec_id, rel_micro, mmr_micro), step 1..k in
+    *         selection order; micro = floor(1e6·x) BIGINT
+    */
+  def mmrRerank(corpus: DataFrame, queryVecId: Long, nCand: Int, k: Int,
+                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val spark = corpus.sparkSession
+    graft.functions.VectorExpressions.register(spark)
+    val q = corpus.filter(col(idCol) === queryVecId)
+      .select(col(vecCol).as("__qvec"))
+    val cands = corpus.crossJoin(broadcast(q))
+      .filter(col(idCol) =!= queryVecId)
+      .select(col(idCol), col(vecCol),
+        cosineNative(col(vecCol), col("__qvec")).as("__rel"))
+      .orderBy(col("__rel").desc, col(idCol))
+      .limit(nCand)
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getDouble(2)))
+    def dotD(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+      s
+    }
+    def cosD(a: Array[Float], b: Array[Float]): Double =
+      dotD(a, b) / (math.sqrt(dotD(a, a)) * math.sqrt(dotD(b, b)))
+    val byId = cands.map(c => c._1 -> c._2).toMap
+    val selected = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+    val picked = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val remaining = scala.collection.mutable.LinkedHashMap(cands.map(c => c._1 -> c): _*)
+    var step = 1
+    while (step <= k && remaining.nonEmpty) {
+      var bestId = -1L; var bestRel = 0.0; var bestMmr = Double.NegativeInfinity
+      remaining.valuesIterator.foreach { case (id, vec, rel) =>
+        val mmr =
+          if (picked.isEmpty) rel
+          else rel - 0.5 * picked.iterator.map(p => cosD(vec, byId(p))).max
+        if (mmr > bestMmr || (mmr == bestMmr && id < bestId)) {
+          bestId = id; bestRel = rel; bestMmr = mmr
+        }
+      }
+      selected += ((step.toLong, bestId,
+        math.floor(bestRel * 1e6).toLong, math.floor(bestMmr * 1e6).toLong))
+      picked += bestId
+      remaining -= bestId
+      step += 1
+    }
+    import spark.implicits._
+    selected.toSeq.toDF("step", idCol, "rel_micro", "mmr_micro")
+      .orderBy("step")
+  }
+
   /** A centroid held on the driver: (cell label, vector, precomputed
     * L2 norm — same left-fold double arithmetic as [[norm]]).
     */

@@ -45,6 +45,10 @@ object SimilarityQueries {
   // n^2·bands/2^bits documented in PROBES.md. Planted near-dups
   // (s ~= 1) collide w.p. ~1 under any of these bandings.
   private val KnnPlanes = 60
+  // sim12 MMR geometry (declared BEFORE defs — the oracle string is
+  // built during the map's construction)
+  private val MmrCand = 20
+  private val MmrK = 8
   // candidate-pair budget for the self-join: bits-per-band derive from
   // corpus size n against this cap (smallest divisor-of-60 r with
   // bands·n²/2^r <= budget): n=500 -> r=4, n=2000 -> r=10 (the round-7
@@ -806,6 +810,64 @@ object SimilarityQueries {
       (s, dir) => Similarity.knnJoinAuto(table(s, dir, "embeddings"),
           k = 5, dims = Dims, candidateBudget = KnnBudget, planes = KnnPlanes)
         .orderBy("qid", "rank"),
-      Some(knnJoinOracleSql))
+      Some(knnJoinOracleSql)),
+
+    // MMR diversified re-rank: greedy `rel − 0.5·max-sim-to-selected`
+    // over the brute-force top-20 candidates (distinct from q76's
+    // per-group rank cap — MMR's penalty depends on WHAT was already
+    // picked). Candidate generation is distributed (sim1's class); the
+    // k-step greedy runs on the driver over the collected 20 vectors
+    // (Bpe-argmax control-flow class). The oracle unrolls the k
+    // selection rounds as chained CTEs (t28's replay pattern) on the
+    // same left-fold doubles, so selection order is bit-identical.
+    "sim12_mmr_rerank" -> QueryDef(
+      (s, dir) => Similarity.mmrRerank(table(s, dir, "embeddings"),
+        queryVecId = 0L, nCand = MmrCand, k = MmrK),
+      Some(mmrOracleSql))
   )
+
+  /** Unrolled greedy-MMR replay: cand = brute-force top-20, then k−1
+    * chained (scored → pick → selu) rounds, each penalizing by the max
+    * cosine against everything selected so far. Every chained CTE is
+    * MATERIALIZED: DuckDB inlines plain CTEs, and each round
+    * references its predecessor ~3× — inlined, the expansion is
+    * O(3^k) copies of the candidate scan (measured: minutes at k = 8;
+    * materialized: milliseconds).
+    */
+  private def mmrOracleSql: String = {
+    val sb = new StringBuilder
+    sb.append(s"""WITH q AS (
+       |  SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
+       |cand AS MATERIALIZED (
+       |  SELECT e.vec_id, e.embedding,
+       |    ${cosineSql("e.embedding", "q.qvec")} AS rel
+       |  FROM embeddings e, q WHERE e.vec_id <> 0
+       |  ORDER BY rel DESC, e.vec_id LIMIT $MmrCand),
+       |selu1 AS MATERIALIZED (
+       |  SELECT 1 AS step, vec_id, embedding, rel, rel AS mmr
+       |  FROM cand ORDER BY rel DESC, vec_id LIMIT 1)""".stripMargin)
+    for (step <- 2 to MmrK) {
+      val prev = s"selu${step - 1}"
+      sb.append(s""",
+       |scored$step AS MATERIALIZED (
+       |  SELECT c.vec_id, c.rel,
+       |    c.rel - 0.5 * max(${cosineSql("c.embedding", "p.embedding")}) AS mmr
+       |  FROM cand c, $prev p
+       |  WHERE c.vec_id NOT IN (SELECT vec_id FROM $prev)
+       |  GROUP BY c.vec_id, c.rel),
+       |pick$step AS MATERIALIZED (
+       |  SELECT $step AS step, s.vec_id, c2.embedding, s.rel, s.mmr
+       |  FROM scored$step s JOIN cand c2 USING (vec_id)
+       |  ORDER BY s.mmr DESC, s.vec_id LIMIT 1),
+       |selu$step AS MATERIALIZED (
+       |  SELECT * FROM $prev UNION ALL SELECT * FROM pick$step)"""
+        .stripMargin)
+    }
+    sb.append(s"""
+       |SELECT CAST(step AS BIGINT) AS step, vec_id,
+       |  CAST(floor(rel * 1e6) AS BIGINT) AS rel_micro,
+       |  CAST(floor(mmr * 1e6) AS BIGINT) AS mmr_micro
+       |FROM selu$MmrK ORDER BY step""".stripMargin)
+    sb.toString
+  }
 }

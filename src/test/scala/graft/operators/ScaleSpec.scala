@@ -219,6 +219,8 @@ class PlanShapeSpec extends SparkTestBase {
       "dca_v1_vectorize",  //   dimension-sized by the op's semantics
       "dca_v3_extradims",  //   (same broadcastTo path inside vectorize)
       "sim1_cosine_topk",  // brute-force ANN baseline: corpus × broadcast QUERY set
+      "sim12_mmr_rerank",  // candidate stage: corpus × broadcast 1-row query
+                           //   (sim1's class; greedy rerank is driver-side)
       "d20_semantic_contamination", // corpus × broadcast EVAL set (eval
                            //   sets are small by definition; sim1's class)
       "sim5_pq_ann",       // ADC scan: corpus CODES × broadcast per-query distance
