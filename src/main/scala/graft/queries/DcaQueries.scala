@@ -453,6 +453,55 @@ object DcaQueries {
           |SELECT rn AS __idx0, l_orderkey, l_linenumber, qty_c
           |FROM base ORDER BY 1""".stripMargin)),
 
+    // V10: tree_map with DEPTH — structural recursion through TWO
+    // nested struct levels (tree_utils.py:40-82 maps structures with
+    // DataclassArray leaves; the Spark analog applies the leaf fn
+    // through arbitrarily deep StructType nesting in ONE codegen'd
+    // projection). dca_s12 covers one level; this row pins the
+    // recursive descent: leaves at depth 0 (l_orderkey), depth 1
+    // (item.q) and depth 2 (item.sub.a, item.sub.b) all transformed,
+    // struct shells preserved.
+    "dca_v10_treemap" -> QueryDef(
+      (s, dir) => {
+        val lf = liFrame(s, dir)(Ix.S(None, Some(1500)))
+        val nested = DcaFrame(
+          lf.df.select(col("__idx0"), col("l_orderkey"),
+            struct(col("qty_c").as("q"),
+              struct((col("qty_c") % 5).as("a"),
+                col("l_linenumber").as("b")).as("sub")).as("item")),
+          lf.shape, Vector("l_orderkey", "item"))
+        val mapped = nested.mapFieldNested(c => c * 3 + 2)
+        mapped.df.select(col("__idx0"), col("l_orderkey"),
+          col("item.q").as("q"), col("item.sub.a").as("a"),
+          col("item.sub.b").as("b")).orderBy("__idx0")
+      },
+      Some(baseCte + """
+          |SELECT rn AS __idx0, l_orderkey * 3 + 2 AS l_orderkey,
+          |  qty_c * 3 + 2 AS q, (qty_c % 5) * 3 + 2 AS a,
+          |  l_linenumber * 3 + 2 AS b
+          |FROM base WHERE rn < 1500 ORDER BY 1""".stripMargin)),
+
+    // I5: backend-conversion round trip — the as_np/as_xnp analog
+    // (array_dataclass.py:496-538). Distributed → LOCAL materialization
+    // (collectOrdered, the Arrow/driver boundary) → back to a
+    // distributed frame (fromLocal, the createDataFrame direction);
+    // the oracle recomputes the same rows straight from the table, so
+    // a row lost/reordered at either boundary fails the hash. The
+    // collected slice is 300 rows (tests/small-data contract of the
+    // boundary, like the reference's in-process as_np).
+    "dca_i5_localview" -> QueryDef(
+      (s, dir) => Staged.cached(s, s"i5:$dir") {
+        val lf = liFrame(s, dir)(Ix.S(None, Some(300)))
+        val rows = lf.collectOrdered().toSeq
+        val payloadSchema = org.apache.spark.sql.types.StructType(
+          lf.df.schema.fields.filter(f => lf.arrayCols.contains(f.name)))
+        val back = DcaFrame.fromLocal(s, rows, payloadSchema)
+        out(back)
+      },
+      Some(baseCte + """
+          |SELECT rn AS __idx0, l_orderkey, l_linenumber, qty_c
+          |FROM base WHERE rn < 300 ORDER BY 1""".stripMargin)),
+
     // C5: coercion policy flags on the POSITIVE paths, surfaced as
     // rows (the raise paths are DcaSchemaSpec negatives): castDtype
     // (long -> float leaf cast), castList (array<double> elements ->
