@@ -63,9 +63,12 @@ final case class KmvSummary(nDistinct: Long, kthMin: Long)
 
 object KMinAgg {
   /** Insert keeping the buffer sorted ascending, distinct, bounded at
-    * k — the ONE buffer-maintenance rule shared by both aggregators.
+    * k — the ONE buffer-maintenance rule shared by both aggregators
+    * AND the streaming twin ([[graft.streaming.EventStream]]'s
+    * streamingKmvDistinct folds with the identical rule, which is what
+    * makes stream == batch provable).
     */
-  private[functions] def insert(k: Int, buf: List[Long], h: Long): List[Long] = {
+  private[graft] def insert(k: Int, buf: List[Long], h: Long): List[Long] = {
     if (buf.contains(h)) buf
     else {
       val (front, back) = buf.span(_ < h)

@@ -514,6 +514,43 @@ object EventStream {
       }
   }
 
+  final case class KmvEvent(group: String, id: Long)
+  final case class KmvStreamState(mins: List[Long], nSeen: Long)
+  final case class KmvRow(group: String, estDistinct: Long, nSeen: Long)
+
+  /** Streaming twin of the q33 KMV distinct sketch: per group, the
+    * k-minimum-scrambled-hash buffer maintained LIVE in keyed state,
+    * emitting the running distinct ESTIMATE after every micro-batch —
+    * live cardinality monitoring (join-key explosion alarms, crawl
+    * dedup ratios) without a full distinct shuffle. The fold is
+    * [[graft.functions.KMinAgg.insert]] — the IDENTICAL sorted/
+    * distinct/bounded rule the batch Aggregator uses — and set-min
+    * folds are commutative + idempotent, so arrival order, batching,
+    * and replays cannot change the converged buffer (spec-pinned
+    * stream == batch on both orders). State per group is ≤ k longs;
+    * estimate arithmetic is [[graft.functions.KMinAgg.estimate]]'s
+    * exact integer division. nSeen is the monotone emission marker
+    * (same contract as the CDC twin's nVersions).
+    */
+  def streamingKmvDistinct(spark: SparkSession, events: Dataset[KmvEvent],
+                           k: Int = 64): Dataset[KmvRow] = {
+    import spark.implicits._
+    import graft.functions.{KMinAgg, KmvSummary}
+    events.groupByKey(_.group)
+      .mapGroupsWithState[KmvStreamState, KmvRow](GroupStateTimeout.NoTimeout) {
+        (g: String, rows: Iterator[KmvEvent], state: GroupState[KmvStreamState]) =>
+          var cur = state.getOption.getOrElse(KmvStreamState(Nil, 0L))
+          rows.foreach { e =>
+            cur = KmvStreamState(
+              KMinAgg.insert(k, cur.mins, sampleHash(e.id)), cur.nSeen + 1)
+          }
+          state.update(cur)
+          val summary = KmvSummary(cur.mins.length.toLong,
+            if (cur.mins.length >= k) cur.mins(k - 1) else Long.MaxValue)
+          KmvRow(g, KMinAgg.estimate(summary, k, 1000000007L), cur.nSeen)
+      }
+  }
+
   final case class RateEvent(eventType: String, tsUs: Long)
   final case class RateState(pending: Map[Long, Long], history: Seq[(Long, Long)])
   final case class RateAnomaly(eventType: String, hr: Long, n: Long,

@@ -455,6 +455,47 @@ class EventStreamSpec extends SparkTestBase {
     assert(b == expected, s"arrival-order drift: $b vs $expected")
   }
 
+  test("streaming KMV distinct converges to the batch sketch, any arrival order") {
+    implicit val sqlCtx = spark.sqlContext
+    import EventStream.{KmvEvent, KmvRow}
+    val k = 8
+    // grpA: 40 distinct ids with repeats (saturated, estimate path);
+    // grpB: 5 distinct (exact path, nDistinct < k)
+    val events =
+      (1L to 40L).map(i => KmvEvent("grpA", i * 13 + 5)) ++
+        (1L to 20L).map(i => KmvEvent("grpA", (i % 40 + 1) * 13 + 5)) ++
+        (1L to 5L).map(i => KmvEvent("grpB", i * 1000))
+    // batch twin: the SAME insert rule via the sorted-distinct-take-k
+    // definition it implements, estimate via KMinAgg.estimate
+    val batch = events.groupBy(_.group).map { case (g, es) =>
+      val mins = es.map(e => EventStream.sampleHash(e.id))
+        .distinct.sorted.take(k)
+      val s = graft.functions.KmvSummary(mins.length.toLong,
+        if (mins.length >= k) mins(k - 1) else Long.MaxValue)
+      KmvRow(g, graft.functions.KMinAgg.estimate(s, k, 1000000007L),
+        es.size.toLong)
+    }.toSet
+    def run(name: String, batches: Seq[Seq[KmvEvent]]): Set[KmvRow] = {
+      val input = MemoryStream[KmvEvent]
+      val q = EventStream.streamingKmvDistinct(spark, input.toDS(), k)
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Update).start()
+      try {
+        batches.foreach { b => input.addData(b: _*); q.processAllAvailable() }
+        spark.table(name).as[KmvRow].collect()
+          .groupBy(_.group).map(_._2.maxBy(_.nSeen)).toSet
+      } finally q.stop()
+    }
+    val a = run("kmv_a", Seq(events.take(30), events.drop(30)))
+    assert(a == batch, s"stream/batch drift: $a vs $batch")
+    // commutative + idempotent fold: reversed arrival converges the same
+    val b = run("kmv_b", Seq(events.reverse.take(7), events.reverse.drop(7)))
+    assert(b == batch, s"arrival-order drift: $b vs $batch")
+    // the saturated group really exercised the estimator (not exact)
+    assert(batch.exists(r => r.group == "grpA" && r.nSeen == 60L))
+    assert(batch.exists(r => r.group == "grpB" && r.estDistinct == 5L))
+  }
+
   test("streaming dedup state survives a checkpoint restart") {
     // the production fault-tolerance property: stop the query, restart
     // from the same checkpoint, and a duplicate id arriving AFTER the
