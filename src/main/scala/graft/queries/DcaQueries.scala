@@ -237,6 +237,35 @@ object DcaQueries {
              |  FROM b WHERE rn < 1000
              |ORDER BY 1, 2""".stripMargin)),
 
+    // M1 + S14: stack along a NEGATIVE axis — axis = -1 on 2-D inputs
+    // normalizes to insert position 2 (np_utils.to_absolute_axis,
+    // np_utils.py:136-175: negatives resolve against ndim+1 for the
+    // NEW axis). The frames reshape to (500, 2) first, so the stacked
+    // shape is (500, 2, 2) with the frame tag as the LAST index —
+    // exercises both the axis normalization and the index renumbering
+    // for an interior-tag layout (m1 covers the axis-0 leading tag).
+    "dca_m1b_stack_negaxis" -> QueryDef(
+      (s, dir) => {
+        val a = liFlagFrame(s, dir, "A")(Ix.S(None, Some(1000))).reshape(500, 2)
+        val r = liFlagFrame(s, dir, "R")(Ix.S(None, Some(1000))).reshape(500, 2)
+        out(DcaFrame.stack(Seq(a, r), axis = -1))
+      },
+      Some("""WITH a AS (SELECT row_number() OVER (ORDER BY l_orderkey, l_linenumber) - 1 AS rn,
+             |    l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+             |    CAST(round(l_quantity*100) AS BIGINT) AS qty_c
+             |  FROM lineitem WHERE l_returnflag = 'A'),
+             |     b AS (SELECT row_number() OVER (ORDER BY l_orderkey, l_linenumber) - 1 AS rn,
+             |    l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+             |    CAST(round(l_quantity*100) AS BIGINT) AS qty_c
+             |  FROM lineitem WHERE l_returnflag = 'R')
+             |SELECT rn // 2 AS __idx0, rn % 2 AS __idx1,
+             |    CAST(0 AS BIGINT) AS __idx2, l_orderkey, l_linenumber, qty_c
+             |  FROM a WHERE rn < 1000
+             |UNION ALL
+             |SELECT rn // 2, rn % 2, CAST(1 AS BIGINT), l_orderkey, l_linenumber, qty_c
+             |  FROM b WHERE rn < 1000
+             |ORDER BY 1, 2, 3""".stripMargin)),
+
     // M2: concat along the EXISTING axis (union + offset re-index)
     "dca_m2_concat" -> QueryDef(
       (s, dir) => {

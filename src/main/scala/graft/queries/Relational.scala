@@ -2137,7 +2137,82 @@ object Relational {
              |  AND c_custkey NOT IN (
              |    SELECT nullif(o_custkey, -1) FROM orders
              |    WHERE o_orderstatus = 'F')
-             |ORDER BY c_custkey""".stripMargin))
+             |ORDER BY c_custkey""".stripMargin)),
+
+    // ---- referential-integrity audit over every FK edge -------------
+    // The warehouse-wide DQ sweep: per FK edge, row count + orphan
+    // count via ONE left join each (dim side broadcast where
+    // dimension-sized; the fact-fact edges shuffle on the key — the
+    // audit touches each table once per edge, never materializes the
+    // join). The seven schema edges are negative controls (clean
+    // generator ⇒ 0 orphans — the assertion a production audit exists
+    // to make); the eighth edge replays t27's RTBF purge (customers
+    // with c_custkey % 7 = 0 deleted) and counts the orders its
+    // deletion orphans — the detection side of deletion propagation.
+    "q92_fk_audit" -> QueryDef(
+      (s, dir) => {
+        def edge(name: String, fact: DataFrame, fk: String,
+                 dim: DataFrame, pk: String, bcast: Boolean): DataFrame = {
+          val d = (if (bcast) broadcast(dim) else dim).select(col(pk))
+          fact.select(col(fk)).join(d, col(fk) === col(pk), "left")
+            .agg(count(lit(1)).as("n_rows"),
+              sum(when(col(pk).isNull, 1L).otherwise(0L)).as("n_orphans"))
+            .select(lit(name).as("edge"), col("n_rows"), col("n_orphans"))
+        }
+        val li = table(s, dir, "lineitem"); val o = table(s, dir, "orders")
+        val c = table(s, dir, "customer"); val su = table(s, dir, "supplier")
+        val p = table(s, dir, "part"); val n = table(s, dir, "nation")
+        val r = table(s, dir, "region")
+        val purged = c.filter(col("c_custkey") % 7 =!= 0)
+        Seq(
+          edge("customer->nation", c, "c_nationkey", n, "n_nationkey", bcast = true),
+          edge("lineitem->orders", li, "l_orderkey", o, "o_orderkey", bcast = false),
+          edge("lineitem->part", li, "l_partkey", p, "p_partkey", bcast = true),
+          edge("lineitem->supplier", li, "l_suppkey", su, "s_suppkey", bcast = true),
+          edge("nation->region", n, "n_regionkey", r, "r_regionkey", bcast = true),
+          edge("orders->customer", o, "o_custkey", c, "c_custkey", bcast = true),
+          edge("orders->customer_postpurge", o, "o_custkey",
+            purged, "c_custkey", bcast = true),
+          edge("supplier->nation", su, "s_nationkey", n, "n_nationkey", bcast = true))
+          .reduce(_ unionByName _)
+          .orderBy("edge")
+      },
+      Some("""SELECT * FROM (
+             |  SELECT 'customer->nation' AS edge, count(*) AS n_rows,
+             |    CAST(sum(CASE WHEN n_nationkey IS NULL THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS n_orphans
+             |  FROM customer LEFT JOIN nation ON c_nationkey = n_nationkey
+             |  UNION ALL
+             |  SELECT 'lineitem->orders', count(*),
+             |    CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             |  FROM lineitem LEFT JOIN orders ON l_orderkey = o_orderkey
+             |  UNION ALL
+             |  SELECT 'lineitem->part', count(*),
+             |    CAST(sum(CASE WHEN p_partkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             |  FROM lineitem LEFT JOIN part ON l_partkey = p_partkey
+             |  UNION ALL
+             |  SELECT 'lineitem->supplier', count(*),
+             |    CAST(sum(CASE WHEN s_suppkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             |  FROM lineitem LEFT JOIN supplier ON l_suppkey = s_suppkey
+             |  UNION ALL
+             |  SELECT 'nation->region', count(*),
+             |    CAST(sum(CASE WHEN r_regionkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             |  FROM nation LEFT JOIN region ON n_regionkey = r_regionkey
+             |  UNION ALL
+             |  SELECT 'orders->customer', count(*),
+             |    CAST(sum(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             |  FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+             |  UNION ALL
+             |  SELECT 'orders->customer_postpurge', count(*),
+             |    CAST(sum(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             |  FROM orders LEFT JOIN
+             |    (SELECT c_custkey FROM customer WHERE c_custkey % 7 <> 0) c
+             |    ON o_custkey = c_custkey
+             |  UNION ALL
+             |  SELECT 'supplier->nation', count(*),
+             |    CAST(sum(CASE WHEN n_nationkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             |  FROM supplier LEFT JOIN nation ON s_nationkey = n_nationkey
+             |) ORDER BY edge""".stripMargin))
   )
 
   /** events with `ts` normalized to raw epoch-nanos LongType, whatever
