@@ -234,16 +234,37 @@ object Similarity {
     * of the sampling arithmetic — [[ivfTopK]] and [[buildIvfIndex]]
     * must agree byte-for-byte for index-vs-inline result parity.
     */
+  /** Deterministic centroid bootstrap. Primary rule: id-value stride
+    * (`id % (n/nCells) = 0`, first nCells by id) — scan-parallel, no
+    * sort, and the rule the sim3/sim6 oracles replay in SQL. On a
+    * corpus whose ids are NOT dense from 0 (e.g. a filtered slice
+    * where every id ≡ 3 mod 10) the value stride can select fewer
+    * rows than cells — then fall back to a rank stride (every
+    * (n/nCells)-th row in id order), which cannot under-fill. The
+    * fallback sorts only the (id, vec) projection and never fires on
+    * the dense registered tables, so the oracles stay exact.
+    */
   private[operators] def bootstrapCentroids(corpus: DataFrame, nCells: Int,
                                  idCol: String, vecCol: String): Seq[Centroid] = {
     val total = corpus.count()
     val stride = math.max(1L, total / nCells)
-    corpus.filter(pmod(col(idCol), lit(stride)) === 0)
+    val want = math.min(nCells.toLong, total).toInt
+    val byValue = corpus.filter(pmod(col(idCol), lit(stride)) === 0)
       .orderBy(idCol).limit(nCells)
       .select(col(idCol), col(vecCol))
       .collect()
-      .map(r => Centroid(r.getLong(0), r.getSeq[Float](1).toArray))
-      .toSeq
+    val picked =
+      if (byValue.length >= want) byValue
+      else {
+        val w = org.apache.spark.sql.expressions.Window.orderBy(col(idCol))
+        corpus.select(col(idCol), col(vecCol))
+          .withColumn("__rn", row_number().over(w) - 1)
+          .filter(col("__rn") % stride === 0)
+          .orderBy(idCol).limit(nCells)
+          .select(col(idCol), col(vecCol))
+          .collect()
+      }
+    picked.map(r => Centroid(r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
   }
 
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,

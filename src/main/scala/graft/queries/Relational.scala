@@ -2212,7 +2212,51 @@ object Relational {
              |  SELECT 'supplier->nation', count(*),
              |    CAST(sum(CASE WHEN n_nationkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
              |  FROM supplier LEFT JOIN nation ON s_nationkey = n_nationkey
-             |) ORDER BY edge""".stripMargin))
+             |) ORDER BY edge""".stripMargin)),
+
+    // ---- reciprocal-rank fusion of two rankings ---------------------
+    // The standard hybrid-retrieval combiner (RRF, Cormack et al.):
+    // fuse a by-spend and a by-order-count ranking of customers with
+    // score = Σ 1e6 DIV (60 + rank) — rank-based, so the two signals
+    // need no score normalization, and exact integer DIV keeps both
+    // engines bit-equal. One aggregation feeds BOTH rankings (two
+    // windows over the same customer-sized aggregate — no second scan
+    // of orders), ties broken by key.
+    "q93_rrf_fusion" -> QueryDef(
+      (s, dir) => {
+        val agg = table(s, dir, "orders")
+          .groupBy("o_custkey")
+          .agg(sum(cents(col("o_totalprice"))).as("spend_c"),
+            count(lit(1)).as("n_orders"))
+        val bySpend = Window.orderBy(col("spend_c").desc, col("o_custkey"))
+        val byCount = Window.orderBy(col("n_orders").desc, col("o_custkey"))
+        agg
+          .withColumn("r_spend", row_number().over(bySpend).cast("long"))
+          .withColumn("r_count", row_number().over(byCount).cast("long"))
+          .withColumn("rrf_scaled",
+            expr("1000000 DIV (60 + r_spend) + 1000000 DIV (60 + r_count)"))
+          .select("o_custkey", "r_spend", "r_count", "rrf_scaled")
+          .orderBy(desc("rrf_scaled"), asc("o_custkey"))
+          .limit(20)
+      },
+      Some("""WITH agg AS (
+             |  SELECT o_custkey,
+             |    CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT)
+             |      AS spend_c,
+             |    count(*) AS n_orders
+             |  FROM orders GROUP BY 1),
+             |ranked AS (
+             |  SELECT o_custkey,
+             |    CAST(row_number() OVER
+             |      (ORDER BY spend_c DESC, o_custkey) AS BIGINT) AS r_spend,
+             |    CAST(row_number() OVER
+             |      (ORDER BY n_orders DESC, o_custkey) AS BIGINT) AS r_count
+             |  FROM agg)
+             |SELECT o_custkey, r_spend, r_count,
+             |  1000000 // (60 + r_spend) + 1000000 // (60 + r_count)
+             |    AS rrf_scaled
+             |FROM ranked
+             |ORDER BY rrf_scaled DESC, o_custkey LIMIT 20""".stripMargin))
   )
 
   /** events with `ts` normalized to raw epoch-nanos LongType, whatever

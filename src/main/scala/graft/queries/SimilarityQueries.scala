@@ -812,6 +812,34 @@ object SimilarityQueries {
         .orderBy("qid", "rank"),
       Some(knnJoinOracleSql)),
 
+    // Filtered vector search: exact top-k cosine AMONG the rows
+    // passing a metadata predicate (label = 3) — every vector store's
+    // "filtered ANN" surface. Pre-filtering is the exact strategy: the
+    // predicate prunes the corpus BEFORE scoring (pushed to the
+    // parquet scan — PlanShapeSpec asserts it lands in DataFilters),
+    // so recall is 1 by construction; at index scale the same
+    // predicate applies inside probed IVF cells (OperatorSpec pins the
+    // filtered-IVF path row-equal to this at nProbe = nCells).
+    "sim13_filtered_ann" -> QueryDef(
+      (s, dir) => {
+        graft.functions.VectorExpressions.register(s)
+        val emb = table(s, dir, "embeddings")
+        val queries = emb.filter(col("vec_id").isInCollection(QueryIds))
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+        Similarity.bruteForceTopK(emb.filter(col("label") === 3),
+          queries, K, native = true)
+          .orderBy("qid", "rank")
+      },
+      Some(s"""WITH q AS (
+             |  SELECT vec_id AS qid, embedding AS qvec FROM embeddings
+             |  WHERE vec_id IN ($qidList)),
+             |scored AS (
+             |  SELECT q.qid, e.vec_id,
+             |    ${cosineSql("e.embedding", "q.qvec")} AS cos
+             |  FROM embeddings e, q
+             |  WHERE e.label = 3 AND e.vec_id <> q.qid)
+             |$rerankSql""".stripMargin)),
+
     // MMR diversified re-rank: greedy `rel − 0.5·max-sim-to-selected`
     // over the brute-force top-20 candidates (distinct from q76's
     // per-group rank cap — MMR's penalty depends on WHAT was already

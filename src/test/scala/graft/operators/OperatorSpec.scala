@@ -819,6 +819,24 @@ class SimilaritySpec extends SparkTestBase {
     assert(recall >= 0.6, s"IVF recall $recall too low")
   }
 
+  test("filtered ANN: IVF over the predicate-pruned corpus at full probe equals filtered brute force") {
+    // sim13's index-layer contract: pre-filtering composes with the
+    // IVF chain — an index built over the filtered corpus, probed with
+    // nProbe = nCells, must return exactly the filtered brute-force
+    // top-k (recall 1 by construction, same argument as sim6's
+    // fused-vs-flat pin). At production scale the filter prunes cells'
+    // posting lists; at full probe the two strategies coincide.
+    val c = corpus().withColumn("label", (col("vec_id") % 10).cast("int"))
+      .filter(col("label") === 3).drop("label")
+    val q = corpus().filter(col("vec_id").isin(0L, 1L, 2L))
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val exact = Similarity.bruteForceTopK(c, q, 10)
+      .select("qid", "rank", "vec_id").as[(Long, Long, Long)].collect().toSet
+    val ivf = Similarity.ivfTopK(c, q, 10, nCells = 4, nProbe = 4)
+      .select("qid", "rank", "vec_id").as[(Long, Long, Long)].collect().toSet
+    assert(ivf == exact, s"filtered IVF != filtered brute force: $ivf vs $exact")
+  }
+
   test("LSH ANN achieves high recall vs brute force") {
     val c = corpus()
     val q = c.filter(col("vec_id").isin(0L, 1L, 2L))

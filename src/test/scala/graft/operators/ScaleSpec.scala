@@ -62,6 +62,48 @@ class SkewJoinSpec extends SparkTestBase {
       case (k, None) => spark.conf.unset(k)
     }
   }
+
+  test("runtime bloom filter injects into a selective shuffle join and preserves results") {
+    // the 100 TB shuffle-join complement of DPP: when the dim side is
+    // selective, Spark builds a bloom filter over its join keys at
+    // runtime and applies might_contain on the fact side BEFORE the
+    // exchange — fact rows with no partner die scan-side instead of
+    // shuffling. Default thresholds (10 GB application-side scan) are
+    // production-sized, so a local fixture needs them lowered; the
+    // assertion is the same machinery a real cluster fires.
+    import org.apache.spark.sql.functions._
+    val keys = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+    val saved = keys.map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      val dir = "/root/testdata/sf0.001"
+      val li = spark.read.parquet(s"$dir/lineitem.parquet")
+      val o = spark.read.parquet(s"$dir/orders.parquet")
+        .filter(col("o_orderpriority") === "1-URGENT")
+      val j = li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .groupBy("o_orderpriority").agg(count(lit(1)).as("n"))
+      val rows = j.collect()
+      val plan = j.queryExecution.executedPlan.toString()
+      assert(plan.contains("bloom_filter_agg") && plan.contains("might_contain"),
+        s"no runtime bloom filter in plan:\n${plan.take(1500)}")
+      // correctness unchanged: same count as the un-filtered-join plan
+      val expected = spark.read.parquet(s"$dir/lineitem.parquet")
+        .join(spark.read.parquet(s"$dir/orders.parquet")
+          .filter(col("o_orderpriority") === "1-URGENT"), expr("l_orderkey = o_orderkey"))
+        .count()
+      assert(rows.length == 1 && rows.head.getLong(1) == expected)
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }
 
 /** Plan-shape regression guards for the sketch/sampling queries: the
@@ -143,6 +185,16 @@ class PlanShapeSpec extends SparkTestBase {
     assert(plan.contains("dynamicpruning"), plan.take(1200))
   }
 
+  test("sim13 filtered ANN: the metadata predicate reaches the parquet scan") {
+    // the filtered-vector-search scale property: label pruning happens
+    // in the scan stage (row groups with no label=3 never decompress),
+    // not after the scoring projection
+    val df = graft.SparkEntry.queries("sim13_filtered_ann")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString()
+    assert("DataFilters: \\[[^\\]]*label[^\\]]*3\\)".r.findFirstIn(plan).isDefined,
+      plan.take(1200))
+  }
+
   test("q91 NOT IN (nullable subquery) plans the null-aware anti join") {
     // three-valued logic makes a plain LeftAnti WRONG here; Spark's
     // NAAJ (BroadcastHashJoin with the null-aware flag) is the only
@@ -221,6 +273,8 @@ class PlanShapeSpec extends SparkTestBase {
       "sim1_cosine_topk",  // brute-force ANN baseline: corpus × broadcast QUERY set
       "sim12_mmr_rerank",  // candidate stage: corpus × broadcast 1-row query
                            //   (sim1's class; greedy rerank is driver-side)
+      "sim13_filtered_ann", // pre-filtered corpus × broadcast QUERY set
+                           //   (sim1's class with the predicate scan-side)
       "d20_semantic_contamination", // corpus × broadcast EVAL set (eval
                            //   sets are small by definition; sim1's class)
       "sim5_pq_ann",       // ADC scan: corpus CODES × broadcast per-query distance
