@@ -2256,7 +2256,37 @@ object Relational {
              |  1000000 // (60 + r_spend) + 1000000 // (60 + r_count)
              |    AS rrf_scaled
              |FROM ranked
-             |ORDER BY rrf_scaled DESC, o_custkey LIMIT 20""".stripMargin))
+             |ORDER BY rrf_scaled DESC, o_custkey LIMIT 20""".stripMargin)),
+
+    // ---- equi-width histogram ---------------------------------------
+    // The range-partitioner's planning input (and q56's missing
+    // sibling): bucket o_totalprice into 20 equal-width cents bins
+    // between the observed min/max. Min/max ride as uncorrelated
+    // scalar subqueries (ONE 2-value broadcast, q25's class); the
+    // bucket id is exact integer arithmetic, so bin edges cannot
+    // float-drift between engines. One scan + one dimension-sized agg.
+    "q94_histogram" -> QueryDef(
+      (s, dir) => {
+        table(s, dir, "orders").createOrReplaceTempView("graft_q94_ord")
+        s.sql("""WITH c AS (
+                |  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS price_c
+                |  FROM graft_q94_ord),
+                |mm AS (SELECT min(price_c) AS lo, max(price_c) AS hi FROM c)
+                |SELECT least(19, (price_c - (SELECT lo FROM mm)) * 20
+                |    DIV ((SELECT hi FROM mm) - (SELECT lo FROM mm) + 1))
+                |    AS bucket,
+                |  count(*) AS n, min(price_c) AS min_c, max(price_c) AS max_c
+                |FROM c GROUP BY 1 ORDER BY 1""".stripMargin)
+      },
+      Some("""WITH c AS (
+             |  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS price_c
+             |  FROM orders),
+             |mm AS (SELECT min(price_c) AS lo, max(price_c) AS hi FROM c)
+             |SELECT least(19, (price_c - (SELECT lo FROM mm)) * 20
+             |    // ((SELECT hi FROM mm) - (SELECT lo FROM mm) + 1))
+             |    AS bucket,
+             |  count(*) AS n, min(price_c) AS min_c, max(price_c) AS max_c
+             |FROM c GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 
   /** events with `ts` normalized to raw epoch-nanos LongType, whatever

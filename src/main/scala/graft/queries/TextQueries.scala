@@ -2081,6 +2081,46 @@ object TextQueries {
              |    - CAST(sum(xs) AS BIGINT) * CAST(sum(xs) AS BIGINT) AS BIGINT)
              |      AS disp
              |FROM x GROUP BY tok, total_cnt, n_sources
-             |ORDER BY disp DESC, tok LIMIT 50""".stripMargin))
+             |ORDER BY disp DESC, tok LIMIT 50""".stripMargin)),
+
+    // ---- marginal source novelty ---------------------------------
+    // The curation question behind every "should we ingest source X"
+    // decision: processing sources in a fixed order, how many of a
+    // source's distinct 3-grams are NOVEL (unseen in every earlier
+    // source)? Computed without any pairwise join: ONE min-source
+    // aggregation per gram (the first-seeing source), then a count per
+    // source — vocabulary-bounded shuffles however large the corpus
+    // (t37's first-occurrence shape, keyed by source instead of doc).
+    "t50_source_novelty" -> QueryDef(
+      (s, dir) => {
+        val grams = table(s, dir, "documents")
+          .select(col("source"), col("doc_id"), col("text"))
+          .select(col("source"),
+            explode(TextOps.shingles(col("text"), 3)).as("g"))
+          .distinct()
+        val firstSrc = grams.groupBy("g").agg(min("source").as("first_src"))
+        grams.groupBy("source").agg(count(lit(1)).as("n_distinct_grams"))
+          .join(firstSrc.groupBy(col("first_src").as("source"))
+            .agg(count(lit(1)).as("n_novel")), Seq("source"), "left")
+          .withColumn("n_novel", coalesce(col("n_novel"), lit(0L)))
+          .withColumn("novel_permille",
+            expr("1000 * n_novel DIV n_distinct_grams"))
+          .orderBy("source")
+      },
+      Some(s"""WITH ${QueryDef.shingleCtes(3)},
+             |sg AS (
+             |  SELECT DISTINCT d.source, sh.s AS g
+             |  FROM sh JOIN documents d USING (doc_id)),
+             |fs AS (SELECT g, min(source) AS first_src FROM sg GROUP BY 1),
+             |per AS (
+             |  SELECT source, count(*) AS n_distinct_grams FROM sg GROUP BY 1),
+             |nov AS (
+             |  SELECT first_src AS source, count(*) AS n_novel FROM fs GROUP BY 1)
+             |SELECT per.source, per.n_distinct_grams,
+             |  coalesce(nov.n_novel, 0) AS n_novel,
+             |  (1000 * coalesce(nov.n_novel, 0)) // per.n_distinct_grams
+             |    AS novel_permille
+             |FROM per LEFT JOIN nov ON per.source = nov.source
+             |ORDER BY per.source""".stripMargin))
   )
 }
