@@ -971,6 +971,43 @@ object EventQueries {
              |  CAST(sum(CASE WHEN last_view_err = err_before THEN 1 ELSE 0 END)
              |    AS BIGINT) AS n_clean
              |FROM m2 WHERE event_type = 'purchase'
-             |GROUP BY 1 ORDER BY 1""".stripMargin))
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ---- debounce / rapid-fire suppression --------------------------
+    // The ingest hygiene rule telemetry pipelines apply before
+    // sessionization: drop an event arriving within 5 s of the
+    // previous SAME (user, type) event (double-clicks, retry storms).
+    // ONE per-(user, type) lag window — same exchange q18's session
+    // chain uses — and exact nanos integer arithmetic; the per-type
+    // summary carries an id checksum so the oracle verifies WHICH
+    // events survived, not just how many.
+    "q96_debounce" -> QueryDef(
+      (s, dir) => {
+        val w = Window.partitionBy("user_id", "event_type")
+          .orderBy("ts", "event_id")
+        Relational.eventsRaw(s, dir)
+          .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+          .withColumn("prev", lag("ts", 1).over(w))
+          .withColumn("keep",
+            col("prev").isNull || col("ts") - col("prev") > lit(5000000000L))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_events"),
+            sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+            sum(when(col("keep"), col("event_id")).otherwise(0L))
+              .as("kept_id_sum"))
+          .orderBy("event_type")
+      },
+      Some("""WITH d AS (
+             |  SELECT user_id, event_type, event_id,
+             |    epoch_ns(ts) - lag(epoch_ns(ts)) OVER (
+             |      PARTITION BY user_id, event_type ORDER BY ts, event_id)
+             |      AS gap
+             |  FROM events)
+             |SELECT event_type, count(*) AS n_events,
+             |  CAST(sum(CASE WHEN gap IS NULL OR gap > 5000000000
+             |    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+             |  CAST(sum(CASE WHEN gap IS NULL OR gap > 5000000000
+             |    THEN event_id ELSE 0 END) AS BIGINT) AS kept_id_sum
+             |FROM d GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }

@@ -2286,7 +2286,45 @@ object Relational {
              |    // ((SELECT hi FROM mm) - (SELECT lo FROM mm) + 1))
              |    AS bucket,
              |  count(*) AS n, min(price_c) AS min_c, max(price_c) AS max_c
-             |FROM c GROUP BY 1 ORDER BY 1""".stripMargin))
+             |FROM c GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ---- k-anonymity / l-diversity audit ----------------------------
+    // The privacy complement of t9/t27: before a table leaves the
+    // boundary, every quasi-identifier combination must hide each row
+    // among >= k peers, and each group must carry >= l distinct
+    // sensitive values (here: the acctbal sign bucket). Per nation:
+    // group count, worst-case group size, rows in groups below k = 5,
+    // and groups below l = 2 — the release/suppress decision table.
+    // Two map-side-combining aggs over the quasi-identifier key; no
+    // windows, no self-joins.
+    "q95_k_anonymity" -> QueryDef(
+      (s, dir) => {
+        val groups = table(s, dir, "customer")
+          .select(col("c_nationkey").cast("long").as("nat"),
+            col("c_mktsegment").as("seg"),
+            when(col("c_acctbal") < 0, 0L).otherwise(1L).as("sens"))
+          .groupBy("nat", "seg")
+          .agg(count(lit(1)).as("n"), countDistinct("sens").as("ndv_sens"))
+        groups.groupBy("nat")
+          .agg(count(lit(1)).as("n_groups"),
+            min("n").as("min_group_size"),
+            sum(when(col("n") < 5, col("n")).otherwise(0L)).as("n_risky_rows"),
+            sum(when(col("ndv_sens") < 2, 1L).otherwise(0L)).as("n_low_diversity"))
+          .orderBy("nat")
+      },
+      Some("""WITH g AS (
+             |  SELECT CAST(c_nationkey AS BIGINT) AS nat, c_mktsegment AS seg,
+             |    count(*) AS n,
+             |    count(DISTINCT CASE WHEN c_acctbal < 0 THEN 0 ELSE 1 END)
+             |      AS ndv_sens
+             |  FROM customer GROUP BY 1, 2)
+             |SELECT nat, count(*) AS n_groups,
+             |  CAST(min(n) AS BIGINT) AS min_group_size,
+             |  CAST(sum(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT)
+             |    AS n_risky_rows,
+             |  CAST(sum(CASE WHEN ndv_sens < 2 THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_low_diversity
+             |FROM g GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 
   /** events with `ts` normalized to raw epoch-nanos LongType, whatever

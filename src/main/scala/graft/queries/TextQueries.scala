@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 
 import graft.operators.TextOps
 import QueryDef.table
@@ -23,6 +24,24 @@ object TextQueries {
     * `t`,`sc` (stopword scores) + the argmax CASE, shared by the t3
     * and t44 oracles so a wordlist change cannot desynchronize them.
     */
+  /** The ONE rendering of the t20 hashed-linear-model scoring chain
+    * (`w/uni/bi/feats/wt/fb` CTEs — features, weight table, bucketed
+    * features), shared by the t20 and t51 oracles so a model-geometry
+    * change cannot desynchronize them.
+    */
+  private def qualityModelCtes: String =
+    s"""w AS (SELECT doc_id, string_split(coalesce(text,''),' ') AS w
+       |           FROM documents),
+       |uni AS (SELECT doc_id, unnest(w) AS f FROM w),
+       |bi AS (SELECT doc_id, array_to_string(w[i:i+1], ' ') AS f
+       |       FROM w, unnest(range(1, len(w))) AS t(i) WHERE len(w) >= 2),
+       |feats AS (SELECT * FROM uni UNION ALL SELECT * FROM bi),
+       |wt AS (SELECT CAST(b AS BIGINT) AS bucket,
+       |         CAST(${QueryDef.knuthMixSql("b")} % 2001 - 1000 AS BIGINT) AS wgt
+       |       FROM range(0, 4096) t(b)),
+       |fb AS (SELECT doc_id, ${QueryDef.polyHashSql("f")} % 4096 AS bucket
+       |       FROM feats)""".stripMargin
+
   private def langIdScoreCtes(src: String = "documents"): String =
     s"""t AS (
        |  SELECT doc_id, lang, string_split(text, ' ') AS w FROM $src),
@@ -723,17 +742,7 @@ object TextQueries {
           graft.operators.QualityModel.syntheticWeights(s, 4096), buckets = 4096)
           .orderBy("doc_id")
       },
-      Some(s"""WITH w AS (SELECT doc_id, string_split(coalesce(text,''),' ') AS w
-             |           FROM documents),
-             |uni AS (SELECT doc_id, unnest(w) AS f FROM w),
-             |bi AS (SELECT doc_id, array_to_string(w[i:i+1], ' ') AS f
-             |       FROM w, unnest(range(1, len(w))) AS t(i) WHERE len(w) >= 2),
-             |feats AS (SELECT * FROM uni UNION ALL SELECT * FROM bi),
-             |wt AS (SELECT CAST(b AS BIGINT) AS bucket,
-             |         CAST(${QueryDef.knuthMixSql("b")} % 2001 - 1000 AS BIGINT) AS wgt
-             |       FROM range(0, 4096) t(b)),
-             |fb AS (SELECT doc_id, ${QueryDef.polyHashSql("f")} % 4096 AS bucket
-             |       FROM feats)
+      Some(s"""WITH $qualityModelCtes
              |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_feats,
              |  CAST(sum(wgt) AS BIGINT) AS score,
              |  CAST(CASE WHEN sum(wgt) > 0 THEN 1 ELSE 0 END AS BIGINT) AS keep
@@ -2121,6 +2130,52 @@ object TextQueries {
              |  (1000 * coalesce(nov.n_novel, 0)) // per.n_distinct_grams
              |    AS novel_permille
              |FROM per LEFT JOIN nov ON per.source = nov.source
-             |ORDER BY per.source""".stripMargin))
+             |ORDER BY per.source""".stripMargin)),
+
+    // ---- classifier calibration bins -----------------------------
+    // Model-eval infrastructure for the quality filter: rank-decile
+    // the t20 model's integer scores and, per decile, count how many
+    // docs the independent C4 stopword rule (t2's gold proxy) marks
+    // positive — the reliability-diagram table behind every threshold
+    // choice. Score deciles are ntile(10) with doc_id tiebreak (both
+    // engines split ties identically); rates are exact permille.
+    "t51_calibration" -> QueryDef(
+      (s, dir) => {
+        graft.functions.VectorExpressions.register(s)
+        val docs = table(s, dir, "documents")
+        val score = graft.operators.QualityModel.score(
+          docs, "doc_id", "text",
+          graft.operators.QualityModel.syntheticWeights(s, 4096), buckets = 4096)
+          .select(col("doc_id"), col("score"))
+        val gold = docs.select(col("doc_id"),
+          when(TextOps.stopwordPermille(col("text")) >= 10, 1L).otherwise(0L)
+            .as("pos"))
+        val w = Window.orderBy(col("score").desc, col("doc_id"))
+        score.join(gold, "doc_id")
+          .withColumn("decile", ntile(10).over(w).cast("long"))
+          .groupBy("decile")
+          .agg(count(lit(1)).as("n"), sum("pos").as("n_pos"))
+          .withColumn("pos_permille", expr("1000 * n_pos DIV n"))
+          .orderBy("decile")
+      },
+      Some(s"""WITH $qualityModelCtes,
+             |qs AS (
+             |  SELECT doc_id, CAST(sum(wgt) AS BIGINT) AS score
+             |  FROM fb JOIN wt USING (bucket) GROUP BY doc_id),
+             |gold AS (
+             |  SELECT doc_id, CASE WHEN floor(1000.0 * len(list_filter(
+             |      string_split(text, ' '), x -> x IN
+             |      ('the','a','of','and','to','in','is','it')))
+             |      / len(string_split(text, ' '))) >= 10
+             |    THEN 1 ELSE 0 END AS pos
+             |  FROM documents),
+             |r AS (
+             |  SELECT q.doc_id, g.pos,
+             |    ntile(10) OVER (ORDER BY q.score DESC, q.doc_id) AS decile
+             |  FROM qs q JOIN gold g USING (doc_id))
+             |SELECT CAST(decile AS BIGINT) AS decile, count(*) AS n,
+             |  CAST(sum(pos) AS BIGINT) AS n_pos,
+             |  (1000 * CAST(sum(pos) AS BIGINT)) // count(*) AS pos_permille
+             |FROM r GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }
