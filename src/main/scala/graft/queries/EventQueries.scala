@@ -1008,6 +1008,70 @@ object EventQueries {
              |    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
              |  CAST(sum(CASE WHEN gap IS NULL OR gap > 5000000000
              |    THEN event_id ELSE 0 END) AS BIGINT) AS kept_id_sum
-             |FROM d GROUP BY 1 ORDER BY 1""".stripMargin))
+             |FROM d GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ---- rolling distinct users via MERGEABLE sketches --------------
+    // q70's exact rolling WAU explodes every (day, user) membership
+    // into each window — exact, but the shuffle carries |window| copies
+    // of the membership table. This is the 100 TB alternative: ONE
+    // bottom-k KMV sketch per day (KMinListAgg — built once, k longs),
+    // then each 7-day window MERGES the daily sketches (flatten →
+    // distinct → sort → take k: min-k of a union of min-k lists IS the
+    // union's min-k, so the merge is lossless by construction) and
+    // estimates with q33's exact integer formula. Shuffle volume per
+    // window: 7·k longs instead of the membership fan-out. The oracle
+    // recomputes each window's bottom-k straight from the raw span —
+    // merge(build(d₁),…,build(d₇)) == build(d₁∪…∪d₇), checked
+    // bit-for-bit.
+    "q97_rolling_distinct_sketch" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        graft.functions.VectorExpressions.register(s)
+        val k = 64
+        val perDay = Relational.eventsRaw(s, dir)
+          .select(expr("ts div 86400000000000").as("day"),
+            graft.functions.KMinAgg.scramble(
+              call_function("poly_hash", col("user_id").cast("string"))).as("hv"))
+          .distinct()
+          .as[(Long, Long)]
+          .groupByKey(_._1).mapValues(_._2)
+          .agg(new graft.functions.KMinListAgg(k).toColumn.name("mins"))
+          .toDF("day", "mins")
+        val realDays = perDay.select(col("day").as("tday"))
+        perDay
+          .withColumn("tday", explode(sequence(col("day"), col("day") + 6)))
+          .join(realDays.distinct(), "tday")
+          .groupBy("tday")
+          .agg(count(lit(1)).as("n_days_merged"),
+            flatten(collect_list(col("mins"))).as("all"))
+          .withColumn("m", expr(s"slice(array_sort(array_distinct(all)), 1, $k)"))
+          .select(col("tday").as("day"), col("n_days_merged"),
+            when(size(col("m")) < k, size(col("m")).cast("long"))
+              .otherwise(expr(s"CAST(${k - 1} AS BIGINT) * 1000000007 DIV element_at(m, $k)"))
+              .as("est_distinct"))
+          .orderBy("day")
+      },
+      Some(s"""WITH ${QueryDef.scrambledHashCtes(
+               "(SELECT epoch_ns(ts) // 86400000000000 AS day, user_id FROM events)",
+               Seq("day"), "CAST(user_id AS VARCHAR)", dedupFinal = true)},
+             |days AS (SELECT DISTINCT day FROM h),
+             |win AS (
+             |  SELECT DISTINCT d.day AS tday, h.hv, h.day AS srcday
+             |  FROM days d JOIN h ON h.day BETWEEN d.day - 6 AND d.day),
+             |r AS (
+             |  SELECT tday, hv,
+             |    row_number() OVER (PARTITION BY tday ORDER BY hv) AS rn,
+             |    count(*) OVER (PARTITION BY tday) AS nd
+             |  FROM (SELECT DISTINCT tday, hv FROM win)),
+             |nm AS (
+             |  SELECT tday, count(DISTINCT srcday) AS n_days_merged FROM win
+             |  GROUP BY 1)
+             |SELECT r.tday AS day, nm.n_days_merged,
+             |  CAST(CASE WHEN max(nd) < 64 THEN max(nd)
+             |    ELSE (CAST(63 AS BIGINT) * 1000000007)
+             |      // max(CASE WHEN rn = 64 THEN hv END) END AS BIGINT)
+             |    AS est_distinct
+             |FROM r JOIN nm ON nm.tday = r.tday
+             |GROUP BY 1, 2 ORDER BY 1""".stripMargin))
   )
 }

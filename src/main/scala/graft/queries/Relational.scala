@@ -2324,7 +2324,55 @@ object Relational {
              |    AS n_risky_rows,
              |  CAST(sum(CASE WHEN ndv_sens < 2 THEN 1 ELSE 0 END) AS BIGINT)
              |    AS n_low_diversity
-             |FROM g GROUP BY 1 ORDER BY 1""".stripMargin))
+             |FROM g GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ---- PERMISSIVE CSV ingest with corrupt-record quarantine -------
+    // The dirty-feed reality: a 100 TB CSV drop always carries rows a
+    // strict parser rejects. FAILFAST (GraftIOSpec) is the validation
+    // mode; THIS is the ingest mode — PERMISSIVE parse routes
+    // unparseable rows to the _corrupt column, the aggregate accounts
+    // both streams, and checksums prove no good row was lost or
+    // mangled. The fixture corrupts every 37th order (non-numeric
+    // price field) at staging; the oracle replays that generation
+    // rule off the source table, so the check is end-to-end through
+    // the text write + permissive parse.
+    "q98_csv_quarantine" -> QueryDef(
+      (s, dir) => {
+        val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+        val path = Staged.cachedPath(s, s"csvq:$dir") {
+          val p = s"target/csv_quarantine_$tag"
+          table(s, dir, "orders")
+            .select(col("o_orderkey"), cents(col("o_totalprice")).as("price_c"),
+              col("o_orderpriority").as("pri"))
+            .select(when(col("o_orderkey") % 37 === 0,
+                concat_ws(",", col("o_orderkey"), lit("corrupted"), col("pri")))
+              .otherwise(concat_ws(",", col("o_orderkey"), col("price_c"),
+                col("pri"))).as("value"))
+            .write.mode("overwrite").text(p)
+          p
+        }
+        s.read
+          .schema("o_orderkey LONG, price_c LONG, pri STRING, _corrupt STRING")
+          .option("mode", "PERMISSIVE")
+          .option("columnNameOfCorruptRecord", "_corrupt")
+          .csv(path)
+          .agg(count(lit(1)).as("n_rows"),
+            sum(when(col("_corrupt").isNotNull, 1L).otherwise(0L))
+              .as("n_quarantined"),
+            sum(when(col("_corrupt").isNull, col("o_orderkey")).otherwise(0L))
+              .as("good_key_sum"),
+            sum(when(col("_corrupt").isNull, col("price_c")).otherwise(0L))
+              .as("good_price_sum"))
+      },
+      Some("""SELECT count(*) AS n_rows,
+             |  CAST(sum(CASE WHEN o_orderkey % 37 = 0 THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_quarantined,
+             |  CAST(sum(CASE WHEN o_orderkey % 37 <> 0 THEN o_orderkey
+             |    ELSE 0 END) AS BIGINT) AS good_key_sum,
+             |  CAST(sum(CASE WHEN o_orderkey % 37 <> 0
+             |    THEN CAST(round(o_totalprice*100) AS BIGINT) ELSE 0 END)
+             |    AS BIGINT) AS good_price_sum
+             |FROM orders""".stripMargin))
   )
 
   /** events with `ts` normalized to raw epoch-nanos LongType, whatever
