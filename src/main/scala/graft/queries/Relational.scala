@@ -2372,7 +2372,34 @@ object Relational {
              |  CAST(sum(CASE WHEN o_orderkey % 37 <> 0
              |    THEN CAST(round(o_totalprice*100) AS BIGINT) ELSE 0 END)
              |    AS BIGINT) AS good_price_sum
-             |FROM orders""".stripMargin))
+             |FROM orders""".stripMargin)),
+
+    // ---- relational division ("FOR ALL") ----------------------------
+    // The classic universal-quantifier shape: customers with at least
+    // one order in EVERY priority class. Set-cover via counting — one
+    // distinct-aggregate per customer compared to the 1-row domain
+    // cardinality (scalar subquery broadcast) — never the textbook
+    // double-NOT-EXISTS, whose nested correlated anti joins would
+    // rescan orders per (customer, class) pair at scale.
+    "q99_relational_division" -> QueryDef(
+      (s, dir) => {
+        table(s, dir, "orders").createOrReplaceTempView("graft_q99_ord")
+        s.sql("""SELECT o_custkey, count(DISTINCT o_orderpriority) AS n_classes,
+                |  count(*) AS n_orders
+                |FROM graft_q99_ord
+                |GROUP BY o_custkey
+                |HAVING count(DISTINCT o_orderpriority) =
+                |  (SELECT count(DISTINCT o_orderpriority) FROM graft_q99_ord)
+                |ORDER BY o_custkey""".stripMargin)
+      },
+      Some("""SELECT o_custkey,
+             |  CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS n_classes,
+             |  count(*) AS n_orders
+             |FROM orders
+             |GROUP BY o_custkey
+             |HAVING count(DISTINCT o_orderpriority) =
+             |  (SELECT count(DISTINCT o_orderpriority) FROM orders)
+             |ORDER BY o_custkey""".stripMargin))
   )
 
   /** events with `ts` normalized to raw epoch-nanos LongType, whatever

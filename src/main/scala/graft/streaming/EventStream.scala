@@ -358,6 +358,55 @@ object EventStream {
       }
   }
 
+  final case class DebEvent(userId: Long, eventType: String, tsUs: Long,
+                            eventId: Long)
+  final case class DebState(lastTs: Long, buffer: Seq[(Long, Long)])
+  final case class DebRow(userId: Long, eventType: String, eventId: Long,
+                          tsUs: Long)
+
+  /** Streaming twin of the batch debounce (q96): drop an event within
+    * `gapUs` of the previous SAME-(user, type) event. The keep rule is
+    * ORDER-SENSITIVE (the gap is measured against the previous event
+    * in event time, kept or not), so it uses [[streamingFunnel]]'s
+    * watermark-ordered buffer discipline: events hold in keyed state
+    * until the watermark passes them, then fold in (ts, eventId) order
+    * — a late arrival BETWEEN two finalized events would have violated
+    * the watermark, never silently flipped a keep decision. Kept
+    * events emit exactly once (Append mode); state per key is one
+    * lastTs long plus the watermark-bounded buffer.
+    */
+  def streamingDebounce(spark: SparkSession, events: Dataset[DebEvent],
+                        gapUs: Long = 5000000L,
+                        watermarkDelay: String = "30 minutes")
+      : Dataset[DebRow] = {
+    import spark.implicits._
+    events
+      .withColumn("ets", timestamp_micros(col("tsUs")))
+      .withWatermark("ets", watermarkDelay)
+      .as[DebEvent]
+      .groupByKey(e => (e.userId, e.eventType))
+      .flatMapGroupsWithState[DebState, DebRow](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key: (Long, String), rows: Iterator[DebEvent], state: GroupState[DebState]) =>
+          val st0 = state.getOption.getOrElse(DebState(Long.MinValue, Nil))
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val buf = (st0.buffer ++ rows.map(e => (e.tsUs, e.eventId))).sorted
+          val (ready, hold) = buf.partition(_._1 < wmUs)
+          var last = st0.lastTs
+          val kept = scala.collection.mutable.ArrayBuffer.empty[DebRow]
+          ready.foreach { case (t, id) =>
+            if (last == Long.MinValue || t - last > gapUs)
+              kept += DebRow(key._1, key._2, id, t)
+            last = t
+          }
+          state.update(DebState(last, hold))
+          if (hold.nonEmpty)
+            state.setTimeoutTimestamp(math.max(
+              state.getCurrentWatermarkMs() + 1, hold.map(_._1).min / 1000L + 1))
+          kept.iterator
+      }
+  }
+
   final case class AttrEvent(userId: Long, tsUs: Long, eventId: Long,
                              eventType: String, valueC: Long)
   final case class AttrState(lastTouch: Option[(Long, Long, String)],

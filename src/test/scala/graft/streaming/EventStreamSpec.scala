@@ -496,6 +496,56 @@ class EventStreamSpec extends SparkTestBase {
     assert(batch.exists(r => r.group == "grpB" && r.estDistinct == 5L))
   }
 
+  test("streaming debounce equals the batch rule under out-of-order arrival") {
+    implicit val sqlCtx = spark.sqlContext
+    import EventStream.{DebEvent, DebRow}
+    val Min = 60L * 1000000L
+    val T0 = 86400L * 1000000L
+    val gapUs = 5L * 1000000L // 5 s
+    // user 1 'click': burst at +0s/+2s/+4s (only first kept: each gap
+    // <= 5s measured vs the PREVIOUS event, kept or not), then +70s
+    // (kept). The +2s event arrives LATE (second batch) — buffering
+    // must restore event-time order, turning +4s into a drop it would
+    // have kept against +0s alone. user 2: isolated event (kept).
+    val fixture = Seq(
+      DebEvent(1L, "click", T0, 1L),
+      DebEvent(1L, "click", T0 + 4L * 1000000L, 3L),
+      DebEvent(1L, "click", T0 + 70L * 1000000L, 4L),
+      DebEvent(2L, "view", T0 + Min, 5L))
+    val late = Seq(DebEvent(1L, "click", T0 + 2L * 1000000L, 2L))
+    val input = MemoryStream[DebEvent]
+    val q = EventStream.streamingDebounce(spark, input.toDS(), gapUs,
+      watermarkDelay = "10 minutes")
+      .writeStream.format("memory").queryName("debounce")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(fixture: _*); q.processAllAvailable()
+      input.addData(late: _*); q.processAllAvailable()
+      // watermark pushers (wm lags a batch — tick twice)
+      input.addData(DebEvent(99L, "view", T0 + 120 * Min, 9L))
+      q.processAllAvailable()
+      input.addData(DebEvent(99L, "view", T0 + 240 * Min, 10L))
+      q.processAllAvailable()
+      val got = spark.table("debounce").as[DebRow].collect()
+        .map(r => r.eventId).toSet
+      // batch rule on the SAME fixture: per (user, type) in (ts, id)
+      // order, keep iff first or gap > 5s
+      val batch = (fixture ++ late).groupBy(e => (e.userId, e.eventType))
+        .flatMap { case (_, es) =>
+          val sorted = es.sortBy(e => (e.tsUs, e.eventId))
+          sorted.zip(Long.MinValue +: sorted.map(_.tsUs))
+            .collect { case (e, prev)
+              if prev == Long.MinValue || e.tsUs - prev > gapUs => e.eventId }
+        }.toSet
+      // the finalized fixture events match exactly (watermark pushers
+      // 9/10 may still hold; restrict to ids 1..5)
+      assert(got.filter(_ <= 5L) == batch.filter(_ <= 5L),
+        s"stream $got vs batch $batch")
+      assert(got.contains(1L) && got.contains(4L) && got.contains(5L))
+      assert(!got.contains(2L) && !got.contains(3L))
+    } finally q.stop()
+  }
+
   test("streaming dedup state survives a checkpoint restart") {
     // the production fault-tolerance property: stop the query, restart
     // from the same checkpoint, and a duplicate id arriving AFTER the
