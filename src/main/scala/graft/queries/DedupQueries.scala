@@ -1071,6 +1071,50 @@ object DedupQueries {
              |  FROM u)
              |SELECT canon_url, count(*) AS n_fetches,
              |  CAST(min(doc_id) AS BIGINT) AS keep_doc
-             |FROM c GROUP BY 1 ORDER BY 1""".stripMargin))
+             |FROM c GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ---- sampled dup-rate estimation (the 100 TB pre-flight) --------
+    // Before paying for a full dedup pass, estimate the duplicate rate
+    // from a deterministic 20% hash sample (q38's portable scrambled
+    // hash, so membership is engine-replayable — no rand()). One row:
+    // corpus size, sample size, sampled dup ppm, and the full exact
+    // ppm the estimate is judged against. At 100 TB only the sample's
+    // (text-hash, group) agg runs; here both run so the oracle also
+    // certifies the estimator's bias on this corpus.
+    "d28_duprate_estimate" -> QueryDef(
+      (s, dir) => {
+        graft.functions.VectorExpressions.register(s)
+        val docs = table(s, dir, "documents")
+          .select(col("doc_id"), xxhash64(col("text")).as("__h"),
+            graft.functions.KMinAgg.scramble(
+              call_function("poly_hash", col("doc_id").cast("string")))
+              .as("__sh"))
+        def dupPpm(d: org.apache.spark.sql.DataFrame) = d
+          .groupBy("__h").agg(count(lit(1)).as("n"))
+          .agg(sum("n").as("rows"), count(lit(1)).as("distincts"))
+          .select(col("rows"),
+            expr("1000000 * (rows - distincts) DIV rows").as("ppm"))
+        val full = dupPpm(docs)
+          .select(col("rows").as("n_corpus"), col("ppm").as("full_dup_ppm"))
+        val samp = dupPpm(docs.filter(col("__sh") % 5 === 0))
+          .select(col("rows").as("n_sample"), col("ppm").as("sample_dup_ppm"))
+        full.crossJoin(samp)
+          .select("n_corpus", "n_sample", "sample_dup_ppm", "full_dup_ppm")
+      },
+      Some(s"""WITH ${QueryDef.scrambledHashCtes("documents",
+                 Seq("doc_id", "text"), "CAST(doc_id AS VARCHAR)")},
+             |f AS (
+             |  SELECT count(*) AS n_corpus,
+             |    (1000000 * (count(*) - count(DISTINCT text))) // count(*)
+             |      AS full_dup_ppm
+             |  FROM documents),
+             |sm AS (
+             |  SELECT count(*) AS n_sample,
+             |    (1000000 * (count(*) - count(DISTINCT text))) // count(*)
+             |      AS sample_dup_ppm
+             |  FROM h WHERE hv % 5 = 0)
+             |SELECT f.n_corpus, sm.n_sample, sm.sample_dup_ppm,
+             |  f.full_dup_ppm
+             |FROM f CROSS JOIN sm""".stripMargin))
   )
 }

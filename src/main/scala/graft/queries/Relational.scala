@@ -2399,7 +2399,111 @@ object Relational {
              |GROUP BY o_custkey
              |HAVING count(DISTINCT o_orderpriority) =
              |  (SELECT count(DISTINCT o_orderpriority) FROM orders)
-             |ORDER BY o_custkey""".stripMargin))
+             |ORDER BY o_custkey""".stripMargin)),
+
+    // ---- Pareto / decile concentration report -----------------------
+    // The 80/20 question: how much of total revenue does each spend
+    // decile of customers carry? ntile(10) over the customer-sized
+    // aggregate (both engines assign the extra rows to the earliest
+    // groups — identical split), shares in exact permille of the
+    // scalar-subquery total.
+    "q100_decile_report" -> QueryDef(
+      (s, dir) => {
+        table(s, dir, "orders").createOrReplaceTempView("graft_q100_ord")
+        s.sql("""WITH agg AS (
+                |  SELECT o_custkey,
+                |    CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT)
+                |      AS spend_c
+                |  FROM graft_q100_ord GROUP BY 1),
+                |d AS (
+                |  SELECT spend_c,
+                |    ntile(10) OVER (ORDER BY spend_c DESC, o_custkey) AS decile
+                |  FROM agg)
+                |SELECT CAST(decile AS BIGINT) AS decile,
+                |  count(*) AS n_customers,
+                |  CAST(sum(spend_c) AS BIGINT) AS decile_spend_c,
+                |  1000 * CAST(sum(spend_c) AS BIGINT)
+                |    DIV (SELECT CAST(sum(spend_c) AS BIGINT) FROM agg)
+                |    AS share_permille
+                |FROM d GROUP BY 1 ORDER BY 1""".stripMargin)
+      },
+      Some("""WITH agg AS (
+             |  SELECT o_custkey,
+             |    CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT)
+             |      AS spend_c
+             |  FROM orders GROUP BY 1),
+             |d AS (
+             |  SELECT spend_c,
+             |    ntile(10) OVER (ORDER BY spend_c DESC, o_custkey) AS decile
+             |  FROM agg)
+             |SELECT CAST(decile AS BIGINT) AS decile,
+             |  count(*) AS n_customers,
+             |  CAST(sum(spend_c) AS BIGINT) AS decile_spend_c,
+             |  (1000 * CAST(sum(spend_c) AS BIGINT))
+             |    // (SELECT CAST(sum(spend_c) AS BIGINT) FROM agg)
+             |    AS share_permille
+             |FROM d GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ---- join-key skew pre-flight report ----------------------------
+    // The detect step BEFORE q35's salted join: per candidate join key,
+    // the cardinality histogram (t19's value-histogram trick — the
+    // quantile window runs over distinct counts-of-counts, never the
+    // keys), max key frequency, and the max/p50 skew ratio that decides
+    // whether to salt. One map-side key count + one histogram agg per
+    // key column.
+    "q101_skew_report" -> QueryDef(
+      (s, dir) => {
+        def report(name: String, df: DataFrame, key: String): DataFrame = {
+          val counts = df.groupBy(col(key).as("k")).agg(count(lit(1)).as("n"))
+          val hist = counts.groupBy("n").agg(count(lit(1)).as("freq"))
+          val cum = hist
+            .withColumn("cum", sum("freq").over(Window.orderBy("n")
+              .rowsBetween(Window.unboundedPreceding, 0)))
+            .withColumn("total", sum("freq").over(Window.partitionBy()))
+          cum.agg(
+            sum("freq").as("n_keys"),
+            max("n").as("max_n"),
+            min(when(col("cum") * 2 >= col("total"), col("n"))).as("p50_n"))
+            .select(lit(name).as("key_col"), col("n_keys"), col("max_n"),
+              col("p50_n"), expr("max_n DIV p50_n").as("skew_ratio"))
+        }
+        val li = table(s, dir, "lineitem")
+        val ev = Relational.eventsRaw(s, dir)
+        Seq(
+          report("events.user_id", ev, "user_id"),
+          report("lineitem.l_orderkey", li, "l_orderkey"),
+          report("lineitem.l_partkey", li, "l_partkey"),
+          report("lineitem.l_suppkey", li, "l_suppkey"))
+          .reduce(_ unionByName _)
+          .orderBy("key_col")
+      },
+      Some("""WITH src AS (
+             |  SELECT 'events.user_id' AS key_col, user_id AS k FROM events
+             |  UNION ALL
+             |  SELECT 'lineitem.l_orderkey', l_orderkey FROM lineitem
+             |  UNION ALL
+             |  SELECT 'lineitem.l_partkey', l_partkey FROM lineitem
+             |  UNION ALL
+             |  SELECT 'lineitem.l_suppkey', l_suppkey FROM lineitem),
+             |counts AS (
+             |  SELECT key_col, k, count(*) AS n FROM src GROUP BY 1, 2),
+             |hist AS (
+             |  SELECT key_col, n, count(*) AS freq FROM counts GROUP BY 1, 2),
+             |cum AS (
+             |  SELECT key_col, n, freq,
+             |    sum(freq) OVER (PARTITION BY key_col ORDER BY n
+             |      ROWS UNBOUNDED PRECEDING) AS cum,
+             |    sum(freq) OVER (PARTITION BY key_col) AS total
+             |  FROM hist)
+             |SELECT key_col,
+             |  CAST(sum(freq) AS BIGINT) AS n_keys,
+             |  CAST(max(n) AS BIGINT) AS max_n,
+             |  CAST(min(CASE WHEN cum * 2 >= total THEN n END) AS BIGINT)
+             |    AS p50_n,
+             |  CAST(max(n) AS BIGINT)
+             |    // CAST(min(CASE WHEN cum * 2 >= total THEN n END) AS BIGINT)
+             |    AS skew_ratio
+             |FROM cum GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 
   /** events with `ts` normalized to raw epoch-nanos LongType, whatever

@@ -289,6 +289,8 @@ class PlanShapeSpec extends SparkTestBase {
                            //   cross-joined into single audit rows
       "d19_dup_triangles", // three 1-row census aggregates cross-joined
                            //   into the single summary row
+      "d28_duprate_estimate", // two 1-row (corpus, sample) aggregates
+                           //   cross-joined into the single report row
       "q66_rfm_segments",  // 1-row corpus-max-date broadcast into the
                            //   per-customer recency computation
       "q67_copurchase_lift", // 1-row basket-count broadcast into the
