@@ -1072,6 +1072,62 @@ object EventQueries {
              |      // max(CASE WHEN rn = 64 THEN hv END) END AS BIGINT)
              |    AS est_distinct
              |FROM r JOIN nm ON nm.tday = r.tday
-             |GROUP BY 1, 2 ORDER BY 1""".stripMargin))
+             |GROUP BY 1, 2 ORDER BY 1""".stripMargin)),
+
+    // ---- rolling EXACT quantiles via mergeable histograms -----------
+    // q97's sibling for quantiles: value histograms are mergeable
+    // state (histogram addition is exact — unlike quantiles
+    // themselves), so each day aggregates ONCE into a (day, value_c)
+    // count table and every 7-day window sums the daily histograms it
+    // covers; p50/p90 come from t19's cumulative nearest-rank rule
+    // over the merged histogram. Shuffle per window: the value-domain-
+    // bounded histogram, never the raw rows — the windowed-percentile
+    // latency dashboard at 100 TB.
+    "q102_rolling_quantile" -> QueryDef(
+      (s, dir) => {
+        val daily = Relational.eventsRaw(s, dir)
+          .select(expr("ts div 86400000000000").as("day"),
+            cents(col("value")).as("v"))
+          .groupBy("day", "v").agg(count(lit(1)).as("c"))
+        val realDays = daily.select(col("day").as("tday")).distinct()
+        val merged = daily
+          .withColumn("tday", explode(sequence(col("day"), col("day") + 6)))
+          .join(realDays, "tday")
+          .groupBy("tday", "v").agg(sum("c").as("c"))
+        val wOrd = Window.partitionBy("tday").orderBy("v")
+          .rowsBetween(Window.unboundedPreceding, 0)
+        val wAll = Window.partitionBy("tday")
+        merged
+          .withColumn("cum", sum("c").over(wOrd))
+          .withColumn("total", sum("c").over(wAll))
+          .groupBy(col("tday").as("day"))
+          .agg(sum("c").as("n_values"),
+            min(when(col("cum") * 2 >= col("total"), col("v"))).as("p50_c"),
+            min(when(col("cum") * 10 >= col("total") * 9, col("v"))).as("p90_c"),
+            max("v").as("max_c"))
+          .orderBy("day")
+      },
+      Some("""WITH daily AS (
+             |  SELECT epoch_ns(ts) // 86400000000000 AS day,
+             |    CAST(round(value * 100) AS BIGINT) AS v, count(*) AS c
+             |  FROM events GROUP BY 1, 2),
+             |days AS (SELECT DISTINCT day AS tday FROM daily),
+             |merged AS (
+             |  SELECT d.tday, daily.v, sum(daily.c) AS c
+             |  FROM days d JOIN daily ON daily.day BETWEEN d.tday - 6 AND d.tday
+             |  GROUP BY 1, 2),
+             |cum AS (
+             |  SELECT tday, v, c,
+             |    sum(c) OVER (PARTITION BY tday ORDER BY v
+             |      ROWS UNBOUNDED PRECEDING) AS cum,
+             |    sum(c) OVER (PARTITION BY tday) AS total
+             |  FROM merged)
+             |SELECT tday AS day, CAST(sum(c) AS BIGINT) AS n_values,
+             |  CAST(min(CASE WHEN cum * 2 >= total THEN v END) AS BIGINT)
+             |    AS p50_c,
+             |  CAST(min(CASE WHEN cum * 10 >= total * 9 THEN v END) AS BIGINT)
+             |    AS p90_c,
+             |  CAST(max(v) AS BIGINT) AS max_c
+             |FROM cum GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }
