@@ -1128,6 +1128,76 @@ object EventQueries {
              |  CAST(min(CASE WHEN cum * 10 >= total * 9 THEN v END) AS BIGINT)
              |    AS p90_c,
              |  CAST(max(v) AS BIGINT) AS max_c
-             |FROM cum GROUP BY 1 ORDER BY 1""".stripMargin))
+             |FROM cum GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ---- temporal-split next-event prediction eval ------------------
+    // q68's model-eval half, done the leakage-free way: transition
+    // counts TRAIN on the first half of the time axis, the argmax
+    // next-event predictor is scored on the second half — the temporal
+    // split every production sequence model needs (a random split
+    // would leak future behavior into training; t22's group-split
+    // argument on the time axis). All exact integers: the cutoff is a
+    // scalar-subquery midpoint, the predictor is a rank-1 row per
+    // prev-type, accuracy is integer permille.
+    "q103_markov_eval" -> QueryDef(
+      (s, dir) => {
+        Relational.eventsRaw(s, dir).createOrReplaceTempView("graft_q103_ev")
+        s.sql("""WITH seq AS (
+                |  SELECT user_id, ts DIV 86400000000000 AS day, event_id,
+                |    event_type,
+                |    lag(event_type) OVER (PARTITION BY user_id
+                |      ORDER BY ts, event_id) AS prev_type
+                |  FROM graft_q103_ev),
+                |pairs AS (
+                |  SELECT day, prev_type, event_type AS next_type
+                |  FROM seq WHERE prev_type IS NOT NULL),
+                |cut AS (SELECT (min(day) + max(day)) DIV 2 AS d FROM pairs),
+                |train AS (
+                |  SELECT prev_type, next_type, count(*) AS n FROM pairs
+                |  WHERE day < (SELECT d FROM cut) GROUP BY 1, 2),
+                |model AS (
+                |  SELECT prev_type, next_type AS pred FROM (
+                |    SELECT prev_type, next_type, row_number() OVER
+                |      (PARTITION BY prev_type ORDER BY n DESC, next_type) AS rn
+                |    FROM train) WHERE rn = 1),
+                |ev2 AS (
+                |  SELECT prev_type, next_type FROM pairs
+                |  WHERE day >= (SELECT d FROM cut))
+                |SELECT e.prev_type, count(*) AS n_eval,
+                |  CAST(sum(CASE WHEN m.pred = e.next_type THEN 1 ELSE 0 END)
+                |    AS BIGINT) AS n_correct,
+                |  1000 * CAST(sum(CASE WHEN m.pred = e.next_type THEN 1
+                |    ELSE 0 END) AS BIGINT) DIV count(*) AS acc_permille
+                |FROM ev2 e LEFT JOIN model m ON e.prev_type = m.prev_type
+                |GROUP BY 1 ORDER BY 1""".stripMargin)
+      },
+      Some("""WITH seq AS (
+             |  SELECT user_id, epoch_ns(ts) // 86400000000000 AS day,
+             |    event_id, event_type,
+             |    lag(event_type) OVER (PARTITION BY user_id
+             |      ORDER BY ts, event_id) AS prev_type
+             |  FROM events),
+             |pairs AS (
+             |  SELECT day, prev_type, event_type AS next_type
+             |  FROM seq WHERE prev_type IS NOT NULL),
+             |cut AS (SELECT (min(day) + max(day)) // 2 AS d FROM pairs),
+             |train AS (
+             |  SELECT prev_type, next_type, count(*) AS n FROM pairs
+             |  WHERE day < (SELECT d FROM cut) GROUP BY 1, 2),
+             |model AS (
+             |  SELECT prev_type, next_type AS pred FROM (
+             |    SELECT prev_type, next_type, row_number() OVER
+             |      (PARTITION BY prev_type ORDER BY n DESC, next_type) AS rn
+             |    FROM train) WHERE rn = 1),
+             |ev2 AS (
+             |  SELECT prev_type, next_type FROM pairs
+             |  WHERE day >= (SELECT d FROM cut))
+             |SELECT e.prev_type, count(*) AS n_eval,
+             |  CAST(sum(CASE WHEN m.pred = e.next_type THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_correct,
+             |  (1000 * CAST(sum(CASE WHEN m.pred = e.next_type THEN 1
+             |    ELSE 0 END) AS BIGINT)) // count(*) AS acc_permille
+             |FROM ev2 e LEFT JOIN model m ON e.prev_type = m.prev_type
+             |GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }
