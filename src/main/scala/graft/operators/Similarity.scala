@@ -537,6 +537,92 @@ object Similarity {
   def int8Dequantize(codes: Column, absMax: Column): Column =
     transform(codes, q => q.cast("double") * absMax / 127.0)
 
+  /** 1-bit-per-dimension binary quantization: bit i of the returned
+    * BIGINT is set iff vec[i+1] >= 0 — the 32× compression point past
+    * [[int8Quantize]] on the storage curve. Unlike [[signCode]] there
+    * are no hyperplanes: the corpus is zero-centered per dimension, so
+    * the RAW sign pattern is the code and Hamming distance approximates
+    * angular distance directly. dims <= 64 packs into ONE long — the
+    * candidate scan reads 8 bytes/row instead of 256 and shuffles
+    * codes, never vectors.
+    *
+    * The bit weights are literal powers of two (not `shiftleft`):
+    * 1L << 63 is Long.MinValue, which a portable oracle can state as a
+    * literal but not compute (DuckDB raises on the overflowing shift).
+    */
+  def binaryCode(vec: Column, dims: Int): Column = {
+    require(dims >= 1 && dims <= 64, s"binaryCode packs one long; dims=$dims")
+    val pows = array((0 until dims).map(i => lit(1L << i)): _*)
+    aggregate(
+      zip_with(vec, pows, (x, p) =>
+        when(x.cast("double") >= 0.0, p).otherwise(lit(0L))),
+      lit(0L), (a, b) => a.bitwiseOR(b))
+  }
+
+  /** Binary-quantized ANN: Hamming-distance candidate generation over
+    * the packed [[binaryCode]]s (top `candC` per query, ties by id),
+    * exact cosine re-rank of the survivors. The modern vector-store
+    * serving shape: the full-precision vectors are touched for only
+    * candC·|queries| rows — at corpus scale the coded table is what's
+    * materialized, and the scan is 1/32 of the float bytes. Both
+    * stages use the bounded [[topKReRank]] aggregator (Hamming ranks
+    * as score = −distance), so no task ever sorts the corpus.
+    */
+  def binaryHammingTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                        dims: Int, candC: Int,
+                        idCol: String = "vec_id", vecCol: String = "embedding",
+                        qidCol: String = "qid", qvecCol: String = "qvec")
+      : DataFrame = {
+    val coded = corpus.select(col(idCol), binaryCode(col(vecCol), dims).as("__code"))
+    val qcoded = queries.select(col(qidCol), col(qvecCol),
+      binaryCode(col(qvecCol), dims).as("__qcode"))
+    // candidate cut on CODES ONLY against the broadcast query codes;
+    // −hamming maps (hamming asc, id asc) onto TopKAgg's (score desc,
+    // id asc) contract — exact small integers, no double rounding
+    val cands = coded
+      .crossJoin(broadcast(qcoded.select(col(qidCol), col("__qcode"))))
+      .filter(col(idCol) =!= col(qidCol))
+      .withColumn("__negham",
+        -bit_count(col("__code").bitwiseXOR(col("__qcode"))).cast("double"))
+    val top = topKReRank(cands, candC, qidCol, idCol, "__negham")
+      .select(col(qidCol), col(idCol))
+    val scored = top
+      .join(corpus.select(col(idCol), col(vecCol)), idCol)
+      .join(broadcast(qcoded.select(col(qidCol), col(qvecCol))), qidCol)
+      .withColumn("__cos", cosine(col(vecCol), col(qvecCol)))
+    topKReRank(scored, k, qidCol, idCol, "__cos")
+  }
+
+  /** Matryoshka-style two-stage ANN: coarse cosine over the FIRST
+    * `prefixDims` dimensions picks `candC` candidates per query; the
+    * full-dimension exact cosine re-ranks them. The
+    * nested-representation serving pattern (Kusupati et al.,
+    * "Matryoshka Representation Learning", NeurIPS 2022): embeddings
+    * trained so prefixes are themselves valid low-dim embeddings make
+    * the coarse scan read prefixDims/dims of the vector bytes — at
+    * corpus scale the prefix column is what's materialized. Both
+    * stages run through the bounded [[topKReRank]] aggregator.
+    */
+  def matryoshkaTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                     prefixDims: Int, candC: Int,
+                     idCol: String = "vec_id", vecCol: String = "embedding",
+                     qidCol: String = "qid", qvecCol: String = "qvec")
+      : DataFrame = {
+    val cands = corpus
+      .select(col(idCol), slice(col(vecCol), 1, prefixDims).as("__pvec"))
+      .crossJoin(broadcast(queries.select(col(qidCol),
+        slice(col(qvecCol), 1, prefixDims).as("__pq"))))
+      .filter(col(idCol) =!= col(qidCol))
+      .withColumn("__pcos", cosine(col("__pvec"), col("__pq")))
+    val top = topKReRank(cands, candC, qidCol, idCol, "__pcos")
+      .select(col(qidCol), col(idCol))
+    val scored = top
+      .join(corpus.select(col(idCol), col(vecCol)), idCol)
+      .join(broadcast(queries.select(col(qidCol), col(qvecCol))), qidCol)
+      .withColumn("__cos", cosine(col(vecCol), col(qvecCol)))
+    topKReRank(scored, k, qidCol, idCol, "__cos")
+  }
+
   /** ±1 sign for (input dim i, output dim j) — Achlioptas' database-
     * friendly Johnson–Lindenstrauss projection entry (±1 matrices
     * preserve pairwise L2 within (1±ε) at projDims = O(log n / ε²),

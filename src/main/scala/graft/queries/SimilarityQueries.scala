@@ -54,21 +54,26 @@ object SimilarityQueries {
   // bands·n²/2^r <= budget): n=500 -> r=4, n=2000 -> r=10 (the round-7
   // measured sweet spot at sf0.1), n=20000 -> r=12. One knob, every SF.
   private val KnnBudget = 500000L
+  // sim14 binary-quantization / sim15 matryoshka candidate widths
+  private val BqC = 100
+  private val MatPrefix = 16
+  private val MatC = 100
 
   /** The ONE DuckDB rendering of [[Similarity.dot]]'s left fold:
     * prepend-0.0 list_reduce over per-index double products — the same
     * accumulation order as Spark's `aggregate(zip_with(...))`, so the
-    * result is bit-identical.
+    * result is bit-identical. `n` defaults to the full dimension;
+    * sim15's coarse stage folds a prefix.
     */
-  private def dotSql(a: String, b: String): String =
-    s"""list_reduce(list_prepend(0.0, list_transform(range(1, ${Dims + 1}),
+  private def dotSql(a: String, b: String, n: Int = Dims): String =
+    s"""list_reduce(list_prepend(0.0, list_transform(range(1, ${n + 1}),
        |        i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))),
        |      (x, y) -> x + y)""".stripMargin
 
-  private def cosineSql(vec: String, qvec: String): String =
-    s"""${dotSql(vec, qvec)}
-       |    / (sqrt(${dotSql(vec, vec)})
-       |      * sqrt(${dotSql(qvec, qvec)}))""".stripMargin
+  private def cosineSql(vec: String, qvec: String, n: Int = Dims): String =
+    s"""${dotSql(vec, qvec, n)}
+       |    / (sqrt(${dotSql(vec, vec, n)})
+       |      * sqrt(${dotSql(qvec, qvec, n)}))""".stripMargin
 
   /** Shared final SELECT of every top-k oracle: rank by cosine desc /
     * id asc within each query, keep K, encode the score as
@@ -84,6 +89,13 @@ object SimilarityQueries {
        |ORDER BY qid, rank""".stripMargin
 
   private val qidList = QueryIds.mkString(", ")
+
+  /** The 64 bit weights of [[Similarity.binaryCode]] as BIGINT literals
+    * — bit 63's weight is Long.MinValue, which DuckDB can only STATE
+    * (the computing shift `1<<63` raises Out of Range).
+    */
+  private val powList =
+    (0 until Dims).map(i => s"CAST(${1L << i} AS BIGINT)").mkString(", ")
 
   /** sim2 oracle: the 24×64 hyperplane weight matrix as a VALUES table
     * (one row per plane, one 64-double list per row), sign codes via
@@ -851,7 +863,82 @@ object SimilarityQueries {
     "sim12_mmr_rerank" -> QueryDef(
       (s, dir) => Similarity.mmrRerank(table(s, dir, "embeddings"),
         queryVecId = 0L, nCand = MmrCand, k = MmrK),
-      Some(mmrOracleSql))
+      Some(mmrOracleSql)),
+
+    // Binary-quantized ANN: 1 bit per dimension packed into ONE BIGINT
+    // (the corpus is zero-centered per dim, so raw signs carry the
+    // angular structure), Hamming top-100 candidates over the 8-byte
+    // codes, exact cosine re-rank. The 32×-compression serving path:
+    // at corpus scale the coded table is what's materialized and the
+    // candidate scan reads 1/32 of the float bytes; full vectors are
+    // joined back for only 100·|queries| rows. The oracle replays the
+    // bit packing (power-of-two literals — DuckDB cannot COMPUTE
+    // 1<<63), the xor/bit_count ranking, and the re-rank exactly.
+    "sim14_binary_hamming" -> QueryDef(
+      (s, dir) => {
+        val emb = table(s, dir, "embeddings")
+        val queries = emb.filter(col("vec_id").isInCollection(QueryIds))
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+        Similarity.binaryHammingTopK(emb, queries, K, dims = Dims, candC = BqC)
+          .orderBy("qid", "rank")
+      },
+      Some(s"""WITH coded AS MATERIALIZED (
+             |  SELECT vec_id, embedding,
+             |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |      list_transform(range(0, $Dims),
+             |        i -> CASE WHEN CAST(embedding[i + 1] AS DOUBLE) >= 0.0
+             |             THEN ([$powList])[i + 1] ELSE CAST(0 AS BIGINT) END)),
+             |      (a, b) -> a | b) AS code
+             |  FROM embeddings),
+             |q AS (SELECT vec_id AS qid, embedding AS qvec, code AS qcode
+             |  FROM coded WHERE vec_id IN ($qidList)),
+             |cand AS (
+             |  SELECT qid, vec_id FROM (
+             |    SELECT q.qid, c.vec_id,
+             |      row_number() OVER (PARTITION BY q.qid
+             |        ORDER BY bit_count(xor(c.code, q.qcode)), c.vec_id) AS rn
+             |    FROM coded c, q WHERE c.vec_id <> q.qid)
+             |  WHERE rn <= $BqC),
+             |scored AS (
+             |  SELECT c.qid, c.vec_id,
+             |    ${cosineSql("e.embedding", "q.qvec")} AS cos
+             |  FROM cand c JOIN embeddings e ON c.vec_id = e.vec_id
+             |  JOIN q ON c.qid = q.qid)
+             |$rerankSql""".stripMargin)),
+
+    // Matryoshka two-stage ANN: coarse cosine over the FIRST 16 dims
+    // (prefixes of MRL-trained embeddings are themselves valid
+    // embeddings — Kusupati et al. 2022) cuts top-100 candidates per
+    // query, full 64-dim exact re-rank orders them. The coarse scan
+    // reads prefix bytes only (1/4 here; the materialized-prefix-column
+    // point on the storage curve between sim9's int8 and sim14's
+    // bits). Oracle replays the prefix fold, the DESC cut, and the
+    // re-rank bit-for-bit.
+    "sim15_matryoshka" -> QueryDef(
+      (s, dir) => {
+        val emb = table(s, dir, "embeddings")
+        val queries = emb.filter(col("vec_id").isInCollection(QueryIds))
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+        Similarity.matryoshkaTopK(emb, queries, K,
+          prefixDims = MatPrefix, candC = MatC)
+          .orderBy("qid", "rank")
+      },
+      Some(s"""WITH pj AS (SELECT vec_id, embedding,
+             |    embedding[1:$MatPrefix] AS pvec FROM embeddings),
+             |q AS (SELECT vec_id AS qid, embedding AS qvec, pvec AS pq
+             |  FROM pj WHERE vec_id IN ($qidList)),
+             |coarse AS (SELECT q.qid, c.vec_id,
+             |    ${cosineSql("c.pvec", "q.pq", MatPrefix)} AS pcos
+             |  FROM pj c, q WHERE c.vec_id <> q.qid),
+             |cand AS (SELECT qid, vec_id FROM (
+             |    SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
+             |        ORDER BY pcos DESC, vec_id) AS rn
+             |    FROM coarse) WHERE rn <= $MatC),
+             |scored AS (SELECT c.qid, c.vec_id,
+             |    ${cosineSql("e.embedding", "q.qvec")} AS cos
+             |  FROM cand c JOIN embeddings e ON c.vec_id = e.vec_id
+             |  JOIN q ON c.qid = q.qid)
+             |$rerankSql""".stripMargin))
   )
 
   /** Unrolled greedy-MMR replay: cand = brute-force top-20, then k−1

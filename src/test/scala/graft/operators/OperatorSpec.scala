@@ -867,6 +867,42 @@ class SimilaritySpec extends SparkTestBase {
     assert(dup.nonEmpty)
   }
 
+  test("binary-Hamming ANN: full-width candidates equal brute force; narrow cut keeps recall") {
+    val c = corpus()
+    val q = c.filter(col("vec_id").isin(0L, 1L, 2L))
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val exact = Similarity.bruteForceTopK(c, q, 10)
+      .select("qid", "rank", "vec_id", "cos_micro")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    // candC = whole corpus -> the exact re-rank sees every vector, so
+    // the result must EQUAL brute force row-for-row
+    val full = Similarity.binaryHammingTopK(c, q, 10, dims, candC = 200)
+      .select("qid", "rank", "vec_id", "cos_micro")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(full == exact, "full-width Hamming candidates must reduce to brute force")
+    val approx = Similarity.binaryHammingTopK(c, q, 10, dims, candC = 40)
+      .select("qid", "vec_id").as[(Long, Long)].collect().toSet
+    val recall = (exact.map(r => (r._1, r._3)) & approx).size.toDouble / exact.size
+    assert(recall >= 0.6, s"binary-Hamming recall $recall too low")
+  }
+
+  test("matryoshka ANN: full-width candidates equal brute force; prefix cut keeps recall") {
+    val c = corpus()
+    val q = c.filter(col("vec_id").isin(0L, 1L, 2L))
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val exact = Similarity.bruteForceTopK(c, q, 10)
+      .select("qid", "rank", "vec_id", "cos_micro")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val full = Similarity.matryoshkaTopK(c, q, 10, prefixDims = 16, candC = 200)
+      .select("qid", "rank", "vec_id", "cos_micro")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(full == exact, "full-width matryoshka candidates must reduce to brute force")
+    val approx = Similarity.matryoshkaTopK(c, q, 10, prefixDims = 16, candC = 40)
+      .select("qid", "vec_id").as[(Long, Long)].collect().toSet
+    val recall = (exact.map(r => (r._1, r._3)) & approx).size.toDouble / exact.size
+    assert(recall >= 0.6, s"matryoshka recall $recall too low")
+  }
+
   test("materialized IVF index: partition-pruned probing matches inline ivfTopK") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ivf").toFile.getAbsolutePath
     val c = corpus()

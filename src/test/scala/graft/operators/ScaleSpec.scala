@@ -302,6 +302,12 @@ class PlanShapeSpec extends SparkTestBase {
                            //   window ends (q66's class)
       "sim8_randproj_ann", // corpus × broadcast PROJECTED-QUERY set —
                            //   sim1's replicate-join class in 16 dims
+      "sim14_binary_hamming", // corpus CODES (8 B/row) × broadcast
+                           //   query codes — sim1's class over 1/32
+                           //   of the bytes; rerank joins are keyed
+      "sim15_matryoshka",  // corpus PREFIXES × broadcast query
+                           //   prefixes — sim1's class over 1/4 of
+                           //   the bytes; rerank joins are keyed
       "t37_vocab_growth",  // 1-row max-doc-id broadcast into the
                            //   decile bucketing (q66's class)
       "d24_modularity")    // 1-row total-edge-count broadcast into the
