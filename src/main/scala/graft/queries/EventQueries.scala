@@ -1198,6 +1198,63 @@ object EventQueries {
              |  (1000 * CAST(sum(CASE WHEN m.pred = e.next_type THEN 1
              |    ELSE 0 END) AS BIGINT)) // count(*) AS acc_permille
              |FROM ev2 e LEFT JOIN model m ON e.prev_type = m.prev_type
-             |GROUP BY 1 ORDER BY 1""".stripMargin))
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ---- single-source shortest path (Bellman-Ford class) ----------
+    // Cheapest journey from 'signup' to every event type on the
+    // transition graph, cost = 1e9 DIV transition-count (rare hop =
+    // costly hop). The q57 discipline: the DISTRIBUTED stage is the
+    // full-scan contraction to a ≤|types|² edge table
+    // (Staged.eventEdges, persisted); the recursion then enumerates
+    // simple paths over that contracted graph — revisit-pruned via the
+    // path array, so walk count is bounded by the type vocabulary, not
+    // the corpus — and the outer min folds them per destination
+    // (aggregates are ILLEGAL over recursive references in both
+    // engines, so min-per-round relaxation cannot live inside the
+    // loop). Exact integers end to end; the oracle replays contraction,
+    // walk, and fold identically.
+    "q104_shortest_path" -> QueryDef(
+      (s, dir) => {
+        Staged.eventEdges(s, dir).createOrReplaceTempView("graft_q104_edges")
+        s.sql("""WITH RECURSIVE nodes AS (
+                |  SELECT DISTINCT node FROM (
+                |    SELECT src AS node FROM graft_q104_edges
+                |    UNION ALL SELECT dst AS node FROM graft_q104_edges) u),
+                |walk(node, total, path) AS (
+                |  SELECT 'signup', CAST(0 AS BIGINT), array('signup')
+                |  UNION ALL
+                |  SELECT e.dst, w.total + e.cost, array_append(w.path, e.dst)
+                |  FROM walk w JOIN graft_q104_edges e ON w.node = e.src
+                |  WHERE NOT array_contains(w.path, e.dst))
+                |SELECT n.node, min(w.total) AS min_cost,
+                |  count(w.node) AS n_paths,
+                |  (min(w.total) IS NOT NULL) AS reached
+                |FROM nodes n LEFT JOIN walk w ON n.node = w.node
+                |GROUP BY n.node ORDER BY n.node""".stripMargin)
+      },
+      Some("""WITH RECURSIVE seq AS (
+             |  SELECT event_type, lag(event_type) OVER (PARTITION BY user_id
+             |      ORDER BY ts, event_id) AS prev_type
+             |  FROM events),
+             |edges AS (
+             |  SELECT prev_type AS src, event_type AS dst,
+             |    1000000000 // count(*) AS cost
+             |  FROM seq WHERE prev_type IS NOT NULL AND prev_type <> event_type
+             |  GROUP BY 1, 2),
+             |nodes AS (
+             |  SELECT DISTINCT node FROM (
+             |    SELECT src AS node FROM edges
+             |    UNION ALL SELECT dst AS node FROM edges) u),
+             |walk(node, total, path) AS (
+             |  SELECT 'signup', CAST(0 AS BIGINT), ['signup']
+             |  UNION ALL
+             |  SELECT e.dst, w.total + e.cost, list_append(w.path, e.dst)
+             |  FROM walk w JOIN edges e ON w.node = e.src
+             |  WHERE NOT list_contains(w.path, e.dst))
+             |SELECT n.node, CAST(min(w.total) AS BIGINT) AS min_cost,
+             |  CAST(count(w.node) AS BIGINT) AS n_paths,
+             |  (min(w.total) IS NOT NULL) AS reached
+             |FROM nodes n LEFT JOIN walk w ON n.node = w.node
+             |GROUP BY n.node ORDER BY n.node""".stripMargin))
   )
 }

@@ -70,6 +70,28 @@ object Staged {
         arrayCols = Seq("qty_c", "price_c"))
     }).asInstanceOf[DcaFrame]
 
+  /** Contracted event-transition graph (src, dst, cost): the full
+    * scan + per-user window + groupBy contracts millions of
+    * transitions to a ≤|event types|² edge table; persisted so q104's
+    * recursion replays the cached contraction per iteration, never the
+    * scan (the q57 contract-BEFORE-the-loop discipline). cost =
+    * 1e9 DIV transition-count: rarer transition = costlier hop, exact
+    * integers end to end.
+    */
+  def eventEdges(s: SparkSession, dir: String): DataFrame =
+    cacheFor(s).getOrElseUpdate(s"evedges:$dir", {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("ts", "event_id")
+      Relational.eventsRaw(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("prev_type", lag("event_type", 1).over(w))
+        .filter(col("prev_type").isNotNull &&
+          col("prev_type") =!= col("event_type"))
+        .groupBy(col("prev_type").as("src"), col("event_type").as("dst"))
+        .agg(expr("CAST(1000000000 DIV count(1) AS BIGINT)").as("cost"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    }).asInstanceOf[DataFrame]
+
   /** documents 3-gram shingle table (doc_id, __sh), persisted. */
   def docShingles(s: SparkSession, dir: String): DataFrame =
     cacheFor(s).getOrElseUpdate(s"sh:$dir", {
