@@ -2139,6 +2139,61 @@ object Relational {
              |    WHERE o_orderstatus = 'F')
              |ORDER BY c_custkey""".stripMargin)),
 
+    // ---- TPC-H Q21 shape: double-correlated existential self-joins --
+    // "Suppliers who kept orders waiting": finalized multi-supplier
+    // orders where THIS supplier shipped >90 days after the order and
+    // NO OTHER supplier on the order did. EXISTS + NOT EXISTS against
+    // the same fact table, both correlated on the outer order (the NOT
+    // EXISTS also on the outer supplier AND the outer order's date —
+    // multi-attribute correlation). Plan shape: two left-semi/anti
+    // joins keyed on l_orderkey against the big fact — the hardest
+    // classic TPC-H join topology (Q21), absent from q8/q9/q58's
+    // single-existential shapes. Scale: every join is keyed (no
+    // product); the fact shuffles on l_orderkey once per existential,
+    // and the count-per-supplier output is dimension-sized.
+    "q105_wait_blame" -> QueryDef(
+      (s, dir) => {
+        table(s, dir, "lineitem").createOrReplaceTempView("graft_q105_li")
+        table(s, dir, "orders").createOrReplaceTempView("graft_q105_ord")
+        table(s, dir, "supplier").createOrReplaceTempView("graft_q105_su")
+        s.sql("""SELECT s_name, count(*) AS numwait
+                |FROM graft_q105_su, graft_q105_li l1, graft_q105_ord o
+                |WHERE s_suppkey = l1.l_suppkey
+                |  AND o.o_orderkey = l1.l_orderkey
+                |  AND o.o_orderstatus = 'F'
+                |  AND l1.l_shipdate > o.o_orderdate + INTERVAL 90 DAYS
+                |  AND EXISTS (
+                |    SELECT 1 FROM graft_q105_li l2
+                |    WHERE l2.l_orderkey = l1.l_orderkey
+                |      AND l2.l_suppkey <> l1.l_suppkey)
+                |  AND NOT EXISTS (
+                |    SELECT 1 FROM graft_q105_li l3
+                |    WHERE l3.l_orderkey = l1.l_orderkey
+                |      AND l3.l_suppkey <> l1.l_suppkey
+                |      AND l3.l_shipdate > o.o_orderdate + INTERVAL 90 DAYS)
+                |GROUP BY s_name
+                |ORDER BY numwait DESC, s_name
+                |LIMIT 20""".stripMargin)
+      },
+      Some("""SELECT s_name, count(*) AS numwait
+             |FROM supplier, lineitem l1, orders o
+             |WHERE s_suppkey = l1.l_suppkey
+             |  AND o.o_orderkey = l1.l_orderkey
+             |  AND o.o_orderstatus = 'F'
+             |  AND l1.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+             |  AND EXISTS (
+             |    SELECT 1 FROM lineitem l2
+             |    WHERE l2.l_orderkey = l1.l_orderkey
+             |      AND l2.l_suppkey <> l1.l_suppkey)
+             |  AND NOT EXISTS (
+             |    SELECT 1 FROM lineitem l3
+             |    WHERE l3.l_orderkey = l1.l_orderkey
+             |      AND l3.l_suppkey <> l1.l_suppkey
+             |      AND l3.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
+             |GROUP BY s_name
+             |ORDER BY numwait DESC, s_name
+             |LIMIT 20""".stripMargin)),
+
     // ---- referential-integrity audit over every FK edge -------------
     // The warehouse-wide DQ sweep: per FK edge, row count + orphan
     // count via ONE left join each (dim side broadcast where
