@@ -803,6 +803,67 @@ object Multimodal {
     } catch { case _: Exception => None }
   }
 
+  /** Deterministic constant-amplitude alternating-sign WAV fixture:
+    * every 16-bit sample is ±`amp` (sign alternating per interleaved
+    * sample index), so peak = amp and Σsample² = n·amp² EXACTLY — a
+    * SQL oracle predicts the loudness report arithmetically while the
+    * engine path decodes real bytes. `amp` must stay < 32768.
+    */
+  def encodeWavTone(channels: Int, sampleRateHz: Int, nFrames: Int,
+                    amp: Int): Array[Byte] = {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    require(amp > 0 && amp < 32768, s"amp=$amp out of 16-bit range")
+    val n = nFrames * channels
+    val pcm = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val s = if (i % 2 == 0) amp else -amp
+      pcm(2 * i) = (s & 0xff).toByte
+      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new AudioFormat(sampleRateHz.toFloat, 16, channels, true, false)
+    val ais = new AudioInputStream(new ByteArrayInputStream(pcm), fmt, nFrames.toLong)
+    val out = new ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  /** REAL PCM decode + the loudness-normalization measurement pass:
+    * peak = max |sample| and the exact integer Σsample² (far under
+    * 2^63: 32768²·samples). Callers derive mean-square loudness and
+    * the peak-normalization gain downstream in exact integer
+    * arithmetic. Same 16-bit little-endian PCM contract as
+    * [[trimSilence]]; anything else returns None rather than guessing.
+    * Returns (channels, nFrames, peak, sumSquares).
+    */
+  def loudnessStats(bytes: Array[Byte]): Option[(Int, Long, Long, Long)] = {
+    if (bytes.isEmpty) return None
+    try {
+      val ais = javax.sound.sampled.AudioSystem
+        .getAudioInputStream(new ByteArrayInputStream(bytes))
+      val fmt = ais.getFormat
+      if (fmt.getSampleSizeInBits != 16 || fmt.isBigEndian ||
+        fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED)
+        return None
+      val ch = fmt.getChannels
+      val nF = ais.getFrameLength.toInt
+      val pcm = ais.readAllBytes()
+      var peak = 0L
+      var sumSq = 0L
+      var i = 0
+      val n = nF * ch
+      while (i < n) {
+        val s = ((pcm(2 * i + 1) << 8) | (pcm(2 * i) & 0xff)).toLong
+        val a = math.abs(s)
+        if (a > peak) peak = a
+        sumSq += s * s
+        i += 1
+      }
+      Some((ch, nF.toLong, peak, sumSq))
+    } catch { case _: Exception => None }
+  }
+
   /** REAL PCM decode + energy-contour fingerprint — the audio analog
     * of [[dHash]] for near-duplicate audio detection: decode the
     * stream with javax.sound for real, bin frames into `nBins`

@@ -520,6 +520,46 @@ object MultimodalQueries {
              |  CAST((5 + n_chars % 90) * 1000 // 8000 AS BIGINT) AS active_ms
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // Loudness-normalization audit: decode REAL 16-bit PCM, measure
+    // peak and the exact integer Σsample², report mean-square loudness
+    // and the peak-normalization gain — the per-clip gain pass an
+    // audio corpus runs before training. The fixture amplitude is
+    // planted per clip (±amp square wave), so the oracle predicts
+    // every measurement arithmetically while the engine decodes real
+    // bytes. Decode is partition-local (mm3's mapPartitions class):
+    // no shuffle before the final sort.
+    "mm20_loudness" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val docs = table(s, dir, "documents")
+          .select(col("doc_id").cast("long"), col("n_chars").cast("long"))
+          .as[(Long, Long)]
+        val rows = docs.mapPartitions(_.flatMap { case (id, nChars) =>
+          val amp = 1000 + (id % 20).toInt * 1500
+          val bytes = graft.operators.Multimodal.encodeWavTone(
+            channels = 1 + (id % 2).toInt, sampleRateHz = 8000,
+            nFrames = 50 + (nChars % 200).toInt, amp = amp)
+          graft.operators.Multimodal.loudnessStats(bytes)
+            .map { case (ch, nf, peak, sumSq) => (id, ch.toLong, nf, peak, sumSq) }
+        })
+        rows.toDF("doc_id", "channels", "n_frames", "peak", "sum_sq")
+          .withColumn("ms_loudness", expr("sum_sq DIV (n_frames * channels)"))
+          .withColumn("gain_permille", expr("32767000 DIV peak"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+             |  CAST(1 + doc_id % 2 AS BIGINT) AS channels,
+             |  CAST(50 + n_chars % 200 AS BIGINT) AS n_frames,
+             |  CAST(1000 + (doc_id % 20) * 1500 AS BIGINT) AS peak,
+             |  CAST((50 + n_chars % 200) * (1 + doc_id % 2)
+             |    * (1000 + (doc_id % 20) * 1500) * (1000 + (doc_id % 20) * 1500)
+             |    AS BIGINT) AS sum_sq,
+             |  CAST((1000 + (doc_id % 20) * 1500) * (1000 + (doc_id % 20) * 1500)
+             |    AS BIGINT) AS ms_loudness,
+             |  CAST(32767000 // (1000 + (doc_id % 20) * 1500) AS BIGINT)
+             |    AS gain_permille
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
     "mm5_video_meta" -> QueryDef(
       (s, dir) => {
         import s.implicits._
