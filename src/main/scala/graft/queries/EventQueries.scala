@@ -1255,6 +1255,63 @@ object EventQueries {
              |  CAST(count(w.node) AS BIGINT) AS n_paths,
              |  (min(w.total) IS NOT NULL) AS reached
              |FROM nodes n LEFT JOIN walk w ON n.node = w.node
-             |GROUP BY n.node ORDER BY n.node""".stripMargin))
+             |GROUP BY n.node ORDER BY n.node""".stripMargin)),
+
+    // ---- sequential pattern mining: top within-session trigrams -----
+    // The 10 most frequent 3-event journeys, counted WITHIN q18's
+    // 30-minute gap sessions (a trigram never spans a session break —
+    // the difference from q68's global bigram transitions). Shape: one
+    // per-user exchange serves both the gap-flag window and (after the
+    // session-id prefix sum) the two leads; the trigram groupBy then
+    // contracts to ≤|types|³ rows before the top-10 cut under a total
+    // order. Scale: the only data-sized shuffle is the per-user
+    // window's — counting and ranking ride on the contracted table.
+    "q106_top_paths" -> QueryDef(
+      (s, dir) => {
+        val ev = Relational.eventsRaw(s, dir)
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            expr("ts div 1000").as("t_us"))
+        val wOrd = Window.partitionBy("user_id").orderBy("t_us", "event_id")
+        val sess = ev
+          .withColumn("prev_t", lag("t_us", 1).over(wOrd))
+          .withColumn("new_sess",
+            when(col("prev_t").isNull ||
+              col("t_us") - col("prev_t") > 1800L * 1000000L, 1L).otherwise(0L))
+          .withColumn("session_id", sum("new_sess").over(
+            wOrd.rowsBetween(Window.unboundedPreceding, 0)))
+        val wSess = Window.partitionBy("user_id", "session_id")
+          .orderBy("t_us", "event_id")
+        sess
+          .withColumn("e2", lead("event_type", 1).over(wSess))
+          .withColumn("e3", lead("event_type", 2).over(wSess))
+          .filter(col("e2").isNotNull && col("e3").isNotNull)
+          .groupBy(col("event_type").as("e1"), col("e2"), col("e3"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("e1"), col("e2"), col("e3"))
+          .limit(10)
+      },
+      Some("""WITH ev AS (
+             |  SELECT event_id, user_id, event_type, epoch_us(ts) AS t_us
+             |  FROM events),
+             |flagged AS (
+             |  SELECT *, CASE WHEN lag(t_us) OVER w IS NULL
+             |      OR t_us - lag(t_us) OVER w > 1800 * 1000000
+             |    THEN 1 ELSE 0 END AS new_sess
+             |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY t_us, event_id)),
+             |sess AS (
+             |  SELECT *, sum(new_sess) OVER (PARTITION BY user_id
+             |    ORDER BY t_us, event_id
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+             |  FROM flagged),
+             |trig AS (
+             |  SELECT event_type AS e1,
+             |    lead(event_type, 1) OVER w2 AS e2,
+             |    lead(event_type, 2) OVER w2 AS e3
+             |  FROM sess WINDOW w2 AS (PARTITION BY user_id, session_id
+             |    ORDER BY t_us, event_id))
+             |SELECT e1, e2, e3, count(*) AS n
+             |FROM trig WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+             |GROUP BY 1, 2, 3
+             |ORDER BY n DESC, e1, e2, e3 LIMIT 10""".stripMargin))
   )
 }

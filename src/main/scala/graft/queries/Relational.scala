@@ -2194,6 +2194,96 @@ object Relational {
              |ORDER BY numwait DESC, s_name
              |LIMIT 20""".stripMargin)),
 
+    // ---- robust anomaly flags: median/MAD over daily revenue --------
+    // Median-absolute-deviation outlier scoring — the robust twin of
+    // z-scores (one crazy day cannot drag the threshold the way it
+    // drags a mean/stddev). Doubled-percentile trick keeps everything
+    // integral: percentile(ints, 0.5) is either an int or a half, so
+    // med2 = 2·median and mad4 = 2·median(2·|dev|) are EXACT BIGINTs,
+    // and |x−med| > 3·MAD becomes the integer test 2·dev2 > 3·mad4.
+    // Shape: the fact table contracts to the day axis FIRST; both
+    // medians and the flags run on the contracted table (scalar
+    // subqueries, not windows — no single-reducer sort of the corpus).
+    "q107_mad_outliers" -> QueryDef(
+      (s, dir) => {
+        table(s, dir, "orders").createOrReplaceTempView("graft_q107_ord")
+        s.sql("""WITH daily AS (
+                |  SELECT CAST(o_orderdate AS DATE) AS day,
+                |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                |      AS BIGINT) AS rev_c
+                |  FROM graft_q107_ord GROUP BY 1),
+                |m AS (SELECT CAST(2 * percentile(rev_c, 0.5) AS BIGINT) AS med2
+                |  FROM daily),
+                |dev AS (SELECT day, rev_c,
+                |    abs(2 * rev_c - (SELECT med2 FROM m)) AS dev2 FROM daily),
+                |md AS (SELECT CAST(2 * percentile(dev2, 0.5) AS BIGINT) AS mad4
+                |  FROM dev)
+                |SELECT day, rev_c, dev2,
+                |  (SELECT med2 FROM m) AS med2,
+                |  (SELECT mad4 FROM md) AS mad4,
+                |  (2 * dev2 > 3 * (SELECT mad4 FROM md)) AS is_outlier
+                |FROM dev ORDER BY day""".stripMargin)
+      },
+      Some("""WITH daily AS (
+             |  SELECT CAST(o_orderdate AS DATE) AS day,
+             |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+             |      AS BIGINT) AS rev_c
+             |  FROM orders GROUP BY 1),
+             |m AS (SELECT CAST(2 * quantile_cont(rev_c, 0.5) AS BIGINT) AS med2
+             |  FROM daily),
+             |dev AS (SELECT day, rev_c,
+             |    abs(2 * rev_c - (SELECT med2 FROM m)) AS dev2 FROM daily),
+             |md AS (SELECT CAST(2 * quantile_cont(dev2, 0.5) AS BIGINT) AS mad4
+             |  FROM dev)
+             |SELECT day, rev_c, dev2,
+             |  (SELECT med2 FROM m) AS med2,
+             |  (SELECT mad4 FROM md) AS mad4,
+             |  (2 * dev2 > 3 * (SELECT mad4 FROM md)) AS is_outlier
+             |FROM dev ORDER BY day""".stripMargin)),
+
+    // ---- weighted median (quantity-weighted price per brand) --------
+    // The weighted-quantile operator: smallest price whose cumulative
+    // quantity weight reaches half the brand's total. The peer-
+    // INCLUSIVE default window frame (RANGE UNBOUNDED PRECEDING) makes
+    // the cumulative sum a function of the price VALUE, not the
+    // arbitrary intra-tie row order — that is what keeps the operator
+    // deterministic under any partitioning (a ROWS frame here would
+    // be run-dependent). Exact integer cents/weights end to end.
+    "q108_weighted_median" -> QueryDef(
+      (s, dir) => {
+        val li = table(s, dir, "lineitem")
+          .select(col("l_partkey"),
+            expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("price_c"),
+            expr("CAST(round(l_quantity * 100) AS BIGINT)").as("w"))
+        val p = table(s, dir, "part").select(col("p_partkey"), col("p_brand"))
+        val joined = li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        val wCum = Window.partitionBy("p_brand").orderBy("price_c")
+        val wAll = Window.partitionBy("p_brand")
+        joined
+          .withColumn("cw", sum("w").over(wCum))
+          .withColumn("tw", sum("w").over(wAll))
+          .groupBy("p_brand")
+          .agg(min(when(col("cw") * 2 >= col("tw"), col("price_c")))
+              .as("wmed_price_c"),
+            max("tw").as("total_w"))
+          .orderBy("p_brand")
+      },
+      Some("""WITH w AS (
+             |  SELECT p_brand,
+             |    CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c,
+             |    CAST(round(l_quantity * 100) AS BIGINT) AS w
+             |  FROM lineitem JOIN part ON p_partkey = l_partkey),
+             |cum AS (
+             |  SELECT p_brand, price_c, w,
+             |    sum(w) OVER (PARTITION BY p_brand ORDER BY price_c) AS cw,
+             |    sum(w) OVER (PARTITION BY p_brand) AS tw
+             |  FROM w)
+             |SELECT p_brand,
+             |  CAST(min(CASE WHEN cw * 2 >= tw THEN price_c END) AS BIGINT)
+             |    AS wmed_price_c,
+             |  CAST(max(tw) AS BIGINT) AS total_w
+             |FROM cum GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // ---- referential-integrity audit over every FK edge -------------
     // The warehouse-wide DQ sweep: per FK edge, row count + orphan
     // count via ONE left join each (dim side broadcast where
