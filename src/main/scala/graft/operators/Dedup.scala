@@ -51,6 +51,13 @@ object Dedup {
     case x => x
   }
 
+  /** Permutation i's (a, b) and the modulus, read-only — the
+    * d29 estimator oracle embeds them as SQL literals so the DuckDB
+    * replay uses the EXACT permutation family.
+    */
+  private[graft] def permParams(i: Int): (Long, Long) = (aParam(i), bParam(i))
+  private[graft] def permModulus: Long = P
+
   /** Engine-portable 60-bit shingle hash: two independent polynomial
     * hashes packed as bits 0..29 (base 31 mod 1e9+7) and 30..59
     * (base 37 mod 1073741789) — reproducible in any SQL engine with

@@ -239,6 +239,64 @@ object DedupQueries {
              |SELECT da AS doc_a, db AS doc_b, jacc_pct FROM qp
              |ORDER BY 1, 2""".stripMargin)),
 
+    // MinHash-estimator QA: for every qualifying near-dup pair, the
+    // k=20 signature-agreement jaccard ESTIMATE next to the exact
+    // jaccard — the calibration report that justifies trusting
+    // signature agreement at index scale (d28's estimate-vs-truth
+    // discipline applied to d2's estimator itself). Signatures use the
+    // engine-portable 60-bit poly hash (not xxhash64) so the oracle
+    // replays the EXACT permutation family ((a·h+b) mod 2³¹−1,
+    // constants embedded as literals); est_pct = 5·matches is exact
+    // integer. Scale: one extra narrow (id, hash) pass + a k-column
+    // min agg; the pair join touches only the qualifying pairs.
+    "d29_jaccard_estimate" -> QueryDef(
+      (s, dir) => {
+        graft.functions.VectorExpressions.register(s)
+        val k = 20
+        val hashed = Dedup.shingleHashTable(
+          Staged.docShingles(s, dir), "doc_id", "__sh", Dedup.portableHash60)
+        val sig = Dedup.signatureColsFromHashes(hashed, k)
+        val sa = sig.select(col("__id").as("doc_a") +:
+          (0 until k).map(i => col(s"__m$i").as(s"a$i")): _*)
+        val sb = sig.select(col("__id").as("doc_b") +:
+          (0 until k).map(i => col(s"__m$i").as(s"b$i")): _*)
+        val matches = (0 until k).map(i =>
+          when(col(s"a$i") === col(s"b$i"), 1L).otherwise(0L)).reduce(_ + _)
+        Staged.docNearDupPairs(s, dir)
+          .join(sa, "doc_a").join(sb, "doc_b")
+          .select(col("doc_a"), col("doc_b"), col("jacc_pct"),
+            (matches * 5).as("est_pct"),
+            (matches * 5 - col("jacc_pct")).as("err_pct"))
+          .orderBy("doc_a", "doc_b")
+      },
+      Some {
+        val permValues = (0 until 20).map { i =>
+          val (a, b) = Dedup.permParams(i)
+          s"    ($i, $a, $b)"
+        }.mkString(",\n")
+        val p = Dedup.permModulus
+        s"""WITH ${QueryDef.shingleCtes()},
+           |${QueryDef.jaccardPairCtes(2, 5)},
+           |hs AS (SELECT doc_id,
+           |  ${QueryDef.polyHashSql("s")}
+           |  + ${QueryDef.polyHashSql("s", 37, 1073741789L)} * 1073741824 AS hv
+           |  FROM sh),
+           |perm(i, a, b) AS (VALUES
+           |$permValues),
+           |sigs AS (SELECT doc_id, i, min((a * (hv % $p) + b) % $p) AS m
+           |  FROM hs, perm GROUP BY 1, 2),
+           |mt AS (SELECT qp.da, qp.db, qp.jacc_pct,
+           |    CAST(sum(CASE WHEN sa.m = sb.m THEN 1 ELSE 0 END) AS BIGINT)
+           |      AS matches
+           |  FROM qp JOIN sigs sa ON sa.doc_id = qp.da
+           |    JOIN sigs sb ON sb.doc_id = qp.db AND sb.i = sa.i
+           |  GROUP BY 1, 2, 3)
+           |SELECT da AS doc_a, db AS doc_b, jacc_pct,
+           |  CAST(matches * 5 AS BIGINT) AS est_pct,
+           |  CAST(matches * 5 - jacc_pct AS BIGINT) AS err_pct
+           |FROM mt ORDER BY 1, 2""".stripMargin
+      }),
+
     // Cross-corpus NEAR-dup contamination: d8/d14 catch exact n-gram
     // leakage; this catches the FUZZY kind — a train document that is
     // a near-duplicate (jaccard >= 0.4) of an eval document without

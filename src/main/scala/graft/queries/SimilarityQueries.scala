@@ -906,6 +906,79 @@ object SimilarityQueries {
              |  JOIN q ON c.qid = q.qid)
              |$rerankSql""".stripMargin)),
 
+    // ANN quality report: recall@10 and MRR of sim2's LSH geometry
+    // against the exact brute-force ground truth — the monitoring
+    // query a vector-serving pipeline runs before trusting (or
+    // re-tuning) an index geometry. Both pipelines are deterministic,
+    // so even the QUALITY metrics are oracle-exact: the oracle replays
+    // LSH codes/banding/re-rank AND the exact top-k, then the same
+    // join + integer metrics. recall = permille of exact top-10 found;
+    // MRR = 1e6 DIV (approx rank of the exact top-1), 0 if missed —
+    // rational, log-free, engine-portable.
+    "sim16_recall_report" -> QueryDef(
+      (s, dir) => {
+        val emb = table(s, dir, "embeddings")
+        val queries = emb.filter(col("vec_id").isInCollection(QueryIds))
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+        val exact = Similarity.bruteForceTopK(emb, queries, K)
+          .select(col("qid"), col("rank").as("erank"), col("vec_id"))
+        val approx = Similarity.lshTopK(emb, queries, K, dims = Dims,
+          planes = Planes, rowsPerBand = RowsPerBand)
+          .select(col("qid"), col("rank").as("arank"), col("vec_id"))
+        exact.join(approx, Seq("qid", "vec_id"), "left")
+          .groupBy("qid")
+          .agg(count(lit(1)).as("k"),
+            sum(when(col("arank").isNotNull, 1L).otherwise(0L)).as("n_hit"),
+            max(when(col("erank") === 1,
+              coalesce(expr("1000000 DIV arank"), lit(0L))).otherwise(0L))
+              .as("mrr_micro"))
+          .withColumn("recall_permille", expr("n_hit * 1000 DIV k"))
+          .select(col("qid"), col("k"), col("n_hit"),
+            col("recall_permille"), col("mrr_micro"))
+          .orderBy("qid")
+      },
+      Some(s"""WITH ${codesCteSql()},
+             |qc AS (
+             |  SELECT vec_id AS qid, code AS qcode FROM codes
+             |  WHERE vec_id IN ($qidList)),
+             |cands AS (
+             |  SELECT qc.qid, c.vec_id
+             |  FROM codes c JOIN qc ON c.vec_id <> qc.qid
+             |   AND (${bandMatchSql("c", "qc", "qcode")})),
+             |ascored AS (
+             |  SELECT cands.qid, cands.vec_id,
+             |    ${cosineSql("e.embedding", "qe.embedding")} AS cos
+             |  FROM cands
+             |  JOIN embeddings e ON e.vec_id = cands.vec_id
+             |  JOIN embeddings qe ON qe.vec_id = cands.qid),
+             |atop AS (
+             |  SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
+             |    ORDER BY cos DESC, vec_id) AS arank
+             |  FROM ascored QUALIFY arank <= $K),
+             |q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings
+             |  WHERE vec_id IN ($qidList)),
+             |escored AS (
+             |  SELECT q.qid, e.vec_id,
+             |    ${cosineSql("e.embedding", "q.qvec")} AS cos
+             |  FROM embeddings e, q WHERE e.vec_id <> q.qid),
+             |etop AS (
+             |  SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
+             |    ORDER BY cos DESC, vec_id) AS erank
+             |  FROM escored QUALIFY erank <= $K),
+             |j AS (
+             |  SELECT e.qid, e.erank, a.arank
+             |  FROM etop e LEFT JOIN atop a
+             |    ON e.qid = a.qid AND e.vec_id = a.vec_id)
+             |SELECT qid, count(*) AS k,
+             |  CAST(sum(CASE WHEN arank IS NOT NULL THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_hit,
+             |  CAST(CAST(sum(CASE WHEN arank IS NOT NULL THEN 1 ELSE 0 END)
+             |    AS BIGINT) * 1000 // count(*) AS BIGINT) AS recall_permille,
+             |  CAST(max(CASE WHEN erank = 1
+             |    THEN coalesce(1000000 // arank, 0) ELSE 0 END)
+             |    AS BIGINT) AS mrr_micro
+             |FROM j GROUP BY qid ORDER BY qid""".stripMargin)),
+
     // Matryoshka two-stage ANN: coarse cosine over the FIRST 16 dims
     // (prefixes of MRL-trained embeddings are themselves valid
     // embeddings — Kusupati et al. 2022) cuts top-100 candidates per
