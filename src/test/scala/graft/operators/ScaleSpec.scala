@@ -217,6 +217,29 @@ class PlanShapeSpec extends SparkTestBase {
       !plan.contains("BroadcastNestedLoopJoin"), plan.take(1200))
   }
 
+  test("q105 Q21-shape: keyed semi + anti hash joins, no product") {
+    // the double-existential must plan as hash semi/anti joins keyed on
+    // l_orderkey — a planner fallback to a nested-loop here is the
+    // 100 TB incident (fact × fact product)
+    val df = graft.SparkEntry.queries("q105_wait_blame")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString()
+    assert(plan.contains("LeftSemi") && plan.contains("LeftAnti"),
+      plan.take(1200))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan.take(1200))
+  }
+
+  test("q106 trigram mining: ONE per-user exchange serves both windows") {
+    // hashpartitioning(user_id) satisfies the (user_id, session_id)
+    // clustering of the second window (subset rule), so the gap flag,
+    // the session-id prefix sum, and both leads must share a single
+    // user exchange; the only other exchange is the trigram groupBy's
+    val df = graft.SparkEntry.queries("q106_top_paths")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString()
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 2,
+      plan.take(1500))
+  }
+
   test("q23b: the bounded-domain assumption behind its global window HOLDS") {
     // q23b's cumulative window runs over DISTINCT s_acctbal values with
     // no partitionBy — safe only while that domain stays
@@ -308,6 +331,9 @@ class PlanShapeSpec extends SparkTestBase {
       "sim15_matryoshka",  // corpus PREFIXES × broadcast query
                            //   prefixes — sim1's class over 1/4 of
                            //   the bytes; rerank joins are keyed
+      "sim16_recall_report", // composes sim1's exact ground truth
+                           //   (corpus × broadcast QUERY set) with the
+                           //   banded LSH path; the metric join is keyed
       "t37_vocab_growth",  // 1-row max-doc-id broadcast into the
                            //   decile bucketing (q66's class)
       "d24_modularity")    // 1-row total-edge-count broadcast into the
