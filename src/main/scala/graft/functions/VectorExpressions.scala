@@ -285,5 +285,9 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       new ExpressionInfo(classOf[PolyHash].getName, "poly_hash"),
       VectorExpressions.polyHashBuilder))
     e.injectCheckRule(s => graft.plans.ProductGuard.check(s))
+    // whole-operator extension: the distributed prefix-sum planner
+    // strategy (graft.plans.PrefixSumExec) — SQL-only clients get the
+    // operator when a rule/DF builder emits its logical node
+    e.injectPlannerStrategy(_ => graft.plans.PrefixSumStrategy)
   }
 }

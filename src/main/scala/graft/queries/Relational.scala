@@ -2194,6 +2194,36 @@ object Relational {
              |ORDER BY numwait DESC, s_name
              |LIMIT 20""".stripMargin)),
 
+    // ---- GLOBAL running total via the custom PrefixSum operator -----
+    // Corpus-wide cumulative revenue under the (day, orderkey) TOTAL
+    // order — the query `sum OVER (ORDER BY ...)` answers with an
+    // `Exchange SinglePartition` + one-task sort at any scale. This is
+    // the repo's whole-operator extension showcase: PrefixSumPlan →
+    // PrefixSumStrategy (injected via GraftExtensions /
+    // PrefixOps.install) → PrefixSumExec, a two-phase distributed
+    // prefix sum riding Spark's own range-exchange machinery
+    // (PrefixSumSpec pins the plan: rangepartitioning, NO
+    // SinglePartition stage; the window formulation is pinned to
+    // CONTAIN one — the contrast that justifies the custom node).
+    // The oracle is the windowed formulation, correct at oracle scale.
+    "q109_running_total" -> QueryDef(
+      (s, dir) => {
+        val o = table(s, dir, "orders")
+          .select(col("o_orderkey"),
+            col("o_orderdate").cast("date").as("day"),
+            expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("price_c"))
+        graft.plans.PrefixOps.runningTotal(o,
+          Seq("day", "o_orderkey"), "price_c", "cum_rev_c")
+      },
+      Some("""SELECT o_orderkey, CAST(o_orderdate AS DATE) AS day,
+             |  CAST(round(o_totalprice * 100) AS BIGINT) AS price_c,
+             |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER (
+             |    ORDER BY CAST(o_orderdate AS DATE), o_orderkey
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |    AS BIGINT) AS cum_rev_c
+             |FROM orders
+             |ORDER BY day, o_orderkey""".stripMargin)),
+
     // ---- robust anomaly flags: median/MAD over daily revenue --------
     // Median-absolute-deviation outlier scoring — the robust twin of
     // z-scores (one crazy day cannot drag the threshold the way it
