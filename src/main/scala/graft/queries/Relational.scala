@@ -2271,6 +2271,49 @@ object Relational {
              |  (2 * dev2 > 3 * (SELECT mad4 FROM md)) AS is_outlier
              |FROM dev ORDER BY day""".stripMargin)),
 
+    // ---- cross-system table checksums -------------------------------
+    // Order-INDEPENDENT content checksum per table (the
+    // pt-table-checksum / data-validation op a migration runs on both
+    // sides of a copy): row scalar = mixed key+value fields folded into
+    // [0, p), checksummed by a commutative sum — one map-side-combining
+    // agg per table, no sort, no shuffle beyond the 1-row partials.
+    // Exactness bound: sum < 2^63 holds to ~9.2e9 rows per table; past
+    // that, fold partial sums mod p inside a two-level aggregation
+    // (the structure below already partial-aggregates map-side).
+    "q110_table_checksum" -> QueryDef(
+      (s, dir) => {
+        val p = 1000000007L
+        def ck(name: String, df: DataFrame, rowval: org.apache.spark.sql.Column): DataFrame =
+          df.agg(count(lit(1)).as("n_rows"), sum(rowval).as("checksum"))
+            .select(lit(name).as("table_name"), col("n_rows"), col("checksum"))
+        val o = ck("orders", table(s, dir, "orders"),
+          expr(s"((o_orderkey % $p) * 2654435761 + o_custkey" +
+            s" + CAST(round(o_totalprice * 100) AS BIGINT)) % $p"))
+        val li = ck("lineitem", table(s, dir, "lineitem"),
+          expr(s"((l_orderkey % $p) * 2654435761 + l_partkey * 31" +
+            s" + l_suppkey + l_linenumber) % $p"))
+        val c = ck("customer", table(s, dir, "customer"),
+          expr(s"((c_custkey % $p) * 2654435761 + c_nationkey) % $p"))
+        o.union(li).union(c).orderBy("table_name")
+      },
+      Some("""SELECT table_name, n_rows, checksum FROM (
+             |  SELECT 'orders' AS table_name, count(*) AS n_rows,
+             |    CAST(sum(((o_orderkey % 1000000007) * 2654435761 + o_custkey
+             |      + CAST(round(o_totalprice * 100) AS BIGINT)) % 1000000007)
+             |      AS BIGINT) AS checksum
+             |  FROM orders
+             |  UNION ALL
+             |  SELECT 'lineitem', count(*),
+             |    CAST(sum(((l_orderkey % 1000000007) * 2654435761 + l_partkey * 31
+             |      + l_suppkey + l_linenumber) % 1000000007) AS BIGINT)
+             |  FROM lineitem
+             |  UNION ALL
+             |  SELECT 'customer', count(*),
+             |    CAST(sum(((c_custkey % 1000000007) * 2654435761 + c_nationkey)
+             |      % 1000000007) AS BIGINT)
+             |  FROM customer) u
+             |ORDER BY table_name""".stripMargin)),
+
     // ---- weighted median (quantity-weighted price per brand) --------
     // The weighted-quantile operator: smallest price whose cumulative
     // quantity weight reaches half the brand's total. The peer-

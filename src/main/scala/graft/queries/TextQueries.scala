@@ -2176,6 +2176,70 @@ object TextQueries {
              |SELECT CAST(decile AS BIGINT) AS decile, count(*) AS n,
              |  CAST(sum(pos) AS BIGINT) AS n_pos,
              |  (1000 * CAST(sum(pos) AS BIGINT)) // count(*) AS pos_permille
-             |FROM r GROUP BY 1 ORDER BY 1""".stripMargin))
+             |FROM r GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Content-policy audit: a categorized term list (the dimension
+    // table every safety/compliance filter ships) scanned over the
+    // corpus — per category, documents flagged at >= 3 hits and total
+    // occurrences; plus the category CO-OCCURRENCE matrix (docs
+    // flagged for BOTH of a pair — the signal that drives combined-
+    // category policies). Long-format (kind, name) output keeps the
+    // two report sections in one table. Shape: the term list joins as
+    // a broadcast dimension; the per-(doc, cat) contraction happens
+    // before any self-join, so the pair join fans out over ≤|cats|
+    // rows per doc, never tokens.
+    "t52_policy_audit" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val terms = Seq(
+          "scan" -> "exec", "filter" -> "exec", "sort" -> "exec",
+          "merge" -> "exec",
+          "row" -> "storage", "column" -> "storage", "table" -> "storage",
+          "batch" -> "storage",
+          "hash" -> "compute", "join" -> "compute", "agg" -> "compute",
+          "window" -> "compute")
+        val termDf = terms.toDF("w", "cat")
+        val tok = table(s, dir, "documents")
+          .select(col("doc_id"), explode(TextOps.words(col("text"))).as("w"))
+          .filter(col("w").isInCollection(terms.map(_._1)))
+        val flagged = tok.join(broadcast(termDf), "w")
+          .groupBy("doc_id", "cat").agg(count(lit(1)).as("hits"))
+          .filter(col("hits") >= 3)
+        val catReport = flagged.groupBy("cat")
+          .agg(count(lit(1)).as("n_docs"), sum("hits").as("n_hits"))
+          .select(lit("cat").as("kind"), col("cat").as("name"),
+            col("n_docs"), col("n_hits"))
+        val pairReport = flagged.as("a")
+          .join(flagged.as("b"),
+            col("a.doc_id") === col("b.doc_id") && col("a.cat") < col("b.cat"))
+          .groupBy(concat_ws("|", col("a.cat"), col("b.cat")).as("name"))
+          .agg(count(lit(1)).as("n_docs"))
+          .select(lit("pair").as("kind"), col("name"), col("n_docs"),
+            lit(0L).as("n_hits"))
+        catReport.union(pairReport).orderBy("kind", "name")
+      },
+      Some("""WITH t(w, cat) AS (VALUES
+             |    ('scan','exec'), ('filter','exec'), ('sort','exec'),
+             |    ('merge','exec'),
+             |    ('row','storage'), ('column','storage'), ('table','storage'),
+             |    ('batch','storage'),
+             |    ('hash','compute'), ('join','compute'), ('agg','compute'),
+             |    ('window','compute')),
+             |tok AS (SELECT doc_id, u.w
+             |  FROM (SELECT doc_id, string_split(text, ' ') AS ws
+             |        FROM documents), UNNEST(ws) AS u(w)),
+             |fl AS (SELECT doc_id, cat, count(*) AS hits
+             |  FROM tok JOIN t USING (w) GROUP BY 1, 2
+             |  HAVING count(*) >= 3),
+             |catr AS (SELECT 'cat' AS kind, cat AS name,
+             |    count(*) AS n_docs, CAST(sum(hits) AS BIGINT) AS n_hits
+             |  FROM fl GROUP BY 2),
+             |pr AS (SELECT 'pair' AS kind, a.cat || '|' || b.cat AS name,
+             |    count(*) AS n_docs, CAST(0 AS BIGINT) AS n_hits
+             |  FROM fl a JOIN fl b ON a.doc_id = b.doc_id AND a.cat < b.cat
+             |  GROUP BY 2)
+             |SELECT kind, name, n_docs, n_hits FROM catr
+             |UNION ALL SELECT kind, name, n_docs, n_hits FROM pr
+             |ORDER BY 1, 2""".stripMargin))
   )
 }
