@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 
 import QueryDef.table
 import graft.queries.Staged
@@ -442,6 +443,68 @@ object MultimodalQueries {
              |  CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
              |  CAST(sum(g) AS BIGINT) AS luma_checksum
              |FROM px GROUP BY 1, 2, 3, 4 ORDER BY 1, 2""".stripMargin)),
+
+    // Scene-cut segmentation over REAL animated-GIF decode (mm14's
+    // temporal sibling): per video, decode every frame, lag the exact
+    // per-frame luma sums, declare a cut where the mean-luma delta
+    // exceeds a tenth of full scale (|Δsum|·10 > w·h·128 — exact
+    // integers), report frames/cuts/scenes/max delta — the keyframe-
+    // selection pass before a vision encoder samples one frame per
+    // scene. Decode is partition-local; the lag window is per-doc over
+    // ≤10 frame rows. The oracle recomputes every frame sum from the
+    // fixture's pixel formula and replays the lag + threshold: a
+    // decoder that merges, drops, or reorders one frame cannot match.
+    "mm21_scene_cuts" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val docs = table(s, dir, "documents")
+          .select(col("doc_id").cast("long"), col("n_chars").cast("long"))
+          .as[(Long, Long)]
+        val frames = docs.mapPartitions(_.flatMap { case (id, nChars) =>
+          val w = 8 + (id % 9).toInt
+          val h = 8 + (nChars % 7).toInt
+          val nf = 4 + (id % 7).toInt
+          val bytes = graft.operators.Multimodal.encodeGifAnimated(w, h, nf, id)
+          graft.operators.Multimodal.gifFrames(bytes).toSeq.flatten
+            .map { case (f, fw, fh, sum) => (id, f.toLong, fw.toLong, fh.toLong, sum) }
+        })
+        val wOrd = Window.partitionBy("doc_id").orderBy("frame_ix")
+        frames.toDF("doc_id", "frame_ix", "width", "height", "luma_sum")
+          .withColumn("prev", lag("luma_sum", 1).over(wOrd))
+          .withColumn("cut",
+            when(col("prev").isNotNull &&
+              abs(col("luma_sum") - col("prev")) * 10 >
+                col("width") * col("height") * 128, 1L).otherwise(0L))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_frames"),
+            sum("cut").as("n_cuts"),
+            (sum("cut") + 1).as("n_scenes"),
+            max(when(col("prev").isNotNull,
+              abs(col("luma_sum") - col("prev"))).otherwise(0L)).as("max_delta"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH geo AS (SELECT doc_id, 8 + doc_id % 9 AS w,
+             |    8 + n_chars % 7 AS h, 4 + doc_id % 7 AS nf
+             |  FROM documents),
+             |fr AS (SELECT doc_id, w, h, f FROM geo, UNNEST(range(0, nf)) AS t(f)),
+             |px AS (SELECT doc_id, f, w, h,
+             |    CAST(sum(((doc_id % 1000003) * 131 + f * 31 + p) % 1000003
+             |      * 2654435761 % 256) AS BIGINT) AS s
+             |  FROM fr, UNNEST(range(0, w * h)) AS t2(p)
+             |  GROUP BY 1, 2, 3, 4),
+             |lg AS (SELECT doc_id, w, h, s,
+             |    lag(s) OVER (PARTITION BY doc_id ORDER BY f) AS prev
+             |  FROM px)
+             |SELECT doc_id, count(*) AS n_frames,
+             |  CAST(sum(CASE WHEN prev IS NOT NULL
+             |      AND abs(s - prev) * 10 > w * h * 128 THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_cuts,
+             |  CAST(sum(CASE WHEN prev IS NOT NULL
+             |      AND abs(s - prev) * 10 > w * h * 128 THEN 1 ELSE 0 END) + 1
+             |    AS BIGINT) AS n_scenes,
+             |  CAST(max(CASE WHEN prev IS NOT NULL THEN abs(s - prev)
+             |    ELSE 0 END) AS BIGINT) AS max_delta
+             |FROM lg GROUP BY 1 ORDER BY 1""".stripMargin)),
 
     // REAL PCM decode + voice-activity segmentation: per-doc WAVs with
     // a planted multi-segment geometry (loud utterance blocks

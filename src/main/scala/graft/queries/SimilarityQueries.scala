@@ -54,10 +54,11 @@ object SimilarityQueries {
   // bands·n²/2^r <= budget): n=500 -> r=4, n=2000 -> r=10 (the round-7
   // measured sweet spot at sf0.1), n=20000 -> r=12. One knob, every SF.
   private val KnnBudget = 500000L
-  // sim14 binary-quantization / sim15 matryoshka candidate widths
+  // sim14 binary-quantization / sim15 matryoshka / sim17 int8 widths
   private val BqC = 100
   private val MatPrefix = 16
   private val MatC = 100
+  private val IntC = 100
 
   /** The ONE DuckDB rendering of [[Similarity.dot]]'s left fold:
     * prepend-0.0 list_reduce over per-index double products — the same
@@ -904,6 +905,68 @@ object SimilarityQueries {
              |    ${cosineSql("e.embedding", "q.qvec")} AS cos
              |  FROM cand c JOIN embeddings e ON c.vec_id = e.vec_id
              |  JOIN q ON c.qid = q.qid)
+             |$rerankSql""".stripMargin)),
+
+    // int8 quantized-domain ANN — the serving half of sim9's storage
+    // story: coarse scoring runs ENTIRELY in the integer code domain
+    // (corpus-GLOBAL scale = max per-vector absmax, an order-
+    // independent exact double, so all codes share one scale and the
+    // squared L2 between codes is a meaningful, EXACT BIGINT — scored
+    // by the codegen'd sq_dist_i64 expression), top-100 cut, exact
+    // float cosine re-rank of survivors. At corpus scale the long-code
+    // table is the materialized artifact (4× fewer scan bytes than
+    // f32) and full vectors are read for candC·|queries| rows.
+    "sim17_int8_ann" -> QueryDef(
+      (s, dir) => {
+        graft.functions.VectorExpressions.register(s)
+        val emb = table(s, dir, "embeddings")
+        val gmax = emb.agg(max(Similarity.int8AbsMax(col("embedding"))).as("gmax"))
+        val qt = emb.crossJoin(broadcast(gmax))
+          .select(col("vec_id"), col("embedding"),
+            expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)" +
+              " * 127.0 / gmax) AS BIGINT))").as("qcodes"))
+        val queries = qt.filter(col("vec_id").isInCollection(QueryIds))
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
+            col("qcodes").as("qq"))
+        val cands = qt.select(col("vec_id"), col("qcodes"))
+          .crossJoin(broadcast(queries.select(col("qid"), col("qq"))))
+          .filter(col("vec_id") =!= col("qid"))
+          // dist <= 64·254² ≈ 4.1e6 — exactly representable as the
+          // negated double the bounded top-k aggregator ranks on
+          .withColumn("__negd",
+            -call_function("sq_dist_i64", col("qcodes"), col("qq")).cast("double"))
+        val topC = Similarity.topKReRank(cands, IntC, "qid", "vec_id", "__negd")
+          .select(col("qid"), col("vec_id"))
+        val scored = topC
+          .join(emb.select(col("vec_id"), col("embedding")), "vec_id")
+          .join(broadcast(queries.select(col("qid"), col("qvec"))), "qid")
+          .withColumn("__cos", Similarity.cosine(col("embedding"), col("qvec")))
+        Similarity.topKReRank(scored, K, "qid", "vec_id", "__cos")
+          .orderBy("qid", "rank")
+      },
+      Some(s"""WITH g AS (SELECT max(list_reduce(list_prepend(0.0,
+             |    list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))),
+             |    (a, b) -> greatest(a, b))) AS gmax FROM embeddings),
+             |qt AS (SELECT vec_id, embedding,
+             |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)
+             |      * 127.0 / g.gmax) AS BIGINT)) AS q
+             |  FROM embeddings, g),
+             |qq AS (SELECT vec_id AS qid, embedding AS qvec, q AS qcodes
+             |  FROM qt WHERE vec_id IN ($qidList)),
+             |ax AS (SELECT qq.qid, c.vec_id,
+             |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |      list_transform(range(1, ${Dims + 1}),
+             |        i -> (c.q[i] - qq.qcodes[i]) * (c.q[i] - qq.qcodes[i]))),
+             |      (a, b) -> a + b) AS d
+             |  FROM qt c, qq WHERE c.vec_id <> qq.qid),
+             |cand AS (SELECT qid, vec_id FROM (
+             |    SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
+             |        ORDER BY d, vec_id) AS rn
+             |    FROM ax) WHERE rn <= $IntC),
+             |scored AS (SELECT c.qid, c.vec_id,
+             |    ${cosineSql("e.embedding", "q.qvec")} AS cos
+             |  FROM cand c JOIN embeddings e ON c.vec_id = e.vec_id
+             |  JOIN qq q ON c.qid = q.qid)
              |$rerankSql""".stripMargin)),
 
     // ANN quality report: recall@10 and MRR of sim2's LSH geometry

@@ -334,6 +334,9 @@ class PlanShapeSpec extends SparkTestBase {
       "sim16_recall_report", // composes sim1's exact ground truth
                            //   (corpus × broadcast QUERY set) with the
                            //   banded LSH path; the metric join is keyed
+      "sim17_int8_ann",    // 1-row global-scale broadcast + corpus
+                           //   CODES × broadcast query codes — sim1's
+                           //   class in the int8 domain; rerank keyed
       "t37_vocab_growth",  // 1-row max-doc-id broadcast into the
                            //   decile bucketing (q66's class)
       "d24_modularity")    // 1-row total-edge-count broadcast into the
