@@ -407,6 +407,66 @@ object EventStream {
       }
   }
 
+  final case class TrigEvent(userId: Long, tsUs: Long, eventId: Long,
+                             eventType: String)
+  final case class TrigState(p2: Option[(Long, Long, String)],
+                             p1: Option[(Long, Long, String)],
+                             buffer: Seq[(Long, Long, String)])
+  final case class TrigramHit(userId: Long, e1: String, e2: String, e3: String,
+                              tsUs: Long, eventId: Long)
+
+  /** Streaming twin of the batch session-trigram mining (q106): emit
+    * every 3-event within-session journey, keyed at its LAST event —
+    * the downstream count/top-k is a plain streaming (or batch) agg
+    * over the emitted trigrams. ORDER-SENSITIVE (both the gap-based
+    * session break and the trigram adjacency depend on event-time
+    * order), so it uses [[streamingFunnel]]'s watermark-ordered buffer
+    * discipline: events hold in per-user state until the watermark
+    * passes them, then fold in (ts, eventId) order; a late arrival
+    * between finalized events would have violated the watermark, never
+    * silently reshuffled a journey. State per user is the last TWO
+    * finalized events of the open session plus the watermark-bounded
+    * buffer; each trigram emits exactly once (Append mode).
+    */
+  def streamingSessionTrigrams(spark: SparkSession, events: Dataset[TrigEvent],
+                               gapUs: Long = 1800L * 1000000L,
+                               watermarkDelay: String = "30 minutes")
+      : Dataset[TrigramHit] = {
+    import spark.implicits._
+    events
+      .withColumn("ets", timestamp_micros(col("tsUs")))
+      .withWatermark("ets", watermarkDelay)
+      .as[TrigEvent]
+      .groupByKey(_.userId)
+      .flatMapGroupsWithState[TrigState, TrigramHit](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, rows: Iterator[TrigEvent], state: GroupState[TrigState]) =>
+          val st0 = state.getOption.getOrElse(TrigState(None, None, Nil))
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val buf = (st0.buffer ++ rows.map(e => (e.tsUs, e.eventId, e.eventType)))
+            .sorted
+          val (ready, hold) = buf.partition(_._1 < wmUs)
+          var p2 = st0.p2
+          var p1 = st0.p1
+          val out = scala.collection.mutable.ArrayBuffer.empty[TrigramHit]
+          ready.foreach { case (t, id, tp) =>
+            if (p1.exists(l => t - l._1 > gapUs)) { p1 = None; p2 = None }
+            (p2, p1) match {
+              case (Some(a), Some(b)) =>
+                out += TrigramHit(uid, a._3, b._3, tp, t, id)
+              case _ => ()
+            }
+            p2 = p1
+            p1 = Some((t, id, tp))
+          }
+          state.update(TrigState(p2, p1, hold))
+          if (hold.nonEmpty)
+            state.setTimeoutTimestamp(math.max(
+              state.getCurrentWatermarkMs() + 1, hold.map(_._1).min / 1000L + 1))
+          out.iterator
+      }
+  }
+
   final case class AttrEvent(userId: Long, tsUs: Long, eventId: Long,
                              eventType: String, valueC: Long)
   final case class AttrState(lastTouch: Option[(Long, Long, String)],

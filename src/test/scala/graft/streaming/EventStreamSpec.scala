@@ -115,6 +115,71 @@ class EventStreamSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming session trigrams: out-of-order delivery, finalized trigrams equal the batch windows") {
+    implicit val sqlCtx = spark.sqlContext
+    import EventStream.{TrigEvent, TrigramHit}
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val input = MemoryStream[TrigEvent]
+    val out = EventStream.streamingSessionTrigrams(spark, input.toDS(),
+      gapUs = 30 * Min, watermarkDelay = "10 minutes")
+    val q = out.writeStream.format("memory").queryName("trig")
+      .outputMode(OutputMode.Append).start()
+    try {
+      val T0 = 86400L * 1000000L
+      // user 1: a 4-event session (-> 2 trigrams) whose MIDDLE event is
+      // delivered a batch late but inside the watermark; then a 36-min
+      // gap opens a new 3-event session (-> 1 trigram; none spans the
+      // break)
+      input.addData(
+        TrigEvent(1L, T0 + Min, 1L, "view"),
+        TrigEvent(1L, T0 + 3 * Min, 3L, "purchase"),
+        TrigEvent(1L, T0 + 4 * Min, 4L, "error"))
+      q.processAllAvailable()
+      input.addData(
+        TrigEvent(1L, T0 + 2 * Min, 2L, "click"), // the late middle event
+        TrigEvent(1L, T0 + 40 * Min, 5L, "signup"),
+        TrigEvent(1L, T0 + 41 * Min, 6L, "view"),
+        TrigEvent(1L, T0 + 42 * Min, 7L, "click"))
+      q.processAllAvailable()
+      // two watermark advances: the first sets it, the second folds
+      input.addData(TrigEvent(99L, T0 + 300 * Min, 99L, "view"))
+      q.processAllAvailable()
+      input.addData(TrigEvent(99L, T0 + 600 * Min, 100L, "view"))
+      q.processAllAvailable()
+      val got = spark.table("trig").as[TrigramHit].collect()
+        .map(h => (h.userId, h.e1, h.e2, h.e3, h.tsUs)).toSet
+      assert(got == Set(
+        (1L, "view", "click", "purchase", T0 + 3 * Min),
+        (1L, "click", "purchase", "error", T0 + 4 * Min),
+        (1L, "signup", "view", "click", T0 + 42 * Min)), s"got $got")
+      // batch twin: q106's window derivation over the SAME fixture
+      val ev = Seq(
+        (1L, T0 + Min, 1L, "view"), (1L, T0 + 2 * Min, 2L, "click"),
+        (1L, T0 + 3 * Min, 3L, "purchase"), (1L, T0 + 4 * Min, 4L, "error"),
+        (1L, T0 + 40 * Min, 5L, "signup"), (1L, T0 + 41 * Min, 6L, "view"),
+        (1L, T0 + 42 * Min, 7L, "click"),
+        (99L, T0 + 300 * Min, 99L, "view"), (99L, T0 + 600 * Min, 100L, "view"))
+        .toDF("user_id", "t_us", "event_id", "event_type")
+      val wOrd = Window.partitionBy("user_id").orderBy("t_us", "event_id")
+      val sess = ev
+        .withColumn("prev_t", lag("t_us", 1).over(wOrd))
+        .withColumn("new_sess", when(col("prev_t").isNull ||
+          col("t_us") - col("prev_t") > 30 * Min, 1L).otherwise(0L))
+        .withColumn("sid", sum("new_sess").over(
+          wOrd.rowsBetween(Window.unboundedPreceding, 0)))
+      val wS = Window.partitionBy("user_id", "sid").orderBy("t_us", "event_id")
+      val batch = sess
+        .withColumn("e2", lead("event_type", 1).over(wS))
+        .withColumn("e3", lead("event_type", 2).over(wS))
+        .withColumn("t3", lead("t_us", 2).over(wS))
+        .filter(col("e2").isNotNull && col("e3").isNotNull)
+        .select(col("user_id"), col("event_type"), col("e2"), col("e3"), col("t3"))
+        .as[(Long, String, String, String, Long)].collect().toSet
+      assert(batch == got, s"stream $got != batch $batch")
+    } finally q.stop()
+  }
+
   test("streaming funnel: out-of-order delivery, finalized completions equal the batch plan") {
     implicit val sqlCtx = spark.sqlContext
     import EventStream.{TypedEvent, FunnelDone}
