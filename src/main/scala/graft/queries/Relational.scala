@@ -2271,6 +2271,50 @@ object Relational {
              |  (2 * dev2 > 3 * (SELECT mad4 FROM md)) AS is_outlier
              |FROM dev ORDER BY day""".stripMargin)),
 
+    // ---- TPC-H Q22 shape: global-avg filter + anti join + rollup ----
+    // "Lost customers worth chasing": positive-balance customers above
+    // the GLOBAL average balance with no order since 2001-01-01
+    // (dormant, not merely absent — the generator gives every customer
+    // SOME order, as production CRMs usually do), rolled up per
+    // nation. Q22's three-part topology — an uncorrelated scalar
+    // aggregate feeding a filter, a NOT EXISTS anti join against the
+    // fact, a dimension rollup — in one query. The avg threshold stays
+    // an internal double (sum of cents is exact to 2^53, so both
+    // engines divide identical integers); every OUTPUT is exact cents.
+    "q111_lost_customers" -> QueryDef(
+      (s, dir) => {
+        table(s, dir, "customer").createOrReplaceTempView("graft_q111_cust")
+        table(s, dir, "orders").createOrReplaceTempView("graft_q111_ord")
+        s.sql("""WITH c AS (
+                |  SELECT c_custkey, c_nationkey,
+                |    CAST(round(c_acctbal * 100) AS BIGINT) AS bal_c
+                |  FROM graft_q111_cust WHERE c_acctbal > 0)
+                |SELECT c_nationkey, count(*) AS n_cust,
+                |  CAST(sum(bal_c) AS BIGINT) AS total_bal_c
+                |FROM c
+                |WHERE bal_c > (SELECT avg(bal_c) FROM c)
+                |  AND NOT EXISTS (
+                |    SELECT 1 FROM graft_q111_ord o
+                |    WHERE o.o_custkey = c.c_custkey
+                |      AND o.o_orderdate >= TIMESTAMP '2001-01-01')
+                |GROUP BY c_nationkey
+                |ORDER BY c_nationkey""".stripMargin)
+      },
+      Some("""WITH c AS (
+             |  SELECT c_custkey, c_nationkey,
+             |    CAST(round(c_acctbal * 100) AS BIGINT) AS bal_c
+             |  FROM customer WHERE c_acctbal > 0)
+             |SELECT c_nationkey, count(*) AS n_cust,
+             |  CAST(sum(bal_c) AS BIGINT) AS total_bal_c
+             |FROM c
+             |WHERE bal_c > (SELECT avg(bal_c) FROM c)
+             |  AND NOT EXISTS (
+             |    SELECT 1 FROM orders o
+             |    WHERE o.o_custkey = c.c_custkey
+             |      AND o.o_orderdate >= TIMESTAMP '2001-01-01')
+             |GROUP BY c_nationkey
+             |ORDER BY c_nationkey""".stripMargin)),
+
     // ---- cross-system table checksums -------------------------------
     // Order-INDEPENDENT content checksum per table (the
     // pt-table-checksum / data-validation op a migration runs on both
