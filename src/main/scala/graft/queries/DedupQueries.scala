@@ -49,6 +49,25 @@ object DedupQueries {
        |ORDER BY 1""".stripMargin
 
 
+  /** The ONE from-scratch transitive-closure rendering of the near-dup
+    * component labels — shared verbatim by d6 (scratch CC) and d30
+    * (warm-start CC), so the incremental path is proven equal to the
+    * full recompute by construction.
+    */
+  private def closureOracleSql: String =
+    s"""WITH RECURSIVE ${QueryDef.shingleCtes()},
+       |${QueryDef.jaccardPairCtes(2, 5)},
+       |edges AS (SELECT da AS src, db AS dst FROM qp
+       |          UNION SELECT db, da FROM qp),
+       |reach(a, b) AS (
+       |  SELECT src, dst FROM edges
+       |  UNION
+       |  SELECT r.a, e.dst FROM reach r JOIN edges e ON e.src = r.b),
+       |verts AS (SELECT DISTINCT src AS id FROM edges)
+       |SELECT v.id AS doc_id, least(v.id, min(r.b)) AS rep
+       |FROM verts v LEFT JOIN reach r ON r.a = v.id
+       |GROUP BY v.id ORDER BY 1""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
 
     // exact dedup: survivors = min doc_id per identical text
@@ -500,18 +519,22 @@ object DedupQueries {
       (s, dir) => Staged.docDupComponents(s, dir)
         .select(col("id").as("doc_id"), col("rep"))
         .orderBy("doc_id"),
-      Some(s"""WITH RECURSIVE ${QueryDef.shingleCtes()},
-             |${QueryDef.jaccardPairCtes(2, 5)},
-             |edges AS (SELECT da AS src, db AS dst FROM qp
-             |          UNION SELECT db, da FROM qp),
-             |reach(a, b) AS (
-             |  SELECT src, dst FROM edges
-             |  UNION
-             |  SELECT r.a, e.dst FROM reach r JOIN edges e ON e.src = r.b),
-             |verts AS (SELECT DISTINCT src AS id FROM edges)
-             |SELECT v.id AS doc_id, least(v.id, min(r.b)) AS rep
-             |FROM verts v LEFT JOIN reach r ON r.a = v.id
-             |GROUP BY v.id ORDER BY 1""".stripMargin)),
+      Some(closureOracleSql)),
+
+    // Warm-start (incremental) connected components: the daily
+    // dup-graph maintenance path — yesterday's labels contract to
+    // (id, rep) star edges and ONLY the delta's pairs re-enter the
+    // iteration (Staged.incrementalDupComponents; the old-old pair
+    // bulk never does). The oracle is d6's from-scratch closure SQL
+    // VERBATIM: warm-start and scratch must produce identical labels,
+    // so a star-contraction bug, a dropped vertex, or a rep divergence
+    // hash-mismatches here even though the engine never recomputed the
+    // full graph.
+    "d30_incremental_components" -> QueryDef(
+      (s, dir) => Staged.incrementalDupComponents(s, dir)
+        .select(col("id").as("doc_id"), col("rep"))
+        .orderBy("doc_id"),
+      Some(closureOracleSql)),
 
     // Dedup ROI report — the number a platform team takes to planning:
     // per near-dup cluster, the char mass REMOVED if only the
