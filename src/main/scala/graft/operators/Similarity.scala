@@ -313,6 +313,27 @@ object Similarity {
       .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
   }
 
+  /** Append a delta batch to a materialized IVF index WITHOUT
+    * retraining: the delta is assigned to the EXISTING (stale)
+    * centroids and written as new files into the same cell-partitioned
+    * layout — the standard vector-store maintenance path (centroids
+    * retrain only at compaction, the way d26 compacts the LSH index).
+    * Probing is unchanged: [[ivfIndexTopK]] sees old + delta rows in
+    * the probed cells.
+    */
+  def appendToIvfIndex(spark: org.apache.spark.sql.SparkSession,
+                       delta: DataFrame, path: String,
+                       idCol: String = "vec_id",
+                       vecCol: String = "embedding"): Unit = {
+    val cents = spark.read.parquet(s"$path/centroids").collect()
+      .map(r => Centroid(r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+    delta
+      .withColumn("__vnorm", norm(col(vecCol)))
+      .withColumn("cell", bestCell(col(vecCol), col("__vnorm"), cents))
+      .drop("__vnorm")
+      .write.mode("append").partitionBy("cell").parquet(s"$path/vectors")
+  }
+
   /** Query a materialized IVF index: probe the nProbe nearest cells
     * per query and scan ONLY those cells' partitions (the `cell IN`
     * filter prunes at the file level), exact re-rank via the bounded

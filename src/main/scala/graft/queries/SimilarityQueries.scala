@@ -202,12 +202,29 @@ object SimilarityQueries {
     * query vectors are corpus rows, so `sims` serves both the corpus
     * assignment and the query probes.
     */
-  private def ivfOracleSql: String =
-    s"""WITH par AS (
-       |  SELECT greatest(1, count(*) // $NCells) AS stride FROM embeddings),
+  private def ivfOracleSql: String = ivfChainSql("", "embeddings")
+
+  /** sim18 oracle: sim3's EXACT chain, except the centroid bootstrap
+    * (count → stride → id-stride pick) runs over the OLD 80% subset
+    * only — assignment, probing, and re-rank still see every vector.
+    * That is precisely the append-without-retrain contract the engine
+    * materializes (buildIvfIndex on old + appendToIvfIndex of the
+    * delta against the stale centroids).
+    */
+  private def ivfAppendOracleSql: String =
+    ivfChainSql("old AS (SELECT * FROM embeddings WHERE vec_id % 5 <> 4),\n", "old")
+
+  /** The ONE rendering of the IVF coarse chain (stride bootstrap over
+    * `centSrc`, argmax assignment, nProbe probes, candidate join,
+    * exact re-rank) shared by the sim3 and sim18 oracles — a geometry
+    * change cannot desynchronize them.
+    */
+  private def ivfChainSql(prefix: String, centSrc: String): String =
+    s"""WITH ${prefix}par AS (
+       |  SELECT greatest(1, count(*) // $NCells) AS stride FROM $centSrc),
        |cents AS (
        |  SELECT vec_id AS cell, embedding AS cvec
-       |  FROM embeddings, par WHERE vec_id % par.stride = 0
+       |  FROM $centSrc, par WHERE vec_id % par.stride = 0
        |  ORDER BY vec_id LIMIT $NCells),
        |cn AS (
        |  SELECT cell, cvec, sqrt(${dotSql("cvec", "cvec")}) AS cnorm
@@ -906,6 +923,27 @@ object SimilarityQueries {
              |  FROM cand c JOIN embeddings e ON c.vec_id = e.vec_id
              |  JOIN q ON c.qid = q.qid)
              |$rerankSql""".stripMargin)),
+
+    // IVF index APPEND without retrain — the index-maintenance path
+    // (sim3's materialized sibling under growth): the index is built
+    // on the OLD 80% of the corpus, the new 20% is appended against
+    // the STALE centroids (new files in the same cell-partitioned
+    // layout; no rebuild, no retrain — the d26 compaction discipline
+    // for vectors), and probing reads old + delta rows from only the
+    // probed cells' files. The oracle is sim3's exact chain with the
+    // centroid bootstrap restricted to the old subset — so a
+    // double-append, a lost delta row, or an assignment drift against
+    // the stale centroids all hash-mismatch.
+    "sim18_ivf_append" -> QueryDef(
+      (s, dir) => {
+        val emb = table(s, dir, "embeddings")
+        val queries = emb.filter(col("vec_id").isInCollection(QueryIds))
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+        val path = Staged.ivfAppendIndex(s, dir)
+        Similarity.ivfIndexTopK(s, path, queries, K, nProbe = NProbe)
+          .orderBy("qid", "rank")
+      },
+      Some(ivfAppendOracleSql)),
 
     // int8 quantized-domain ANN — the serving half of sim9's storage
     // story: coarse scoring runs ENTIRELY in the integer code domain

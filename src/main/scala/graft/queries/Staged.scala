@@ -151,6 +151,24 @@ object Staged {
       inc
     }).asInstanceOf[DataFrame]
 
+  /** Materialized IVF index built on the OLD 80% of the embeddings
+    * (vec_id % 5 != 4), with the new 20% APPENDED against the stale
+    * centroids — sim18's fixture for the index-maintenance path. Both
+    * steps run inside the one staged build (overwrite then append), so
+    * bench re-runs can never double-append; returns the index path.
+    */
+  def ivfAppendIndex(s: SparkSession, dir: String): String =
+    cacheFor(s).getOrElseUpdate(s"ivfappend:$dir", {
+      val emb = table(s, dir, "embeddings")
+      val path = new java.io.File(
+        s"target/ivf_append/${dir.replaceAll("[^A-Za-z0-9.]", "_")}").getAbsolutePath
+      graft.operators.Similarity.buildIvfIndex(
+        emb.filter(col("vec_id") % 5 =!= 4), path, nCells = 16, refineIters = 0)
+      graft.operators.Similarity.appendToIvfIndex(
+        s, emb.filter(col("vec_id") % 5 === 4), path)
+      path
+    }).asInstanceOf[String]
+
   /** Star-contraction connected components over [[docNearDupPairs]] —
     * the O(log n)-round fallback path, staged so repeated bench passes
     * don't accumulate checkpointed label frames.
