@@ -1257,6 +1257,101 @@ object EventQueries {
              |FROM nodes n LEFT JOIN walk w ON n.node = w.node
              |GROUP BY n.node ORDER BY n.node""".stripMargin)),
 
+    // ---- time-decay multi-touch attribution -------------------------
+    // q64's third sibling: credit decays with the touch→purchase gap,
+    // weight = 1000 >> (Δt DIV 30min) — integer shifts, EXACT on both
+    // engines, halving per half-life like the exponential model ad
+    // systems bill on. Unlike q64's prefix counts the weight depends
+    // on BOTH rows, so the shape is the bounded touchpoint range-join:
+    // purchases ⋈ preceding touches within 10 half-lives (beyond that
+    // the shifted weight is exactly 0, so the lookback cap drops only
+    // zero-credit rows — the cap IS the semantics, and it is what
+    // bounds the per-user fanout at any scale). Purchases with no
+    // in-window touch credit 'direct'.
+    "q112_decay_attribution" -> QueryDef(
+      (s, dir) => {
+        val H = 1800L * 1000000L // 30-minute half-life, µs
+        val channels = Seq("click", "error", "signup", "view")
+        val ev = Relational.eventsRaw(s, dir)
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            cents(col("value")).as("value_c"), expr("ts div 1000").as("t_us"))
+        val touches = ev.filter(col("event_type") =!= "purchase")
+          .select(col("user_id").as("t_uid"),
+            col("event_type").as("channel"), col("t_us").as("tt"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id").as("pid"),
+            col("value_c"), col("t_us").as("pt"))
+        val j = purchases.join(touches,
+          col("user_id") === col("t_uid") && col("tt") < col("pt") &&
+            col("pt") - col("tt") < lit(10L * H))
+          .withColumn("w",
+            expr(s"shiftright(1000, CAST((pt - tt) DIV ${H}L AS INT))"))
+        val chSums = channels.map(ch =>
+          sum(when(col("channel") === ch, col("w")).otherwise(0)).cast("long")
+            .as(s"w_$ch"))
+        val perP = j.groupBy("pid")
+          .agg(sum("w").cast("long").as("wtot"), chSums: _*)
+        val wide = purchases.join(perP, Seq("pid"), "left")
+        val aggs = channels.flatMap { ch =>
+          Seq(count(when(col(s"w_$ch") > 0, 1)).as(s"np_$ch"),
+            sum(when(col("wtot").isNotNull,
+              expr(s"value_c * w_$ch DIV wtot")).otherwise(0L))
+              .as(s"credit_$ch"))
+        } ++ Seq(
+          count(when(col("wtot").isNull, 1)).as("np_direct"),
+          sum(when(col("wtot").isNull, col("value_c")).otherwise(0L))
+            .as("credit_direct"))
+        val wideAgg = wide.agg(aggs.head, aggs.tail: _*)
+        val stackArgs = (channels :+ "direct")
+          .map(ch => s"'$ch', np_$ch, credit_$ch").mkString(", ")
+        wideAgg.select(expr(
+            s"stack(${channels.size + 1}, $stackArgs) AS (channel, n_purchases, credit_c)"))
+          .orderBy("channel")
+      },
+      Some("""WITH ev AS (SELECT event_id, user_id, event_type,
+             |    CAST(round(value * 100) AS BIGINT) AS value_c,
+             |    epoch_us(ts) AS t_us FROM events),
+             |t AS (SELECT user_id AS t_uid, event_type AS channel, t_us AS tt
+             |  FROM ev WHERE event_type <> 'purchase'),
+             |p AS (SELECT user_id, event_id AS pid, value_c, t_us AS pt
+             |  FROM ev WHERE event_type = 'purchase'),
+             |j AS (SELECT p.pid, t.channel,
+             |    (1000 >> CAST((p.pt - t.tt) // 1800000000 AS INTEGER)) AS w
+             |  FROM p JOIN t ON p.user_id = t.t_uid AND t.tt < p.pt
+             |    AND p.pt - t.tt < 18000000000),
+             |per AS (SELECT pid, CAST(sum(w) AS BIGINT) AS wtot,
+             |    CAST(sum(CASE WHEN channel = 'click' THEN w ELSE 0 END) AS BIGINT) AS w_click,
+             |    CAST(sum(CASE WHEN channel = 'error' THEN w ELSE 0 END) AS BIGINT) AS w_error,
+             |    CAST(sum(CASE WHEN channel = 'signup' THEN w ELSE 0 END) AS BIGINT) AS w_signup,
+             |    CAST(sum(CASE WHEN channel = 'view' THEN w ELSE 0 END) AS BIGINT) AS w_view
+             |  FROM j GROUP BY 1),
+             |wide AS (SELECT p.pid, p.value_c, per.wtot,
+             |    per.w_click, per.w_error, per.w_signup, per.w_view
+             |  FROM p LEFT JOIN per USING (pid))
+             |SELECT channel, n_purchases, credit_c FROM (
+             |  SELECT 'click' AS channel,
+             |    count(CASE WHEN w_click > 0 THEN 1 END) AS n_purchases,
+             |    CAST(sum(CASE WHEN wtot IS NOT NULL
+             |      THEN value_c * w_click // wtot ELSE 0 END) AS BIGINT) AS credit_c
+             |  FROM wide
+             |  UNION ALL SELECT 'error',
+             |    count(CASE WHEN w_error > 0 THEN 1 END),
+             |    CAST(sum(CASE WHEN wtot IS NOT NULL
+             |      THEN value_c * w_error // wtot ELSE 0 END) AS BIGINT) FROM wide
+             |  UNION ALL SELECT 'signup',
+             |    count(CASE WHEN w_signup > 0 THEN 1 END),
+             |    CAST(sum(CASE WHEN wtot IS NOT NULL
+             |      THEN value_c * w_signup // wtot ELSE 0 END) AS BIGINT) FROM wide
+             |  UNION ALL SELECT 'view',
+             |    count(CASE WHEN w_view > 0 THEN 1 END),
+             |    CAST(sum(CASE WHEN wtot IS NOT NULL
+             |      THEN value_c * w_view // wtot ELSE 0 END) AS BIGINT) FROM wide
+             |  UNION ALL SELECT 'direct',
+             |    count(CASE WHEN wtot IS NULL THEN 1 END),
+             |    CAST(sum(CASE WHEN wtot IS NULL THEN value_c ELSE 0 END)
+             |      AS BIGINT) FROM wide) u
+             |ORDER BY channel""".stripMargin)),
+
     // ---- sequential pattern mining: top within-session trigrams -----
     // The 10 most frequent 3-event journeys, counted WITHIN q18's
     // 30-minute gap sessions (a trigram never spans a session break —
