@@ -2315,6 +2315,97 @@ object Relational {
              |GROUP BY c_nationkey
              |ORDER BY c_nationkey""".stripMargin)),
 
+    // ---- TPC-H Q18 shape: semi join against a grouped HAVING --------
+    // Large-volume orders: total lineitem quantity > 300, joined back
+    // to orders + customer. The classic Q18 topology: the fact
+    // aggregates on its NATURAL key (map-side combinable, one shuffle
+    // on l_orderkey), the HAVING filter collapses it to a tiny
+    // survivor set, and AQE then BROADCASTS the survivors into the
+    // orders and customer joins — at 100 TB the only full-width
+    // shuffle is the one the aggregation itself needs. l_quantity is
+    // an integral double; the sum is exact in double far past any
+    // per-order row count, cast to BIGINT at the boundary.
+    "q113_big_orders" -> QueryDef(
+      (s, dir) => {
+        val big = table(s, dir, "lineitem")
+          .groupBy("l_orderkey")
+          .agg(sum("l_quantity").cast("long").as("total_qty"))
+          .filter(col("total_qty") > 300)
+        val o = table(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey"),
+            cents(col("o_totalprice")).as("price_c"))
+        val c = table(s, dir, "customer")
+          .select(col("c_custkey"), col("c_name"))
+        big.join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(c, col("o_custkey") === col("c_custkey"))
+          .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+            col("total_qty"), col("price_c"))
+          .orderBy("o_orderkey")
+      },
+      Some("""WITH big AS (
+             |  SELECT l_orderkey, CAST(sum(l_quantity) AS BIGINT) AS total_qty
+             |  FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 300)
+             |SELECT c_custkey, c_name, o_orderkey, total_qty,
+             |  CAST(round(o_totalprice * 100) AS BIGINT) AS price_c
+             |FROM big JOIN orders ON o_orderkey = l_orderkey
+             |JOIN customer ON c_custkey = o_custkey
+             |ORDER BY o_orderkey""".stripMargin)),
+
+    // ---- winsorized (robust) group statistics -----------------------
+    // Mean of l_extendedprice cents per returnflag with the tails
+    // clamped to the group's nearest-rank p10/p90 — the robust-stats
+    // pass a metrics pipeline runs where a handful of corrupt rows
+    // would otherwise drag the mean. Caps are NEAREST-RANK percentiles
+    // (value at row ceil(p·n) of the group's sort), NOT interpolated:
+    // rank selection is exact integer arithmetic on both engines,
+    // whereas cont-percentile interpolation at p=0.1 multiplies by a
+    // binary-inexact fraction. One shuffle + one per-group sort (the
+    // exact-quantile cost, cf. q20); q102's mergeable histograms are
+    // the bounded-domain scale path when the sort is too expensive.
+    "q115_winsorized" -> QueryDef(
+      (s, dir) => {
+        val w = Window.partitionBy("l_returnflag").orderBy("price_c")
+        val ranked = table(s, dir, "lineitem")
+          .select(col("l_returnflag"), cents(col("l_extendedprice")).as("price_c"))
+          .withColumn("rn", row_number().over(w))
+          .withColumn("n", count(lit(1)).over(Window.partitionBy("l_returnflag")))
+        val caps = ranked
+          .groupBy("l_returnflag")
+          .agg(max("n").as("n"),
+            min(when(col("rn") === expr("(n * 10 + 99) DIV 100"), col("price_c"))).as("lo_c"),
+            min(when(col("rn") === expr("(n * 90 + 99) DIV 100"), col("price_c"))).as("hi_c"))
+        table(s, dir, "lineitem")
+          .select(col("l_returnflag"), cents(col("l_extendedprice")).as("price_c"))
+          .join(caps, "l_returnflag")
+          .groupBy("l_returnflag")
+          .agg(max("n").as("n_rows"), max("lo_c").as("lo_c"), max("hi_c").as("hi_c"),
+            sum(least(greatest(col("price_c"), col("lo_c")), col("hi_c"))).as("wsum_c"))
+          .withColumn("wmean_c", expr("wsum_c DIV n_rows"))
+          .orderBy("l_returnflag")
+      },
+      Some("""WITH v AS (
+             |  SELECT l_returnflag,
+             |    CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c
+             |  FROM lineitem),
+             |ranked AS (
+             |  SELECT l_returnflag, price_c,
+             |    row_number() OVER (PARTITION BY l_returnflag ORDER BY price_c) AS rn,
+             |    count(*) OVER (PARTITION BY l_returnflag) AS n
+             |  FROM v),
+             |caps AS (
+             |  SELECT l_returnflag, CAST(max(n) AS BIGINT) AS n,
+             |    min(CASE WHEN rn = (n * 10 + 99) // 100 THEN price_c END) AS lo_c,
+             |    min(CASE WHEN rn = (n * 90 + 99) // 100 THEN price_c END) AS hi_c
+             |  FROM ranked GROUP BY 1)
+             |SELECT v.l_returnflag, max(caps.n) AS n_rows,
+             |  CAST(max(lo_c) AS BIGINT) AS lo_c,
+             |  CAST(max(hi_c) AS BIGINT) AS hi_c,
+             |  CAST(sum(least(greatest(price_c, lo_c), hi_c)) AS BIGINT) AS wsum_c,
+             |  CAST(sum(least(greatest(price_c, lo_c), hi_c)) AS BIGINT)
+             |    // CAST(max(caps.n) AS BIGINT) AS wmean_c
+             |FROM v JOIN caps USING (l_returnflag)
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // ---- cross-system table checksums -------------------------------
     // Order-INDEPENDENT content checksum per table (the
     // pt-table-checksum / data-validation op a migration runs on both
