@@ -1196,6 +1196,57 @@ object DedupQueries {
              |  FROM h WHERE hv % 5 = 0)
              |SELECT f.n_corpus, sm.n_sample, sm.sample_dup_ppm,
              |  f.full_dup_ppm
-             |FROM f CROSS JOIN sm""".stripMargin))
+             |FROM f CROSS JOIN sm""".stripMargin)),
+
+    // ---- rendezvous (HRW) shard migration audit ---------------------
+    // The resharding-stability op for a partitioned 100 TB index
+    // (d25/d26/sim18 all persist sharded layouts): every doc scores
+    // each shard with a deterministic integer mix (one multiply-mod
+    // round squared mod p — exact BIGINT on both engines, square <
+    // 2^60) and lives on its argmax (highest-random-weight hashing).
+    // Adding a 9th shard moves ONLY docs the new shard strictly wins —
+    // ~1/9 of each old shard, no old↔old churn — which is why HRW (not
+    // id % k) is the layout key: a reshard re-writes 11% of files, not
+    // 100%. One scan, map-side-combining 8-group agg, zero joins. The
+    // SQL is ONE template rendered into both engines (only the
+    // integer-div token differs), so mix and tie-break can never
+    // desynchronize.
+    "d31_rendezvous_shard" -> QueryDef(
+      (s, dir) => {
+        table(s, dir, "documents").createOrReplaceTempView("graft_d31_docs")
+        s.sql(rendezvousSql("graft_d31_docs", "DIV"))
+      },
+      Some(rendezvousSql("documents", "//")))
   )
+
+  /** [[DedupQueries]] d31: one SQL text for both engines. `div` is the
+    * integer-division token (`DIV` Spark, `//` DuckDB — both truncate
+    * toward zero; operands here are non-negative anyway).
+    */
+  private def rendezvousSql(tbl: String, div: String): String = {
+    val p = 1000000007L
+    def lin(i: Int) = {
+      val c = (i + 1) * 1315423911L
+      s"(((doc_id % $p) * 2654435761 + $c) % $p)"
+    }
+    val mcols = (0 to 8)
+      .map(i => s"(${lin(i)} * ${lin(i)}) % $p AS m$i").mkString(",\n    ")
+    val arms = (0 to 6).map { i =>
+      val conds = ((i + 1) to 7).map(j => s"m$i >= m$j").mkString(" AND ")
+      s"WHEN $conds THEN $i"
+    }.mkString("\n      ")
+    val g7 = (0 to 7).map(i => s"m$i").mkString(", ")
+    s"""WITH m AS (
+       |  SELECT doc_id, $mcols
+       |  FROM $tbl),
+       |sh AS (
+       |  SELECT doc_id,
+       |    CAST(CASE $arms ELSE 7 END AS BIGINT) AS old_shard,
+       |    CASE WHEN m8 > greatest($g7) THEN 1 ELSE 0 END AS moved
+       |  FROM m)
+       |SELECT old_shard, count(*) AS n_docs,
+       |  CAST(sum(moved) AS BIGINT) AS n_moved,
+       |  (10000 * CAST(sum(moved) AS BIGINT)) $div count(*) AS moved_bp
+       |FROM sh GROUP BY old_shard ORDER BY old_shard""".stripMargin
+  }
 }

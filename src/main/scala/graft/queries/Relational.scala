@@ -2351,6 +2351,47 @@ object Relational {
              |JOIN customer ON c_custkey = o_custkey
              |ORDER BY o_orderkey""".stripMargin)),
 
+    // ---- single-pass observed metrics (CollectMetrics) --------------
+    // Data-quality selectivity audit that rides the SAME action as the
+    // real aggregation: `Dataset.observe` plants a CollectMetrics node
+    // on the scan, so rows-scanned / pre-filter checksum are collected
+    // by accumulator during the one pass the groupBy already needs —
+    // at 100 TB this is the difference between auditing for free and
+    // paying a second full scan. The 3-row collect is the documented
+    // driver-side boundary (the metrics row is driver state by
+    // construction; the heavy work all happens in the observed pass).
+    "q114_observe_metrics" -> QueryDef(
+      (s, dir) => {
+        val obs = org.apache.spark.sql.Observation()
+        val scanned = table(s, dir, "lineitem")
+          .select(col("l_returnflag"), col("l_quantity"),
+            cents(col("l_extendedprice")).as("price_c"))
+          .observe(obs,
+            count(lit(1)).as("rows_scanned"),
+            sum(col("price_c")).as("scanned_price_c"))
+        val out = scanned.filter(col("l_quantity") >= 25)
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n_rows"), sum("price_c").as("sum_price_c"))
+        val flagRows = out.collect().map(r =>
+          ("flag:" + r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+        val m = obs.get
+        val all = flagRows :+ (("_scan",
+          m("rows_scanned").asInstanceOf[Long],
+          m("scanned_price_c").asInstanceOf[Long]))
+        import s.implicits._
+        all.toDF("key", "n_rows", "sum_price_c").orderBy("key")
+      },
+      Some("""WITH v AS (
+             |  SELECT l_returnflag, l_quantity,
+             |    CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c
+             |  FROM lineitem)
+             |SELECT 'flag:' || l_returnflag AS key, count(*) AS n_rows,
+             |  CAST(sum(price_c) AS BIGINT) AS sum_price_c
+             |FROM v WHERE l_quantity >= 25 GROUP BY 1
+             |UNION ALL
+             |SELECT '_scan', count(*), CAST(sum(price_c) AS BIGINT) FROM v
+             |ORDER BY key""".stripMargin)),
+
     // ---- winsorized (robust) group statistics -----------------------
     // Mean of l_extendedprice cents per returnflag with the tails
     // clamped to the group's nearest-rank p10/p90 — the robust-stats
