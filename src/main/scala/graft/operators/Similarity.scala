@@ -737,4 +737,56 @@ object Similarity {
       .select(col(qidCol), col(qvecCol), col(idCol), col(vecCol))
       .distinct()
   }
+
+  /** Flip bit-char `i` (0-based) of a `width`-char bit string. */
+  private def flipBit(bits: Column, i: Int, width: Int): Column =
+    concat(bits.substr(1, i),
+      when(bits.substr(i + 1, 1) === "1", "0").otherwise("1"),
+      bits.substr(i + 2, width - i - 1))
+
+  /** Multi-probe candidate generation: the SAME stored band-bucket
+    * layout as [[lshAnnCandidates]], but each query probes its own
+    * bucket PLUS every bucket at Hamming distance 1 within each band
+    * (`rowsPerBand` extra probe keys per band). This is the recall
+    * dial that does NOT touch the corpus: a 100 TB index keeps its
+    * banding and files; only the broadcast query side fans out
+    * (bands·(1+width) keys per query), so probe depth is a per-query
+    * cost decision, not a re-index. Candidates are a superset of the
+    * single-probe set by construction (OperatorSpec pins this).
+    */
+  def multiProbeCandidates(corpus: DataFrame, queries: DataFrame, dims: Int,
+                           planes: Int = 24, rowsPerBand: Int = 3,
+                           idCol: String = "vec_id", vecCol: String = "embedding",
+                           qidCol: String = "qid", qvecCol: String = "qvec"): DataFrame = {
+    require(planes % rowsPerBand == 0)
+    val bands = planes / rowsPerBand
+    val c = bandExplode(
+      corpus.withColumn("__code", signCode(col(vecCol), dims, planes)),
+      "__code", bands, rowsPerBand, Seq(idCol, vecCol))
+    val q0 = bandExplode(
+      queries.withColumn("__qcode", signCode(col(qvecCol), dims, planes)),
+      "__qcode", bands, rowsPerBand, Seq(qidCol, qvecCol))
+    val probeSet = array(col("bits") +:
+      (0 until rowsPerBand).map(i => flipBit(col("bits"), i, rowsPerBand)): _*)
+    val probes = q0.select(col(qidCol), col(qvecCol), col("band"),
+      explode(probeSet).as("bits"))
+    c.join(broadcast(probes), Seq("band", "bits"))
+      .filter(col(idCol) =!= col(qidCol))
+      .select(col(qidCol), col(qvecCol), col(idCol), col(vecCol))
+      .distinct()
+  }
+
+  /** [[lshTopK]] with Hamming-1 multi-probe ([[multiProbeCandidates]]):
+    * higher recall at the same index, candidate volume ×(1+width) per
+    * band in the worst case.
+    */
+  def multiProbeTopK(corpus: DataFrame, queries: DataFrame, k: Int, dims: Int,
+                     planes: Int = 24, rowsPerBand: Int = 3,
+                     idCol: String = "vec_id", vecCol: String = "embedding",
+                     qidCol: String = "qid", qvecCol: String = "qvec"): DataFrame = {
+    val cands = multiProbeCandidates(corpus, queries, dims, planes,
+      rowsPerBand, idCol, vecCol, qidCol, qvecCol)
+    val scored = cands.withColumn("__cos", cosine(col(vecCol), col(qvecCol)))
+    topKReRank(scored, k, qidCol, idCol, "__cos")
+  }
 }

@@ -135,6 +135,39 @@ object SimilarityQueries {
       s"substr($l.code, $p, $rpb) = substr($r.$rcode, $p, $rpb)"
     }.mkString("\n     OR ")
 
+  /** OR-chain of per-band Hamming-distance-≤1 matches — the multi-
+    * probe (sim19) analog of [[bandMatchSql]]: a band matches when at
+    * most one of its bit chars differs.
+    */
+  private def bandNearMatchSql(l: String, r: String, rcode: String,
+                               bands: Int = Bands, rpb: Int = RowsPerBand): String =
+    (0 until bands).map { b =>
+      val diffs = (0 until rpb).map { i =>
+        val p = b * rpb + 1 + i
+        s"CASE WHEN substr($l.code, $p, 1) <> substr($r.$rcode, $p, 1) THEN 1 ELSE 0 END"
+      }.mkString("\n       + ")
+      s"($diffs) <= 1"
+    }.mkString("\n     OR ")
+
+  private def multiProbeOracleSql: String = {
+    val bandMatch = bandNearMatchSql("c", "qc", "qcode")
+    s"""WITH ${codesCteSql()},
+       |qc AS (
+       |  SELECT vec_id AS qid, code AS qcode FROM codes
+       |  WHERE vec_id IN ($qidList)),
+       |cands AS (
+       |  SELECT qc.qid, c.vec_id
+       |  FROM codes c JOIN qc ON c.vec_id <> qc.qid
+       |   AND ($bandMatch)),
+       |scored AS (
+       |  SELECT cands.qid, cands.vec_id,
+       |    ${cosineSql("e.embedding", "qe.embedding")} AS cos
+       |  FROM cands
+       |  JOIN embeddings e ON e.vec_id = cands.vec_id
+       |  JOIN embeddings qe ON qe.vec_id = cands.qid)
+       |$rerankSql""".stripMargin
+  }
+
   private def lshOracleSql: String = {
     val bandMatch = bandMatchSql("c", "qc", "qcode")
     s"""WITH ${codesCteSql()},
@@ -823,6 +856,25 @@ object SimilarityQueries {
           .orderBy("qid", "rank")
       },
       Some(lshOracleSql)),
+
+    // Multi-probe LSH: sim2's EXACT stored index (same planes/banding,
+    // corpus side untouched), but each query also probes every bucket
+    // at Hamming distance 1 per band — the recall dial that scales the
+    // broadcast QUERY side (bands·(1+width) keys/query) instead of
+    // re-indexing the corpus. At 100 TB probe depth is a per-query
+    // cost decision; the index files never change. The oracle keeps
+    // sim2's codes CTE and swaps the band equality for a per-band
+    // char-diff-count <= 1 (exactly the flip set the engine probes).
+    "sim19_multiprobe_ann" -> QueryDef(
+      (s, dir) => {
+        val emb = table(s, dir, "embeddings")
+        val queries = emb.filter(col("vec_id").isInCollection(QueryIds))
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+        Similarity.multiProbeTopK(emb, queries, K, dims = Dims,
+          planes = Planes, rowsPerBand = RowsPerBand)
+          .orderBy("qid", "rank")
+      },
+      Some(multiProbeOracleSql)),
 
     // k-NN SELF-join: every vector's 5 nearest neighbors — the
     // embedding-graph construction step (near-dup graphs, diversity

@@ -849,6 +849,28 @@ class SimilaritySpec extends SparkTestBase {
     assert(recall >= 0.6, s"recall $recall too low (${(exact & approx).size}/${exact.size})")
   }
 
+  test("multi-probe LSH: candidates are a superset of single-probe; recall never drops") {
+    val c = corpus()
+    val q = c.filter(col("vec_id").isin(0L, 1L, 2L))
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val single = Similarity.lshAnnCandidates(c, q, dims)
+      .select("qid", "vec_id").as[(Long, Long)].collect().toSet
+    val multi = Similarity.multiProbeCandidates(c, q, dims)
+      .select("qid", "vec_id").as[(Long, Long)].collect().toSet
+    assert(single.subsetOf(multi),
+      s"multi-probe lost candidates: ${single -- multi}")
+    val exact = Similarity.bruteForceTopK(c, q, 10)
+      .select("qid", "vec_id").as[(Long, Long)].collect().toSet
+    val mp = Similarity.multiProbeTopK(c, q, 10, dims)
+      .select("qid", "vec_id").as[(Long, Long)].collect().toSet
+    val sp = Similarity.lshTopK(c, q, 10, dims)
+      .select("qid", "vec_id").as[(Long, Long)].collect().toSet
+    val rMulti = (exact & mp).size.toDouble / exact.size
+    val rSingle = (exact & sp).size.toDouble / exact.size
+    assert(rMulti >= rSingle,
+      s"multi-probe recall $rMulti below single-probe $rSingle")
+  }
+
   test("random-projection ANN achieves high recall vs brute force") {
     val c = corpus()
     val q = c.filter(col("vec_id").isin(0L, 1L, 2L))
