@@ -484,6 +484,80 @@ object Multimodal {
     out.toByteArray
   }
 
+  /** Deterministic WAV of `lead` zero frames followed by the
+    * [[addrSample]] stream (16-bit mono) — the delayed-copy fixture
+    * for [[audioAlign]].
+    */
+  def encodeWavDelayed(sampleRateHz: Int, nFrames: Int, id: Long,
+                       lead: Int): Array[Byte] = {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    val n = lead + nFrames
+    val pcm = new Array[Byte](n * 2)
+    var i = lead
+    while (i < n) {
+      val s = addrSample(id, (i - lead).toLong)
+      pcm(2 * i) = (s & 0xff).toByte
+      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new AudioFormat(sampleRateHz.toFloat, 16, 1, true, false)
+    val ais = new AudioInputStream(new ByteArrayInputStream(pcm), fmt, n.toLong)
+    val out = new ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  /** REAL decode + integer cross-correlation offset estimation between
+    * a clip and its delayed copy — the sync-alignment pass a
+    * multimodal pipeline runs before pairing audio with transcripts or
+    * video tracks. `c(l) = Σ a_i·d_{i+l}` over the overlap for
+    * `l ∈ [0, maxLag]`; argmax wins, ties to the smallest lag.
+    * Exactness: 16-bit products ≤ 2^30, so even 2^32 terms stay inside
+    * a Long — integer arithmetic end to end, which is what lets a SQL
+    * oracle replay every lag's correlation bit-for-bit. Mono 16-bit
+    * PCM only (None otherwise, the [[audioFingerprint]] fallback
+    * discipline).
+    */
+  def audioAlign(orig: Array[Byte], delayed: Array[Byte],
+                 maxLag: Int): Option[(Int, Long)] = {
+    def pcm16(bytes: Array[Byte]): Option[Array[Int]] = {
+      if (bytes.isEmpty) return None
+      try {
+        val ais = javax.sound.sampled.AudioSystem
+          .getAudioInputStream(new ByteArrayInputStream(bytes))
+        val fmt = ais.getFormat
+        if (fmt.getSampleSizeInBits != 16 || fmt.isBigEndian ||
+          fmt.getChannels != 1 ||
+          fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED)
+          return None
+        val raw = ais.readAllBytes()
+        val out = new Array[Int](raw.length / 2)
+        var i = 0
+        while (i < out.length) {
+          out(i) = (raw(2 * i + 1) << 8) | (raw(2 * i) & 0xff)
+          i += 1
+        }
+        Some(out)
+      } catch { case _: Exception => None }
+    }
+    for (a <- pcm16(orig); d <- pcm16(delayed)) yield {
+      var bestLag = 0
+      var bestCorr = Long.MinValue
+      var l = 0
+      while (l <= maxLag) {
+        var c = 0L
+        var i = 0
+        while (i < a.length && i + l < d.length) {
+          c += a(i).toLong * d(i + l)
+          i += 1
+        }
+        if (c > bestCorr) { bestCorr = c; bestLag = l }
+        l += 1
+      }
+      (bestLag, bestCorr)
+    }
+  }
+
   /** Position-addressable deterministic 8-bit gray for the animated-GIF
     * fixture: the value at (id, frame f, raster position pos) is direct
     * arithmetic (mod-1e6+3 reduction first keeps every product far

@@ -888,7 +888,66 @@ object MultimodalQueries {
              |  CAST(3 AS BIGINT) AS channels,
              |  CASE WHEN doc_id % 3 = 0 THEN 'fake/raw'
              |       ELSE 'image/png' END AS format
-             |FROM documents ORDER BY doc_id""".stripMargin))
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // REAL WAV decode + integer cross-correlation offset alignment —
+    // the A/V sync-detection pass (align audio to a reference before
+    // pairing with transcripts/video): each doc's clip vs a copy
+    // delayed by a planted k = doc_id % 16 zero frames; the operator
+    // scans lags 0..16 and the argmax recovers k exactly (the matched
+    // lag correlates Σa², pseudo-random samples decorrelate every
+    // other lag). All-integer correlations (16-bit products ≤ 2^30),
+    // so the oracle replays every lag's sum bit-for-bit and the argmax
+    // tie-break (smallest lag) deterministically. Per-doc work is
+    // partition-local (decode + O(nf·lags) mults); the doc_id % 5
+    // subset caps oracle volume, the operator itself streams at any
+    // corpus size.
+    "mm22_audio_align" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val docs = table(s, dir, "documents")
+          .filter(col("doc_id") % 5 === 0)
+          .select(col("doc_id").cast("long"), col("n_chars").cast("long"))
+          .as[(Long, Long)]
+        val rows = docs.mapPartitions(_.flatMap { case (id, nChars) =>
+          val nf = 64 + (nChars % 256).toInt
+          val k = (id % 16).toInt
+          val orig = graft.operators.Multimodal.encodeWavAddr(1, 8000, nf, id)
+          val delayed = graft.operators.Multimodal.encodeWavDelayed(8000, nf, id, k)
+          graft.operators.Multimodal.audioAlign(orig, delayed, maxLag = 16)
+            .map { case (lag, corr) =>
+              (id, nf.toLong, k.toLong, lag.toLong, corr) }
+        })
+        rows.toDF("doc_id", "n_frames", "planted_k", "detected_k", "corr_max")
+          .orderBy("doc_id")
+      },
+      Some("""WITH dims AS (
+             |  SELECT doc_id, 64 + n_chars % 256 AS nf, doc_id % 16 AS k
+             |  FROM documents WHERE doc_id % 5 = 0),
+             |smp AS (
+             |  SELECT doc_id, i,
+             |    ((((doc_id % 1000003) * 37 + i) * 2654435761) % 65536)
+             |      - 32768 AS s
+             |  FROM dims, unnest(range(0, nf)) AS t(i)),
+             |lags AS (
+             |  SELECT doc_id, nf, k, l
+             |  FROM dims, unnest(range(0, 17)) AS t(l)),
+             |corr AS (
+             |  SELECT g.doc_id, g.l, sum(a.s * b.s) AS c
+             |  FROM lags g
+             |  JOIN smp a ON a.doc_id = g.doc_id
+             |  JOIN smp b ON b.doc_id = g.doc_id AND b.i = a.i + g.l - g.k
+             |  GROUP BY 1, 2),
+             |best AS (
+             |  SELECT doc_id, l, c,
+             |    max(c) OVER (PARTITION BY doc_id) AS cmax
+             |  FROM corr)
+             |SELECT d.doc_id, CAST(d.nf AS BIGINT) AS n_frames,
+             |  CAST(d.k AS BIGINT) AS planted_k,
+             |  CAST(min(b.l) AS BIGINT) AS detected_k,
+             |  CAST(max(b.cmax) AS BIGINT) AS corr_max
+             |FROM dims d JOIN best b ON b.doc_id = d.doc_id AND b.c = b.cmax
+             |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin))
   )
 
   /** The ONE rendering of the mm9 sketch derivation (mixedPixel raster
