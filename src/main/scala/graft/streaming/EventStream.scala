@@ -822,4 +822,65 @@ object EventStream {
             .map(s => Session(userId, s.startUs, s.endUs, s.n, s.valueC))
       }
   }
+
+  final case class HistEvent(tsUs: Long, valueC: Long)
+  final case class HistFeed(day: Long, ownDay: Boolean, valueC: Long)
+  final case class HistState(counts: Map[Long, Long], nSeen: Long,
+                             hasOwn: Boolean)
+  final case class QuantRow(day: Long, nValues: Long, p50C: Long,
+                            p90C: Long, maxC: Long, nSeen: Long)
+
+  /** Streaming twin of the batch rolling exact quantiles (q102): each
+    * event feeds the trailing-7-day histograms of target days
+    * `day..day+6` (the explode happens at INGEST, so the per-day state
+    * is self-contained), per-target-day state is the mergeable
+    * value→count map — a commutative, arrival-order-invariant fold
+    * (the KMV-twin discipline: no watermark buffer needed), exactly
+    * the histogram q102 merges in batch. Every trigger emits the
+    * day's CURRENT exact p50/p90/max with the monotone nSeen marker
+    * (tests take max-marker per day); a target day emits only once it
+    * has an event of its OWN (q102's realDays join). State per day is
+    * the distinct-value histogram — the same cardinality the batch
+    * groupBy holds, bounded by the value domain, and droppable via
+    * event-time timeout once the day+7 watermark passes (kept
+    * NoTimeout here so late replays stay exact, the d10 reliable-mode
+    * trade documented in COVERAGE.md).
+    */
+  def streamingRollingQuantile(spark: SparkSession,
+                               events: Dataset[HistEvent]): Dataset[QuantRow] = {
+    import spark.implicits._
+    val DayUs = 86400L * 1000000L
+    events
+      .flatMap { e =>
+        val d = e.tsUs / DayUs
+        (d to d + 6).map(t => HistFeed(t, t == d, e.valueC))
+      }
+      .groupByKey(_.day)
+      .flatMapGroupsWithState[HistState, QuantRow](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (day: Long, rows: Iterator[HistFeed], state: GroupState[HistState]) =>
+          var st = state.getOption.getOrElse(HistState(Map.empty, 0L, false))
+          rows.foreach { f =>
+            st = HistState(
+              st.counts.updated(f.valueC, st.counts.getOrElse(f.valueC, 0L) + 1L),
+              st.nSeen + 1L, st.hasOwn || f.ownDay)
+          }
+          state.update(st)
+          if (!st.hasOwn) Iterator.empty
+          else {
+            val sorted = st.counts.toSeq.sortBy(_._1)
+            val total = sorted.map(_._2).sum
+            var cum = 0L
+            var p50 = Long.MinValue
+            var p90 = Long.MinValue
+            sorted.foreach { case (v, c) =>
+              cum += c
+              if (p50 == Long.MinValue && cum * 2 >= total) p50 = v
+              if (p90 == Long.MinValue && cum * 10 >= total * 9) p90 = v
+            }
+            Iterator.single(QuantRow(day, total, p50, p90,
+              sorted.last._1, st.nSeen))
+          }
+      }
+  }
 }

@@ -520,6 +520,53 @@ class EventStreamSpec extends SparkTestBase {
     assert(b == expected, s"arrival-order drift: $b vs $expected")
   }
 
+  test("streaming rolling quantiles equal the q102 rule, any arrival order") {
+    implicit val sqlCtx = spark.sqlContext
+    import EventStream.{HistEvent, QuantRow}
+    val DayUs = 86400L * 1000000L
+    // three real days (102, 104, 109) with repeated values; 104 sits in
+    // 102's trailing feed, 109 is isolated (window break); day 103
+    // never occurs -> must NOT emit despite receiving feeds from 102
+    val events =
+      Seq(5L, 17L, 5L, 90L, 33L).map(v => HistEvent(102L * DayUs + v, v)) ++
+        Seq(40L, 8L, 8L, 71L).map(v => HistEvent(104L * DayUs + 1000L + v, v)) ++
+        Seq(12L, 60L).map(v => HistEvent(109L * DayUs + v, v))
+    // batch twin: q102's exact histogram-cumulative rule over each real
+    // day's trailing-7-day value multiset
+    val batch = events.map(_.tsUs / DayUs).distinct.map { d =>
+      val vals = events
+        .filter(e => { val ed = e.tsUs / DayUs; ed <= d && ed >= d - 6 })
+        .map(_.valueC).sorted
+      val total = vals.size.toLong
+      var cum = 0L; var p50 = Long.MinValue; var p90 = Long.MinValue
+      vals.foreach { v =>
+        cum += 1
+        if (p50 == Long.MinValue && cum * 2 >= total) p50 = v
+        if (p90 == Long.MinValue && cum * 10 >= total * 9) p90 = v
+      }
+      (d, total, p50, p90, vals.last)
+    }.toSet
+    def run(name: String, batches: Seq[Seq[HistEvent]]): Set[(Long, Long, Long, Long, Long)] = {
+      val input = MemoryStream[HistEvent]
+      val q = EventStream.streamingRollingQuantile(spark, input.toDS())
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Update).start()
+      try {
+        batches.foreach { b => input.addData(b: _*); q.processAllAvailable() }
+        spark.table(name).as[QuantRow].collect()
+          .groupBy(_.day).map(_._2.maxBy(_.nSeen))
+          .map(r => (r.day, r.nValues, r.p50C, r.p90C, r.maxC)).toSet
+      } finally q.stop()
+    }
+    val a = run("rq_a", Seq(events.take(6), events.drop(6)))
+    assert(a == batch, s"stream/batch drift: $a vs $batch")
+    // commutative fold: reversed arrival converges identically
+    val b = run("rq_b", Seq(events.reverse.take(4), events.reverse.drop(4)))
+    assert(b == batch, s"arrival-order drift: $b vs $batch")
+    // the no-own-event day really was suppressed
+    assert(!a.exists(_._1 == 103L))
+  }
+
   test("streaming KMV distinct converges to the batch sketch, any arrival order") {
     implicit val sqlCtx = spark.sqlContext
     import EventStream.{KmvEvent, KmvRow}
