@@ -2351,6 +2351,79 @@ object Relational {
              |JOIN customer ON c_custkey = o_custkey
              |ORDER BY o_orderkey""".stripMargin)),
 
+    // ---- equi-depth binning / range-boundary planning ---------------
+    // The RangePartitioner planning op: B-1 boundary values at ranks
+    // ceil(i·n/B) split lineitem prices into equal-COUNT bins — what a
+    // 100 TB engine computes (on a sample) before any range
+    // repartition/sort so downstream partitions balance. Bins are
+    // [edge_i, edge_{i+1}) half-open on the VALUE axis, so duplicate
+    // boundary values collapse intervals and pile ties into one bin —
+    // surfacing exactly the skew a range exchange would hit (empty
+    // bins stay in the output via the interval spine). One full sort
+    // for exact ranks (the q20/q115 cost class — production samples
+    // first); binning itself is a broadcast interval join, no second
+    // shuffle.
+    "q116_equidepth_bins" -> QueryDef(
+      (s, dir) => {
+        val B = 8
+        val v = table(s, dir, "lineitem")
+          .select(cents(col("l_extendedprice")).as("v"))
+        val ranked = v
+          .withColumn("rn", row_number().over(Window.orderBy("v")))
+          .withColumn("n", count(lit(1)).over(Window.partitionBy()))
+        val eggCols = (1 until B).map(i =>
+          min(when(col("rn") === expr(s"($i * n + ${B - 1}) DIV $B"), col("v")))
+            .as(s"e$i")) :+ (max("v") + 1).as(s"e$B")
+        val edges = ranked.groupBy()
+          .agg(min("v").as("e0"), eggCols: _*)
+          .select(explode(array((0 to B).map(i =>
+            struct(lit(i).as("i"), col(s"e$i").as("e"))): _*)).as("x"))
+          .select(col("x.i"), col("x.e"))
+        val ivals = edges
+          .withColumn("hi", lead("e", 1).over(Window.orderBy("i")))
+          .filter(col("hi").isNotNull)
+          .select(col("i").cast("long").as("bin"), col("e").as("lo_c"),
+            col("hi").as("hi_excl_c"))
+        val counts = v.join(broadcast(ivals),
+            col("v") >= col("lo_c") && col("v") < col("hi_excl_c"))
+          .groupBy("bin").agg(count(lit(1)).as("cnt"))
+        ivals.join(counts, Seq("bin"), "left")
+          .select(col("bin"), col("lo_c"), col("hi_excl_c"),
+            coalesce(col("cnt"), lit(0L)).as("n_rows"))
+          .orderBy("bin")
+      },
+      Some("""WITH v AS (
+             |  SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS v
+             |  FROM lineitem),
+             |ranked AS (
+             |  SELECT v, row_number() OVER (ORDER BY v) AS rn,
+             |    count(*) OVER () AS n
+             |  FROM v),
+             |eg AS (
+             |  SELECT min(v) AS e0,
+             |    min(CASE WHEN rn = (1 * n + 7) // 8 THEN v END) AS e1,
+             |    min(CASE WHEN rn = (2 * n + 7) // 8 THEN v END) AS e2,
+             |    min(CASE WHEN rn = (3 * n + 7) // 8 THEN v END) AS e3,
+             |    min(CASE WHEN rn = (4 * n + 7) // 8 THEN v END) AS e4,
+             |    min(CASE WHEN rn = (5 * n + 7) // 8 THEN v END) AS e5,
+             |    min(CASE WHEN rn = (6 * n + 7) // 8 THEN v END) AS e6,
+             |    min(CASE WHEN rn = (7 * n + 7) // 8 THEN v END) AS e7,
+             |    max(v) + 1 AS e8
+             |  FROM ranked),
+             |edges AS (
+             |  SELECT t.i, CASE t.i WHEN 0 THEN e0 WHEN 1 THEN e1
+             |    WHEN 2 THEN e2 WHEN 3 THEN e3 WHEN 4 THEN e4
+             |    WHEN 5 THEN e5 WHEN 6 THEN e6 WHEN 7 THEN e7
+             |    ELSE e8 END AS e
+             |  FROM eg, unnest(range(0, 9)) AS t(i)),
+             |ivals AS (
+             |  SELECT i, e AS lo_c, lead(e) OVER (ORDER BY i) AS hi_excl_c
+             |  FROM edges QUALIFY hi_excl_c IS NOT NULL)
+             |SELECT CAST(i AS BIGINT) AS bin, lo_c, hi_excl_c,
+             |  (SELECT count(*) FROM v
+             |   WHERE v.v >= ivals.lo_c AND v.v < ivals.hi_excl_c) AS n_rows
+             |FROM ivals ORDER BY bin""".stripMargin)),
+
     // ---- single-pass observed metrics (CollectMetrics) --------------
     // Data-quality selectivity audit that rides the SAME action as the
     // real aggregation: `Dataset.observe` plants a CollectMetrics node

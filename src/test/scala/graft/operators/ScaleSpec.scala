@@ -339,8 +339,10 @@ class PlanShapeSpec extends SparkTestBase {
                            //   class in the int8 domain; rerank keyed
       "t37_vocab_growth",  // 1-row max-doc-id broadcast into the
                            //   decile bucketing (q66's class)
-      "d24_modularity")    // 1-row total-edge-count broadcast into the
+      "d24_modularity",    // 1-row total-edge-count broadcast into the
                            //   per-source modularity terms (t23's class)
+      "q116_equidepth_bins") // non-equi interval join; broadcast side =
+                           //   the B=8 bin-boundary rows (q22's class)
     val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val plan = fn(spark, sf).queryExecution.executedPlan.toString()
