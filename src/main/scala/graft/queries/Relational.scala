@@ -2351,6 +2351,40 @@ object Relational {
              |JOIN customer ON c_custkey = o_custkey
              |ORDER BY o_orderkey""".stripMargin)),
 
+    // ---- native XML codec round-trip (to_xml / from_xml) ------------
+    // Spark 4's built-in XML support (the spark-xml merge): each doc's
+    // metadata struct is serialized with to_xml and parsed back with
+    // from_xml against an explicit schema (attribute -> `_id`, typed
+    // element fields), then aggregated per source — the
+    // XML-feed-ingest shape. The parse is codegen-adjacent per row and
+    // partition-local (no shuffle until the final 4-group agg); the
+    // oracle recomputes from the raw columns, so ANY codec asymmetry
+    // (escaping, numeric typing, attribute naming) hash-fails the
+    // round trip end to end.
+    "q117_xml_roundtrip" -> QueryDef(
+      (s, dir) => {
+        import org.apache.spark.sql.types._
+        val docs = table(s, dir, "documents")
+        val xml = docs.select(
+          to_xml(struct(col("doc_id").as("_id"), col("source"),
+            col("n_chars"), col("lang"))).as("x"))
+        val schema = StructType(Seq(
+          StructField("_id", LongType), StructField("source", StringType),
+          StructField("n_chars", LongType), StructField("lang", StringType)))
+        xml.select(from_xml(col("x"), schema).as("p"))
+          .groupBy(col("p.source").as("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum("p.n_chars").as("sum_chars"),
+            countDistinct("p.lang").as("n_langs"),
+            min("p._id").as("min_id"))
+          .orderBy("source")
+      },
+      Some("""SELECT source, count(*) AS n_docs,
+             |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+             |  count(DISTINCT lang) AS n_langs,
+             |  min(doc_id) AS min_id
+             |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // ---- equi-depth binning / range-boundary planning ---------------
     // The RangePartitioner planning op: B-1 boundary values at ranks
     // ceil(i·n/B) split lineitem prices into equal-COUNT bins — what a
