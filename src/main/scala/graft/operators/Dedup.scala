@@ -396,7 +396,14 @@ object Dedup {
     * rewritten, and band-partitioned writes compact each band's
     * fragments in the same pass (the small-files story of daily
     * appends). Contract (spec-pinned): probing merge(build(A), Δ)
-    * equals probing build(A ∪ Δ) for every incoming batch.
+    * equals probing build((A \ ids(Δ)) ∪ Δ) — DELTA WINS on id
+    * collision. A re-admitted (re-crawled) id's base rows are
+    * anti-joined out before the union, so the merged index carries
+    * exactly one (id, hash-set) row and one band set per id; without
+    * the guard a collision would duplicate verifyJaccard's per-id
+    * join candidates (round-8 ADVICE). When ids are disjoint this
+    * reduces to build(A ∪ Δ). The anti join's build side is the
+    * delta's id set — small, broadcast by AQE.
     * `outPath` must differ from `basePath` (parquet cannot overwrite
     * its own input mid-scan).
     */
@@ -412,10 +419,13 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val hashed = shingleHashTable(sh, "__id", "__sh")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val deltaIds = hashed.select("__id").distinct()
     spark.read.parquet(s"$basePath/buckets")
+      .join(deltaIds, Seq("__id"), "left_anti")
       .unionByName(bandBuckets(hashed, bands, rows))
       .write.mode("overwrite").partitionBy("band").parquet(s"$outPath/buckets")
     spark.read.parquet(s"$basePath/hashes")
+      .join(deltaIds, Seq("__id"), "left_anti")
       .unionByName(hashed.groupBy("__id").agg(collect_set("__h").as("__hs")))
       .write.mode("overwrite").parquet(s"$outPath/hashes")
     hashed.unpersist()

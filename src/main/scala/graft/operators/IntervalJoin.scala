@@ -56,6 +56,41 @@ object IntervalJoin {
       .drop("__lbin", "__rbin")
   }
 
+  /** Overlap-pair STATISTICS without materializing pairs — the scale
+    * path when the caller wants aggregates over overlapping pairs, not
+    * the pairs themselves. [[overlapJoin]]'s output is one row per
+    * pair, and at fixed axis length the pair count grows quadratically
+    * with interval density (the round-8 q43 scale-killer: 19.8× time
+    * on 10× data). This operator compresses each side to its DAY GRID
+    * first — distinct `(lo, hi)` cells with multiplicities — so the
+    * join runs over O(axisLen × distinct-lengths) grid cells per side
+    * regardless of row count, and every pair-level aggregate is
+    * recovered by weighting each cell pair by `nl × nr`:
+    *
+    *   1. `groupBy(lo, hi).count` per side — one map-side-combining
+    *      shuffle, O(n) in rows, output bounded by the grid.
+    *   2. [[overlapJoin]] on the two GRIDS (same binned equi-join,
+    *      now over cells; pair count = distinct overlapping cell
+    *      combos, independent of density).
+    *   3. Group by `(ostart, oend)` summing `nl × nr`.
+    *
+    * Total cost O(n + grid²/bins) — linear in data, constant-bounded
+    * join. Returns one row per distinct overlap span:
+    * `(ostart, oend, n_pairs)` where `n_pairs` is the EXACT number of
+    * interval pairs overlapping on `[ostart, oend]` — any downstream
+    * aggregate of pair counts / overlap lengths derives from it.
+    */
+  def gridOverlapStats(left: DataFrame, right: DataFrame,
+                       lLo: String, lHi: String, rLo: String, rHi: String,
+                       binWidth: Long): DataFrame = {
+    val gl = left.groupBy(col(lLo), col(lHi)).agg(count(lit(1)).as("__nl"))
+    val gr = right.groupBy(col(rLo), col(rHi)).agg(count(lit(1)).as("__nr"))
+    overlapJoin(gl, gr, lLo, lHi, rLo, rHi, binWidth)
+      .groupBy(greatest(col(lLo), col(rLo)).as("ostart"),
+        least(col(lHi), col(rHi)).as("oend"))
+      .agg(sum(col("__nl") * col("__nr")).as("n_pairs"))
+  }
+
   /** floor(x / w) for possibly-negative x, in EXACT long arithmetic —
     * the operator's contract is a generic LONG axis, and nanosecond
     * epochs (~1.7e18) exceed double's 2^53 exact range, so a

@@ -572,7 +572,10 @@ object EventStream {
     * KMinAgg.scramble's multiply/xor-shift rounds. Must stay
     * BIT-IDENTICAL to the Column path (EventStreamSpec pins equality
     * against the SQL chain), so the streaming sample converges to the
-    * exact batch selection. All intermediates < 2^46: no overflow.
+    * exact batch selection. Overflow bound: h < 1e9+7 (< 2^30), so
+    * `h * 2654435761` < 2^62 — inside signed-64 range, but with only
+    * one bit of headroom; any added multiplier round or summation
+    * must re-derive the bound.
     */
   private[graft] def sampleHash(id: Long): Long = {
     val p = 1000000007L

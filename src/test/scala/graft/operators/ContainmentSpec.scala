@@ -160,6 +160,39 @@ class ContainmentSpec extends SparkTestBase {
     assert(viaQuiet == viaBase, s"quiet=$viaQuiet base=$viaBase")
   }
 
+  test("re-admitted delta id REPLACES its base index rows (delta wins)") {
+    // round-8 ADVICE: a doc_id present in BOTH base and delta (a
+    // re-crawl) must not yield two (id, hash-set) rows — the contract
+    // is merge(build(A), Δ) == build((A \ ids(Δ)) ∪ Δ). Probe with a
+    // near-dup of the OLD text (must now SURVIVE: the old version was
+    // evicted) and a near-dup of the NEW text (dropped).
+    val oldText = ("alpha beta gamma delta epsilon zeta eta theta " * 4).trim
+    val newText = ("entirely rewritten article about glacier movement patterns " * 4).trim
+    val other = ("completely different corpus article about mountains and rivers " * 4).trim
+    val baseCorpus = docs(1L -> oldText, 2L -> other)
+    val delta = docs(1L -> newText) // re-crawl of id 1, new content
+    val baseDir = java.nio.file.Files.createTempDirectory("graft_ndr_base").toString
+    val mergedDir = java.nio.file.Files.createTempDirectory("graft_ndr_m").toString
+    val expectDir = java.nio.file.Files.createTempDirectory("graft_ndr_e").toString
+    Dedup.buildNearDupIndex(baseCorpus, baseDir, "text", "doc_id")
+    Dedup.mergeNearDupIndex(spark, baseDir, delta, mergedDir, "text", "doc_id")
+    Dedup.buildNearDupIndex(docs(1L -> newText, 2L -> other), expectDir, "text", "doc_id")
+    val incoming = docs(
+      10L -> (oldText + " appended banner"),  // old v1 evicted -> survives
+      11L -> (newText + " trailing edit"),    // near-dup of NEW v1 -> dropped
+      12L -> ("unrelated content with no overlap whatsoever at all " * 4).trim)
+    val viaMerged = Dedup.indexedNearDupSurvivors(spark, mergedDir, incoming,
+      "text", "doc_id").as[Long].collect().sorted.toSeq
+    val viaExpect = Dedup.indexedNearDupSurvivors(spark, expectDir, incoming,
+      "text", "doc_id").as[Long].collect().sorted.toSeq
+    assert(viaMerged == viaExpect && viaMerged == Seq(10L, 12L),
+      s"merged=$viaMerged expected=$viaExpect")
+    // structural pin: exactly ONE hash-set row per id after the merge
+    val perId = spark.read.parquet(s"$mergedDir/hashes")
+      .groupBy("__id").count().agg(max("count")).as[Long].collect().head
+    assert(perId == 1L, s"duplicate (id, hash-set) rows survived merge: max=$perId")
+  }
+
   test("round-7 operators tolerate empty and degenerate inputs") {
     val emptyDocs = spark.emptyDataset[(Long, String)].toDF("doc_id", "text")
     val shingled = emptyDocs.select(col("doc_id"),

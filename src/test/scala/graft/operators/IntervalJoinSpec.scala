@@ -40,6 +40,25 @@ class IntervalJoinSpec extends SparkTestBase {
     }
   }
 
+  test("gridOverlapStats recovers exact pair counts per overlap span without materializing pairs") {
+    // includes duplicate (lo, hi) cells on both sides (mk's modular
+    // fixtures repeat) — the nl × nr weighting must count every
+    // underlying pair, matching the pair-materializing path exactly.
+    val a = mk(40, 1, "a")
+    val b = mk(35, 2, "b")
+    val viaPairs = IntervalJoin.overlapJoin(a, b, "a_lo", "a_hi", "b_lo", "b_hi", 7L)
+      .groupBy(greatest(col("a_lo"), col("b_lo")).as("ostart"),
+        least(col("a_hi"), col("b_hi")).as("oend"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .as[(Long, Long, Long)].collect().toSeq.sorted
+    for (w <- Seq(1L, 3L, 7L, 100L)) {
+      val viaGrid = IntervalJoin.gridOverlapStats(
+          a, b, "a_lo", "a_hi", "b_lo", "b_hi", w)
+        .as[(Long, Long, Long)].collect().toSeq.sorted
+      assert(viaGrid == viaPairs, s"binWidth=$w: grid stats diverge from pair path")
+    }
+  }
+
   test("overlapJoin plan is an equi join on the bin, not a BNLJ") {
     val a = mk(40, 1, "a")
     val b = mk(35, 2, "b")

@@ -742,6 +742,43 @@ class SimilaritySpec extends SparkTestBase {
     rows.toDF("vec_id", "embedding")
   }
 
+  test("bootstrapCentroids: value stride fills on dense ids; fallback never fires on the registered table") {
+    // The sim3/sim6/sim18 oracles replay ONLY the id-value stride in
+    // SQL — so the rank-stride fallback must never fire on dense-id
+    // corpora. Pin that: (a) on the synthetic dense corpus and (b) on
+    // the actual registered embeddings table, the value stride alone
+    // fills every cell with exactly the ids the oracle would derive.
+    val dense = corpus() // ids 0..199, dense
+    val cents = Similarity.bootstrapCentroids(dense, 8, "vec_id", "embedding")
+    val stride = 200L / 8
+    assert(cents.map(_.cell) == (0 until 8).map(_ * stride),
+      s"got ${cents.map(_.cell)}")
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val n = emb.count()
+    val nCells = 16
+    val st = math.max(1L, n / nCells)
+    val fromTable = Similarity.bootstrapCentroids(emb, nCells, "vec_id", "embedding")
+    val oracle = emb.filter(col("vec_id") % st === 0).orderBy("vec_id")
+      .limit(nCells).select("vec_id").as[Long].collect().toSeq
+    assert(fromTable.map(_.cell) == oracle,
+      s"value-stride path diverged (fallback fired?): ${fromTable.map(_.cell)} vs $oracle")
+  }
+
+  test("bootstrapCentroids rank-stride fallback fills on sparse ids without a global window") {
+    // every id ≡ 3 (mod 10): the value stride (id % stride == 0)
+    // selects NOTHING, forcing the fallback — which must pick every
+    // stride-th row in id order via the per-partition dense-index
+    // idiom (no single-partition Window; ADVICE round-8).
+    val rows = (0 until 40).map { i =>
+      (3L + 10L * i, (0 until dims).map(d => math.sin(i * 7.0 + d).toFloat))
+    }
+    val sparse = rows.toDF("vec_id", "embedding").repartition(4)
+    val cents = Similarity.bootstrapCentroids(sparse, 8, "vec_id", "embedding")
+    // total=40, stride=5 -> ranks 0,5,...,35 -> ids 3, 53, ..., 353
+    assert(cents.map(_.cell) == (0 until 8).map(i => 3L + 50L * i),
+      s"got ${cents.map(_.cell)}")
+  }
+
   test("brute-force top-k ranks cluster-mates first") {
     val c = corpus()
     val q = c.filter(col("vec_id") === 0)
