@@ -40,7 +40,10 @@ class DcaFrameSpec extends SparkTestBase {
     // element (i,j) must be x = i*2 + j
     assert(idxAndX(p) == (for (i <- 0L until 3L; j <- 0L until 2L)
       yield (Seq(i, j), (i * 2 + j).toDouble)))
-    // round trip through a different factorization
+    // round trip through a different factorization — full-frame
+    // equality (schema + shape + statics + values) via graft.testing
+    graft.testing.FrameAssertions.assertFrameEqual(
+      p.reshape(2, 3).flatten.reshape(3, 2), p)
     assert(xs(p.reshape(2, 3).flatten) == (0 until 6).map(_.toDouble))
     intercept[IllegalArgumentException](points(6).reshape(4, 2))
   }
