@@ -486,14 +486,21 @@ object Relational {
             cents(col("l_quantity")).as("qty_c"))
         val sup = table(s, dir, "supplier")
           .select(col("s_suppkey").as("k"), col("s_name"))
+        // NO global orderBy: the gate compare is order-insensitive
+        // (rows are canonicalized before hashing), and a global sort
+        // on top of the join DOUBLE-EXECUTES it — the range
+        // exchange's sampling job re-runs the child plan, which for
+        // the salted join is the expensive leg (round-9 sf1 probe:
+        // salted 3.7 s, salted+sort 17.5 s vs plain+sort 7.7 s — the
+        // whole q35 "12.4x scaling" flag was the sort interaction,
+        // not the salting). Output order was never part of the
+        // skew-mitigation contract.
         graft.operators.SkewJoin.salted(li, sup, "k", salts = 8)
-          .orderBy("l_orderkey", "l_linenumber")
       },
       Some("""SELECT l_suppkey AS k, l_orderkey,
              |  CAST(l_linenumber AS BIGINT) AS l_linenumber,
              |  CAST(round(l_quantity*100) AS BIGINT) AS qty_c, s_name
-             |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
-             |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+             |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey""".stripMargin)),
 
     // ---- PIVOT: wide aggregation over a known value set -------------
     // Spark's RelationalGroupedDataset.pivot with an EXPLICIT value

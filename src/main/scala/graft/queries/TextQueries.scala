@@ -411,7 +411,12 @@ object TextQueries {
             TextOps.countMatches(col("itext"), TextOps.Ipv4Re).as("ip_n"),
             TextOps.countMatches(col("itext"), TextOps.DigitRunRe).as("digitrun_n"),
             TextOps.redactPii(col("itext")).as("redacted"))
-          .orderBy("doc_id")
+        // NO global orderBy: the output carries the full redacted
+        // text, so a global sort range-samples (re-executing the
+        // regex-heavy child) and shuffles every document body — the
+        // round-8 "12.6x at sf1" flag was exactly that overhead. The
+        // gate compare canonicalizes row order; scrubbing has no
+        // ordering contract.
       },
       // ONE SQL rendering: the oracle interpolates the very same
       // TextOps regex constants the engine compiles (they are chosen to
@@ -431,7 +436,7 @@ object TextQueries {
              |  regexp_replace(regexp_replace(itext,
              |    '${TextOps.EmailRe}', '<EMAIL>', 'g'),
              |    '${TextOps.Ipv4Re}', '<IP>', 'g') AS redacted
-             |FROM inj ORDER BY doc_id""".stripMargin)),
+             |FROM inj""".stripMargin)),
 
     // Per-domain URL statistics — the input signal for domain-level
     // corpus filtering (blocklists, per-domain quotas à la CCNet /

@@ -15,8 +15,14 @@ object BenchSome {
     val sfDir = flag("sf", "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = flag("cpus", "SPARK_GRAFT_CPUS", "8")
     val spark = graft.GraftSession.builder(s"local[$cpus]", cpus).getOrCreate()
+    // scaling experiments: vary shuffle parallelism independently of
+    // cores (a fixed partition count is the usual local super-linear
+    // suspect — per-partition volume grows with SF until sorts spill)
+    flags.collectFirst { case f if f.startsWith("--shuffle=") => f.drop(10) }
+      .foreach(n => spark.conf.set("spark.sql.shuffle.partitions", n))
     spark.sparkContext.setLogLevel("WARN")
-    println(s"[bench] sf=$sfDir cpus=$cpus")
+    println(s"[bench] sf=$sfDir cpus=$cpus shuffle=" +
+      spark.conf.get("spark.sql.shuffle.partitions"))
     // warm-up, then noop sink per query (count() would let Catalyst
     // prune output expressions and under-measure — same as Bench).
     // upper() forces the one-time ICU case-mapping load (~14 s) out of
