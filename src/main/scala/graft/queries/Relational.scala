@@ -454,6 +454,11 @@ object Relational {
     // sum over peers within 500 cents of the current row's quantity —
     // deterministic under ties because the frame is defined by VALUE
     // range (all peers included), unlike a rows-frame.
+    // NO trailing global orderBy: the result is fact-sized, the gate
+    // compare is order-insensitive, and a global sort on top of the
+    // window DOUBLE-EXECUTES the child (the range exchange's sampling
+    // job re-runs it — the exact q35/t9 adjudication; round-9 probe:
+    // the sort, not the window, was q36's 13.7x sf1 scaling flag).
     "q36_range_frame" -> QueryDef(
       (s, dir) => {
         val w = Window.partitionBy("l_suppkey").orderBy(col("qty_c"))
@@ -463,7 +468,6 @@ object Relational {
             col("l_linenumber").cast("long").as("l_linenumber"),
             cents(col("l_quantity")).as("qty_c"))
           .withColumn("qty_range_sum", sum(col("qty_c")).over(w))
-          .orderBy("l_orderkey", "l_linenumber")
       },
       Some("""WITH base AS (SELECT l_suppkey, l_orderkey,
              |    CAST(l_linenumber AS BIGINT) AS l_linenumber,
@@ -472,7 +476,7 @@ object Relational {
              |SELECT l_suppkey, l_orderkey, l_linenumber, qty_c,
              |  CAST(sum(qty_c) OVER (PARTITION BY l_suppkey ORDER BY qty_c
              |    RANGE BETWEEN 500 PRECEDING AND CURRENT ROW) AS BIGINT) AS qty_range_sum
-             |FROM base ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+             |FROM base""".stripMargin)),
 
     // ---- salted skew join: result identical to the plain join -------
     // The manual hot-key spread (left side salted by stable row hash,
@@ -2411,27 +2415,34 @@ object Relational {
     // [edge_i, edge_{i+1}) half-open on the VALUE axis, so duplicate
     // boundary values collapse intervals and pile ties into one bin —
     // surfacing exactly the skew a range exchange would hit (empty
-    // bins stay in the output via the interval spine). One full sort
-    // for exact ranks (the q20/q115 cost class — production samples
-    // first); binning itself is a broadcast interval join, no second
-    // shuffle.
+    // bins stay in the output via the interval spine). Exact ranks
+    // come from the two-level cumulative histogram (RankStats) — the
+    // value at rank r is the distinct value whose tie block covers r
+    // (cum - cnt < r <= cum) — NOT a global row_number, whose
+    // no-partitionBy window would sort every lineitem row in ONE task;
+    // binning itself is a broadcast interval join, no second shuffle.
     "q116_equidepth_bins" -> QueryDef(
       (s, dir) => {
+        import s.implicits._
         val B = 8
         val v = table(s, dir, "lineitem")
           .select(cents(col("l_extendedprice")).as("v"))
-        val ranked = v
-          .withColumn("rn", row_number().over(Window.orderBy("v")))
-          .withColumn("n", count(lit(1)).over(Window.partitionBy()))
-        val eggCols = (1 until B).map(i =>
-          min(when(col("rn") === expr(s"($i * n + ${B - 1}) DIV $B"), col("v")))
-            .as(s"e$i")) :+ (max("v") + 1).as(s"e$B")
-        val edges = ranked.groupBy()
-          .agg(min("v").as("e0"), eggCols: _*)
-          .select(explode(array((0 to B).map(i =>
-            struct(lit(i).as("i"), col(s"e$i").as("e"))): _*)).as("x"))
-          .select(col("x.i"), col("x.e"))
+        // 1-row global stats (3-value driver boundary) feed the
+        // histogram's bucket geometry and the B-1 target ranks
+        val st = v.agg(count(lit(1)).as("n"), min("v").as("lo"),
+          max("v").as("hi")).head
+        val n = st.getLong(0); val lo = st.getLong(1); val hi = st.getLong(2)
+        val hist = graft.operators.RankStats
+          .cumulativeHistogram(v, Seq.empty, "v", bounds = Some((lo, hi)))
+        val targets = (0 until B).map { i =>
+          (i.toLong, if (i == 0) 1L else (i * n + B - 1) / B)
+        }.toDF("i", "r")
+        val edges = hist.join(broadcast(targets),
+            col("r") > col("cum") - col("cnt") && col("r") <= col("cum"))
+          .select(col("i"), col("v").as("e"))
+          .union(Seq((B.toLong, hi + 1)).toDF("i", "e"))
         val ivals = edges
+          // B+1 = 9 rows: a bounded no-partitionBy window by construction
           .withColumn("hi", lead("e", 1).over(Window.orderBy("i")))
           .filter(col("hi").isNotNull)
           .select(col("i").cast("long").as("bin"), col("e").as("lo_c"),
@@ -2525,21 +2536,32 @@ object Relational {
     // (value at row ceil(p·n) of the group's sort), NOT interpolated:
     // rank selection is exact integer arithmetic on both engines,
     // whereas cont-percentile interpolation at p=0.1 multiplies by a
-    // binary-inexact fraction. One shuffle + one per-group sort (the
-    // exact-quantile cost, cf. q20); q102's mergeable histograms are
-    // the bounded-domain scale path when the sort is too expensive.
+    // binary-inexact fraction. Caps come from the per-flag two-level
+    // cumulative histogram (RankStats) — value at rank r is the
+    // distinct price whose tie block covers r — NOT a per-flag
+    // row_number: with 3 flag values that window sorted ~1/3 of
+    // lineitem per task, a single-task stage in fact-table clothing.
     "q115_winsorized" -> QueryDef(
       (s, dir) => {
-        val w = Window.partitionBy("l_returnflag").orderBy("price_c")
-        val ranked = table(s, dir, "lineitem")
+        val v = table(s, dir, "lineitem")
           .select(col("l_returnflag"), cents(col("l_extendedprice")).as("price_c"))
-          .withColumn("rn", row_number().over(w))
-          .withColumn("n", count(lit(1)).over(Window.partitionBy("l_returnflag")))
-        val caps = ranked
+        val hist = graft.operators.RankStats
+          .cumulativeHistogram(v, Seq("l_returnflag"), "price_c")
+        val stats = v.groupBy("l_returnflag").agg(count(lit(1)).as("n"))
+        val targets = stats.select(col("l_returnflag"), col("n"),
+            explode(array(
+              struct(lit("lo").as("which"),
+                expr("(n * 10 + 99) DIV 100").as("r")),
+              struct(lit("hi").as("which"),
+                expr("(n * 90 + 99) DIV 100").as("r")))).as("t"))
+          .select(col("l_returnflag"), col("n"),
+            col("t.which").as("which"), col("t.r").as("r"))
+        val caps = hist.join(broadcast(targets), Seq("l_returnflag"))
+          .filter(col("r") > col("cum") - col("cnt") && col("r") <= col("cum"))
           .groupBy("l_returnflag")
           .agg(max("n").as("n"),
-            min(when(col("rn") === expr("(n * 10 + 99) DIV 100"), col("price_c"))).as("lo_c"),
-            min(when(col("rn") === expr("(n * 90 + 99) DIV 100"), col("price_c"))).as("hi_c"))
+            min(when(col("which") === "lo", col("price_c"))).as("lo_c"),
+            min(when(col("which") === "hi", col("price_c"))).as("hi_c"))
         table(s, dir, "lineitem")
           .select(col("l_returnflag"), cents(col("l_extendedprice")).as("price_c"))
           .join(caps, "l_returnflag")
@@ -2738,20 +2760,20 @@ object Relational {
     // fuse a by-spend and a by-order-count ranking of customers with
     // score = Σ 1e6 DIV (60 + rank) — rank-based, so the two signals
     // need no score normalization, and exact integer DIV keeps both
-    // engines bit-equal. One aggregation feeds BOTH rankings (two
-    // windows over the same customer-sized aggregate — no second scan
-    // of orders), ties broken by key.
+    // engines bit-equal. One STAGED aggregation feeds BOTH rankings;
+    // each rank is the two-level prefix sum (RankStats.rowNumberByValue
+    // — #rows with a larger value + position among ties), NOT a
+    // no-partitionBy row_number window: customers scale with the data,
+    // so each of those windows ranked the whole aggregate in one task.
+    // The final top-20 plans as TakeOrderedAndProject (no full sort).
     "q93_rrf_fusion" -> QueryDef(
       (s, dir) => {
-        val agg = table(s, dir, "orders")
-          .groupBy("o_custkey")
-          .agg(sum(cents(col("o_totalprice"))).as("spend_c"),
-            count(lit(1)).as("n_orders"))
-        val bySpend = Window.orderBy(col("spend_c").desc, col("o_custkey"))
-        val byCount = Window.orderBy(col("n_orders").desc, col("o_custkey"))
-        agg
-          .withColumn("r_spend", row_number().over(bySpend).cast("long"))
-          .withColumn("r_count", row_number().over(byCount).cast("long"))
+        val agg = Staged.custSpendAgg(s, dir)
+        val rs = graft.operators.RankStats.rowNumberByValue(
+          agg.select("o_custkey", "spend_c"), "spend_c", "o_custkey", "r_spend")
+        val rc = graft.operators.RankStats.rowNumberByValue(
+          agg.select("o_custkey", "n_orders"), "n_orders", "o_custkey", "r_count")
+        rs.join(rc, "o_custkey")
           .withColumn("rrf_scaled",
             expr("1000000 DIV (60 + r_spend) + 1000000 DIV (60 + r_count)"))
           .select("o_custkey", "r_spend", "r_count", "rrf_scaled")
@@ -2922,29 +2944,29 @@ object Relational {
 
     // ---- Pareto / decile concentration report -----------------------
     // The 80/20 question: how much of total revenue does each spend
-    // decile of customers carry? ntile(10) over the customer-sized
-    // aggregate (both engines assign the extra rows to the earliest
-    // groups — identical split), shares in exact permille of the
-    // scalar-subquery total.
+    // decile of customers carry? Deciles replicate
+    // ntile(10) OVER (ORDER BY spend_c DESC, o_custkey) EXACTLY but
+    // WITHOUT the no-partitionBy window (customers scale with the
+    // data, so that window ranked the whole aggregate in one task):
+    // rank via the two-level prefix sum, then the ntile bucket
+    // arithmetic (RankStats.ntileExprFromRank — both engines assign
+    // the extra rows to the earliest buckets). The 2-value (n, total)
+    // driver boundary reads the STAGED aggregate, not orders.
     "q100_decile_report" -> QueryDef(
       (s, dir) => {
-        table(s, dir, "orders").createOrReplaceTempView("graft_q100_ord")
-        s.sql("""WITH agg AS (
-                |  SELECT o_custkey,
-                |    CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT)
-                |      AS spend_c
-                |  FROM graft_q100_ord GROUP BY 1),
-                |d AS (
-                |  SELECT spend_c,
-                |    ntile(10) OVER (ORDER BY spend_c DESC, o_custkey) AS decile
-                |  FROM agg)
-                |SELECT CAST(decile AS BIGINT) AS decile,
-                |  count(*) AS n_customers,
-                |  CAST(sum(spend_c) AS BIGINT) AS decile_spend_c,
-                |  1000 * CAST(sum(spend_c) AS BIGINT)
-                |    DIV (SELECT CAST(sum(spend_c) AS BIGINT) FROM agg)
-                |    AS share_permille
-                |FROM d GROUP BY 1 ORDER BY 1""".stripMargin)
+        val agg = Staged.custSpendAgg(s, dir).select("o_custkey", "spend_c")
+        val st = agg.agg(count(lit(1)).as("n"), sum("spend_c").as("tot")).head
+        val n = st.getLong(0); val total = st.getLong(1)
+        graft.operators.RankStats
+          .rowNumberByValue(agg, "spend_c", "o_custkey", "__r")
+          .withColumn("decile",
+            expr(graft.operators.RankStats.ntileExprFromRank("__r", n, 10)))
+          .groupBy("decile")
+          .agg(count(lit(1)).as("n_customers"),
+            sum("spend_c").as("decile_spend_c"))
+          .withColumn("share_permille",
+            expr(s"1000 * decile_spend_c DIV ${total}L"))
+          .orderBy("decile")
       },
       Some("""WITH agg AS (
              |  SELECT o_custkey,

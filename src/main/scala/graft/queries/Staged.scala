@@ -92,6 +92,20 @@ object Staged {
         .persist(StorageLevel.MEMORY_AND_DISK)
     }).asInstanceOf[DataFrame]
 
+  /** Per-customer order aggregate (o_custkey, spend_c, n_orders) — the
+    * ranking input shared by the RRF-fusion and decile-report queries;
+    * persisted so the two-level rank machinery's histogram branches
+    * replay the cache, never the orders scan.
+    */
+  def custSpendAgg(s: SparkSession, dir: String): DataFrame =
+    cacheFor(s).getOrElseUpdate(s"custspend:$dir", {
+      table(s, dir, "orders")
+        .groupBy("o_custkey")
+        .agg(sum(cents(col("o_totalprice"))).as("spend_c"),
+          count(lit(1)).as("n_orders"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    }).asInstanceOf[DataFrame]
+
   /** documents 3-gram shingle table (doc_id, __sh), persisted. */
   def docShingles(s: SparkSession, dir: String): DataFrame =
     cacheFor(s).getOrElseUpdate(s"sh:$dir", {

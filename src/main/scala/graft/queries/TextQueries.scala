@@ -2008,20 +2008,36 @@ object TextQueries {
     // report per-bucket type counts and frequency mass. All integer
     // arithmetic — the bucket is the bit length of the rank
     // (length(bin(rank)) - 1), never floor(log2(double)), so engines
-    // cannot disagree on boundaries. The global rank window runs over
-    // the VOCABULARY table (Heaps-bounded — t37's class), not the
-    // corpus; the corpus-sized work is the one word-count aggregation.
+    // cannot disagree on boundaries. NO per-token rank window at all
+    // (the vocabulary is only Heaps-bounded — it still grows with the
+    // corpus): ties share a frequency, and bucket membership depends
+    // only on rank, so each distinct frequency's tie block — a rank
+    // span [cum-cnt+1, cum] off the counts-of-counts cumulative
+    // histogram — is intersected with the power-of-two rank ranges
+    // arithmetically. The tok tiebreak cancels out: every split of a
+    // block across buckets yields these exact counts whatever the
+    // within-block order.
     "t48_zipf_buckets" -> QueryDef(
       (s, dir) => {
         val freq = table(s, dir, "documents")
           .select(explode(TextOps.words(col("text"))).as("tok"))
           .groupBy("tok").agg(count(lit(1)).as("freq"))
-        val w = org.apache.spark.sql.expressions.Window
-          .orderBy(col("freq").desc, col("tok"))
-        freq.withColumn("rank", row_number().over(w).cast("long"))
-          .withColumn("bucket", (length(bin(col("rank"))) - 1).cast("long"))
+        val hist = graft.operators.RankStats
+          .cumulativeHistogram(freq, Seq.empty, "freq", ascending = false)
+        hist
+          .withColumn("lo", col("cum") - col("cnt") + 1)
+          .withColumn("bucket", explode(sequence(
+            (length(bin(col("lo"))) - 1).cast("long"),
+            (length(bin(col("cum"))) - 1).cast("long"))))
+          .withColumn("r_lo",
+            greatest(col("lo"), expr("shiftleft(1L, CAST(bucket AS INT))")))
+          .withColumn("r_hi",
+            least(col("cum"),
+              expr("shiftleft(1L, CAST(bucket AS INT) + 1) - 1")))
+          .withColumn("n_in", col("r_hi") - col("r_lo") + 1)
           .groupBy("bucket")
-          .agg(count(lit(1)).as("n_types"), sum("freq").as("sum_freq"),
+          .agg(sum("n_in").as("n_types"),
+            sum(col("freq") * col("n_in")).as("sum_freq"),
             max("freq").as("max_freq"), min("freq").as("min_freq"))
           .orderBy("bucket")
       },
@@ -2142,8 +2158,13 @@ object TextQueries {
     // the t20 model's integer scores and, per decile, count how many
     // docs the independent C4 stopword rule (t2's gold proxy) marks
     // positive — the reliability-diagram table behind every threshold
-    // choice. Score deciles are ntile(10) with doc_id tiebreak (both
-    // engines split ties identically); rates are exact permille.
+    // choice. Score deciles replicate ntile(10) with doc_id tiebreak
+    // EXACTLY (both engines split ties identically) but WITHOUT the
+    // no-partitionBy ntile window (which ranks every scored document
+    // in one task): rank r comes from the two-level prefix sum
+    // (RankStats.rowNumberByValue), then the ntile bucket arithmetic
+    // — the first n%10 tiles take ceil(n/10) rows, the rest floor(n/10)
+    // — maps r to the identical decile. Rates are exact permille.
     "t51_calibration" -> QueryDef(
       (s, dir) => {
         graft.functions.VectorExpressions.register(s)
@@ -2155,9 +2176,16 @@ object TextQueries {
         val gold = docs.select(col("doc_id"),
           when(TextOps.stopwordPermille(col("text")) >= 10, 1L).otherwise(0L)
             .as("pos"))
-        val w = Window.orderBy(col("score").desc, col("doc_id"))
-        score.join(gold, "doc_id")
-          .withColumn("decile", ntile(10).over(w).cast("long"))
+        // staged: the scoring pipeline feeds the rank histograms AND
+        // the row count — persist once per (session, dir)
+        val scored = Staged.cached(s, s"t51scored:$dir") {
+          score.join(gold, "doc_id")
+        }
+        val n = scored.count()
+        graft.operators.RankStats
+          .rowNumberByValue(scored, "score", "doc_id", "__r")
+          .withColumn("decile",
+            expr(graft.operators.RankStats.ntileExprFromRank("__r", n, 10)))
           .groupBy("decile")
           .agg(count(lit(1)).as("n"), sum("pos").as("n_pos"))
           .withColumn("pos_permille", expr("1000 * n_pos DIV n"))
