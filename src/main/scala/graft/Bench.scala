@@ -86,6 +86,21 @@ object Bench {
       line + "\n")
     catch { case e: Exception =>
       System.err.println(s"[bench] artifact write failed: ${e.getMessage}") }
+    // The driver's tail capture is 2000 chars — the full line above has
+    // never fit (every BENCH_r{N}.json through round 10 records
+    // parsed:null). Print a COMPACT summary as the LAST stdout line so
+    // a tail-parse sees one complete JSON object: same shape, but
+    // `queries` carries only the slowest entries that fit the budget,
+    // with the full per-query map in the artifact file.
+    val slowest = names.filter(best.contains).sortBy(-best(_))
+    val budget = 1500
+    val kept = new scala.collection.mutable.ListBuffer[String]()
+    var used = 150 + errs.length // envelope overhead + error list
+    slowest.foreach { k =>
+      val ent = "\"" + k + "\":" + f"${best(k)}%.3f"
+      if (used + ent.length + 1 <= budget) { kept += ent; used += ent.length + 1 }
+    }
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":{${kept.mkString(",")}},"queries_total":${names.size},"queries_in_full_artifact":"BENCH_FULL.json or SPARK_GRAFT_BENCH_OUT","errors":$errs,"runs":$runs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

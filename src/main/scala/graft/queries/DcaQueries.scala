@@ -28,8 +28,13 @@ object DcaQueries {
   private def liWideFrame(s: SparkSession, dir: String): DcaFrame =
     Staged.liWideFrame(s, dir)
 
+  // NO trailing orderBy: the output carries its __idx columns (order is
+  // reconstructable and the gate compare is order-insensitive), and a
+  // global sort's range exchange re-executes the frame projection for
+  // its sampling job — the q35/t9/q36 double-execution tax, paid by
+  // every dca query if placed here.
   private def out(f: DcaFrame): DataFrame =
-    f.df.select((f.idxCols ++ f.arrayCols).map(col): _*).orderBy(f.idxCols.map(col): _*)
+    f.df.select((f.idxCols ++ f.arrayCols).map(col): _*)
 
   private val baseCte =
     """WITH base AS (
@@ -207,7 +212,7 @@ object DcaQueries {
           lf.shape, Vector("l_orderkey", "l_linenumber", "item"))
         val mapped = nested.mapFieldNested(c => c * 3 + 2)
         mapped.df.select(col("__idx0"), col("l_orderkey"), col("l_linenumber"),
-          col("item.q").as("q"), col("item.r").as("r")).orderBy("__idx0")
+          col("item.q").as("q"), col("item.r").as("r"))
       },
       Some(baseCte + """
           |SELECT rn AS __idx0, l_orderkey * 3 + 2 AS l_orderkey,
@@ -378,7 +383,6 @@ object DcaQueries {
           .select(col("vec_id"), size(col("embedding")).cast("long").as("emb_len"),
             floor(element_at(col("embedding"), 1).cast("double") * 1e6).cast("long").as("e0_micro"),
             col("label"))
-          .orderBy("vec_id")
       },
       Some("""SELECT vec_id, CAST(len(embedding) AS BIGINT) AS emb_len,
              |  CAST(floor(CAST(embedding[1] AS DOUBLE) * 1e6) AS BIGINT) AS e0_micro,
@@ -410,7 +414,6 @@ object DcaQueries {
             col("item.pid").as("pid"),
             size(col("item.vals")).cast("long").as("n_vals"),
             floor(element_at(col("item.vals"), 1).cast("double") * 100).cast("long").as("q_c"))
-          .orderBy("l_orderkey", "l_linenumber")
       },
       Some("""SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
              |  l_partkey AS pid, CAST(2 AS BIGINT) AS n_vals,
@@ -438,7 +441,6 @@ object DcaQueries {
           .select(col("vec_id"), size(col("a")).cast("long").as("k_len"),
             floor(element_at(col("a"), 1).cast("double") * 1e6).cast("long").as("a0_micro"),
             floor(element_at(col("b"), 1).cast("double") * 1e6).cast("long").as("b0_micro"))
-          .orderBy("vec_id")
       },
       Some("""SELECT vec_id, CAST(vec_id % 4 + 2 AS BIGINT) AS k_len,
              |  CAST(floor(CAST(embedding[1] AS DOUBLE) * 1e6) AS BIGINT) AS a0_micro,
@@ -502,7 +504,7 @@ object DcaQueries {
         val mapped = nested.mapFieldNested(c => c * 3 + 2)
         mapped.df.select(col("__idx0"), col("l_orderkey"),
           col("item.q").as("q"), col("item.sub.a").as("a"),
-          col("item.sub.b").as("b")).orderBy("__idx0")
+          col("item.sub.b").as("b"))
       },
       Some(baseCte + """
           |SELECT rn AS __idx0, l_orderkey * 3 + 2 AS l_orderkey,
@@ -560,7 +562,6 @@ object DcaQueries {
             element_at(col("lab3"), 3).cast("long").as("lab3_2"),
             floor(element_at(col("e4"), 4).cast("double") * 1e6).cast("long")
               .as("e3_micro"))
-          .orderBy("vec_id")
       },
       Some("""SELECT vec_id, CAST(label AS BIGINT) AS labf_l,
              |  CAST(3 AS BIGINT) AS lab3_len, CAST(label AS BIGINT) AS lab3_2,
@@ -592,7 +593,6 @@ object DcaQueries {
             floor(col("z.im").cast("double") * 1e6).cast("long").as("im_micro"),
             col("u16").cast("long").as("u16_l"),
             col("u64").cast("long").as("u64_l"))
-          .orderBy("vec_id")
       },
       Some("""SELECT vec_id,
              |  CAST(floor(CAST(embedding[1] AS DOUBLE) * 1e6) AS BIGINT) AS re_micro,

@@ -216,7 +216,6 @@ object DedupQueries {
             k = SimilarityQueries.KmK, iters = SimilarityQueries.KmIters,
             tauNum = 19, tauDen = 20,
             kmScale = SimilarityQueries.KmScale)
-          .orderBy("vec_id")
       },
       Some(s"""WITH allv AS (
              |  SELECT vec_id, embedding FROM embeddings
@@ -251,8 +250,7 @@ object DedupQueries {
     // MinHash + LSH near-dup pairs, exact-verified at jaccard >= 0.4
     // (pair table staged — the transitive-cluster query d6 shares it)
     "d2_minhash_lsh" -> QueryDef(
-      (s, dir) => Staged.docNearDupPairs(s, dir)
-        .orderBy("doc_a", "doc_b"),
+      (s, dir) => Staged.docNearDupPairs(s, dir),
       Some(s"""WITH ${QueryDef.shingleCtes()},
              |${QueryDef.jaccardPairCtes(2, 5)}
              |SELECT da AS doc_a, db AS doc_b, jacc_pct FROM qp
@@ -517,8 +515,7 @@ object DedupQueries {
     // CTE, so the full labeling is checked exactly.
     "d6_dup_clusters" -> QueryDef(
       (s, dir) => Staged.docDupComponents(s, dir)
-        .select(col("id").as("doc_id"), col("rep"))
-        .orderBy("doc_id"),
+        .select(col("id").as("doc_id"), col("rep")),
       Some(closureOracleSql)),
 
     // Warm-start (incremental) connected components: the daily
@@ -532,8 +529,7 @@ object DedupQueries {
     // full graph.
     "d30_incremental_components" -> QueryDef(
       (s, dir) => Staged.incrementalDupComponents(s, dir)
-        .select(col("id").as("doc_id"), col("rep"))
-        .orderBy("doc_id"),
+        .select(col("id").as("doc_id"), col("rep")),
       Some(closureOracleSql)),
 
     // Dedup ROI report — the number a platform team takes to planning:
@@ -585,8 +581,7 @@ object DedupQueries {
     // recursive-CTE oracle checks the full labeling of BOTH paths.
     "d6b_dup_clusters_star" -> QueryDef(
       (s, dir) => Staged.docDupComponentsStar(s, dir)
-        .select(col("id").as("doc_id"), col("rep"))
-        .orderBy("doc_id"),
+        .select(col("id").as("doc_id"), col("rep")),
       Some(s"""WITH RECURSIVE ${QueryDef.shingleCtes()},
              |${QueryDef.jaccardPairCtes(2, 5)},
              |edges AS (SELECT da AS src, db AS dst FROM qp

@@ -68,7 +68,6 @@ object MultimodalQueries {
             col("height").cast("long").as("height"),
             col("channels").cast("long").as("channels"),
             col("format"))
-          .orderBy("doc_id")
       },
       Some("""SELECT doc_id,
              |  CAST(1 + doc_id % 16 AS BIGINT) AS width,
@@ -103,7 +102,6 @@ object MultimodalQueries {
             col("sampleRateHz").cast("long").as("sample_rate_hz"),
             col("nFrames").as("n_frames"),
             col("format"))
-          .orderBy("doc_id")
       },
       Some("""SELECT doc_id,
              |  CAST(44 + (1 + n_chars % 500) * (1 + doc_id % 2) * 2 AS BIGINT) AS n_bytes,
@@ -132,7 +130,6 @@ object MultimodalQueries {
             .map { case (w, h, sum) => (id, w.toLong, h.toLong, sum) }
         })
         rows.toDF("doc_id", "in_w", "in_h", "checksum")
-          .orderBy("doc_id")
       },
       Some("""WITH dims AS (
              |  SELECT doc_id, 1 + doc_id % 16 AS w, 1 + n_chars % 16 AS h
@@ -170,7 +167,6 @@ object MultimodalQueries {
           }
         })
         rows.toDF("doc_id", "w", "h", "phash_hi", "phash_lo")
-          .orderBy("doc_id")
       },
       Some("""WITH dims AS (
              |  SELECT doc_id, 1 + doc_id % 16 AS w, 1 + n_chars % 16 AS h
@@ -233,7 +229,6 @@ object MultimodalQueries {
         })
         rows.toDF("doc_id", "w", "h", "n_px", "lum_min", "lum_max",
             "dom_bin", "n_dom", "is_flat")
-          .orderBy("doc_id")
       },
       Some("""WITH dims AS (
              |  SELECT doc_id, 1 + doc_id % 16 AS w, 1 + n_chars % 16 AS h
@@ -292,7 +287,6 @@ object MultimodalQueries {
           }
         })
         rows.toDF("doc_id", "channels", "n_frames", "contour", "energy")
-          .orderBy("doc_id")
       },
       Some("""WITH dims AS (
              |  SELECT doc_id, 1 + doc_id % 2 AS cc, 64 + n_chars % 256 AS nf
@@ -352,7 +346,6 @@ object MultimodalQueries {
         }
         metas.toDF("doc_id", "width", "height", "caption")
           .withColumn("caption_chars", length(col("caption")).cast("long"))
-          .orderBy("doc_id")
       },
       Some("""SELECT doc_id,
              |  CAST(8 + doc_id % 5 AS BIGINT) AS width,
@@ -387,7 +380,6 @@ object MultimodalQueries {
           }
         }
         patches.toDF("doc_id", "patch_row", "patch_col", "pixel_checksum")
-          .orderBy("doc_id", "patch_row", "patch_col")
       },
       Some("""WITH geo AS (SELECT doc_id, 16 + doc_id % 3 * 8 AS w,
              |    16 + n_chars % 2 * 8 AS h
@@ -429,7 +421,6 @@ object MultimodalQueries {
             .map { case (f, fw, fh, sum) => (id, f.toLong, fw.toLong, fh.toLong, sum) }
         })
         frames.toDF("doc_id", "frame_ix", "width", "height", "luma_checksum")
-          .orderBy("doc_id", "frame_ix")
       },
       Some("""WITH geo AS (SELECT doc_id, 8 + doc_id % 9 AS w,
              |    8 + n_chars % 7 AS h, 2 + doc_id % 5 AS nf
@@ -481,7 +472,6 @@ object MultimodalQueries {
             (sum("cut") + 1).as("n_scenes"),
             max(when(col("prev").isNotNull,
               abs(col("luma_sum") - col("prev"))).otherwise(0L)).as("max_delta"))
-          .orderBy("doc_id")
       },
       Some("""WITH geo AS (SELECT doc_id, 8 + doc_id % 9 AS w,
              |    8 + n_chars % 7 AS h, 4 + doc_id % 7 AS nf
@@ -529,7 +519,6 @@ object MultimodalQueries {
             .map { case (ch, nf, sg, af) => (id, ch.toLong, nf, sg, af) }
         })
         metas.toDF("doc_id", "channels", "n_frames", "n_segments", "active_frames")
-          .orderBy("doc_id")
       },
       Some("""WITH geo AS (SELECT doc_id, n_chars,
              |    1 + n_chars % 4 AS nseg FROM documents),
@@ -573,7 +562,6 @@ object MultimodalQueries {
         metas.toDF("doc_id", "channels", "n_frames", "lead_silence", "trail_silence")
           .withColumn("active_ms",
             expr("(n_frames - lead_silence - trail_silence) * 1000 DIV 8000"))
-          .orderBy("doc_id")
       },
       Some("""SELECT doc_id,
              |  CAST(1 + doc_id % 2 AS BIGINT) AS channels,
@@ -608,7 +596,6 @@ object MultimodalQueries {
         rows.toDF("doc_id", "channels", "n_frames", "peak", "sum_sq")
           .withColumn("ms_loudness", expr("sum_sq DIV (n_frames * channels)"))
           .withColumn("gain_permille", expr("32767000 DIV peak"))
-          .orderBy("doc_id")
       },
       Some("""SELECT doc_id,
              |  CAST(1 + doc_id % 2 AS BIGINT) AS channels,
@@ -643,7 +630,6 @@ object MultimodalQueries {
             col("height").cast("long").as("height"),
             col("durationMs").as("duration_ms"),
             col("format"))
-          .orderBy("doc_id")
       },
       Some("""SELECT doc_id,
              |  CAST(240 AS BIGINT) AS n_bytes,
@@ -662,8 +648,7 @@ object MultimodalQueries {
           sha2(col("blob"), 256).as("sha_hex"),
           (lit(64) + (ascii(col("text").substr(lit(1), lit(1))) % 64) * 4).cast("long").as("width"),
           (lit(64) + (ascii(col("text").substr(lit(2), lit(1))) % 64) * 4).cast("long").as("height"),
-          lit(3L).as("channels"))
-        .orderBy("doc_id"),
+          lit(3L).as("channels")),
       Some("""SELECT doc_id,
              |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
              |  sha256(text) AS sha_hex,
@@ -681,8 +666,7 @@ object MultimodalQueries {
         .withColumn("frame_off", (col("frame_i") * 997L) % col("n_chars"))
         .select(col("doc_id"), col("frame_i"), col("frame_off"),
           ascii(col("text").substr((col("frame_off") + 1).cast("int"), lit(1)))
-            .cast("long").as("sample_code"))
-        .orderBy("doc_id", "frame_i"),
+            .cast("long").as("sample_code")),
       Some("""WITH f AS (
              |  SELECT doc_id, n_chars, text,
              |    1 + n_chars // 1000 AS n_frames
@@ -734,7 +718,6 @@ object MultimodalQueries {
           }: _*))).as("__sh"))
         graft.operators.Dedup.ngramJaccardPairs(fhs, "doc_id", "__sh",
             num = 1, den = 2)
-          .orderBy("doc_a", "doc_b")
       },
       Some(s"""WITH allv AS (
              |  SELECT doc_id, text FROM documents
@@ -768,7 +751,7 @@ object MultimodalQueries {
     // is real, the pixels are arithmetic, and a raster, hash-pack, or
     // banding bug cannot hash-match.
     "mm9_phash_neardup" -> QueryDef(
-      (s, dir) => mm9Pairs(s, dir).orderBy("doc_a", "doc_b"),
+      (s, dir) => mm9Pairs(s, dir),
       Some(s"""WITH $mm9SketchCtes
              |SELECT a.id AS doc_a, b.id AS doc_b,
              |  CAST(bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo))
@@ -786,8 +769,7 @@ object MultimodalQueries {
     // recursive-CTE closure as d6 over the mm9 pair rendering.
     "mm12_image_dup_clusters" -> QueryDef(
       (s, dir) => graft.operators.Dedup.connectedComponents(mm9Pairs(s, dir))
-        .select(col("id"), col("rep"))
-        .orderBy("id"),
+        .select(col("id"), col("rep")),
       Some(s"""WITH RECURSIVE $mm9SketchCtes,
              |prs AS (
              |  SELECT a.id AS doc_a, b.id AS doc_b
@@ -878,7 +860,6 @@ object MultimodalQueries {
             col("height").cast("long").as("height"),
             col("channels").cast("long").as("channels"),
             col("format"))
-          .orderBy("doc_id")
       },
       Some("""SELECT doc_id,
              |  CASE WHEN doc_id % 3 = 0 THEN CAST(316 AS BIGINT)
@@ -919,7 +900,6 @@ object MultimodalQueries {
               (id, nf.toLong, k.toLong, lag.toLong, corr) }
         })
         rows.toDF("doc_id", "n_frames", "planted_k", "detected_k", "corr_max")
-          .orderBy("doc_id")
       },
       Some("""WITH dims AS (
              |  SELECT doc_id, 64 + n_chars % 256 AS nf, doc_id % 16 AS k

@@ -83,7 +83,6 @@ object Relational {
             col("l_shipdate") < lit("1997-01-01") && col("l_quantity") <= 5)
           .select(col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
             cents(col("l_extendedprice")).as("price_c"))
-          .orderBy("l_orderkey", "l_linenumber")
       },
       Some("""SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
              |  CAST(round(l_extendedprice*100) AS BIGINT) AS price_c
@@ -142,7 +141,6 @@ object Relational {
           .select(col("l_suppkey"), col("rn").cast("long").as("rn"),
             col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
             col("running_qty_c"))
-          .orderBy("l_suppkey", "rn")
       },
       Some("""SELECT l_suppkey, CAST(rn AS BIGINT) AS rn, l_orderkey,
              |  CAST(l_linenumber AS BIGINT) AS l_linenumber, running_qty_c
@@ -182,7 +180,7 @@ object Relational {
         val o = table(s, dir, "orders")
         val hot = table(s, dir, "lineitem").filter(col("l_quantity") > 49)
         o.join(hot, o("o_orderkey") === hot("l_orderkey"), "left_semi")
-          .select("o_orderkey", "o_orderstatus").orderBy("o_orderkey")
+          .select("o_orderkey", "o_orderstatus")
       },
       Some("""SELECT o_orderkey, o_orderstatus FROM orders
              |WHERE EXISTS (SELECT 1 FROM lineitem
@@ -195,7 +193,7 @@ object Relational {
         val o = table(s, dir, "orders")
         val li = table(s, dir, "lineitem")
         o.join(li, o("o_orderkey") === li("l_orderkey"), "left_anti")
-          .select("o_orderkey", "o_orderstatus").orderBy("o_orderkey")
+          .select("o_orderkey", "o_orderstatus")
       },
       Some("""SELECT o_orderkey, o_orderstatus FROM orders
              |WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
@@ -264,8 +262,7 @@ object Relational {
           concat(col("p_brand"), lit(":"), col("p_type")).as("brand_type"),
           (col("p_size") % 7).cast("long").as("size_mod"),
           cents(col("p_retailprice")).as("price_c"),
-          greatest(col("p_size").cast("long"), lit(25L)).as("size_floor25"))
-        .orderBy("p_partkey"),
+          greatest(col("p_size").cast("long"), lit(25L)).as("size_floor25")),
       Some("""SELECT p_partkey, upper(substr(p_name, 1, 5)) AS name5,
              |  CAST(length(p_name) AS BIGINT) AS name_len,
              |  p_brand || ':' || p_type AS brand_type,
@@ -393,8 +390,7 @@ object Relational {
           floor(aggregate(slice(col("embedding"), 1, 8),
             lit(0.0), (a, x) => a + x.cast("double")) * 1e6).cast("long").as("head8_sum_micro"),
           floor(array_max(col("embedding")).cast("double") * 1e6).cast("long").as("max_micro"),
-          floor(array_min(col("embedding")).cast("double") * 1e6).cast("long").as("min_micro"))
-        .orderBy("vec_id"),
+          floor(array_min(col("embedding")).cast("double") * 1e6).cast("long").as("min_micro")),
       Some("""SELECT vec_id,
              |  CAST(len(embedding) AS BIGINT) AS emb_len,
              |  CAST(floor(CAST(embedding[1] AS DOUBLE) * 1e6) AS BIGINT) AS e0_micro,
@@ -418,7 +414,6 @@ object Relational {
             quarter(col("l_shipdate")).cast("long").as("ship_quarter"),
             (dayofweek(col("l_shipdate")) - 1).cast("long").as("ship_dow"), // 0=Sunday
             date_format(last_day(col("l_shipdate")), "yyyy-MM-dd").as("month_end"))
-          .orderBy("l_orderkey")
       },
       Some("""SELECT l_orderkey,
              |  CAST(datediff('day', o_orderdate, l_shipdate) AS BIGINT) AS ship_lag_days,
@@ -439,8 +434,7 @@ object Relational {
           reverse(col("p_name")).as("name_rev"),
           regexp_replace(col("p_name"), "[aeiou]", "*").as("name_novowel"),
           instr(col("p_type"), " ").cast("long").as("first_space"),
-          expr("split_part(p_type, ' ', 1)").as("type_head"))
-        .orderBy("p_partkey"),
+          expr("split_part(p_type, ' ', 1)").as("type_head")),
       Some("""SELECT p_partkey,
              |  CAST(levenshtein(p_brand, p_type) AS BIGINT) AS lev,
              |  lpad(p_brand, 12, '_') AS brand_pad,
@@ -528,8 +522,7 @@ object Relational {
       (s, dir) => table(s, dir, "documents")
         .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "word")))
         .filter(col("pos") < 5)
-        .select(col("doc_id"), col("pos").cast("long").as("pos"), col("word"))
-        .orderBy("doc_id", "pos"),
+        .select(col("doc_id"), col("pos").cast("long").as("pos"), col("word")),
       Some("""WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
              |SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, w[i] AS word
              |FROM words, UNNEST(range(1, len(w) + 1)) AS t(i)
@@ -553,7 +546,6 @@ object Relational {
           .select(col("l_suppkey"), col("rn").cast("long").as("rn"), col("qty_c"),
             col("prev_qty"), col("next_qty"), col("first_qty"), col("quartile"),
             col("pct_rank"))
-          .orderBy("l_suppkey", "rn")
       },
       Some("""SELECT l_suppkey, CAST(rn AS BIGINT) AS rn, qty_c, prev_qty, next_qty,
              |  first_qty, CAST(quartile AS BIGINT) AS quartile, pct_rank
@@ -924,8 +916,7 @@ object Relational {
         .select(col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
           cents(col("l_quantity")).as("qty_c"), cents(col("l_extendedprice")).as("price_c"))
         .unpivot(Array(col("l_orderkey"), col("l_linenumber")),
-          Array(col("qty_c"), col("price_c")), "measure", "value_c")
-        .orderBy("l_orderkey", "l_linenumber", "measure"),
+          Array(col("qty_c"), col("price_c")), "measure", "value_c"),
       Some("""WITH src AS (
              |  SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
              |    CAST(round(l_quantity*100) AS BIGINT) AS qty_c,
@@ -1134,7 +1125,6 @@ object Relational {
           .select(col("o_orderkey"),
             graft.functions.ZOrder.zValue(
               Seq(col("o_custkey"), day), bits = 16).as("zkey"))
-          .orderBy("o_orderkey")
       },
       Some(s"""SELECT o_orderkey,
              |  ${graft.functions.ZOrder.zValueSql(Seq("o_custkey",
@@ -1249,7 +1239,6 @@ object Relational {
               .as("valid_to"),
             when(lead(col("o_orderdate"), 1).over(w).isNull, 1L).otherwise(0L)
               .as("is_current"))
-          .orderBy("o_custkey", "valid_from", "o_orderkey")
       },
       Some("""SELECT o_custkey, o_orderkey,
              |  CAST(round(o_totalprice*100) AS BIGINT) AS price_c,
@@ -1720,7 +1709,6 @@ object Relational {
           .select(col("o_custkey"), col("version"), col("attr"),
             col("od").as("valid_from"), col("valid_to"),
             col("valid_to").isNull.cast("long").as("is_current"))
-          .orderBy("o_custkey", "version")
       },
       Some("""WITH obs AS (
              |  SELECT o_custkey, CAST(o_orderdate AS DATE) AS od, o_orderkey,
@@ -1750,8 +1738,7 @@ object Relational {
           cents(col("c_acctbal")).as("acctbal_c"),
           col("c_nationkey").cast("long").as("nationkey"))
         .unpivot(Array(col("c_custkey")),
-          Array(col("acctbal_c"), col("nationkey")), "attr", "val")
-        .orderBy("c_custkey", "attr"),
+          Array(col("acctbal_c"), col("nationkey")), "attr", "val"),
       Some("""SELECT c_custkey, attr, val FROM (
              |  SELECT c_custkey, CAST(round(c_acctbal*100) AS BIGINT) AS acctbal_c,
              |    CAST(c_nationkey AS BIGINT) AS nationkey FROM customer)

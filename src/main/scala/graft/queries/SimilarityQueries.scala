@@ -479,7 +479,6 @@ object SimilarityQueries {
         graft.operators.Clustering.kmeansAssign(
           table(s, dir, "embeddings"), "vec_id", "embedding",
           k = KmK, iters = KmIters, quantScale = KmScale)
-          .orderBy("vec_id")
       },
       Some(s"""WITH ${kmeansCtes()}
              |SELECT vec_id, CAST(cell AS BIGINT) AS cluster,

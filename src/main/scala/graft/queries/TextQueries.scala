@@ -151,8 +151,7 @@ object TextQueries {
       (s, dir) => table(s, dir, "documents")
         .select(col("doc_id"),
           TextOps.tokenCount(col("text")).as("n_ws_tokens"),
-          TextOps.regexTokenCount(col("text")).as("n_alnum_tokens"))
-        .orderBy("doc_id"),
+          TextOps.regexTokenCount(col("text")).as("n_alnum_tokens")),
       Some("""SELECT doc_id,
              |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
              |  CAST(len(list_filter(string_split_regex(text, '[^a-zA-Z0-9]+'),
@@ -167,8 +166,7 @@ object TextQueries {
           TextOps.stopwordPermille(col("text")).as("stop_permille"),
           TextOps.meanWordLenCenti(col("text")).as("wlen_centi"),
           TextOps.punctPermille(col("text")).as("punct_permille"),
-          when(TextOps.qualityPass(col("text"), col("n_chars")), 1L).otherwise(0L).as("pass"))
-        .orderBy("doc_id"),
+          when(TextOps.qualityPass(col("text"), col("n_chars")), 1L).otherwise(0L).as("pass")),
       Some("""WITH t AS (
              |  SELECT doc_id, n_chars, text, string_split(text, ' ') AS w FROM documents)
              |SELECT doc_id, n_chars,
@@ -232,8 +230,7 @@ object TextQueries {
       (s, dir) => table(s, dir, "documents")
         .select(col("doc_id"), col("lang"),
           TextOps.langId(col("text")).as("pred_lang"))
-        .withColumn("is_match", when(col("lang") === col("pred_lang"), 1L).otherwise(0L))
-        .orderBy("doc_id"),
+        .withColumn("is_match", when(col("lang") === col("pred_lang"), 1L).otherwise(0L)),
       Some(s"""WITH ${langIdScoreCtes()}
              |SELECT doc_id, lang,
              |  $langIdPredSql AS pred_lang,
@@ -1004,7 +1001,6 @@ object TextQueries {
           .select(col("doc_id"), col("chunk_ix"), col("start_tok"),
             size(split(col("chunk"), " ")).cast("long").as("n_tok"),
             call_function("poly_hash", col("chunk")).as("fp"))
-          .orderBy("doc_id", "chunk_ix")
       },
       Some(s"""WITH words AS (
              |  SELECT doc_id, string_split(text, ' ') AS w,
@@ -1420,7 +1416,6 @@ object TextQueries {
               w => w.isInCollection(kws))).cast("long").as("kw_hits"))
           .withColumn("is_code",
             (col("sym_permille") >= 20 || col("kw_hits") >= 2).cast("long"))
-          .orderBy("doc_id")
       },
       Some("""WITH inj AS (
              |  SELECT doc_id,
@@ -1814,7 +1809,6 @@ object TextQueries {
         graft.functions.VectorExpressions.register(s)
         table(s, dir, "documents")
           .select(col("doc_id"), call_function("poly_hash", col("text")).as("fp"))
-          .orderBy("doc_id")
       },
       Some(s"""SELECT doc_id,
              |  CAST(${QueryDef.polyHashSql("text")} AS BIGINT) AS fp

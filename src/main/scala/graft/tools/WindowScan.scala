@@ -1,11 +1,13 @@
 package graft.tools
 
-import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Sort, Window => LWindow}
 
 /** One-off audit scan: list every registered query whose OPTIMIZED
-  * logical plan contains a Window with an empty partitionSpec (the
-  * single-task stage class), with the window's order keys — input for
-  * ScaleSpec's global no-partitionBy-window allowlist.
+  * logical plan contains (a) a Window with an empty partitionSpec (the
+  * single-task stage class) or (b) a GLOBAL Sort with no Aggregate
+  * contraction beneath it (a fact-sized range exchange whose sampling
+  * job double-executes the child) — inputs for ScaleSpec's global
+  * guards.
   */
 object WindowScan {
   def main(args: Array[String]): Unit = {
@@ -14,11 +16,18 @@ object WindowScan {
     spark.sparkContext.setLogLevel("ERROR")
     graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {
-        val wins = fn(spark, sf).queryExecution.optimizedPlan.collect {
+        val plan = fn(spark, sf).queryExecution.optimizedPlan
+        val wins = plan.collect {
           case w: LWindow if w.partitionSpec.isEmpty =>
             w.orderSpec.map(_.sql).mkString(",")
         }
         if (wins.nonEmpty) println(s"HIT $name :: ${wins.mkString(" | ")}")
+        val sorts = plan.collect {
+          case so: Sort if so.global &&
+              so.child.collectFirst { case a: Aggregate => a }.isEmpty =>
+            so.order.map(_.sql).mkString(",")
+        }
+        if (sorts.nonEmpty) println(s"SORT $name :: ${sorts.mkString(" | ")}")
       } catch {
         case e: Throwable => println(s"ERR $name :: ${e.getClass.getSimpleName}: ${e.getMessage.take(120)}")
       }

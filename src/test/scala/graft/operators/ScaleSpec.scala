@@ -407,21 +407,49 @@ class PlanShapeSpec extends SparkTestBase {
     assert(offenders.isEmpty, s"single-task window stages in: $offenders")
   }
 
-  test("fact-sized outputs carry no trailing global sort (q35/q36/t9)") {
-    // the q35/t9 round-9 adjudication, pinned: a global orderBy on a
-    // fact-sized result DOUBLE-EXECUTES the child (the range
-    // exchange's sampling job re-runs it) and buys nothing — the gate
-    // compare is order-insensitive. q36 joined the fix this round
-    // (13.7x sf1 scaling was the sort, not the range-frame window).
-    import org.apache.spark.sql.catalyst.plans.logical.Sort
-    for (name <- Seq("q35_salted_join", "q36_range_frame", "t9_pii_scrub")) {
-      val df = graft.SparkEntry.queries(name)(spark, sf)
-      val globalSorts = df.queryExecution.optimizedPlan.collect {
-        case so: Sort if so.global => so
-      }
-      assert(globalSorts.isEmpty,
-        s"$name plans a global sort over its fact-sized output")
+  test("GLOBAL: no fact-sized trailing global sorts (the q35/t9 double-execution tax)") {
+    // the q35/t9 round-9 adjudication, generalized to the registry: a
+    // global orderBy over uncontracted (fact-scaled) rows buys nothing
+    // — the gate compare is order-insensitive — and costs twice: the
+    // range exchange's SAMPLING job re-executes the child (for q35 the
+    // salted join, for the mm family the whole decode pipeline), then
+    // the sort shuffles every row again. Round-11 sweep removed ~70 of
+    // them (q36, the dca family, the mm decode family, per-doc text
+    // features, pair/cluster tables). Heuristic: a global Sort is
+    // fact-sized when no Aggregate contracts the rows beneath it; TopK
+    // sorts (under a Limit — planned as TakeOrderedAndProject, no full
+    // sort) are exempt structurally, and the audited survivors below
+    // have bounded input by construction.
+    import org.apache.spark.sql.catalyst.plans.logical.{
+      Aggregate, GlobalLimit, LocalLimit, LocalRelation, Sort}
+    val allowed = Map(
+      "q114_observe_metrics" -> "4-row driver-local metrics table",
+      "q91_not_in_nulls" -> "bounded by the c_custkey <= 500 predicate",
+      "sim12_mmr_rerank" -> "k rerank steps (driver-side greedy)",
+      "t10_token_budget_mix" -> "per-source running table (|sources| rows)",
+      "t28_bpe_train" -> "BPE merge rounds (bounded by vocab budget)")
+    val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val plan = fn(spark, sf).queryExecution.optimizedPlan
+        // sorts that feed a Limit plan as TakeOrderedAndProject — exempt
+        val topK = plan.collect {
+          case l: LocalLimit => l.child match {
+            case so: Sort => Seq(so); case _ => Nil }
+          case g: GlobalLimit => g.child match {
+            case ll: LocalLimit => ll.child match {
+              case so: Sort => Seq(so); case _ => Nil }
+            case so: Sort => Seq(so); case _ => Nil }
+        }.flatten.toSet
+        val factSorts = plan.collect {
+          case so: Sort if so.global && !topK(so) &&
+              so.child.collectFirst { case a: Aggregate => a }.isEmpty &&
+              !so.child.isInstanceOf[LocalRelation] => so
+        }
+        if (factSorts.nonEmpty && !allowed.contains(name))
+          Some(s"$name(${factSorts.size})")
+        else None
     }
+    assert(offenders.isEmpty, s"fact-sized global sorts in: $offenders")
   }
 }
 
