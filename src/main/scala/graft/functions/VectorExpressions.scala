@@ -260,6 +260,14 @@ object VectorExpressions {
       FunctionIdentifier("poly_hash"),
       new ExpressionInfo(classOf[PolyHash].getName, "poly_hash"),
       polyHashBuilder)
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("kmin_sketch"),
+      new ExpressionInfo(classOf[KMinSketch].getName, "kmin_sketch"),
+      KMinSketch.builder)
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("topk_sketch"),
+      new ExpressionInfo(classOf[TopKSketch].getName, "topk_sketch"),
+      TopKSketch.builder)
   }
 }
 
@@ -284,6 +292,14 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       FunctionIdentifier("poly_hash"),
       new ExpressionInfo(classOf[PolyHash].getName, "poly_hash"),
       VectorExpressions.polyHashBuilder))
+    e.injectFunction((
+      FunctionIdentifier("kmin_sketch"),
+      new ExpressionInfo(classOf[KMinSketch].getName, "kmin_sketch"),
+      KMinSketch.builder))
+    e.injectFunction((
+      FunctionIdentifier("topk_sketch"),
+      new ExpressionInfo(classOf[TopKSketch].getName, "topk_sketch"),
+      TopKSketch.builder))
     e.injectCheckRule(s => graft.plans.ProductGuard.check(s))
     // whole-operator extension: the distributed prefix-sum planner
     // strategy (graft.plans.PrefixSumExec) — SQL-only clients get the

@@ -147,9 +147,7 @@ object ProductQuant {
               idCol: String = "vec_id", vecCol: String = "embedding",
               qidCol: String = "qid", qvecCol: String = "qvec",
               quantScale: Int = 1000): DataFrame = {
-    import graft.functions.{ScoredId, TopKAgg}
-    val spark = corpus.sparkSession
-    import spark.implicits._
+    graft.functions.VectorExpressions.register(corpus.sparkSession)
     val sd = dims / m
     val cbs = trainCodebooks(corpus, idCol, vecCol, dims, m, ks, iters, quantScale)
     val codes = encode(corpus, idCol, vecCol, dims, m, cbs, quantScale)
@@ -170,14 +168,14 @@ object ProductQuant {
     }.reduce(_ + _)
     val cands = codes.crossJoin(broadcast(qtab.select(col(qidCol), col("__qtab"))))
       .filter(col(idCol) =!= col(qidCol))
-      .select(col(qidCol).cast("long"), col(idCol).cast("long"),
-        approx.cast("double").as("__approx"))
-      .as[(Long, Long, Double)]
-      .groupByKey(_._1)
-      .mapValues { case (qid @ _, id, a) => ScoredId(id, -a) }
-      .agg(new TopKAgg(candC).toColumn.name("cand"))
-      .flatMap { case (qid, cand) => cand.map(s => (qid, s.id)) }
-      .toDF(qidCol, idCol)
+      .select(col(qidCol).cast("long").as(qidCol), col(idCol).cast("long").as(idCol),
+        (-approx).cast("double").as("__negapprox"))
+      // native bounded heap (functions/TopKSketch), negated distance ==
+      // TopKAgg's (score desc, id asc) == (distance asc, id asc)
+      .groupBy(qidCol)
+      .agg(call_function("topk_sketch", col(idCol), col("__negapprox"),
+        lit(candC)).as("__cand"))
+      .select(col(qidCol), explode(col("__cand.id")).as(idCol))
     // exact re-rank over candidates only: candC full-vector reads per
     // query, not a corpus scan
     val scored = cands
@@ -217,9 +215,7 @@ object ProductQuant {
                 idCol: String = "vec_id", vecCol: String = "embedding",
                 qidCol: String = "qid", qvecCol: String = "qvec",
                 quantScale: Int = 1000): DataFrame = {
-    import graft.functions.{ScoredId, TopKAgg}
-    val spark = corpus.sparkSession
-    import spark.implicits._
+    graft.functions.VectorExpressions.register(corpus.sparkSession)
     val sd = dims / m
     val cents = Similarity.bootstrapCentroids(corpus, nCells, idCol, vecCol)
     val cbs = trainCodebooks(corpus, idCol, vecCol, dims, m, ks, iters, quantScale)
@@ -251,14 +247,14 @@ object ProductQuant {
     }.reduce(_ + _)
     val cands = indexed.join(broadcast(probes), "__cell")
       .filter(col(idCol) =!= col(qidCol))
-      .select(col(qidCol).cast("long"), col(idCol).cast("long"),
-        approx.cast("double").as("__approx"))
-      .as[(Long, Long, Double)]
-      .groupByKey(_._1)
-      .mapValues { case (qid @ _, id, a) => ScoredId(id, -a) }
-      .agg(new TopKAgg(candC).toColumn.name("cand"))
-      .flatMap { case (qid, cand) => cand.map(s => (qid, s.id)) }
-      .toDF(qidCol, idCol)
+      .select(col(qidCol).cast("long").as(qidCol), col(idCol).cast("long").as(idCol),
+        (-approx).cast("double").as("__negapprox"))
+      // native bounded heap (functions/TopKSketch), negated distance ==
+      // TopKAgg's (score desc, id asc) == (distance asc, id asc)
+      .groupBy(qidCol)
+      .agg(call_function("topk_sketch", col(idCol), col("__negapprox"),
+        lit(candC)).as("__cand"))
+      .select(col(qidCol), explode(col("__cand.id")).as(idCol))
     val scored = cands
       .join(corpus.select(col(idCol), col(vecCol)), idCol)
       .join(broadcast(queries.select(col(qidCol), col(qvecCol))), qidCol)

@@ -57,11 +57,9 @@ object Similarity {
     */
   private[graft] def topKReRank(scored: DataFrame, k: Int, qidCol: String,
                                 idCol: String, scoreCol: String): DataFrame = {
-    import graft.functions.{ScoredId, TopKAgg}
-    val spark = scored.sparkSession
-    import spark.implicits._
+    graft.functions.VectorExpressions.register(scored.sparkSession)
     // the bounded aggregator keys on Long ids; a non-integral id column
-    // would cast to NULL and NPE inside the encoder — reject it eagerly
+    // would cast to NULL and be silently skipped — reject it eagerly
     // with a usable message instead
     Seq(qidCol, idCol).foreach { c =>
       scored.schema(c).dataType match {
@@ -72,17 +70,19 @@ object Similarity {
             "(map string ids to a dense long surrogate first)")
       }
     }
-    scored.select(col(qidCol).cast("long"), col(idCol).cast("long"), col(scoreCol))
-      .as[(Long, Long, Double)]
-      .groupByKey(_._1)
-      .mapValues { case (_, id, s) => ScoredId(id, s) }
-      .agg(new TopKAgg(k).toColumn.name("topk"))
-      .flatMap { case (qid, top) =>
-        top.zipWithIndex.map { case (s, r) =>
-          (qid, (r + 1).toLong, s.id, math.floor(s.score * 1e6).toLong)
-        }
-      }
-      .toDF(qidCol, "rank", idCol, "cos_micro")
+    // native bounded heap aggregate (functions/TopKSketch) — the typed
+    // groupByKey path deserialized every scored candidate into a case
+    // class per row; topk_sketch reads (id, score) off the Tungsten row
+    // and ships k-entry buffers. Spec-pinned equal to the TopKAgg fold.
+    scored
+      .select(col(qidCol).cast("long").as(qidCol),
+        col(idCol).cast("long").as(idCol), col(scoreCol).cast("double").as("__s"))
+      .groupBy(qidCol)
+      .agg(call_function("topk_sketch", col(idCol), col("__s"), lit(k)).as("__topk"))
+      .select(col(qidCol), posexplode(col("__topk")).as(Seq("__pos", "__e")))
+      .select(col(qidCol), (col("__pos") + 1).cast("long").as("rank"),
+        col("__e.id").as(idCol),
+        floor(col("__e.score") * 1e6).cast("long").as("cos_micro"))
   }
 
   /** Exact top-k neighbors for each query vector.
@@ -554,16 +554,33 @@ object Similarity {
       s"planes ($planes) must be divisible by rowsPerBand ($rowsPerBand)")
     val bands = planes / rowsPerBand
     val coded = corpus.withColumn("__code", signCode(col(vecCol), dims, planes))
-    val left = bandExplode(
-      coded.select(col(idCol).as("qid"), col(vecCol).as("qvec"), col("__code")),
-      "__code", bands, rowsPerBand, Seq("qid", "qvec"))
-    val right = bandExplode(coded, "__code", bands, rowsPerBand,
-      Seq(idCol, vecCol))
-    val cands = left.join(right, Seq("band", "bits"))
+    // band join + pair dedup over IDS ONLY: the bands-replicated
+    // exchange and the distinct used to carry both 256-byte vector
+    // payloads per candidate row — at bands× replication that shuffle
+    // volume dominated the whole join (sf1: 24.2 s). Ids are 16 bytes;
+    // vectors re-attach AFTER dedup via two keyed corpus joins (each
+    // shuffles the corpus once, not the candidate fanout).
+    val slim = coded.select(col(idCol), col("__code"))
+    val left = bandExplode(slim.select(col(idCol).as("qid"), col("__code")),
+      "__code", bands, rowsPerBand, Seq("qid"))
+    val right = bandExplode(slim, "__code", bands, rowsPerBand, Seq(idCol))
+    val pairs = left.join(right, Seq("band", "bits"))
       .filter(col(idCol) =!= col("qid"))
-      .select(col("qid"), col("qvec"), col(idCol), col(vecCol))
+      .select(col("qid"), col(idCol))
       .distinct()
-    val scored = cands.withColumn("__cos", cosine(col(vecCol), col("qvec")))
+    // norms computed ONCE per corpus vector (not once per candidate)
+    // and carried through the attach joins; native codegen'd dot —
+    // both bit-identical to the HOF cosine (same left-to-right double
+    // accumulation), so the oracle sees the same micros.
+    graft.functions.VectorExpressions.register(corpus.sparkSession)
+    val withNorm = corpus.select(col(idCol), col(vecCol),
+      sqrt(dotNative(col(vecCol), col(vecCol))).as("__norm"))
+    val cands = pairs
+      .join(withNorm.select(col(idCol).as("qid"), col(vecCol).as("qvec"),
+        col("__norm").as("__qnorm")), "qid")
+      .join(withNorm, idCol)
+    val scored = cands.withColumn("__cos",
+      dotNative(col(vecCol), col("qvec")) / (col("__qnorm") * col("__norm")))
     topKReRank(scored, k, "qid", idCol, "__cos")
   }
 

@@ -631,23 +631,26 @@ object Relational {
     // EXACT cross-engine oracle — the estimate is pure integer
     // arithmetic over the k smallest portable-hash values, so DuckDB
     // reproduces it bit-for-bit (unlike HLL's q24, which stays
-    // rows-only). O(k) state per group, mergeable buffers.
+    // rows-only). O(k) state per group, mergeable buffers — the NATIVE
+    // TypedImperativeAggregate (functions/KMinSketch): the typed
+    // groupByKey Aggregator path deserialized every row and folded an
+    // O(k)-scan List (sf1: 15.2 s vs 3.1 s for the same hashing in
+    // q37's DataFrame path); the spec pins native == reference fold.
     "q33_kmv_distinct" -> QueryDef(
       (s, dir) => {
-        import s.implicits._
         import graft.functions.KMinAgg
         graft.functions.VectorExpressions.register(s)
         val k = KmvK
-        val hashed = table(s, dir, "lineitem")
+        table(s, dir, "lineitem")
           .select(col("l_returnflag"),
             KMinAgg.scramble(call_function("poly_hash", col("l_partkey").cast("string"))).as("h"))
-          .as[(String, Long)]
-        hashed.groupByKey(_._1)
-          .mapValues(_._2)
-          .agg(new KMinAgg(k).toColumn.name("s"))
-          .map { case (g, sum) =>
-            (g, KMinAgg.estimate(sum, k, 1000000007L)) }
-          .toDF("l_returnflag", "est_distinct")
+          .groupBy("l_returnflag")
+          .agg(call_function("kmin_sketch", col("h"), lit(k)).as("mins"))
+          .select(col("l_returnflag"),
+            when(size(col("mins")) < k, size(col("mins")).cast("long"))
+              .otherwise(expr(
+                s"CAST(${k - 1} AS BIGINT) * 1000000007 DIV element_at(mins, $k)"))
+              .as("est_distinct"))
           .orderBy("l_returnflag")
       },
       Some(s"""WITH ${QueryDef.scrambledHashCtes("lineitem", Seq("l_returnflag"),
@@ -679,20 +682,19 @@ object Relational {
     // 1-row cross join; the exact twin is one hash agg on l_partkey.
     "q69_kmv_setops" -> QueryDef(
       (s, dir) => {
-        import s.implicits._
-        import graft.functions.{KMinAgg, KMinListAgg}
+        import graft.functions.KMinAgg
         graft.functions.VectorExpressions.register(s)
         val k = KmvK
         val li = table(s, dir, "lineitem")
           .filter(col("l_returnflag").isin("A", "R"))
           .select(col("l_returnflag").as("side"), col("l_partkey"))
-        val hashed = li.select(col("side"),
-          KMinAgg.scramble(call_function("poly_hash",
-            col("l_partkey").cast("string"))).as("h"))
-          .as[(String, Long)]
-        val sketches = hashed.groupByKey(_._1).mapValues(_._2)
-          .agg(new KMinListAgg(k).toColumn.name("mins"))
-          .toDF("side", "mins")
+        // native kmin_sketch (see q33) — same sorted-distinct <= k buffer
+        // the typed KMinListAgg reference fold produces
+        val sketches = li.select(col("side"),
+            KMinAgg.scramble(call_function("poly_hash",
+              col("l_partkey").cast("string"))).as("h"))
+          .groupBy("side")
+          .agg(call_function("kmin_sketch", col("h"), lit(k)).as("mins"))
         val a = sketches.filter(col("side") === "A")
           .select(col("mins").as("mins_a"))
         val r = sketches.filter(col("side") === "R")
@@ -965,29 +967,28 @@ object Relational {
     // rows by scrambled row-key hash IS a simple random sample (the
     // distributed consistent-sampling pattern), so the sample median
     // is exactly reproducible — another approximate operator with an
-    // exact cross-engine oracle. O(k) mergeable state via TopKAgg.
+    // exact cross-engine oracle. O(k) mergeable state via the native
+    // topk_sketch heap (score = -hash: its (score desc, id asc) order
+    // is (hash asc, value asc); scrambled hashes < 2^30 are exact in
+    // double).
     "q34_sample_quantile" -> QueryDef(
       (s, dir) => {
-        import s.implicits._
-        import graft.functions.{KMinAgg, ScoredId, TopKAgg}
+        import graft.functions.KMinAgg
         graft.functions.VectorExpressions.register(s)
         val k = SampleK
-        val rows = table(s, dir, "lineitem")
+        table(s, dir, "lineitem")
           .select(col("l_returnflag"),
             KMinAgg.scramble(call_function("poly_hash",
               concat_ws("_", col("l_orderkey"), col("l_linenumber")))).as("h"),
             cents(col("l_quantity")).as("qty_c"))
-          .as[(String, Long, Long)]
-        rows.groupByKey(_._1)
-          // score = -hash: TopKAgg's (score desc, id asc) order becomes
-          // (hash asc, value asc) — hashes < 2^30 are exact in double
-          .mapValues { case (_, h, v) => ScoredId(v, -h.toDouble) }
-          .agg(new TopKAgg(k).toColumn.name("sample"))
-          .map { case (g, sample) =>
-            val vals = sample.map(_.id).sorted
-            (g, vals((vals.size - 1) / 2), vals.size.toLong)
-          }
-          .toDF("l_returnflag", "med_sample_qty_c", "n_sample")
+          .groupBy("l_returnflag")
+          .agg(call_function("topk_sketch", col("qty_c"),
+            (-col("h")).cast("double"), lit(k)).as("sample"))
+          .withColumn("vals", array_sort(col("sample.id")))
+          .select(col("l_returnflag"),
+            expr("element_at(vals, CAST((size(vals) + 1) DIV 2 AS INT))")
+              .as("med_sample_qty_c"),
+            size(col("vals")).cast("long").as("n_sample"))
           .orderBy("l_returnflag")
       },
       Some(s"""WITH ${QueryDef.scrambledHashCtes(

@@ -493,27 +493,24 @@ object SimilarityQueries {
     // representation regardless of cluster size skew.
     "t16_cluster_balanced_sample" -> QueryDef(
       (s, dir) => {
-        import s.implicits._
-        import graft.functions.{KMinAgg, ScoredId, TopKAgg}
+        import graft.functions.KMinAgg
         graft.functions.VectorExpressions.register(s)
         val assign = graft.operators.Clustering.kmeansAssign(
           table(s, dir, "embeddings"), "vec_id", "embedding",
           k = KmK, iters = KmIters, quantScale = KmScale)
-        val withH = assign.select(col("vec_id"), col("cluster"),
+        assign.select(col("vec_id"), col("cluster"),
             KMinAgg.scramble(call_function("poly_hash",
               col("vec_id").cast("string"))).as("h"))
-          .as[(Long, Long, Long)]
-        withH.groupByKey(_._2)
-          // score = -hash: TopKAgg's (score desc, id asc) = (hash asc,
-          // id asc) — hashes < 2^30 are exact in double (q34 pattern)
-          .mapValues { case (id, _, h) => ScoredId(id, -h.toDouble) }
-          .agg(new TopKAgg(QuotaM).toColumn.name("sample"))
-          .flatMap { case (cell, sample) =>
-            sample.zipWithIndex.map { case (si, i) =>
-              (cell, (i + 1).toLong, si.id)
-            }
-          }
-          .toDF("cluster", "rk", "vec_id")
+          // score = -hash: topk_sketch's (score desc, id asc) = (hash
+          // asc, id asc) — hashes < 2^30 are exact in double (q34
+          // pattern); native bounded heap, O(m) state per cluster
+          .groupBy("cluster")
+          .agg(call_function("topk_sketch", col("vec_id"),
+            (-col("h")).cast("double"), lit(QuotaM)).as("sample"))
+          .select(col("cluster"),
+            posexplode(col("sample.id")).as(Seq("__p", "vec_id")))
+          .select(col("cluster"), (col("__p") + 1).cast("long").as("rk"),
+            col("vec_id"))
           .orderBy("cluster", "rk")
       },
       Some(s"""WITH ${kmeansCtes()},

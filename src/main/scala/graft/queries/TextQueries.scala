@@ -1829,26 +1829,27 @@ object TextQueries {
     // row_number + the same budget arithmetic.
     "t45_mixture_sample" -> QueryDef(
       (s, dir) => {
-        import s.implicits._
-        import graft.functions.{KMinAgg, ScoredId, TopKAgg}
+        import graft.functions.KMinAgg
         graft.functions.VectorExpressions.register(s)
         val kMax = 15 // = max budget: 5 * max weight 3
-        val docs = table(s, dir, "documents")
+        table(s, dir, "documents")
           .select(col("source"), col("doc_id"),
             KMinAgg.scramble(call_function("poly_hash",
               col("doc_id").cast("string"))).as("h"))
-          .as[(String, Long, Long)]
-        docs.groupByKey(_._1)
-          // score = -hash: TopKAgg's (score desc, id asc) = (hash asc,
-          // doc asc); scrambled hashes < 2^30 are exact in double
-          .mapValues { case (_, id, h) => ScoredId(id, -h.toDouble) }
-          .agg(new TopKAgg(kMax).toColumn.name("picked"))
-          .flatMap { case (src, picked) =>
-            val budget = 5 * (1 + src.stripPrefix("src").toInt % 3)
-            picked.sortBy(x => (-x.score, x.id)).take(budget).zipWithIndex
-              .map { case (x, i) => (src, (i + 1).toLong, x.id) }
-          }
-          .toDF("source", "rank", "doc_id")
+          // score = -hash: topk_sketch's (score desc, id asc) = (hash
+          // asc, doc asc); scrambled hashes < 2^30 are exact in double;
+          // the buffer comes back best-first, so slice(1, budget) IS
+          // the per-source quota cut
+          .groupBy("source")
+          .agg(call_function("topk_sketch", col("doc_id"),
+            (-col("h")).cast("double"), lit(kMax)).as("picked"))
+          .withColumn("budget",
+            expr("5 * (1 + CAST(substring(source, 4) AS INT) % 3)"))
+          .select(col("source"),
+            posexplode(expr("slice(picked.id, 1, budget)"))
+              .as(Seq("__p", "doc_id")))
+          .select(col("source"), (col("__p") + 1).cast("long").as("rank"),
+            col("doc_id"))
           .orderBy("source", "rank")
       },
       Some(s"""WITH ${QueryDef.scrambledHashCtes(
@@ -1930,7 +1931,7 @@ object TextQueries {
     "t47_training_manifest" -> QueryDef(
       (s, dir) => {
         import s.implicits._
-        import graft.functions.{KMinAgg, ScoredId, TopKAgg}
+        import graft.functions.KMinAgg
         graft.functions.VectorExpressions.register(s)
         val docs = table(s, dir, "documents")
         val pooled = Staged.cached(s, s"t47pool:$dir") {
@@ -1948,14 +1949,13 @@ object TextQueries {
           .select(col("source"), col("doc_id"),
             KMinAgg.scramble(call_function("poly_hash",
               col("doc_id").cast("string"))).as("h"))
-          .as[(String, Long, Long)]
-          .groupByKey(_._1)
-          .mapValues { case (_, id, h) => ScoredId(id, -h.toDouble) }
-          .agg(new TopKAgg(kMax).toColumn.name("picked"))
-          .flatMap { case (src, p) =>
-            val budget = 5 * (1 + src.stripPrefix("src").toInt % 3)
-            p.sortBy(x => (-x.score, x.id)).take(budget).map(x => (src, x.id))
-          }.toDF("source", "doc_id")
+          .groupBy("source")
+          .agg(call_function("topk_sketch", col("doc_id"),
+            (-col("h")).cast("double"), lit(kMax)).as("picked"))
+          .withColumn("budget",
+            expr("5 * (1 + CAST(substring(source, 4) AS INT) % 3)"))
+          .select(col("source"),
+            explode(expr("slice(picked.id, 1, budget)")).as("doc_id"))
         val poolN = pooled.groupBy("source").agg(count(lit(1)).as("n_pool"))
         picked.join(docs.select("doc_id", "text", "n_chars"), "doc_id")
           .groupBy("source")
