@@ -1028,15 +1028,14 @@ object EventQueries {
         import s.implicits._
         graft.functions.VectorExpressions.register(s)
         val k = 64
+        // native kmin_sketch (q33's aggregate) — same sorted-distinct
+        // <= k buffer the typed KMinListAgg fold produces
         val perDay = Relational.eventsRaw(s, dir)
           .select(expr("ts div 86400000000000").as("day"),
             graft.functions.KMinAgg.scramble(
               call_function("poly_hash", col("user_id").cast("string"))).as("hv"))
-          .distinct()
-          .as[(Long, Long)]
-          .groupByKey(_._1).mapValues(_._2)
-          .agg(new graft.functions.KMinListAgg(k).toColumn.name("mins"))
-          .toDF("day", "mins")
+          .groupBy("day")
+          .agg(call_function("kmin_sketch", col("hv"), lit(k)).as("mins"))
         val realDays = perDay.select(col("day").as("tday"))
         perDay
           .withColumn("tday", explode(sequence(col("day"), col("day") + 6)))
