@@ -81,6 +81,33 @@ class RankStatsSpec extends SparkTestBase {
     assert(got == (1L to 50L).map(k => k -> k).toMap)
   }
 
+  test("randomized differencing vs the window functions (5 seeds x 2 domains)") {
+    // seeded random datasets, heavy-tie (domain 20) and sparse (domain
+    // 10^9) value distributions, compared against row_number AND the
+    // ntile arithmetic — the operating envelope of every RankStats
+    // consumer (q93/q100/t51/q116/q115/t48)
+    for (seed <- 1 to 5; domain <- Seq(20L, 1000000000L)) {
+      val rnd = new scala.util.Random(seed)
+      val n = 300 + rnd.nextInt(200)
+      val rows = (1 to n).map { i =>
+        (math.abs(rnd.nextLong()) % domain, i.toLong)
+      }
+      val df = rows.toDF("v", "key")
+      val got = RankStats.rowNumberByValue(df, "v", "key", "r", nBuckets = 7)
+        .withColumn("tile", expr(RankStats.ntileExprFromRank("r", n, 10)))
+        .select("key", "r", "tile").as[(Long, Long, Long)]
+        .collect().map { case (k, r, t) => k -> (r, t) }.toMap
+      val want = df
+        .withColumn("r", row_number()
+          .over(Window.orderBy(col("v").desc, col("key"))).cast("long"))
+        .withColumn("tile", ntile(10)
+          .over(Window.orderBy(col("v").desc, col("key"))).cast("long"))
+        .select("key", "r", "tile").as[(Long, Long, Long)]
+        .collect().map { case (k, r, t) => k -> (r, t) }.toMap
+      assert(got == want, s"seed=$seed domain=$domain n=$n")
+    }
+  }
+
   test("negative values and explicit bounds agree with the probe path") {
     val df = Seq(-9L, -3L, -3L, 0L, 12L, 12L, 40L).zipWithIndex
       .map { case (v, i) => (v, i.toLong) }.toDF("v", "key")
