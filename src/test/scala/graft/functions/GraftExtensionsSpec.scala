@@ -17,6 +17,27 @@ class GraftExtensionsSpec extends AnyFunSuite {
 
   test("builder rejects wrong arity") {
     intercept[IllegalArgumentException](VectorExpressions.dotF32Builder(Seq.empty))
+    intercept[IllegalArgumentException](KMinSketch.builder(Seq.empty))
+    intercept[IllegalArgumentException](TopKSketch.builder(Seq.empty))
+  }
+
+  test("native sketch aggregates are callable from PLAIN SQL on a registered session") {
+    // the SQL-client contract: once registered (register() here;
+    // spark.sql.extensions on a cluster), kmin_sketch/topk_sketch work
+    // from a SQL string with no DataFrame API in sight
+    val s = graft.core.SparkTestBase.session
+    VectorExpressions.register(s)
+    import s.implicits._
+    Seq((1L, 9.0), (2L, 7.0), (3L, 9.0), (4L, 1.0))
+      .toDF("id", "score").createOrReplaceTempView("graft_ext_probe")
+    val kmin = s.sql(
+      "SELECT kmin_sketch(id, 3) AS m FROM graft_ext_probe")
+      .as[Seq[Long]].head()
+    assert(kmin == Seq(1L, 2L, 3L))
+    val top = s.sql(
+      """SELECT topk_sketch(id, score, 2) AS t FROM graft_ext_probe""")
+      .selectExpr("transform(t, e -> e.id) AS ids").as[Seq[Long]].head()
+    assert(top == Seq(1L, 3L)) // score desc, id asc tiebreak on the 9.0s
   }
 
   test("ProductGuard: extension session refuses condition-less joins when enabled") {
