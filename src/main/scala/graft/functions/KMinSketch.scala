@@ -3,11 +3,12 @@ package graft.functions
 import java.nio.ByteBuffer
 
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.trees.UnaryLike
 import org.apache.spark.sql.catalyst.util.GenericArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, ByteType, DataType, IntegerType, LongType, ShortType}
 
 /** Mutable KMV buffer: the k smallest DISTINCT hash values, kept in a
   * bounded ordered set — O(log k) insert vs the O(k) list scan of the
@@ -18,7 +19,10 @@ final class KMinBuffer(val k: Int) {
   val set = new java.util.TreeSet[java.lang.Long]()
   def insert(h: Long): Unit = {
     if (set.size < k) { set.add(h); () }
-    else if (h < set.last && !set.contains(h)) { set.add(h); set.pollLast(); () }
+    // add() reports presence itself — one tree probe for both the
+    // duplicate and the genuine-insert case (a 100-TB scan multiplies
+    // this inner loop; contains+add paid two probes per duplicate).
+    else if (h < set.last && set.add(h)) { set.pollLast(); () }
   }
 }
 
@@ -52,11 +56,25 @@ case class KMinSketch(
 
   require(k > 0, s"kmin_sketch k must be positive, got $k")
 
+  // SQL surface safety: a public aggregate must fail at ANALYSIS time
+  // on a non-integral input, not with an opaque ClassCastException in
+  // update(). (ImplicitCastInputTypes would be the idiomatic route but
+  // AbstractDataType is private[sql]; explicit check + Number widening
+  // in update() covers the same ground with public API only.)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ByteType | ShortType | IntegerType | LongType =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"kmin_sketch requires an integral hash column, got ${other.catalogString}")
+  }
+
   override def createAggregationBuffer(): KMinBuffer = new KMinBuffer(k)
 
   override def update(b: KMinBuffer, input: InternalRow): KMinBuffer = {
     val v = child.eval(input)
-    if (v != null) b.insert(v.asInstanceOf[Long])
+    // Number.longValue widens byte/short/int hashes (checkInputDataTypes
+    // guarantees an integral child, so this never truncates).
+    if (v != null) b.insert(v.asInstanceOf[Number].longValue)
     b
   }
 

@@ -39,7 +39,17 @@ class TopKAgg(k: Int) extends Aggregator[ScoredId, List[ScoredId], Seq[ScoredId]
     }
 
   override def zero: List[ScoredId] = Nil
-  override def reduce(buf: List[ScoredId], x: ScoredId): List[ScoredId] = insert(buf, x)
+  /** NaN scores are skipped, mirroring [[TopKSketch]]: under `better`
+    * a NaN both never qualifies and never loses, so an under-full
+    * buffer would retain it while a full one never evicts it —
+    * rejection up front is the only ordering-consistent treatment.
+    * -0.0 normalizes to 0.0 for the same reason (one canonical zero
+    * under both primitive == and Double.compare orderings).
+    */
+  override def reduce(buf: List[ScoredId], x: ScoredId): List[ScoredId] =
+    if (x.score.isNaN) buf
+    else if (x.score == 0.0d) insert(buf, ScoredId(x.id, 0.0d))
+    else insert(buf, x)
   override def merge(a: List[ScoredId], b: List[ScoredId]): List[ScoredId] =
     b.foldLeft(a)(insert)
   /** Output best-first (the buffer is worst-first). */

@@ -4,6 +4,7 @@ import java.nio.ByteBuffer
 import java.util.PriorityQueue
 
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.GenericArrayData
@@ -23,13 +24,18 @@ final class TopKBuffer(val k: Int) {
       if (c != 0) c else java.lang.Long.compare(b.id, a.id)
     })
   def insert(id: Long, score: Double): Unit = {
-    if (heap.size < k) { heap.offer(new TopKBuffer.Entry(id, score)); () }
+    // Normalize -0.0 -> 0.0 (Spark's NormalizeFloatingNumbers rule for
+    // comparison keys): Double.compare orders -0.0 < 0.0 while the
+    // reference fold's primitive == ties them — one canonical zero
+    // keeps heap and fold orderings identical.
+    val s = if (score == 0.0d) 0.0d else score
+    if (heap.size < k) { heap.offer(new TopKBuffer.Entry(id, s)); () }
     else {
       val w = heap.peek()
       // qualify = strictly better than the worst (TopKAgg.better)
-      if (score > w.score || (score == w.score && id < w.id)) {
+      if (s > w.score || (s == w.score && id < w.id)) {
         heap.poll()
-        heap.offer(new TopKBuffer.Entry(id, score))
+        heap.offer(new TopKBuffer.Entry(id, s))
         ()
       }
     }
@@ -57,9 +63,10 @@ object TopKBuffer {
   * spec pins this aggregate equal to it.
   *
   * Nulls in id or score are skipped (the typed path rejected them up
-  * front). NaN scores are not supported (reference fold and heap
-  * would disagree); callers score with cosine/distance expressions
-  * over validated vectors.
+  * front), and so are NaN scores — a NaN (e.g. cosine of a zero-norm
+  * vector) otherwise ranks "best" under Double.compare and could pin
+  * garbage rows into every result; [[TopKAgg]] skips them identically
+  * so the fold-equality spec holds on NaN-bearing input too.
   */
 case class TopKSketch(
     idExpr: Expression,
@@ -73,13 +80,33 @@ case class TopKSketch(
 
   override def children: Seq[Expression] = Seq(idExpr, scoreExpr)
 
+  // SQL surface safety: fail at ANALYSIS time on wrong input types, not
+  // with a runtime ClassCastException in update(). Integral ids and
+  // primitive numeric scores are accepted (Number-widened in update();
+  // DecimalType is excluded — Spark's Decimal is not a j.l.Number).
+  override def checkInputDataTypes(): TypeCheckResult =
+    (idExpr.dataType, scoreExpr.dataType) match {
+      case (ByteType | ShortType | IntegerType | LongType,
+            ByteType | ShortType | IntegerType | LongType | FloatType | DoubleType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (idT, sT) => TypeCheckResult.TypeCheckFailure(
+        s"topk_sketch requires (integral id, numeric score), got " +
+          s"(${idT.catalogString}, ${sT.catalogString})")
+    }
+
   override def createAggregationBuffer(): TopKBuffer = new TopKBuffer(k)
 
   override def update(b: TopKBuffer, input: InternalRow): TopKBuffer = {
     val id = idExpr.eval(input)
     val s = scoreExpr.eval(input)
-    if (id != null && s != null)
-      b.insert(id.asInstanceOf[Long], s.asInstanceOf[Double])
+    if (id != null && s != null) {
+      val sv = s.asInstanceOf[Number].doubleValue
+      // NaN scores are rejected up front: the heap comparator would rank
+      // NaN best (never evicted) while the reference fold's `better`
+      // treats it as worst — skipping enforces the documented contract
+      // (cosine of a zero-norm vector is 0/0 = NaN).
+      if (!sv.isNaN) b.insert(id.asInstanceOf[Number].longValue, sv)
+    }
     b
   }
 

@@ -56,12 +56,21 @@ object RankStats {
         .head
       if (r.isNullAt(0)) (0L, 0L) else (r.getLong(0), r.getLong(1))
     }
-    val width = math.max(1L, (hi - lo) / nBuckets + 1)
+    // hi - lo can exceed Long range when the domain spans both extremes
+    // (generic integral API); BigInt keeps the one-time driver-side
+    // division exact — the result is <= 2^64/nBuckets + 1, back in Long.
+    val width = ((BigInt(hi) - BigInt(lo)) / nBuckets + 1).toLong.max(1L)
+    // Divide-then-subtract, not subtract-then-divide: `v - lo` wraps for
+    // domains spanning both Long extremes, while `v DIV width` is defined
+    // for every Long and truncating division is monotone in v — buckets
+    // stay ordered and bounded (<= nBuckets + 2, the step astride zero
+    // only merges).
+    val bucketOff = lo / width
     val hist = df
       .groupBy((gs :+ col(valueCol)): _*)
       .agg(count(lit(1)).as("cnt"))
       .withColumn("__bucket",
-        expr(s"(CAST(`$valueCol` AS BIGINT) - ${lo}L) DIV ${width}L"))
+        expr(s"(CAST(`$valueCol` AS BIGINT) DIV ${width}L) - ${bucketOff}L"))
     val vOrd = if (ascending) col(valueCol).asc else col(valueCol).desc
     val bOrd = if (ascending) col("__bucket").asc else col("__bucket").desc
     val inWin = Window
