@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -2748,25 +2748,83 @@ object Relational {
     // fuse a by-spend and a by-order-count ranking of customers with
     // score = Σ 1e6 DIV (60 + rank) — rank-based, so the two signals
     // need no score normalization, and exact integer DIV keeps both
-    // engines bit-equal. One STAGED aggregation feeds BOTH rankings;
-    // each rank is the two-level prefix sum (RankStats.rowNumberByValue
-    // — #rows with a larger value + position among ties), NOT a
-    // no-partitionBy row_number window: customers scale with the data,
-    // so each of those windows ranked the whole aggregate in one task.
-    // The final top-20 plans as TakeOrderedAndProject (no full sort).
+    // engines bit-equal.
+    //
+    // The `limit(20)` licenses an EXACT Fagin-style candidate prune
+    // (threshold algorithm over sorted access lists), so neither leg
+    // ever ranks the whole customer aggregate:
+    //   * the 20 customers with spend ranks 1..20 each score
+    //     >= 1e6 DIV (60+20) = 12500, so the 20th fused score s20
+    //     >= 12500;
+    //   * a customer outside BOTH legs' top-100 scores
+    //     <= 2 * (1e6 DIV 161) = 12422 < s20 — strictly, so ties
+    //     cannot smuggle one in.
+    // Hence top-20 ⊆ top-100(spend) ∪ top-100(count): one pass over
+    // the STAGED aggregate with two bounded topk_sketch aggregates
+    // (in-list position IS the exact global rank under the identical
+    // (score DESC, key ASC) total order), one conditional-count pass
+    // for the <= 200 missing off-leg ranks, and a 200-row local fuse.
+    // At 100 TB both passes are map-side-combining scans of the
+    // customer aggregate; nothing row-scaled is ranked, joined, or
+    // collected (driver traffic is 2 x 100 id/score pairs).
+    // Scores ride as doubles inside topk_sketch — exact for cents and
+    // counts below 2^53, far above any per-customer magnitude.
     "q93_rrf_fusion" -> QueryDef(
       (s, dir) => {
+        import s.implicits._
+        val B = 100 // prune bound proven above for K=20, rrf constant 60
         val agg = Staged.custSpendAgg(s, dir)
-        val rs = graft.operators.RankStats.rowNumberByValue(
-          agg.select("o_custkey", "spend_c"), "spend_c", "o_custkey", "r_spend")
-        val rc = graft.operators.RankStats.rowNumberByValue(
-          agg.select("o_custkey", "n_orders"), "n_orders", "o_custkey", "r_count")
-        rs.join(rc, "o_custkey")
-          .withColumn("rrf_scaled",
-            expr("1000000 DIV (60 + r_spend) + 1000000 DIV (60 + r_count)"))
-          .select("o_custkey", "r_spend", "r_count", "rrf_scaled")
-          .orderBy(desc("rrf_scaled"), asc("o_custkey"))
-          .limit(20)
+        val topsRow = agg.agg(
+          call_function("topk_sketch",
+            col("o_custkey"), col("spend_c").cast("double"), lit(B)).as("sp"),
+          call_function("topk_sketch",
+            col("o_custkey"), col("n_orders").cast("double"), lit(B)).as("ct"))
+          .head()
+        def ranksOf(i: Int): Map[Long, Long] =
+          topsRow.getSeq[org.apache.spark.sql.Row](i).zipWithIndex
+            .map { case (r, pos) => r.getLong(0) -> (pos + 1L) }.toMap
+        val rSpend = ranksOf(0) // position in the global top-B IS the rank
+        val rCount = ranksOf(1)
+        val candIds = (rSpend.keySet ++ rCount.keySet).toSeq.sorted
+        // one cached-scan lookup of the <= 2B candidates' own values
+        val cand = agg
+          .filter(col("o_custkey").isin(candIds: _*))
+          .select("o_custkey", "spend_c", "n_orders")
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        // exact off-leg rank = 1 + #rows strictly better under
+        // (value DESC, o_custkey ASC); ALL missing ranks ride one
+        // conditional-count scan as independent codegen'd sums
+        val missing: Seq[(String, Column)] = cand.toSeq.flatMap {
+          case (id, cs, cn) =>
+            val sp = if (rSpend.contains(id)) Nil else Seq(s"s_$id" ->
+              sum(when(col("spend_c") > cs ||
+                (col("spend_c") === cs && col("o_custkey") < id),
+                1L).otherwise(0L)))
+            val ct = if (rCount.contains(id)) Nil else Seq(s"c_$id" ->
+              sum(when(col("n_orders") > cn ||
+                (col("n_orders") === cn && col("o_custkey") < id),
+                1L).otherwise(0L)))
+            sp ++ ct
+        }
+        val extra: Map[String, Long] =
+          if (missing.isEmpty) Map.empty
+          else {
+            val row = agg.agg(
+              missing.head._2.as(missing.head._1),
+              missing.tail.map { case (n, c) => c.as(n) }: _*).head()
+            missing.zipWithIndex.map { case ((n, _), i) =>
+              n -> (row.getLong(i) + 1L)
+            }.toMap
+          }
+        val fused = cand.toSeq.map { case (id, _, _) =>
+          val rs = rSpend.getOrElse(id, extra(s"s_$id"))
+          val rc = rCount.getOrElse(id, extra(s"c_$id"))
+          (id, rs, rc, 1000000L / (60L + rs) + 1000000L / (60L + rc))
+        }
+        fused.sortBy { case (id, _, _, score) => (-score, id) }
+          .take(20)
+          .toDF("o_custkey", "r_spend", "r_count", "rrf_scaled")
       },
       Some("""WITH agg AS (
              |  SELECT o_custkey,
@@ -2935,23 +2993,46 @@ object Relational {
     // decile of customers carry? Deciles replicate
     // ntile(10) OVER (ORDER BY spend_c DESC, o_custkey) EXACTLY but
     // WITHOUT the no-partitionBy window (customers scale with the
-    // data, so that window ranked the whole aggregate in one task):
-    // rank via the two-level prefix sum, then the ntile bucket
-    // arithmetic (RankStats.ntileExprFromRank — both engines assign
-    // the extra rows to the earliest buckets). The 2-value (n, total)
-    // driver boundary reads the STAGED aggregate, not orders.
+    // data, so that window ranked the whole aggregate in one task) —
+    // and WITHOUT per-row ranks at all: every row of an equal-spend
+    // value block contributes the same (1, spend_c) wherever the
+    // custkey tiebreak would have placed it, so the report only needs
+    // each block's rank interval [cum-cnt+1, cum] from ONE cumulative
+    // value histogram (RankStats.cumulativeHistogram), exploded across
+    // the <= 10 deciles it overlaps with exact integer ntile-boundary
+    // arithmetic (both engines assign the q+1-sized buckets first).
+    // vs the per-row formulation this drops the tie-level histogram
+    // and both row-scaled join-backs: the only data-scaled stage left
+    // is the histogram groupBy. The 2-value (n, total) driver boundary
+    // reads the STAGED aggregate, not orders.
     "q100_decile_report" -> QueryDef(
       (s, dir) => {
         val agg = Staged.custSpendAgg(s, dir).select("o_custkey", "spend_c")
         val st = agg.agg(count(lit(1)).as("n"), sum("spend_c").as("tot")).head
         val n = st.getLong(0); val total = st.getLong(1)
-        graft.operators.RankStats
-          .rowNumberByValue(agg, "spend_c", "o_custkey", "__r")
-          .withColumn("decile",
-            expr(graft.operators.RankStats.ntileExprFromRank("__r", n, 10)))
+        // ntile(10) geometry: first `rem` deciles take q+1 rows (their
+        // rank space ends at cut), the rest take q
+        val q = n / 10L; val rem = n % 10L; val cut = (q + 1L) * rem
+        val hist = graft.operators.RankStats
+          .cumulativeHistogram(agg, Seq.empty, "spend_c", ascending = false)
+        hist
+          .withColumn("__a", col("cum") - col("cnt") + 1L) // block rank span
+          .withColumn("__d1",
+            expr(graft.operators.RankStats.ntileExprFromRank("__a", n, 10)))
+          .withColumn("__d2",
+            expr(graft.operators.RankStats.ntileExprFromRank("cum", n, 10)))
+          .withColumn("decile", explode(expr("sequence(__d1, __d2)")))
+          // decile d's rank interval [tstart, tend], exact integers
+          .withColumn("__tstart", expr(
+            s"CASE WHEN decile <= ${rem}L THEN (decile-1) * ${q + 1L}L + 1 " +
+              s"ELSE ${cut}L + (decile - ${rem}L - 1) * ${q}L + 1 END"))
+          .withColumn("__tend", expr(
+            s"__tstart + CASE WHEN decile <= ${rem}L THEN ${q}L ELSE ${q - 1L}L END"))
+          .withColumn("__ov",
+            expr("least(cum, __tend) - greatest(__a, __tstart) + 1"))
           .groupBy("decile")
-          .agg(count(lit(1)).as("n_customers"),
-            sum("spend_c").as("decile_spend_c"))
+          .agg(sum("__ov").as("n_customers"),
+            sum(col("__ov") * col("spend_c")).as("decile_spend_c"))
           .withColumn("share_permille",
             expr(s"1000 * decile_spend_c DIV ${total}L"))
           .orderBy("decile")
