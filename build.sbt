@@ -11,6 +11,15 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The per-round driver parses the LAST stdout line of
+// `sbt "runMain graft.Bench"` as JSON. Two sbt behaviors broke that in
+// every artifact through r11: forked stdout was logger-prefixed
+// ("[info] {...}") and sbt appended a trailing "[success] Total time"
+// line. Route forked output straight through stdout (no prefixes) and
+// drop the success line so Bench's compact summary IS the last line.
+outputStrategy := Some(StdoutOutput)
+Compile / run / outputStrategy := Some(StdoutOutput)
+showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

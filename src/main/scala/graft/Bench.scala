@@ -35,22 +35,37 @@ object Bench {
     // sorted iteration: stable query order across rounds AND across passes,
     // so staged first-touch costs land on the same query every time
     val names = SparkEntry.queries.keys.toSeq.sorted
-    // per-query best time across passes; NaN = never succeeded
+    // per-query best NET time across passes (staged-build wall time
+    // billed separately below); NaN = never succeeded
     val best = scala.collection.mutable.Map[String, Double]()
+    // per-staged-key best build seconds across passes — each pass
+    // rebuilds every staged artifact (release() below), so min-of-passes
+    // applies to staging exactly like it does to queries
+    val bestStage = scala.collection.mutable.Map[String, Double]()
     val everFailed = scala.collection.mutable.Set[String]()
     for (pass <- 1 to runs) {
       names.foreach { name =>
         val fn = SparkEntry.queries(name)
+        val st0 = graft.queries.Staged.stagingNanos.get()
         val t0 = System.nanoTime()
         // noop sink: materializes EVERY output column (count() would let
         // Catalyst prune payload expressions and under-measure)
         val failed = try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); false }
           catch { case e: Throwable =>
             System.err.println(s"[bench] $name FAILED (pass $pass): ${e.getMessage}"); true }
-        val elapsed = (System.nanoTime() - t0) / 1e9
+        // staged first-touch (Staged.staged forces materialization at
+        // build time) is billed to the `staging` map, NOT to whichever
+        // query alphabetically touches the shared artifact first — the
+        // round-11 sim6/t51 adjudication problem, now explicit per row
+        val staging = (graft.queries.Staged.stagingNanos.get() - st0) / 1e9
+        val elapsed = (System.nanoTime() - t0) / 1e9 - staging
         if (failed) everFailed += name
         else best(name) = math.min(best.getOrElse(name, Double.MaxValue), elapsed)
       }
+      graft.queries.Staged.stagingByKey.foreach { case (k, v) =>
+        bestStage(k) = math.min(bestStage.getOrElse(k, Double.MaxValue), v)
+      }
+      graft.queries.Staged.stagingByKey.clear()
       // steady-state protocol: release every staged/dense-index cache so the
       // next pass (or a repeated in-JVM run) starts from a clean
       // executor-memory state instead of inheriting this pass's caches
@@ -67,19 +82,25 @@ object Bench {
     }.mkString("{", ",", "}")
     val errs = names.filter(k => !best.contains(k)).map("\"" + _ + "\"")
       .mkString("[", ",", "]")
-    val total = best.values.sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"runs":$runs,"sf":"$sfDir"}"""
+    // grand total = query nets + staged-build seconds, so `value` stays
+    // comparable with pre-r12 artifacts (which billed staging inside
+    // whichever query touched each artifact first)
+    val stagingTotal = bestStage.values.sum
+    val total = best.values.sum + stagingTotal
+    val stg = bestStage.toSeq.sortBy(-_._2).map { case (k, v) =>
+      "\"" + k + "\":" + f"$v%.3f"
+    }.mkString("{", ",", "}")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"staging":$stg,"staging_total":$stagingTotal,"errors":$errs,"runs":$runs,"sf":"$sfDir"}"""
     println(line)
     // Self-contained artifact: the stdout line is captured by the driver
     // as a LOG TAIL, which truncated the first ~28 queries out of two
     // rounds' BENCH artifacts. Persist the complete per-query JSON to a
-    // repo file so the record never depends on log capture. Accounting
-    // note, recorded here because it is a protocol property: staged
-    // artifacts (Staged.liFrame etc.) are built once per pass and shared
-    // across the dca family, so each staged build's first-touch cost is
-    // billed to the ALPHABETICALLY FIRST query that touches it in that
-    // pass (stable across rounds: iteration is sorted) — e.g. dca_m1
-    // pays liFlagFrame staging for dca_m2, dca_s9 pays its own.
+    // repo file so the record never depends on log capture. Protocol
+    // note: since r12, staged-artifact build time (Staged.staged forces
+    // materialization at build) rides the `staging` map — `queries`
+    // rows are NET of shared first-touch, directly comparable to
+    // standalone re-measures; pre-r12 artifacts billed staging to the
+    // alphabetically first consumer.
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get(
         sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")),
@@ -100,7 +121,7 @@ object Bench {
       val ent = "\"" + k + "\":" + f"${best(k)}%.3f"
       if (used + ent.length + 1 <= budget) { kept += ent; used += ent.length + 1 }
     }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":{${kept.mkString(",")}},"queries_total":${names.size},"queries_in_full_artifact":"BENCH_FULL.json or SPARK_GRAFT_BENCH_OUT","errors":$errs,"runs":$runs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":{${kept.mkString(",")}},"queries_total":${names.size},"staging_total":$stagingTotal,"queries_in_full_artifact":"BENCH_FULL.json or SPARK_GRAFT_BENCH_OUT","errors":$errs,"runs":$runs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

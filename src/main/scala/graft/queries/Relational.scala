@@ -2772,6 +2772,7 @@ object Relational {
     "q93_rrf_fusion" -> QueryDef(
       (s, dir) => {
         import s.implicits._
+        graft.functions.VectorExpressions.register(s)
         val B = 100 // prune bound proven above for K=20, rrf constant 60
         val agg = Staged.custSpendAgg(s, dir)
         val topsRow = agg.agg(

@@ -34,41 +34,95 @@ object Staged {
       m
     }
 
+  /** Nanoseconds spent inside OUTERMOST staged builds since process
+    * start. Bench reads the delta around each query to bill staging
+    * first-touch separately from the query's own compute — the
+    * round-11 adjudication problem (sim6 17.1 s full-pass vs ~10 s
+    * standalone was staged first-touch, only provable via PROBES
+    * exegesis). Nested builds (docNearDupPairs -> docShingles) are
+    * inside the outer build's wall time, so only depth-0 builds
+    * accumulate here.
+    */
+  val stagingNanos = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Per-key build seconds of the most recent build — the bench
+    * artifact's `staging` map (wall time incl. nested sub-builds).
+    */
+  val stagingByKey = TrieMap.empty[String, Double]
+
+  private val buildDepth = new ThreadLocal[Integer] {
+    override def initialValue(): Integer = 0
+  }
+
+  /** Force-materialize a staged value at build time so its cost lands
+    * in the staging bill, not in whichever query's first action would
+    * otherwise have faulted the cache in. count() materializes the
+    * full columnar cache of a persisted frame; paths/tuples of paths
+    * were materialized by their writes.
+    */
+  private def force(v: Any): Unit = v match {
+    case d: DataFrame  => d.count(); ()
+    case f: DcaFrame   => f.df.count(); ()
+    case (a, b)        => force(a); force(b)
+    case _             => ()
+  }
+
+  /** The memoization wrapper every staged entry goes through: builds
+    * once per (session, key), forces materialization, and bills the
+    * build's wall time to [[stagingNanos]]/[[stagingByKey]].
+    */
+  private def staged[A](s: SparkSession, key: String)(build: => A): A =
+    cacheFor(s).getOrElseUpdate(key, {
+      val d0: Int = buildDepth.get()
+      buildDepth.set(d0 + 1)
+      val t0 = System.nanoTime()
+      try {
+        val r = build
+        force(r)
+        r
+      } finally {
+        buildDepth.set(d0)
+        val dt = System.nanoTime() - t0
+        stagingByKey.put(key, dt / 1e9)
+        if (d0 == 0) { stagingNanos.addAndGet(dt); () }
+      }
+    }).asInstanceOf[A]
+
   /** lineitem as a 1-D DcaFrame ordered by (l_orderkey, l_linenumber),
     * payload (keys + qty cents); persisted (inside fromDF) on first
     * build.
     */
   def liFrame(s: SparkSession, dir: String): DcaFrame =
-    cacheFor(s).getOrElseUpdate(s"li:$dir", {
+    staged(s, s"li:$dir") {
       val df = table(s, dir, "lineitem")
         .select(col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
           cents(col("l_quantity")).as("qty_c"))
       DcaFrame.fromDF(df, Seq(col("l_orderkey"), col("l_linenumber")))
-    }).asInstanceOf[DcaFrame]
+    }
 
   /** lineitem restricted to one return flag, same ordering/payload as
     * [[liFrame]] — staged per (dir, flag) so stack/concat queries reuse
     * the constructed frame instead of paying fromDF per invocation.
     */
   def liFlagFrame(s: SparkSession, dir: String, flag: String): DcaFrame =
-    cacheFor(s).getOrElseUpdate(s"liflag:$dir:$flag", {
+    staged(s, s"liflag:$dir:$flag") {
       val df = table(s, dir, "lineitem").filter(col("l_returnflag") === flag)
         .select(col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
           cents(col("l_quantity")).as("qty_c"))
       DcaFrame.fromDF(df, Seq(col("l_orderkey"), col("l_linenumber")))
-    }).asInstanceOf[DcaFrame]
+    }
 
   /** lineitem frame with a two-column (qty, price) cents payload —
     * shared by the mapField family.
     */
   def liWideFrame(s: SparkSession, dir: String): DcaFrame =
-    cacheFor(s).getOrElseUpdate(s"liwide:$dir", {
+    staged(s, s"liwide:$dir") {
       val df = table(s, dir, "lineitem")
         .select(col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
           cents(col("l_quantity")).as("qty_c"), cents(col("l_extendedprice")).as("price_c"))
       DcaFrame.fromDF(df, Seq(col("l_orderkey"), col("l_linenumber")),
         arrayCols = Seq("qty_c", "price_c"))
-    }).asInstanceOf[DcaFrame]
+    }
 
   /** Contracted event-transition graph (src, dst, cost): the full
     * scan + per-user window + groupBy contracts millions of
@@ -79,7 +133,7 @@ object Staged {
     * integers end to end.
     */
   def eventEdges(s: SparkSession, dir: String): DataFrame =
-    cacheFor(s).getOrElseUpdate(s"evedges:$dir", {
+    staged(s, s"evedges:$dir") {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("user_id").orderBy("ts", "event_id")
       Relational.eventsRaw(s, dir)
@@ -90,7 +144,7 @@ object Staged {
         .groupBy(col("prev_type").as("src"), col("event_type").as("dst"))
         .agg(expr("CAST(1000000000 DIV count(1) AS BIGINT)").as("cost"))
         .persist(StorageLevel.MEMORY_AND_DISK)
-    }).asInstanceOf[DataFrame]
+    }
 
   /** Per-customer order aggregate (o_custkey, spend_c, n_orders) — the
     * ranking input shared by the RRF-fusion and decile-report queries;
@@ -98,21 +152,21 @@ object Staged {
     * replay the cache, never the orders scan.
     */
   def custSpendAgg(s: SparkSession, dir: String): DataFrame =
-    cacheFor(s).getOrElseUpdate(s"custspend:$dir", {
+    staged(s, s"custspend:$dir") {
       table(s, dir, "orders")
         .groupBy("o_custkey")
         .agg(sum(cents(col("o_totalprice"))).as("spend_c"),
           count(lit(1)).as("n_orders"))
         .persist(StorageLevel.MEMORY_AND_DISK)
-    }).asInstanceOf[DataFrame]
+    }
 
   /** documents 3-gram shingle table (doc_id, __sh), persisted. */
   def docShingles(s: SparkSession, dir: String): DataFrame =
-    cacheFor(s).getOrElseUpdate(s"sh:$dir", {
+    staged(s, s"sh:$dir") {
       table(s, dir, "documents")
         .select(col("doc_id"), TextOps.shingles(col("text"), 3).as("__sh"))
         .persist(StorageLevel.MEMORY_AND_DISK)
-    }).asInstanceOf[DataFrame]
+    }
 
   /** MinHash-LSH verified near-dup pair table (doc_a, doc_b, jacc_pct)
     * at the d2 threshold, persisted — shared by the pair query itself
@@ -120,21 +174,21 @@ object Staged {
     * signature generation, banding, and verification).
     */
   def docNearDupPairs(s: SparkSession, dir: String): DataFrame =
-    cacheFor(s).getOrElseUpdate(s"ndpairs:$dir", {
+    staged(s, s"ndpairs:$dir") {
       graft.operators.Dedup.nearDupPairsFromShingles(
           docShingles(s, dir), "doc_id", "__sh",
           hashed = Some(docShingleHashes(s, dir)))
         .persist(StorageLevel.MEMORY_AND_DISK)
-    }).asInstanceOf[DataFrame]
+    }
 
   /** Connected components over [[docNearDupPairs]] (id, rep) — the
     * operator returns an owned persisted frame; staging it hands the
     * release to the session lifecycle ([[release]]).
     */
   def docDupComponents(s: SparkSession, dir: String): DataFrame =
-    cacheFor(s).getOrElseUpdate(s"ndcomp:$dir", {
+    staged(s, s"ndcomp:$dir") {
       graft.operators.Dedup.connectedComponents(docNearDupPairs(s, dir))
-    }).asInstanceOf[DataFrame]
+    }
 
   /** Warm-start (incremental) connected components: the OLD 80% of the
     * corpus (doc_id % 5 != 4) is labeled first, then CONTRACTED to its
@@ -151,7 +205,7 @@ object Staged {
     * staged, so the session lifecycle releases them.
     */
   def incrementalDupComponents(s: SparkSession, dir: String): DataFrame =
-    cacheFor(s).getOrElseUpdate(s"ndcompinc:$dir", {
+    staged(s, s"ndcompinc:$dir") {
       val pairs = docNearDupPairs(s, dir).select("doc_a", "doc_b")
       def isNew(c: org.apache.spark.sql.Column) = c % 5 === 4
       val oldPairs = pairs.filter(!isNew(col("doc_a")) && !isNew(col("doc_b")))
@@ -163,7 +217,7 @@ object Staged {
         starEdges.union(newPairs))
       graft.operators.Dedup.release(labels0)
       inc
-    }).asInstanceOf[DataFrame]
+    }
 
   /** Materialized IVF index built on the OLD 80% of the embeddings
     * (vec_id % 5 != 4), with the new 20% APPENDED against the stale
@@ -172,7 +226,7 @@ object Staged {
     * bench re-runs can never double-append; returns the index path.
     */
   def ivfAppendIndex(s: SparkSession, dir: String): String =
-    cacheFor(s).getOrElseUpdate(s"ivfappend:$dir", {
+    staged(s, s"ivfappend:$dir") {
       val emb = table(s, dir, "embeddings")
       val path = new java.io.File(
         s"target/ivf_append/${dir.replaceAll("[^A-Za-z0-9.]", "_")}").getAbsolutePath
@@ -181,16 +235,16 @@ object Staged {
       graft.operators.Similarity.appendToIvfIndex(
         s, emb.filter(col("vec_id") % 5 === 4), path)
       path
-    }).asInstanceOf[String]
+    }
 
   /** Star-contraction connected components over [[docNearDupPairs]] —
     * the O(log n)-round fallback path, staged so repeated bench passes
     * don't accumulate checkpointed label frames.
     */
   def docDupComponentsStar(s: SparkSession, dir: String): DataFrame =
-    cacheFor(s).getOrElseUpdate(s"ndcompstar:$dir", {
+    staged(s, s"ndcompstar:$dir") {
       graft.operators.Dedup.connectedComponentsStar(docNearDupPairs(s, dir))
-    }).asInstanceOf[DataFrame]
+    }
 
   /** Generic session-scoped staged DataFrame: persisted on first
     * build, released with the session lifecycle ([[release]]) like
@@ -199,8 +253,7 @@ object Staged {
     * operator with no release path.
     */
   def cached(s: SparkSession, key: String)(build: => DataFrame): DataFrame =
-    cacheFor(s).getOrElseUpdate(key,
-      build.persist(StorageLevel.MEMORY_AND_DISK)).asInstanceOf[DataFrame]
+    staged(s, key)(build.persist(StorageLevel.MEMORY_AND_DISK))
 
   /** Memoized disk-artifact path: the builder writes its files once
     * per (session, key) and returns the path; later calls reuse the
@@ -208,7 +261,7 @@ object Staged {
     * overwrites).
     */
   def cachedPath(s: SparkSession, key: String)(build: => String): String =
-    cacheFor(s).getOrElseUpdate(key, build).asInstanceOf[String]
+    staged(s, key)(build)
 
   /** Memoizer for operator results that arrive ALREADY persisted /
     * checkpoint-leafed under a caller-owns-release contract (e.g.
@@ -218,7 +271,7 @@ object Staged {
     * bench/determinism runs don't leak localCheckpoint executor blocks.
     */
   def cachedOwned(s: SparkSession, key: String)(build: => DataFrame): DataFrame =
-    cacheFor(s).getOrElseUpdate(key, build).asInstanceOf[DataFrame]
+    staged(s, key)(build)
 
   /** documents overlapping k-word window hash table (__id, __i, __h),
     * persisted — [[graft.operators.Dedup.substringDedupFromGrams]]
@@ -226,45 +279,45 @@ object Staged {
     * staging makes the ngram+hash pipeline run once.
     */
   def substrGrams(s: SparkSession, dir: String, k: Int): DataFrame =
-    cacheFor(s).getOrElseUpdate(s"sgrams:$dir:$k", {
+    staged(s, s"sgrams:$dir:$k") {
       graft.functions.VectorExpressions.register(s)
       graft.operators.Dedup.windowHashTable(
           table(s, dir, "documents"), "doc_id", "text", k)
         .persist(StorageLevel.MEMORY_AND_DISK)
-    }).asInstanceOf[DataFrame]
+    }
 
   /** documents word-token table (doc_id, term) — one row per non-empty
     * token occurrence, persisted; shared by the TF-IDF and Count-Min
     * queries (each would otherwise re-scan and re-explode the corpus).
     */
   def docTerms(s: SparkSession, dir: String): DataFrame =
-    cacheFor(s).getOrElseUpdate(s"terms:$dir", {
+    staged(s, s"terms:$dir") {
       table(s, dir, "documents")
         .select(col("doc_id"), explode(TextOps.words(col("text"))).as("term"))
         .filter(length(col("term")) > 0)
         .persist(StorageLevel.MEMORY_AND_DISK)
-    }).asInstanceOf[DataFrame]
+    }
 
   /** exploded shingle-hash table (__id, __h) shared by MinHash AND
     * SimHash — hash each shingle once per session, not once per sketch.
     */
   def docShingleHashes(s: SparkSession, dir: String): DataFrame =
-    cacheFor(s).getOrElseUpdate(s"shh:$dir", {
+    staged(s, s"shh:$dir") {
       graft.operators.Dedup.shingleHashTable(docShingles(s, dir), "doc_id", "__sh")
         .persist(StorageLevel.MEMORY_AND_DISK)
-    }).asInstanceOf[DataFrame]
+    }
 
   /** shingle-hash table under the engine-portable 60-bit hash
     * ([[graft.operators.Dedup.portableHash60]]) — the variant whose
     * sketches a DuckDB oracle can recompute bit-for-bit.
     */
   def docShingleHashesPortable(s: SparkSession, dir: String): DataFrame =
-    cacheFor(s).getOrElseUpdate(s"shhp:$dir", {
+    staged(s, s"shhp:$dir") {
       graft.functions.VectorExpressions.register(s)
       graft.operators.Dedup.shingleHashTable(docShingles(s, dir), "doc_id", "__sh",
           graft.operators.Dedup.portableHash60)
         .persist(StorageLevel.MEMORY_AND_DISK)
-    }).asInstanceOf[DataFrame]
+    }
 
   /** (__id, __sim) 60-bit SimHash sketch table, persisted — one row
     * per doc. The sketch aggregation feeds FOUR consumers in the
@@ -274,11 +327,11 @@ object Staged {
     * consumer).
     */
   def docSimhash60(s: SparkSession, dir: String): DataFrame =
-    cacheFor(s).getOrElseUpdate(s"sim60:$dir", {
+    staged(s, s"sim60:$dir") {
       graft.operators.Dedup
         .simhashColsFromHashes(docShingleHashesPortable(s, dir), 60)
         .persist(StorageLevel.MEMORY_AND_DISK)
-    }).asInstanceOf[DataFrame]
+    }
 
   /** lineitem + orders staged ONCE per (session, dir) as 8-bucket
     * parquet TABLES on the order key ([[graft.sources.GraftIO
@@ -297,7 +350,7 @@ object Staged {
     * Disk-backed like the bucketed tables (nothing to unpersist).
     */
   def manifestedLineitem(s: SparkSession, dir: String): String =
-    cacheFor(s).getOrElseUpdate(s"mfli:$dir", {
+    staged(s, s"mfli:$dir") {
       val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
       val path = s"target/manifest_li_$tag"
       GraftIO.writeWithManifest(table(s, dir, "lineitem")
@@ -305,7 +358,7 @@ object Staged {
           cents(col("l_extendedprice")).as("price_c")),
         path, "l_orderkey", nFiles = 16)
       path
-    }).asInstanceOf[String]
+    }
 
   /** Build-once persisted near-dup index for the `doc_id < 250` corpus
     * slice (d12/d25's contract) under target/, memoized per (session,
@@ -313,7 +366,7 @@ object Staged {
     * corpus.
     */
   def nearDupIndex(s: SparkSession, dir: String): String =
-    cacheFor(s).getOrElseUpdate(s"ndidx:$dir", {
+    staged(s, s"ndidx:$dir") {
       val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
       val path = s"target/neardup_idx_$tag"
       graft.operators.Dedup.buildNearDupIndex(
@@ -321,14 +374,14 @@ object Staged {
           .select("doc_id", "text"),
         path, "text", "doc_id")
       path
-    }).asInstanceOf[String]
+    }
 
   /** [[nearDupIndex]] (docs < 250) merged with the 250..299 delta via
     * [[graft.operators.Dedup.mergeNearDupIndex]] — the compacted index
     * d26 probes; memoized so bench reruns pay one merge.
     */
   def mergedNearDupIndex(s: SparkSession, dir: String): String =
-    cacheFor(s).getOrElseUpdate(s"ndidxm:$dir", {
+    staged(s, s"ndidxm:$dir") {
       val base = nearDupIndex(s, dir)
       val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
       val path = s"target/neardup_idx_merged_$tag"
@@ -338,7 +391,7 @@ object Staged {
           .select("doc_id", "text"),
         path, "text", "doc_id")
       path
-    }).asInstanceOf[String]
+    }
 
   /** orders written ONCE per (session, dir) PARTITIONED BY
     * o_orderpriority (hive-style dirs) + a 5-row (pri, cls) dimension
@@ -349,7 +402,7 @@ object Staged {
     * unpersist.
     */
   def partitionedOrders(s: SparkSession, dir: String): (String, String) =
-    cacheFor(s).getOrElseUpdate(s"partord:$dir", {
+    staged(s, s"partord:$dir") {
       val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
       val factPath = s"target/orders_part_$tag"
       val dimPath = s"target/orders_pridim_$tag"
@@ -361,10 +414,10 @@ object Staged {
             lit("hot")).otherwise(lit("cold")))
         .write.mode("overwrite").parquet(dimPath)
       (factPath, dimPath)
-    }).asInstanceOf[(String, String)]
+    }
 
   def bucketedLiOrd(s: SparkSession, dir: String): (DataFrame, DataFrame) =
-    cacheFor(s).getOrElseUpdate(s"bkt:$dir", {
+    staged(s, s"bkt:$dir") {
       val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
       GraftIO.writeBucketed(table(s, dir, "lineitem")
         .select(col("l_orderkey"), col("l_quantity")),
@@ -373,7 +426,7 @@ object Staged {
         .select(col("o_orderkey"), col("o_orderpriority")),
         s"ord_bkt_$tag", "o_orderkey", buckets = 8)
       (s.table(s"li_bkt_$tag"), s.table(s"ord_bkt_$tag"))
-    }).asInstanceOf[(DataFrame, DataFrame)]
+    }
 
   /** Release every staged artifact for this session: the memoized
     * frames/tables above AND all dense-index staging caches created by

@@ -29,9 +29,12 @@ object BenchSome {
     // the first measured query — same warm-up as Bench.
     spark.range(1000).selectExpr("sum(id)", "upper('x')").write.format("noop").mode("overwrite").save()
     names.foreach { name =>
-      val df = graft.SparkEntry.queries(name)(spark, sfDir)
+      // time fn() AND the sink, like Bench: queries that stage or
+      // prune driver-side (e.g. q93's Fagin candidate passes) do real
+      // work inside fn — timing the write alone under-measures them
       val t0 = System.nanoTime()
-      df.write.format("noop").mode("overwrite").save()
+      graft.SparkEntry.queries(name)(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
       println(f"[bench] $name%-20s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
     }
     spark.stop()
