@@ -19,7 +19,10 @@ run / fork := true
 // drop the success line so Bench's compact summary IS the last line.
 outputStrategy := Some(StdoutOutput)
 Compile / run / outputStrategy := Some(StdoutOutput)
-showSuccess := false
+Global / showSuccess := false
+// showSuccess is consumed by sbt's command layer, which the unused-key
+// lint cannot see — exclude it rather than lose the suppression
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -214,7 +214,34 @@ object ProductQuant {
                 m: Int = 8, ks: Int = 8, iters: Int = 1, candC: Int = 100,
                 idCol: String = "vec_id", vecCol: String = "embedding",
                 qidCol: String = "qid", qvecCol: String = "qvec",
-                quantScale: Int = 1000): DataFrame = {
+                quantScale: Int = 1000): DataFrame =
+    probeIvfPq(
+      buildIvfPqIndex(corpus, dims, nCells, m, ks, iters, idCol, vecCol, quantScale),
+      corpus, queries, k, nProbe, candC, idCol, vecCol, qidCol, qvecCol, quantScale)
+
+  /** Query-independent IVF-PQ index: coarse centroids, per-subspace PQ
+    * codebooks, and the encoded corpus (id, __cell, __codes). This is
+    * the artifact a 100 TB pipeline trains once and PERSISTS (the
+    * FAISS .index file); splitting it from [[probeIvfPq]] lets callers
+    * stage it (sim6 bills the build to the bench's staging map) and
+    * reuse it across query batches instead of retraining per query set.
+    */
+  final case class IvfPqIndex(
+      cents: Seq[Similarity.Centroid],
+      cbs: Codebooks,
+      sd: Int,
+      indexed: DataFrame)
+
+  /** Train centroids + codebooks and encode the corpus — everything
+    * query-independent about [[ivfPqTopK]], in one corpus pass after
+    * training. The encoded table is NOT persisted here; callers that
+    * reuse it stage it (Staged forces materialization and handles
+    * release).
+    */
+  def buildIvfPqIndex(corpus: DataFrame, dims: Int, nCells: Int = 16,
+                      m: Int = 8, ks: Int = 8, iters: Int = 1,
+                      idCol: String = "vec_id", vecCol: String = "embedding",
+                      quantScale: Int = 1000): IvfPqIndex = {
     graft.functions.VectorExpressions.register(corpus.sparkSession)
     val sd = dims / m
     val cents = Similarity.bootstrapCentroids(corpus, nCells, idCol, vecCol)
@@ -229,6 +256,22 @@ object ProductQuant {
       .select(col(idCol), col("__cell"), array((0 until m).map { s0 =>
         cellFor(subVec(col("__qv"), s0, sd), cbs(s0))
       }: _*).as("__codes"))
+    IvfPqIndex(cents, cbs, sd, indexed)
+  }
+
+  /** Probe side of [[ivfPqTopK]]: nProbe cells + per-query ADC tables
+    * against a prebuilt [[IvfPqIndex]], bounded candidate cut, exact
+    * cosine re-rank against `corpus` (the raw-vector table — the index
+    * itself carries only cells/codes, like a real ANN index file).
+    */
+  def probeIvfPq(index: IvfPqIndex, corpus: DataFrame, queries: DataFrame,
+                 k: Int, nProbe: Int = 6, candC: Int = 100,
+                 idCol: String = "vec_id", vecCol: String = "embedding",
+                 qidCol: String = "qid", qvecCol: String = "qvec",
+                 quantScale: Int = 1000): DataFrame = {
+    graft.functions.VectorExpressions.register(corpus.sparkSession)
+    val IvfPqIndex(cents, cbs, sd, indexed) = index
+    val m = cbs.length
     // query side: nProbe nearest cells + the per-query ADC table, one
     // row per (query, probed cell) — broadcast (tiny by construction)
     val probes = queries

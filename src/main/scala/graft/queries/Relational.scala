@@ -1615,28 +1615,44 @@ object Relational {
     // Top co-purchased part pairs by exact-integer scaled lift =
     // P(x,y)/(P(x)P(y)) — the classic association-rule primitive
     // (t23's PMI surrogate lifted from text bigrams to order baskets).
-    // Pair generation is a SELF-JOIN ON THE ORDER KEY with pa < pb:
-    // fanout per order is k(k-1)/2 for a k-item basket, and baskets
-    // are bounded (TPC-H ≤ 7 lines; a retail basket ~10²) — so the
-    // join output is a small constant × lineitem, NOT all-pairs over
-    // parts. Per-part supports and the pair counts are map-side-
-    // combining aggs; lift's division order (c_xy·1e6 DIV c_x, then
+    // Shape: collect each order's DISTINCT parts with ONE exchange of
+    // lineitem (groupBy(order) + map-side-combining collect_set — the
+    // dedup rides the same aggregation), then generate the k(k-1)/2
+    // in-basket pairs with a codegen'd array lambda over the sorted
+    // basket — no self-join, so lineitem crosses the wire once instead
+    // of three times (the pre-r12 formulation paid a distinct shuffle
+    // PLUS both sides of a key-join re-exchange, and recomputed the
+    // distinct for every consumer). Fanout per order is bounded by
+    // basket size (TPC-H <= 7 lines; a retail basket ~10²), so the
+    // exploded pair volume is a small constant x lineitem, NOT
+    // all-pairs over parts. The basket table is staged (billed to the
+    // staging map) because supports, pair counts, and the order count
+    // all read it. Lift's division order (c_xy·1e6 DIV c_x, then
     // ·N DIV c_y — t23's overflow discipline: every intermediate
-    // ≤ c_xy·1e6 ≤ 9e12 at 1e6 orders, safe to N ~ 9e12 baskets) is
+    // <= c_xy·1e6 <= 9e12 at 1e6 orders, safe to N ~ 9e12 baskets) is
     // identical on both engines. Top-20 under a (lift, support, pair)
     // total order via TakeOrderedAndProject — no global sort of the
     // pair table.
     "q67_copurchase_lift" -> QueryDef(
       (s, dir) => {
-        val li = table(s, dir, "lineitem")
-          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-          .distinct() // multiplicity within one order is not co-occurrence
-        val nOrders = li.select("ok").distinct()
-          .agg(count(lit(1)).as("n_orders"))
-        val supp = li.groupBy("pk").agg(count(lit(1)).as("c"))
-        val pairs = li.join(li.withColumnRenamed("pk", "pb"), "ok")
-          .filter(col("pk") < col("pb"))
-          .groupBy(col("pk").as("pa"), col("pb"))
+        val baskets = Staged.cached(s, s"q67baskets:$dir") {
+          table(s, dir, "lineitem")
+            .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+            .groupBy("ok")
+            .agg(sort_array(collect_set(col("pk"))).as("parts"))
+        }
+        val nOrders = baskets.agg(count(lit(1)).as("n_orders"))
+        val supp = baskets
+          .select(explode(col("parts")).as("pk"))
+          .groupBy("pk").agg(count(lit(1)).as("c"))
+        val pairs = baskets
+          .select(explode(expr(
+            // all ordered pairs (pa < pb) of the sorted basket
+            """flatten(transform(parts, (x, i) ->
+              |  transform(slice(parts, i + 2, size(parts)),
+              |            y -> struct(x AS pa, y AS pb))))""".stripMargin))
+            .as("pr"))
+          .groupBy(col("pr.pa").as("pa"), col("pr.pb").as("pb"))
           .agg(count(lit(1)).as("c_xy"))
           .filter(col("c_xy") >= 3)
         pairs

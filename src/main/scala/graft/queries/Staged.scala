@@ -62,8 +62,8 @@ object Staged {
     */
   private def force(v: Any): Unit = v match {
     case d: DataFrame  => d.count(); ()
-    case f: DcaFrame   => f.df.count(); ()
-    case (a, b)        => force(a); force(b)
+    case f: DcaFrame   => f.df.count(); () // before Product: own cache path
+    case p: Product    => p.productIterator.foreach(force)
     case _             => ()
   }
 
@@ -273,6 +273,16 @@ object Staged {
   def cachedOwned(s: SparkSession, key: String)(build: => DataFrame): DataFrame =
     staged(s, key)(build)
 
+  /** Generic memoized staged value for composite index artifacts
+    * (e.g. [[graft.operators.ProductQuant.IvfPqIndex]]: driver-side
+    * codebooks + an encoded-corpus frame). DataFrames nested anywhere
+    * in the case-class/tuple structure are force-materialized at build
+    * and unpersisted by [[release]] like direct entries; the builder
+    * is responsible for persisting frames it wants cached.
+    */
+  def cachedAny[A](s: SparkSession, key: String)(build: => A): A =
+    staged(s, key)(build)
+
   /** documents overlapping k-word window hash table (__id, __i, __h),
     * persisted — [[graft.operators.Dedup.substringDedupFromGrams]]
     * consumes it twice (first-occurrence agg + per-occurrence probe);
@@ -439,13 +449,15 @@ object Staged {
   def release(s: SparkSession): Unit = {
     perSession.synchronized {
       val m = perSession.remove(s)
-      if (m != null) m.values.foreach {
+      def rel(v: Any): Unit = v match {
         // Dedup.release subsumes unpersist AND frees checkpoint-leaf
         // blocks (the CC label frames), which unpersist alone misses
         case d: DataFrame => graft.operators.Dedup.release(d)
-        case f: DcaFrame  => f.unpersist()
+        case f: DcaFrame  => f.unpersist(); () // before Product
+        case p: Product   => p.productIterator.foreach(rel)
         case _            => ()
       }
+      if (m != null) m.values.foreach(rel)
     }
     DcaFrame.releaseStaging(s)
   }
