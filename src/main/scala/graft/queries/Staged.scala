@@ -45,46 +45,69 @@ object Staged {
     */
   val stagingNanos = new java.util.concurrent.atomic.AtomicLong(0L)
 
-  /** Per-key build seconds of the most recent build — the bench
-    * artifact's `staging` map (wall time incl. nested sub-builds).
+  /** Per-key build seconds — SELF time (wall minus nested sub-builds),
+    * so summing the map equals the depth-0 wall total exactly: a
+    * nested build (docNearDupPairs -> docShingles) appears under its
+    * own key AND inside its parent's wall, and recording wall for both
+    * would double-count it in the bench's staging_total.
     */
   val stagingByKey = TrieMap.empty[String, Double]
 
   private val buildDepth = new ThreadLocal[Integer] {
     override def initialValue(): Integer = 0
   }
+  // wall nanos of completed DIRECT children of the build currently
+  // running on this thread — subtracted to get the parent's self time
+  private val childNanos = new ThreadLocal[java.lang.Long] {
+    override def initialValue(): java.lang.Long = 0L
+  }
 
   /** Force-materialize a staged value at build time so its cost lands
     * in the staging bill, not in whichever query's first action would
     * otherwise have faulted the cache in. count() materializes the
-    * full columnar cache of a persisted frame; paths/tuples of paths
-    * were materialized by their writes.
+    * full columnar cache of a PERSISTED frame; frames with no storage
+    * level (disk-backed tables whose cost was their write) and
+    * paths/tuples of paths are left alone — counting them would be a
+    * full phantom scan billed to staging.
     */
   private def force(v: Any): Unit = v match {
-    case d: DataFrame  => d.count(); ()
-    case f: DcaFrame   => f.df.count(); () // before Product: own cache path
-    case p: Product    => p.productIterator.foreach(force)
-    case _             => ()
+    case d: DataFrame =>
+      if (d.storageLevel != StorageLevel.NONE) { d.count(); () }
+    case f: DcaFrame => // before Product: own cache path
+      if (f.df.storageLevel != StorageLevel.NONE) { f.df.count(); () }
+    case p: Product => p.productIterator.foreach(force)
+    case _ => ()
   }
 
   /** The memoization wrapper every staged entry goes through: builds
     * once per (session, key), forces materialization, and bills the
-    * build's wall time to [[stagingNanos]]/[[stagingByKey]].
+    * build's wall time to [[stagingNanos]]/[[stagingByKey]]. Failed
+    * builds bill NOTHING (nothing was cached; the failure surfaces in
+    * the consuming query), and nested builds report their wall to the
+    * parent so both maps stay double-count-free.
     */
   private def staged[A](s: SparkSession, key: String)(build: => A): A =
     cacheFor(s).getOrElseUpdate(key, {
       val d0: Int = buildDepth.get()
       buildDepth.set(d0 + 1)
+      val savedChild: Long = childNanos.get()
+      childNanos.set(0L)
       val t0 = System.nanoTime()
+      var ok = false
       try {
         val r = build
         force(r)
+        ok = true
         r
       } finally {
-        buildDepth.set(d0)
         val dt = System.nanoTime() - t0
-        stagingByKey.put(key, dt / 1e9)
-        if (d0 == 0) { stagingNanos.addAndGet(dt); () }
+        val nested: Long = childNanos.get()
+        buildDepth.set(d0)
+        childNanos.set(savedChild + dt)
+        if (ok) {
+          stagingByKey.put(key, (dt - nested) / 1e9)
+          if (d0 == 0) { stagingNanos.addAndGet(dt); () }
+        }
       }
     }).asInstanceOf[A]
 

@@ -31,11 +31,17 @@ object BenchSome {
     names.foreach { name =>
       // time fn() AND the sink, like Bench: queries that stage or
       // prune driver-side (e.g. q93's Fagin candidate passes) do real
-      // work inside fn — timing the write alone under-measures them
+      // work inside fn — timing the write alone under-measures them.
+      // Staged first-touch is split out exactly like Bench does, so a
+      // standalone row here is directly comparable to a Bench net row.
+      val st0 = graft.queries.Staged.stagingNanos.get()
       val t0 = System.nanoTime()
       graft.SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
-      println(f"[bench] $name%-20s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      val staging = (graft.queries.Staged.stagingNanos.get() - st0) / 1e9
+      val net = (System.nanoTime() - t0) / 1e9 - staging
+      println(f"[bench] $name%-20s ${net}%8.2f s" +
+        (if (staging > 0.0005) f" (+ ${staging}%.2f s staging)" else ""))
     }
     spark.stop()
   }
