@@ -43,6 +43,24 @@ object Bench {
     // applies to staging exactly like it does to queries
     val bestStage = scala.collection.mutable.Map[String, Double]()
     val everFailed = scala.collection.mutable.Set[String]()
+    // staged-key -> queries that ACCESSED it (hit or build), split by
+    // whether the consuming execution succeeded. Per-query rows are NET
+    // of staged first-touch, so a key consumed by exactly one query
+    // means that query's row understates its intrinsic cost by the
+    // key's build time — the consumer map makes that explicit in the
+    // artifact instead of leaving "sub-linear" claims resting on a
+    // hidden single-consumer split.
+    val consumersOk = scala.collection.mutable.Map[String, scala.collection.mutable.SortedSet[String]]()
+    val consumersFailed = scala.collection.mutable.Map[String, scala.collection.mutable.SortedSet[String]]()
+    def drainAccessLog(name: String, failed: Boolean): Unit = {
+      val into = if (failed) consumersFailed else consumersOk
+      var k = graft.queries.Staged.accessLog.poll()
+      while (k != null) {
+        into.getOrElseUpdate(k, scala.collection.mutable.SortedSet.empty[String]) += name
+        k = graft.queries.Staged.accessLog.poll()
+      }
+    }
+    graft.queries.Staged.accessLog.clear() // warm-up touches are nobody's
     for (pass <- 1 to runs) {
       names.foreach { name =>
         val fn = SparkEntry.queries(name)
@@ -59,6 +77,7 @@ object Bench {
         // round-11 sim6/t51 adjudication problem, now explicit per row
         val staging = (graft.queries.Staged.stagingNanos.get() - st0) / 1e9
         val elapsed = (System.nanoTime() - t0) / 1e9 - staging
+        drainAccessLog(name, failed)
         if (failed) everFailed += name
         else best(name) = math.min(best.getOrElse(name, Double.MaxValue), elapsed)
       }
@@ -90,7 +109,18 @@ object Bench {
     val stg = bestStage.toSeq.sortBy(-_._2).map { case (k, v) =>
       "\"" + k + "\":" + f"$v%.3f"
     }.mkString("{", ",", "}")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"staging":$stg,"staging_total":$stagingTotal,"errors":$errs,"runs":$runs,"sf":"$sfDir"}"""
+    // adjudication metadata: which queries consumed each staged key
+    // (successful executions), and keys whose ONLY consumers failed —
+    // their build cost sits in staging_total with no surviving query
+    // row, so flag them rather than silently skewing the grand total
+    val stgConsumers = bestStage.keys.toSeq.sorted.map { k =>
+      val ok = consumersOk.getOrElse(k, scala.collection.mutable.SortedSet.empty[String])
+      "\"" + k + "\":[" + ok.map("\"" + _ + "\"").mkString(",") + "]"
+    }.mkString("{", ",", "}")
+    val orphaned = bestStage.keys.toSeq.sorted
+      .filter(k => consumersOk.getOrElse(k, scala.collection.mutable.SortedSet.empty[String]).isEmpty)
+      .map("\"" + _ + "\"").mkString("[", ",", "]")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"staging":$stg,"staging_total":$stagingTotal,"staging_consumers":$stgConsumers,"staging_orphaned":$orphaned,"errors":$errs,"runs":$runs,"sf":"$sfDir"}"""
     println(line)
     // Self-contained artifact: the stdout line is captured by the driver
     // as a LOG TAIL, which truncated the first ~28 queries out of two

@@ -594,16 +594,46 @@ object Dedup {
     * ≥ num/den contained in doc_b's.
     */
   def containmentPairs(shingled: DataFrame, idCol: String, shinglesCol: String,
-                       num: Int, den: Int): DataFrame = {
-    val asSet = shingled.withColumn(shinglesCol, array_distinct(col(shinglesCol)))
-    val toks = asSet
-      .select(col(idCol).as("__id"), explode(col(shinglesCol)).as("__t"))
+                       num: Int, den: Int): DataFrame =
+    containmentPairsFromIndex(
+      buildContainmentIndex(shingled, idCol, shinglesCol), num, den)
+
+  /** The threshold-INDEPENDENT half of [[containmentPairs]]: the
+    * deduplicated shingle-set table (`sets`: __id, __set — the exact
+    * verify's operand) and the rarest-first sorted token index with
+    * doc sizes (`sorted`: __id, __st, __n — what prefix and probe
+    * positions slice from). Building `sorted` is the expensive part
+    * (full token explode, frequency shuffle, per-doc sort) and the
+    * probe plan consumes it TWICE (prefix side + full side) plus
+    * `sets` twice (both verify operands) — so persist both and reuse:
+    * at 100 TB this index is materialized once per corpus snapshot and
+    * probed at whatever thresholds the decontamination queries need,
+    * exactly like the IVF build/probe split.
+    */
+  final case class ContainmentIndex(sets: DataFrame, sorted: DataFrame)
+
+  def buildContainmentIndex(shingled: DataFrame, idCol: String,
+                            shinglesCol: String): ContainmentIndex = {
+    val sets = shingled.select(col(idCol).as("__id"),
+      array_distinct(col(shinglesCol)).as("__set"))
+    val toks = sets
+      .select(col("__id"), explode(col("__set")).as("__t"))
       .select(col("__id"), xxhash64(col("__t")).as("__th"))
     val freq = toks.groupBy("__th").agg(count(lit(1)).as("__cnt"))
     val sorted = toks.join(freq, "__th")
       .groupBy("__id")
       .agg(array_sort(collect_list(struct(col("__cnt"), col("__th")))).as("__st"),
         count(lit(1)).as("__n"))
+    ContainmentIndex(sets, sorted)
+  }
+
+  /** Probe a [[ContainmentIndex]] at threshold num/den — the prefix
+    * slice, candidate join, prunes, and exact verify of
+    * [[containmentPairs]], with the corpus-linear index build factored
+    * out.
+    */
+  def containmentPairsFromIndex(index: ContainmentIndex,
+                                num: Int, den: Int): DataFrame = {
     def positional(src: DataFrame, sliceLen: Option[Column]): DataFrame =
       src.select(col("__id"), col("__n"),
           posexplode(sliceLen.map(l => slice(col("__st"), lit(1), greatest(l, lit(1))))
@@ -611,8 +641,8 @@ object Dedup {
         .select(col("__id"), col("__n"), (col("pos") + 1).as("__pos"),
           col("col.__th").as("__th"))
     val prefLen = (col("__n") - ceil(col("__n") * num / den) + 1).cast("int")
-    val prefix = positional(sorted, Some(prefLen))
-    val full = positional(sorted, None)
+    val prefix = positional(index.sorted, Some(prefLen))
+    val full = positional(index.sorted, None)
     val (an, bn) = (col("a.__n"), col("b.__n"))
     val alpha = ceil(an * num / den)
     val cands = prefix.as("a").join(full.as("b"),
@@ -621,8 +651,8 @@ object Dedup {
           least(an - col("a.__pos"), bn - col("b.__pos")) + 1 >= alpha)
       .select(col("a.__id").as("doc_a"), col("b.__id").as("doc_b"))
       .distinct()
-    val sa = asSet.select(col(idCol).as("doc_a"), col(shinglesCol).as("__sa"))
-    val sb = asSet.select(col(idCol).as("doc_b"), col(shinglesCol).as("__sb"))
+    val sa = index.sets.select(col("__id").as("doc_a"), col("__set").as("__sa"))
+    val sb = index.sets.select(col("__id").as("doc_b"), col("__set").as("__sb"))
     cands.join(sa, "doc_a").join(sb, "doc_b")
       .withColumn("__inter", size(array_intersect(col("__sa"), col("__sb"))).cast("long"))
       .filter(col("__inter") * den >= size(col("__sa")).cast("long") * num)

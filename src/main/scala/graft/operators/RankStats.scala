@@ -58,8 +58,13 @@ object RankStats {
     }
     // hi - lo can exceed Long range when the domain spans both extremes
     // (generic integral API); BigInt keeps the one-time driver-side
-    // division exact — the result is <= 2^64/nBuckets + 1, back in Long.
-    val width = ((BigInt(hi) - BigInt(lo)) / nBuckets + 1).toLong.max(1L)
+    // division exact. Clamp BEFORE converting: at nBuckets <= 2 the
+    // exact width can itself exceed Long (2^64/2 + 1), and .toLong
+    // would wrap to a tiny/negative width that breaks bucket
+    // monotonicity — a Long.MaxValue width still yields <= 3 ordered
+    // buckets, which is all such a degenerate nBuckets can ask for.
+    val width = ((BigInt(hi) - BigInt(lo)) / nBuckets + 1)
+      .min(BigInt(Long.MaxValue)).toLong.max(1L)
     // Divide-then-subtract, not subtract-then-divide: `v - lo` wraps for
     // domains spanning both Long extremes, while `v DIV width` is defined
     // for every Long and truncating division is monotone in v — buckets

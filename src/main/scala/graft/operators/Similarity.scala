@@ -293,28 +293,60 @@ object Similarity {
     picked.map(r => Centroid(r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
   }
 
-  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-              nCells: Int = 16, nProbe: Int = 4, refineIters: Int = 0,
-              idCol: String = "vec_id", vecCol: String = "embedding",
-              qidCol: String = "qid", qvecCol: String = "qvec"): DataFrame = {
+  /** In-memory IVF index: driver-resident centroids plus the corpus
+    * assigned to its nearest-centroid cell — the query-independent
+    * half of [[ivfTopK]]. Build once (the cell assignment is a full
+    * corpus-linear pass), persist `cells`, then [[probeIvfCells]] per
+    * query batch; at 100 TB this pair is the materialized
+    * [[buildIvfIndex]]/[[ivfIndexTopK]] with `cells` as a cached table
+    * instead of a cell-partitioned parquet layout.
+    */
+  final case class IvfCellIndex(centroids: Seq[Centroid], cells: DataFrame,
+                                idCol: String, vecCol: String)
+
+  /** Build the query-independent IVF cell index: centroid training +
+    * whole-corpus nearest-cell assignment. Same arithmetic as
+    * [[buildIvfIndex]], so [[probeIvfCells]] over the result is
+    * row-identical to the inline [[ivfTopK]] at equal parameters.
+    */
+  def buildIvfCells(corpus: DataFrame, nCells: Int = 16, refineIters: Int = 0,
+                    idCol: String = "vec_id",
+                    vecCol: String = "embedding"): IvfCellIndex = {
     val centroids = refineCentroids(corpus,
       bootstrapCentroids(corpus, nCells, idCol, vecCol), refineIters, vecCol)
-
     val cells = corpus
       .withColumn("__vnorm", norm(col(vecCol)))
       .withColumn("__cell", bestCell(col(vecCol), col("__vnorm"), centroids))
       .select(col(idCol), col(vecCol), col("__cell"))
+    IvfCellIndex(centroids, cells, idCol, vecCol)
+  }
 
+  /** Probe an [[IvfCellIndex]]: nProbe nearest cells per query, exact
+    * cosine re-rank within the probed cells — the per-query-batch half
+    * of [[ivfTopK]]. Corpus-linear work (assignment) never re-runs
+    * here; with `index.cells` persisted the probe cost is bound by the
+    * candidate volume (nProbe/nCells of the corpus per query).
+    */
+  def probeIvfCells(index: IvfCellIndex, queries: DataFrame, k: Int,
+                    nProbe: Int = 4, qidCol: String = "qid",
+                    qvecCol: String = "qvec"): DataFrame = {
     val probes = queries
       .withColumn("__vnorm", norm(col(qvecCol)))
       .select(col(qidCol), col(qvecCol),
-        explode(nearestCells(col(qvecCol), col("__vnorm"), centroids, nProbe)).as("__cell"))
-
-    val cands = cells.join(broadcast(probes), "__cell")
-      .filter(col(idCol) =!= col(qidCol))
-      .withColumn("__cos", cosine(col(vecCol), col(qvecCol)))
-    topKReRank(cands, k, qidCol, idCol, "__cos")
+        explode(nearestCells(col(qvecCol), col("__vnorm"), index.centroids,
+          nProbe)).as("__cell"))
+    val cands = index.cells.join(broadcast(probes), "__cell")
+      .filter(col(index.idCol) =!= col(qidCol))
+      .withColumn("__cos", cosine(col(index.vecCol), col(qvecCol)))
+    topKReRank(cands, k, qidCol, index.idCol, "__cos")
   }
+
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              nCells: Int = 16, nProbe: Int = 4, refineIters: Int = 0,
+              idCol: String = "vec_id", vecCol: String = "embedding",
+              qidCol: String = "qid", qvecCol: String = "qvec"): DataFrame =
+    probeIvfCells(buildIvfCells(corpus, nCells, refineIters, idCol, vecCol),
+      queries, k, nProbe, qidCol, qvecCol)
 
   /** Materialize an IVF index on disk: vectors written PARTITIONED BY
     * their nearest-centroid cell, centroids alongside. This is the

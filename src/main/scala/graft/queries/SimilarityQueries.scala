@@ -836,14 +836,24 @@ object SimilarityQueries {
     // within probed cells. refineIters = 0 pins the deterministic
     // id-stride bootstrap, making the full chain SQL-expressible —
     // Lloyd refinement is covered by OperatorSpec's index-vs-inline
-    // parity test at refineIters = 1.
+    // parity test at refineIters = 1. The index (centroid bootstrap +
+    // whole-corpus cell assignment) is query-INDEPENDENT and
+    // corpus-linear — staged like sim6's IVF-PQ index, so repeat
+    // probes reuse it and the bench bills build vs probe separately
+    // (the serving shape: the assignment is a persisted table at
+    // 100 TB, not per-query work).
     "sim3_ivf_ann" -> QueryDef(
       (s, dir) => {
         val emb = table(s, dir, "embeddings")
         val queries = emb.filter(col("vec_id").isInCollection(QueryIds))
           .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
-        Similarity.ivfTopK(emb, queries, K, nCells = NCells, nProbe = NProbe,
-          refineIters = 0)
+        val index = Staged.cachedAny(s, s"sim3ivf:$dir") {
+          val ix = Similarity.buildIvfCells(emb, nCells = NCells,
+            refineIters = 0)
+          ix.copy(cells = ix.cells.persist(
+            org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        }
+        Similarity.probeIvfCells(index, queries, K, nProbe = NProbe)
           .orderBy("qid", "rank")
       },
       Some(ivfOracleSql)),

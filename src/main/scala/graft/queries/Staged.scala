@@ -53,6 +53,15 @@ object Staged {
     */
   val stagingByKey = TrieMap.empty[String, Double]
 
+  /** Ordered log of every staged-key ACCESS (hit or build). Bench
+    * drains it around each query to record which queries consume each
+    * staged artifact — per-query nets are net of first-touch, so a key
+    * with a single consumer means that query's row understates its
+    * intrinsic cost by the key's build time; the artifact's
+    * `staging_consumers` map makes that adjudicable instead of hidden.
+    */
+  val accessLog = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+
   private val buildDepth = new ThreadLocal[Integer] {
     override def initialValue(): Integer = 0
   }
@@ -86,7 +95,8 @@ object Staged {
     * the consuming query), and nested builds report their wall to the
     * parent so both maps stay double-count-free.
     */
-  private def staged[A](s: SparkSession, key: String)(build: => A): A =
+  private def staged[A](s: SparkSession, key: String)(build: => A): A = {
+    accessLog.add(key)
     cacheFor(s).getOrElseUpdate(key, {
       val d0: Int = buildDepth.get()
       buildDepth.set(d0 + 1)
@@ -110,6 +120,7 @@ object Staged {
         }
       }
     }).asInstanceOf[A]
+  }
 
   /** lineitem as a 1-D DcaFrame ordered by (l_orderkey, l_linenumber),
     * payload (keys + qty cents); persisted (inside fromDF) on first

@@ -298,6 +298,35 @@ class DcaFrameSpec extends SparkTestBase {
     assert(p.df.count() == 6L) // the index lattice is materialized
   }
 
+  test("non-init static fields forward through replace/vectorize/tree_map " +
+      "(vectorization_test.py:148-190)") {
+    // the reference's DataclassWithNonInit: data field y = [1, 0, 0],
+    // non-init static x defaulting to 1
+    val a0 = DcaFrame.fromLocal(spark,
+        Seq(Row(1.0), Row(0.0), Row(0.0)),
+        StructType(Seq(StructField("y", DoubleType))))
+      .replaceStatic("x", 1)
+    assert(a0.shape == Vector(3L) && a0.statics("x") == 1)
+    // `a.replace(x=5)`: static update, shape untouched
+    val a1 = a0.replaceStatic("x", 5)
+    assert(a1.shape == Vector(3L) && a1.statics("x") == 5)
+    // `a.replace(y=a.y + 1)`: DATA update forwards the static untouched
+    val a2 = a1.replaceField("y", col("y") + lit(1.0))
+    assert(a2.shape == Vector(3L) && a2.statics("x") == 5)
+    // `jax.tree_util.tree_map(lambda x: x, a)`: leaf-wise projection
+    val a3 = a2.mapFieldNested(c => c)
+    assert(a3.shape == Vector(3L) && a3.statics("x") == 5)
+    // `a.fn()` (vectorize_method): the executed form is an arg zip on
+    // the batch index — the static must survive the align+join AND be
+    // readable inside the body as a plan literal (self.x == 5)
+    val a4 = a3.vectorizeZip(a3.mapField(c => c * 2.0))
+    assert(a4.shape == Vector(3L) && a4.statics("x") == 5)
+    val body = a4.replaceField("y",
+      col("y") + lit(a4.statics("x").asInstanceOf[Int].toDouble))
+    assert(body.statics("x") == 5)
+    assert(body.collectOrdered().map(_.getDouble(0)).toSeq == Seq(7.0, 6.0, 6.0))
+  }
+
   test("stack creates a new axis; axis arg normalized (M1)") {
     val a = points(3)
     val b = points(3).mapField(c => c + lit(100.0))

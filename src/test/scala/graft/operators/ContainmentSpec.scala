@@ -65,6 +65,30 @@ class ContainmentSpec extends SparkTestBase {
     }
   }
 
+  test("a built (persisted) containment index probes identically to the inline join") {
+    val article = (1 to 40).map(i => s"w$i").mkString(" ")
+    val quote = (1 to 10).map(i => s"w$i").mkString(" ")
+    val half = (1 to 20).map(i => s"w$i").mkString(" ")
+    val d = docs(1L -> article, 2L -> quote, 3L -> half)
+    val shingled = d.select(col("doc_id"), TextOps.shingles(col("text"), 3).as("__sh"))
+    val ix0 = Dedup.buildContainmentIndex(shingled, "doc_id", "__sh")
+    val ix = Dedup.ContainmentIndex(
+      ix0.sets.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
+      ix0.sorted.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    try {
+      // the index is threshold-independent: one build, two probes,
+      // each equal to the inline single-call operator
+      for ((num, den) <- Seq((9, 10), (1, 2))) {
+        val fromIx = Dedup.containmentPairsFromIndex(ix, num, den)
+          .as[(Long, Long, Long)].collect().toSet
+        val inline = Dedup.containmentPairs(shingled, "doc_id", "__sh", num, den)
+          .as[(Long, Long, Long)].collect().toSet
+        assert(fromIx == inline, s"threshold $num/$den")
+        assert(fromIx.nonEmpty, s"degenerate fixture at $num/$den")
+      }
+    } finally { ix.sets.unpersist(); ix.sorted.unpersist(); () }
+  }
+
   test("KMinListAgg keeps the k smallest distinct values across partition merges") {
     import graft.functions.KMinListAgg
     val values = (1 to 500).map(i => ((i * 7919L) % 1000L) + 1L) // dups by design

@@ -20,17 +20,22 @@ class StagedAccountingSpec extends SparkTestBase {
     val inner = s"spec:acct:inner:${System.identityHashCode(this)}"
     val outer = s"spec:acct:outer:${System.identityHashCode(this)}"
     Staged.cachedAny(spark, outer) {
-      // nested build sleeps 300 ms; the outer adds ~50 ms of its own
-      val i = Staged.cachedAny(spark, inner) { Thread.sleep(300); 7 }
+      // nested build sleeps 2 s; the outer adds ~50 ms of its own.
+      // The inner sleep is deliberately LARGE relative to plausible
+      // GC/CI pauses: the leak assertion below only needs outer-self
+      // to land clearly under the child's wall, so a few-hundred-ms
+      // pause inside the outer build cannot flake it.
+      val i = Staged.cachedAny(spark, inner) { Thread.sleep(2000); 7 }
       Thread.sleep(50)
       i + 1
     }
     val selfInner = Staged.stagingByKey(inner)
     val selfOuter = Staged.stagingByKey(outer)
-    assert(selfInner >= 0.28, s"inner self=$selfInner")
-    // if the child's 0.3 s wall leaked into the outer entry this would
-    // be >= 0.35; self-time keeps it near the outer's own 0.05 s
-    assert(selfOuter < 0.25, s"outer self=$selfOuter (child wall leaked in)")
+    assert(selfInner >= 1.9, s"inner self=$selfInner")
+    // if the child's 2 s wall leaked into the outer entry this would
+    // be >= 2.0; self-time keeps it near the outer's own 0.05 s, with
+    // a 1 s pause budget before the assertion could falsely fail
+    assert(selfOuter < 1.0, s"outer self=$selfOuter (child wall leaked in)")
     assert(selfOuter >= 0.04, s"outer self=$selfOuter")
   }
 
