@@ -75,6 +75,22 @@ final case class DcaFrame(
     ordered.select(arrayCols.map(col): _*).collect()
   }
 
+  /** Driver-local eager short-circuit (the toy-scale fast path,
+    * BASELINE.md's honest-comparison gap): materialize the payload
+    * row-major into a [[LocalDca]] and run the same index algebra
+    * in-process at numpy-like constants — reshape O(1), slice/gather
+    * array walks — then [[LocalDca.toFrame]] back when it outgrows the
+    * driver. Guarded: refuses above `maxRows` so a fact-sized frame
+    * can never silently collect.
+    */
+  def collectLocal(maxRows: Long = 4L << 20): LocalDca = {
+    require(size <= maxRows,
+      s"collectLocal refused: $size rows > maxRows $maxRows — " +
+        "the distributed plans are the scale path")
+    val payloadSchema = StructType(arrayCols.map(n => df.schema(n)).toArray)
+    LocalDca(collectOrdered().toVector, payloadSchema, shape, statics)
+  }
+
   // ---------------------------------------------------------------------
   // Shape algebra (S2-S5): pure index arithmetic, narrow, no shuffle.
   // ---------------------------------------------------------------------
