@@ -28,9 +28,7 @@ object MultimodalQueries {
   private def mm9Pairs(s: org.apache.spark.sql.SparkSession, dir: String)
       : org.apache.spark.sql.DataFrame = {
     import s.implicits._
-    val docs = table(s, dir, "documents")
-      .select(col("doc_id").cast("long"), col("n_chars").cast("long"))
-      .as[(Long, Long)]
+    val docs = QueryDef.docManifest(s, dir)
     val sketches = Staged.cached(s, s"mm9sketch:$dir") {
       docs.mapPartitions(_.flatMap { case (id, nChars) =>
         val w = 9 + (id % 8).toInt
@@ -55,9 +53,7 @@ object MultimodalQueries {
     "mm3_image_decode" -> QueryDef(
       (s, dir) => {
         import s.implicits._
-        val docs = table(s, dir, "documents")
-          .select(col("doc_id").cast("long"), col("n_chars").cast("long"))
-          .as[(Long, Long)]
+        val docs = QueryDef.docManifest(s, dir)
         val blobs = docs.map { case (id, nChars) =>
           (id, graft.operators.Multimodal.encodePng(
             1 + (id % 16).toInt, 1 + (nChars % 16).toInt, id))
@@ -85,9 +81,7 @@ object MultimodalQueries {
     "mm4_audio_decode" -> QueryDef(
       (s, dir) => {
         import s.implicits._
-        val docs = table(s, dir, "documents")
-          .select(col("doc_id").cast("long"), col("n_chars").cast("long"))
-          .as[(Long, Long)]
+        val docs = QueryDef.docManifest(s, dir)
         val metas = docs.mapPartitions(_.flatMap { case (id, nChars) =>
           val bytes = graft.operators.Multimodal.encodeWav(
             channels = 1 + (id % 2).toInt,
@@ -120,9 +114,7 @@ object MultimodalQueries {
     "mm6_image_resize" -> QueryDef(
       (s, dir) => {
         import s.implicits._
-        val docs = table(s, dir, "documents")
-          .select(col("doc_id").cast("long"), col("n_chars").cast("long"))
-          .as[(Long, Long)]
+        val docs = QueryDef.docManifest(s, dir)
         val rows = docs.mapPartitions(_.flatMap { case (id, nChars) =>
           val bytes = graft.operators.Multimodal.encodePngAddr(
             1 + (id % 16).toInt, 1 + (nChars % 16).toInt, id)
@@ -156,9 +148,7 @@ object MultimodalQueries {
     "mm7_image_phash" -> QueryDef(
       (s, dir) => {
         import s.implicits._
-        val docs = table(s, dir, "documents")
-          .select(col("doc_id").cast("long"), col("n_chars").cast("long"))
-          .as[(Long, Long)]
+        val docs = QueryDef.docManifest(s, dir)
         val rows = docs.mapPartitions(_.flatMap { case (id, nChars) =>
           val bytes = graft.operators.Multimodal.encodePngAddr(
             1 + (id % 16).toInt, 1 + (nChars % 16).toInt, id)
@@ -215,9 +205,7 @@ object MultimodalQueries {
     "mm11_image_stats" -> QueryDef(
       (s, dir) => {
         import s.implicits._
-        val docs = table(s, dir, "documents")
-          .select(col("doc_id").cast("long"), col("n_chars").cast("long"))
-          .as[(Long, Long)]
+        val docs = QueryDef.docManifest(s, dir)
         val rows = docs.mapPartitions(_.flatMap { case (id, nChars) =>
           val bytes = graft.operators.Multimodal.encodePngAddr(
             1 + (id % 16).toInt, 1 + (nChars % 16).toInt, id)
@@ -275,9 +263,7 @@ object MultimodalQueries {
     "mm8_audio_fingerprint" -> QueryDef(
       (s, dir) => {
         import s.implicits._
-        val docs = table(s, dir, "documents")
-          .select(col("doc_id").cast("long"), col("n_chars").cast("long"))
-          .as[(Long, Long)]
+        val docs = QueryDef.docManifest(s, dir)
         val rows = docs.mapPartitions(_.flatMap { case (id, nChars) =>
           val ch = 1 + (id % 2).toInt
           val nf = 64 + (nChars % 256).toInt
@@ -331,9 +317,7 @@ object MultimodalQueries {
     "mm16_png_captions" -> QueryDef(
       (s, dir) => {
         import s.implicits._
-        val docs = table(s, dir, "documents")
-          .select(col("doc_id").cast("long"), col("n_chars").cast("long"))
-          .as[(Long, Long)]
+        val docs = QueryDef.docManifest(s, dir)
         val metas = docs.mapPartitions { it =>
           javax.imageio.ImageIO.setUseCache(false)
           it.flatMap { case (id, nChars) =>
@@ -366,9 +350,7 @@ object MultimodalQueries {
     "mm15_image_patches" -> QueryDef(
       (s, dir) => {
         import s.implicits._
-        val docs = table(s, dir, "documents")
-          .select(col("doc_id").cast("long"), col("n_chars").cast("long"))
-          .as[(Long, Long)]
+        val docs = QueryDef.docManifest(s, dir)
         val patches = docs.mapPartitions { it =>
           javax.imageio.ImageIO.setUseCache(false)
           it.flatMap { case (id, nChars) =>
@@ -409,9 +391,7 @@ object MultimodalQueries {
     "mm14_gif_frames" -> QueryDef(
       (s, dir) => {
         import s.implicits._
-        val docs = table(s, dir, "documents")
-          .select(col("doc_id").cast("long"), col("n_chars").cast("long"))
-          .as[(Long, Long)]
+        val docs = QueryDef.docManifest(s, dir)
         val frames = docs.mapPartitions(_.flatMap { case (id, nChars) =>
           val w = 8 + (id % 9).toInt
           val h = 8 + (nChars % 7).toInt
@@ -448,9 +428,7 @@ object MultimodalQueries {
     "mm21_scene_cuts" -> QueryDef(
       (s, dir) => {
         import s.implicits._
-        val docs = table(s, dir, "documents")
-          .select(col("doc_id").cast("long"), col("n_chars").cast("long"))
-          .as[(Long, Long)]
+        val docs = QueryDef.docManifest(s, dir)
         val frames = docs.mapPartitions(_.flatMap { case (id, nChars) =>
           val w = 8 + (id % 9).toInt
           val h = 8 + (nChars % 7).toInt
@@ -507,9 +485,7 @@ object MultimodalQueries {
     "mm17_audio_segments" -> QueryDef(
       (s, dir) => {
         import s.implicits._
-        val docs = table(s, dir, "documents")
-          .select(col("doc_id").cast("long"), col("n_chars").cast("long"))
-          .as[(Long, Long)]
+        val docs = QueryDef.docManifest(s, dir)
         val metas = docs.mapPartitions(_.flatMap { case (id, nChars) =>
           val bytes = graft.operators.Multimodal.encodeWavSegments(
             channels = 1 + (id % 2).toInt, sampleRateHz = 8000,
@@ -546,9 +522,7 @@ object MultimodalQueries {
     "mm13_audio_silence" -> QueryDef(
       (s, dir) => {
         import s.implicits._
-        val docs = table(s, dir, "documents")
-          .select(col("doc_id").cast("long"), col("n_chars").cast("long"))
-          .as[(Long, Long)]
+        val docs = QueryDef.docManifest(s, dir)
         val metas = docs.mapPartitions(_.flatMap { case (id, nChars) =>
           val lead = (id % 7).toInt
           val active = 5 + (nChars % 90).toInt
@@ -582,9 +556,7 @@ object MultimodalQueries {
     "mm20_loudness" -> QueryDef(
       (s, dir) => {
         import s.implicits._
-        val docs = table(s, dir, "documents")
-          .select(col("doc_id").cast("long"), col("n_chars").cast("long"))
-          .as[(Long, Long)]
+        val docs = QueryDef.docManifest(s, dir)
         val rows = docs.mapPartitions(_.flatMap { case (id, nChars) =>
           val amp = 1000 + (id % 20).toInt * 1500
           val bytes = graft.operators.Multimodal.encodeWavTone(
@@ -613,9 +585,7 @@ object MultimodalQueries {
     "mm5_video_meta" -> QueryDef(
       (s, dir) => {
         import s.implicits._
-        val docs = table(s, dir, "documents")
-          .select(col("doc_id").cast("long"), col("n_chars").cast("long"))
-          .as[(Long, Long)]
+        val docs = QueryDef.docManifest(s, dir)
         val metas = docs.mapPartitions(_.flatMap { case (id, nChars) =>
           val bytes = graft.operators.Multimodal.encodeMp4(
             width = 16 * (1 + (id % 32).toInt),
@@ -799,9 +769,7 @@ object MultimodalQueries {
     "mm19_aspect_buckets" -> QueryDef(
       (s, dir) => {
         import s.implicits._
-        val docs = table(s, dir, "documents")
-          .select(col("doc_id").cast("long"), col("n_chars").cast("long"))
-          .as[(Long, Long)]
+        val docs = QueryDef.docManifest(s, dir)
         val blobs = docs.map { case (id, nChars) =>
           (id, graft.operators.Multimodal.encodePng(
             1 + (id % 16).toInt, 1 + (nChars % 16).toInt, id))
@@ -840,9 +808,7 @@ object MultimodalQueries {
     "mm18_stub_fallback" -> QueryDef(
       (s, dir) => {
         import s.implicits._
-        val docs = table(s, dir, "documents")
-          .select(col("doc_id").cast("long"), col("n_chars").cast("long"))
-          .as[(Long, Long)]
+        val docs = QueryDef.docManifest(s, dir)
         val blobs = docs.map { case (id, nChars) =>
           if (id % 3 == 0) {
             val len = (4 + nChars % 100).toInt
@@ -886,10 +852,7 @@ object MultimodalQueries {
     "mm22_audio_align" -> QueryDef(
       (s, dir) => {
         import s.implicits._
-        val docs = table(s, dir, "documents")
-          .filter(col("doc_id") % 5 === 0)
-          .select(col("doc_id").cast("long"), col("n_chars").cast("long"))
-          .as[(Long, Long)]
+        val docs = QueryDef.docManifest(s, dir).filter(col("doc_id") % 5 === 0)
         val rows = docs.mapPartitions(_.flatMap { case (id, nChars) =>
           val nf = 64 + (nChars % 256).toInt
           val k = (id % 16).toInt

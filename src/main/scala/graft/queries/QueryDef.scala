@@ -12,6 +12,26 @@ final case class QueryDef(
     oracle: Option[String])
 
 object QueryDef {
+
+  /** (doc_id, n_chars) decode MANIFEST, hash-repartitioned to the
+    * session's parallelism. The multimodal fixtures GENERATE their
+    * blobs inside the decode pass, so the distributable unit is this
+    * 16-byte-per-row manifest — exactly how a production pipeline
+    * parallelizes decode over a file listing: shuffle the paths, never
+    * the bytes. Without the repartition the single-row-group
+    * documents file pins every decode task count to the file's
+    * row-group count (1 at every local SF) and the whole family runs
+    * single-threaded regardless of cores.
+    */
+  def docManifest(s: SparkSession, dir: String)
+      : org.apache.spark.sql.Dataset[(Long, Long)] = {
+    import s.implicits._
+    table(s, dir, "documents")
+      .select(col("doc_id").cast("long"), col("n_chars").cast("long"))
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      .as[(Long, Long)]
+  }
+
   def table(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 

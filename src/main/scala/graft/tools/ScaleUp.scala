@@ -40,10 +40,19 @@ object ScaleUp {
 
     val cIdx = spark.range(copies.toLong).withColumnRenamed("id", "__c")
 
-    def rep(name: String)(f: (DataFrame, Column) => DataFrame): Unit = {
+    // Fact tables land as 32 hash-partitioned FILES: a real 10x corpus
+    // arrives as proportionally more files/row groups, while the naive
+    // single-file single-row-group layout pins every scan's map side
+    // to ONE task regardless of cores (Spark cannot split inside a row
+    // group) — the round-13 adjudication found the whole decode/text
+    // family running single-threaded at sf1 because of it. Dimension
+    // tables stay one file, like production.
+    def rep(name: String, splitKey: String = null)(f: (DataFrame, Column) => DataFrame): Unit = {
       val df = spark.read.parquet(s"$src/$name.parquet")
       val out = f(df.crossJoin(cIdx), col("__c")).drop("__c")
-      out.write.mode("overwrite").parquet(s"$dst/$name.parquet")
+      val laid = if (splitKey == null) out.coalesce(1)
+        else out.repartition(32, col(splitKey))
+      laid.write.mode("overwrite").parquet(s"$dst/$name.parquet")
       println(s"[scaleup] $name -> $dst")
     }
     def shift(df: DataFrame, c: Column, keys: String*): DataFrame =
@@ -51,19 +60,19 @@ object ScaleUp {
 
     rep("region")((d, c) => d.filter(c === 0))
     rep("nation")((d, c) => d.filter(c === 0))
-    rep("customer")((d, c) => shift(d, c, "c_custkey"))
-    rep("supplier")((d, c) => shift(d, c, "s_suppkey"))
-    rep("part")((d, c) => shift(d, c, "p_partkey"))
-    rep("orders")((d, c) => shift(d, c, "o_orderkey", "o_custkey"))
-    rep("lineitem")((d, c) => shift(d, c, "l_orderkey", "l_partkey", "l_suppkey"))
-    rep("events")((d, c) => shift(d, c, "event_id", "user_id"))
-    rep("documents") { (d, c) =>
+    rep("customer", "c_custkey")((d, c) => shift(d, c, "c_custkey"))
+    rep("supplier", "s_suppkey")((d, c) => shift(d, c, "s_suppkey"))
+    rep("part", "p_partkey")((d, c) => shift(d, c, "p_partkey"))
+    rep("orders", "o_orderkey")((d, c) => shift(d, c, "o_orderkey", "o_custkey"))
+    rep("lineitem", "l_orderkey")((d, c) => shift(d, c, "l_orderkey", "l_partkey", "l_suppkey"))
+    rep("events", "event_id")((d, c) => shift(d, c, "event_id", "user_id"))
+    rep("documents", "doc_id") { (d, c) =>
       val t = shift(d, c, "doc_id")
         .withColumn("text", when(c === 0, col("text")).otherwise(
           regexp_replace(col("text"), lit("(\\S+)"), concat(lit("$1x"), c))))
       t.withColumn("n_chars", length(col("text")).cast("long"))
     }
-    rep("embeddings") { (d, c) =>
+    rep("embeddings", "vec_id") { (d, c) =>
       val n = size(col("embedding"))
       shift(d, c, "vec_id").withColumn("embedding",
         when(c === 0, col("embedding")).otherwise(concat(

@@ -1295,6 +1295,32 @@ class MultimodalSpec extends SparkTestBase {
     assert(Multimodal.resizeNearest("not a png".getBytes("UTF-8"), 4, 4).isEmpty)
   }
 
+  test("wavContainer is byte-identical to AudioSystem.write across the fixture grid") {
+    // the hand-rolled canonical RIFF writer replaced AudioSystem.write
+    // in the encoders (its static synchronized provider registry made
+    // 32 parallel encode tasks slower than one) — this pins the bytes
+    // to the real JDK writer so the REAL-decode contract is unchanged
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    for (ch <- Seq(1, 2); rate <- Seq(8000, 44100); nf <- Seq(9, 64, 319)) {
+      val ours = Multimodal.encodeWavAddr(ch, rate, nf, id = 42L)
+      val pcm = new Array[Byte](nf * ch * 2)
+      var i = 0
+      while (i < nf * ch) {
+        val s = Multimodal.addrSample(42L, i.toLong)
+        pcm(2 * i) = (s & 0xff).toByte
+        pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+        i += 1
+      }
+      val fmt = new AudioFormat(rate.toFloat, 16, ch, true, false)
+      val ais = new AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, nf.toLong)
+      val out = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(ais, AudioFileFormat.Type.WAVE, out)
+      assert(java.util.Arrays.equals(ours, out.toByteArray),
+        s"container bytes diverge at ch=$ch rate=$rate nf=$nf")
+    }
+  }
+
   test("decodeAudio round-trips REAL WAV bytes written by the JDK encoder") {
     val bytes = Multimodal.encodeWav(channels = 2, sampleRateHz = 16000,
       nFrames = 333, seed = 11L)
