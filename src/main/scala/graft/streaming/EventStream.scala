@@ -886,4 +886,75 @@ object EventStream {
           }
       }
   }
+
+  /** STREAMING near-dup ALERTS against a PERSISTED corpus index — the
+    * online face of d25's cross-corpus path
+    * ([[graft.operators.Dedup.indexedNearDupSurvivors]]): each arriving
+    * document computes its shingle-hash set and MinHash signature
+    * PER ROW (the exact batch constants —
+    * [[graft.operators.Dedup.minhashSignatureLocal]] /
+    * [[graft.operators.Dedup.shingleHashLocal]]), probes the index's
+    * band-bucket parquet with a STATELESS stream-static equi-join on
+    * the same (band, murmur-of-band-values) key the batch builder
+    * wrote, exact-verifies each candidate IN THE ROW (array_intersect
+    * over the two hash sets — the batch verify arithmetic verbatim),
+    * and emits one alert per (incoming doc, corpus doc) near-dup at
+    * the threshold. Admission = suppress alerted ids downstream;
+    * in-stream (arrival-order) near-dups compose from
+    * [[nearDupCandidates]].
+    *
+    * Scale shape: the only state is the watermark-bounded per-pair
+    * dedup (multi-band collisions re-emit otherwise); the probe join
+    * is stateless, document text never shuffles (only id + hash set +
+    * band keys), and the static side is the persisted index a 100 TB
+    * corpus maintains anyway. EventStreamSpec pins
+    * stream alerts == the batch operator's cross-corpus dropped set on
+    * a shared fixture.
+    */
+  def indexedNearDupAlerts(spark: SparkSession, docs: Dataset[DocEvent],
+                           idxPath: String, shingleN: Int = 3,
+                           bands: Int = 32, rows: Int = 2,
+                           thresholdNum: Int = 2, thresholdDen: Int = 5,
+                           watermarkDelay: String = "30 minutes"): DataFrame = {
+    import spark.implicits._
+    import graft.operators.{Dedup, TextOps}
+    val k = bands * rows
+    val cB = spark.read.parquet(s"$idxPath/buckets")
+    val cH = spark.read.parquet(s"$idxPath/hashes")
+      .select(col("__id").as("corpus_id"), col("__hs").as("__chs"))
+    val probes = docs.flatMap { d =>
+      val sh = TextOps.shinglesLocal(d.text, shingleN)
+      Dedup.minhashSignatureLocal(sh, k) match {
+        case None => Iterator.empty // no shingles = no candidates (batch drops them too)
+        case Some(sig) =>
+          Iterator.single((d.docId, d.tsUs, sh.map(Dedup.shingleHashLocal).distinct.toArray, sig))
+      }
+    }.toDF("doc_id", "tsUs", "__hs", "__sig")
+    // band keys via the SAME codegen'd murmur the index builder used
+    // (Dedup.bandBuckets: hash over the band's signature values) — a
+    // locally re-implemented murmur could drift, Column hash() cannot
+    val bandStructs = (0 until bands).map { j =>
+      val bandCols = (0 until rows).map(r => element_at(col("__sig"), j * rows + r + 1))
+      struct(lit(j).as("band"), hash(bandCols: _*).as("bh"))
+    }
+    val keyed = probes
+      .select(col("doc_id"), col("tsUs"), col("__hs"),
+        explode(array(bandStructs: _*)).as("b"))
+      .select(col("doc_id"), col("tsUs"), col("__hs"),
+        col("b.band").as("band"), col("b.bh").as("bh"))
+    keyed.join(cB.select(col("band"), col("bh"), col("__id").as("corpus_id")),
+        Seq("band", "bh"))
+      .join(cH, Seq("corpus_id")) // second stream-static join: hash sets
+      .withColumn("__inter",
+        size(array_intersect(col("__hs"), col("__chs"))).cast("long"))
+      .withColumn("__union",
+        size(col("__hs")).cast("long") + size(col("__chs")) - col("__inter"))
+      .filter(col("__inter") * thresholdDen >= col("__union") * thresholdNum)
+      .select(col("doc_id"), col("corpus_id"), col("tsUs"),
+        floor(lit(100.0) * col("__inter") / col("__union")).cast("long").as("jacc_pct"))
+      .withColumn("ets", timestamp_micros(col("tsUs")))
+      .withWatermark("ets", watermarkDelay)
+      .dropDuplicatesWithinWatermark("doc_id", "corpus_id")
+      .drop("ets")
+  }
 }

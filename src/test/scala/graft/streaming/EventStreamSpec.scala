@@ -869,6 +869,53 @@ class EventStreamSpec extends SparkTestBase {
     assert(!batch.exists(p => p._1 == 3L || p._2 == 3L || p._1 == 5L || p._2 == 5L))
   }
 
+  test("streaming index alerts equal the batch indexed-admission dropped set") {
+    import EventStream.DocEvent
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    import graft.operators.Dedup
+    val T0 = 86400L * 1000000L
+    val base = "the quick brown fox jumps over the lazy dog while rain falls on the green hills"
+    val near = base.replace("hills", "coast")
+    val other = "completely different words about spark plans shuffles and broadcast joins at scale"
+    val third = "a corpus document concerning entirely unrelated matters of accounting and ledgers"
+    // persisted corpus index (the d25 shape), built by the SHIPPED batch builder
+    val idx = java.nio.file.Files.createTempDirectory("nd_alert_idx").toString
+    Dedup.buildNearDupIndex(
+      Seq((1L, base), (2L, other), (3L, third)).toDF("doc_id", "text"),
+      idx, "text", "doc_id", bands = 8, rows = 2)
+    // incoming stream: near-copy of corpus 1; exact copy of corpus 2 in
+    // a LATER batch; a fresh doc; one too short for a signature. No
+    // in-batch near-dups, so the batch drop set is purely cross-corpus.
+    val b1 = Seq(DocEvent(10L, T0, near), DocEvent(11L, T0 + Min,
+      "some brand new material that matches none of the corpus documents at all today"))
+    val b2 = Seq(DocEvent(12L, T0 + 2 * Min, other), DocEvent(13L, T0 + 3 * Min, "a b"))
+    val input = MemoryStream[DocEvent]
+    val q = EventStream.indexedNearDupAlerts(spark, input.toDS(), idx,
+        bands = 8, rows = 2)
+      .writeStream.format("memory").queryName("nd_alerts")
+      .outputMode(OutputMode.Append).start()
+    val alerts = try {
+      input.addData(b1: _*); q.processAllAvailable()
+      input.addData(b2: _*); q.processAllAvailable()
+      spark.table("nd_alerts").select("doc_id", "corpus_id", "jacc_pct")
+        .as[(Long, Long, Long)].collect().toSet
+    } finally q.stop()
+    // planted structure: 10 near-dups corpus 1, 12 exact-dups corpus 2
+    assert(alerts.map(a => (a._1, a._2)) == Set((10L, 1L), (12L, 2L)),
+      s"alerts=$alerts")
+    assert(alerts.collectFirst { case (12L, 2L, j) => j }.contains(100L))
+    // batch twin: the SHIPPED d25 operator over the same incoming docs —
+    // its dropped set (incoming minus survivors) must equal the alerted ids
+    val incoming = (b1 ++ b2).map(d => (d.docId, d.text)).toDF("doc_id", "text")
+    val survivors = Dedup.indexedNearDupSurvivors(spark, idx, incoming,
+        "text", "doc_id", bands = 8, rows = 2)
+      .as[Long].collect().toSet
+    val batchDropped = Set(10L, 11L, 12L, 13L) -- survivors
+    assert(alerts.map(_._1) == batchDropped,
+      s"stream/batch drift: alerts=${alerts.map(_._1)} dropped=$batchDropped")
+  }
+
   test("streaming near-dup state is watermark-bounded: evicted members stop pairing") {
     import EventStream.{CandPair, DocEvent}
     implicit val sqlCtx = spark.sqlContext
