@@ -350,7 +350,10 @@ object Dedup {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     }
     val cB = bandBuckets(shingleHashTable(cSh, idCol, "__sh"), bands, rows)
+    // three join-side consumers (corpus probe + in-batch self-join):
+    // persist so the explode + signature aggregation runs once
     val iB = bandBuckets(shingleHashTable(iSh, idCol, "__sh"), bands, rows)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // probe the corpus index: equi-join on (band, bh), corpus id on the
     // doc_a side (always the smaller id under the contract)
     val crossCand = iB.as("i")
@@ -465,14 +468,22 @@ object Dedup {
       TextOps.shingles(col(textCol), shingleN).as("__sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val iH = shingleHashTable(iSh, "__id", "__sh")
+    // the incoming band table feeds THREE join sides (corpus probe +
+    // both sides of the in-batch self-join) and each consumption
+    // re-runs the explode + signature aggregation — persist (bounded
+    // per invocation, id×bands rows of three longs)
     val iB = bandBuckets(iH, bands, rows)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val crossCand = iB.as("i")
       .join(cB.as("c"), col("i.band") === col("c.band") && col("i.bh") === col("c.bh"))
       .select(col("c.__id").as("doc_a"), col("i.__id").as("doc_b"))
       .distinct()
     val inBatchCand = pairsFromBuckets(iB)
+    // verify sets feed FOUR join sides (two verifies × two sides) and
+    // the incoming half re-aggregates per consumption — persist
     val allSets = cH.unionByName(
-      iH.groupBy("__id").agg(collect_set("__h").as("__hs")))
+        iH.groupBy("__id").agg(collect_set("__h").as("__hs")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dropped = verifyJaccard(crossCand, allSets, "__id", "__hs",
         thresholdNum, thresholdDen)
       .select(col("doc_b").as("__id"))

@@ -63,7 +63,13 @@ object SemDedup {
     val qn = df.select(col(idCol),
         Clustering.quantize(col(vecCol), cosScale).as("__qv"))
       .withColumn("__n2", call_function("sq_dist_i64", col("__qv"), zero))
+    // the assigned+quantized table feeds BOTH sides of the dominance
+    // anti-join, and the assignment itself (k×dims argmin fold per row)
+    // is the expensive projection — persist so it computes once.
+    // Self-contained bounded-per-invocation persist, same convention as
+    // indexedNearDupSurvivors' batch-shingle frame.
     val m = qn.join(assign, idCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val a = m.select(col(idCol), col("__qv").as("qa"), col("__n2").as("na"),
       col("cluster"), col("dist").as("da"))
