@@ -182,8 +182,14 @@ object Dedup {
       .distinct()
   }
 
-  def lshCandidatesFromHashes(hashed: DataFrame, bands: Int, rows: Int): DataFrame =
-    pairsFromBuckets(bandBuckets(hashed, bands, rows))
+  def lshCandidatesFromHashes(hashed: DataFrame, bands: Int, rows: Int): DataFrame = {
+    // the band table feeds BOTH self-join sides and each consumption
+    // re-runs the k-column signature aggregation over the hash table —
+    // persist (bounded: id×bands rows of three longs; the
+    // per-invocation convention of incrementalNearDupSurvivors)
+    pairsFromBuckets(bandBuckets(hashed, bands, rows)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+  }
 
   // ---- LSH banding auto-tuner ------------------------------------------
 
@@ -986,9 +992,12 @@ object Dedup {
       s"planes ($planes) must be divisible by rowsPerBand ($rowsPerBand): " +
         "trailing code bits would silently never be banded")
     val bands = planes / rowsPerBand
+    // both self-join sides consume the banded table and signCode is the
+    // planes×dims fold per row — persist (bounded per invocation)
     val banded = Similarity.bandExplode(
       vecs.withColumn("__code", Similarity.signCode(col(vecCol), dims, planes)),
       "__code", bands, rowsPerBand, Seq(idCol))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cands = banded.select(col(idCol).as("doc_a"), col("band"), col("bits"))
       .join(banded.select(col(idCol).as("doc_b"), col("band"), col("bits")), Seq("band", "bits"))
       .filter(col("doc_a") < col("doc_b"))

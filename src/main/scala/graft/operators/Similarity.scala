@@ -592,7 +592,11 @@ object Similarity {
     // volume dominated the whole join (sf1: 24.2 s). Ids are 16 bytes;
     // vectors re-attach AFTER dedup via two keyed corpus joins (each
     // shuffles the corpus once, not the candidate fanout).
+    // both band-explode sides consume the coded table, and signCode is
+    // the planes×dims fold per row — persist so it computes once
+    // (bounded per invocation: id + planes-bit code)
     val slim = coded.select(col(idCol), col("__code"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val left = bandExplode(slim.select(col(idCol).as("qid"), col("__code")),
       "__code", bands, rowsPerBand, Seq("qid"))
     val right = bandExplode(slim, "__code", bands, rowsPerBand, Seq(idCol))
