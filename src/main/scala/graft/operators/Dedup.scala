@@ -552,8 +552,13 @@ object Dedup {
     */
   def ngramJaccardCandidates(shingled: DataFrame, idCol: String, shinglesCol: String,
                              num: Int, den: Int): DataFrame =
+    // persist here, NOT inside jaccardCandidatesFromPrefix: staged
+    // callers (d5) pass an already-cached prefix and double-caching a
+    // cached frame would waste executor memory
     jaccardCandidatesFromPrefix(
-      buildJaccardPrefix(shingled, idCol, shinglesCol, num, den), num, den)
+      buildJaccardPrefix(shingled, idCol, shinglesCol, num, den)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
+      num, den)
 
   /** The rarest-first PREFIX table of [[ngramJaccardCandidates]]
     * (__id, __n, __pos, __th) — the expensive corpus-linear stage
@@ -644,9 +649,15 @@ object Dedup {
     * ≥ num/den contained in doc_b's.
     */
   def containmentPairs(shingled: DataFrame, idCol: String, shinglesCol: String,
-                       num: Int, den: Int): DataFrame =
-    containmentPairsFromIndex(
-      buildContainmentIndex(shingled, idCol, shinglesCol), num, den)
+                       num: Int, den: Int): DataFrame = {
+    // persist the inline index here (the probe consumes sorted twice
+    // and sets twice); staged callers (d22) persist their own copies
+    val ix0 = buildContainmentIndex(shingled, idCol, shinglesCol)
+    containmentPairsFromIndex(ContainmentIndex(
+      ix0.sets.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
+      ix0.sorted.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)),
+      num, den)
+  }
 
   /** The threshold-INDEPENDENT half of [[containmentPairs]]: the
     * deduplicated shingle-set table (`sets`: __id, __set — the exact
