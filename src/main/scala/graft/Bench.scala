@@ -120,7 +120,14 @@ object Bench {
     val orphaned = bestStage.keys.toSeq.sorted
       .filter(k => consumersOk.getOrElse(k, scala.collection.mutable.SortedSet.empty[String]).isEmpty)
       .map("\"" + _ + "\"").mkString("[", ",", "]")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"staging":$stg,"staging_total":$stagingTotal,"staging_consumers":$stgConsumers,"staging_orphaned":$orphaned,"errors":$errs,"runs":$runs,"sf":"$sfDir"}"""
+    // failed consumers, recorded so an orphaned key is adjudicable
+    // (its build cost sits in staging_total with no surviving query
+    // row — this map says which failed query put it there); r13 ADVICE
+    val stgConsumersFailed = consumersFailed.keys.toSeq.sorted.map { k =>
+      "\"" + k + "\":[" +
+        consumersFailed(k).map("\"" + _ + "\"").mkString(",") + "]"
+    }.mkString("{", ",", "}")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"staging":$stg,"staging_total":$stagingTotal,"staging_consumers":$stgConsumers,"staging_consumers_failed":$stgConsumersFailed,"staging_orphaned":$orphaned,"errors":$errs,"runs":$runs,"sf":"$sfDir"}"""
     println(line)
     // Self-contained artifact: the stdout line is captured by the driver
     // as a LOG TAIL, which truncated the first ~28 queries out of two

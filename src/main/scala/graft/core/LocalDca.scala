@@ -118,6 +118,9 @@ final case class LocalDca(
     else {
       val srcStrides = Shape.strides(shape)
       val n = Shape.size(t)
+      require(n <= Int.MaxValue,
+        s"broadcastTo refused: $n rows exceed the local 2^31 array bound — " +
+          "use the distributed DcaFrame path for frames this size")
       val dstStrides = Shape.strides(t)
       val out = new Array[Row](n.toInt)
       var lin = 0L
@@ -179,6 +182,9 @@ final case class LocalDca(
     }
     def enumerate(outShape: Shape, toInter: IndexedSeq[Long] => IndexedSeq[Long]): LocalDca = {
       val n = Shape.size(outShape)
+      require(n <= Int.MaxValue,
+        s"apply refused: gather/slice output of $n rows exceeds the local " +
+          "2^31 array bound — use the distributed DcaFrame path for frames this size")
       val dstStrides = Shape.strides(outShape)
       val out = new Array[Row](n.toInt)
       var lin = 0L
@@ -284,8 +290,12 @@ object LocalDca {
   def stack(frames: Seq[LocalDca], axis: Int = 0): LocalDca = {
     require(frames.nonEmpty, "stack of zero frames")
     val h = frames.head
-    frames.tail.foreach(f => require(f.shape == h.shape,
-      s"stack shapes differ: ${h.shape} vs ${f.shape}"))
+    frames.tail.foreach { f =>
+      require(f.shape == h.shape,
+        s"stack shapes differ: ${h.shape} vs ${f.shape}")
+      require(f.schema == h.schema,
+        s"stack field schemas differ: ${h.schema} vs ${f.schema}")
+    }
     val ax = Shape.toAbsoluteAxisInsert(axis, h.ndim)
     val newShape: Shape =
       (h.shape.take(ax) :+ frames.length.toLong) ++ h.shape.drop(ax)
@@ -314,6 +324,8 @@ object LocalDca {
       require(f.ndim == h.ndim &&
         f.shape.zipWithIndex.forall { case (d, i) => i == ax || d == h.shape(i) },
         s"concat shapes differ off-axis: ${h.shape} vs ${f.shape}")
+      require(f.schema == h.schema,
+        s"concat field schemas differ: ${h.schema} vs ${f.schema}")
     }
     val newShape: Shape = h.shape.updated(ax, frames.map(_.shape(ax)).sum)
     val outerN = Shape.size(h.shape.take(ax))

@@ -185,10 +185,10 @@ object Dedup {
   def lshCandidatesFromHashes(hashed: DataFrame, bands: Int, rows: Int): DataFrame = {
     // the band table feeds BOTH self-join sides and each consumption
     // re-runs the k-column signature aggregation over the hash table —
-    // persist (bounded: id×bands rows of three longs; the
-    // per-invocation convention of incrementalNearDupSurvivors)
-    pairsFromBuckets(bandBuckets(hashed, bands, rows)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    // persist (bounded: id×bands rows of three longs), tracked for
+    // session release (r14: no more accumulation in long sessions)
+    pairsFromBuckets(CacheTracker.track(bandBuckets(hashed, bands, rows)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)))
   }
 
   // ---- LSH banding auto-tuner ------------------------------------------
@@ -292,8 +292,9 @@ object Dedup {
     // The shingle table feeds signature generation once and the verify
     // join twice: stage it. Locally a memory/disk cache; at 100 TB the
     // same role is played by writing the shingle table to parquet once.
-    val shingled = docs.select(col(idCol), TextOps.shingles(col(textCol), shingleN).as("__sh"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val shingled = CacheTracker.track(
+      docs.select(col(idCol), TextOps.shingles(col(textCol), shingleN).as("__sh"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     nearDupPairsFromShingles(shingled, idCol, "__sh", bands, rows, thresholdNum, thresholdDen)
   }
 
@@ -350,16 +351,16 @@ object Dedup {
     // with the session; the self-contained default persists with no
     // release path (bounded: two frames per invocation)
     val (cSh, iSh) = stagedShingles.getOrElse {
-      (corpus.select(col(idCol), TextOps.shingles(col(textCol), shingleN).as("__sh"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
-       incoming.select(col(idCol), TextOps.shingles(col(textCol), shingleN).as("__sh"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      (CacheTracker.track(corpus.select(col(idCol), TextOps.shingles(col(textCol), shingleN).as("__sh"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)),
+       CacheTracker.track(incoming.select(col(idCol), TextOps.shingles(col(textCol), shingleN).as("__sh"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)))
     }
     val cB = bandBuckets(shingleHashTable(cSh, idCol, "__sh"), bands, rows)
     // three join-side consumers (corpus probe + in-batch self-join):
     // persist so the explode + signature aggregation runs once
-    val iB = bandBuckets(shingleHashTable(iSh, idCol, "__sh"), bands, rows)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val iB = CacheTracker.track(bandBuckets(shingleHashTable(iSh, idCol, "__sh"), bands, rows)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     // probe the corpus index: equi-join on (band, bh), corpus id on the
     // doc_a side (always the smaller id under the contract)
     val crossCand = iB.as("i")
@@ -470,16 +471,16 @@ object Dedup {
     // batch-shingle frame has two consumers (banding, survivor list);
     // self-contained persist with no release path, same bounded-per-
     // invocation convention as incrementalNearDupSurvivors' default
-    val iSh = incoming.select(col(idCol).as("__id"),
+    val iSh = CacheTracker.track(incoming.select(col(idCol).as("__id"),
       TextOps.shingles(col(textCol), shingleN).as("__sh"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val iH = shingleHashTable(iSh, "__id", "__sh")
     // the incoming band table feeds THREE join sides (corpus probe +
     // both sides of the in-batch self-join) and each consumption
     // re-runs the explode + signature aggregation — persist (bounded
     // per invocation, id×bands rows of three longs)
-    val iB = bandBuckets(iH, bands, rows)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val iB = CacheTracker.track(bandBuckets(iH, bands, rows)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val crossCand = iB.as("i")
       .join(cB.as("c"), col("i.band") === col("c.band") && col("i.bh") === col("c.bh"))
       .select(col("c.__id").as("doc_a"), col("i.__id").as("doc_b"))
@@ -487,9 +488,9 @@ object Dedup {
     val inBatchCand = pairsFromBuckets(iB)
     // verify sets feed FOUR join sides (two verifies × two sides) and
     // the incoming half re-aggregates per consumption — persist
-    val allSets = cH.unionByName(
+    val allSets = CacheTracker.track(cH.unionByName(
         iH.groupBy("__id").agg(collect_set("__h").as("__hs")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val dropped = verifyJaccard(crossCand, allSets, "__id", "__hs",
         thresholdNum, thresholdDen)
       .select(col("doc_b").as("__id"))
@@ -542,7 +543,14 @@ object Dedup {
     */
   def ngramJaccardPairs(shingled: DataFrame, idCol: String, shinglesCol: String,
                         num: Int, den: Int): DataFrame = {
-    val asSet = shingled.withColumn(shinglesCol, array_distinct(col(shinglesCol)))
+    // the set table feeds the prefix build AND both verify sides; a
+    // lazy reference would re-execute and re-ANALYZE the (often wide)
+    // shingle lineage three times — checkpoint truncates consumers to
+    // a leaf (mm10's 24-hash projection planned a ~57 KB tree before),
+    // tracked for session release
+    val asSet = CacheTracker.track(
+      shingled.withColumn(shinglesCol, array_distinct(col(shinglesCol)))
+        .localCheckpoint())
     verifyJaccard(ngramJaccardCandidates(asSet, idCol, shinglesCol, num, den),
       asSet, idCol, shinglesCol, num, den)
   }
@@ -556,8 +564,8 @@ object Dedup {
     // callers (d5) pass an already-cached prefix and double-caching a
     // cached frame would waste executor memory
     jaccardCandidatesFromPrefix(
-      buildJaccardPrefix(shingled, idCol, shinglesCol, num, den)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
+      CacheTracker.track(buildJaccardPrefix(shingled, idCol, shinglesCol, num, den)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)),
       num, den)
 
   /** The rarest-first PREFIX table of [[ngramJaccardCandidates]]
@@ -654,8 +662,8 @@ object Dedup {
     // and sets twice); staged callers (d22) persist their own copies
     val ix0 = buildContainmentIndex(shingled, idCol, shinglesCol)
     containmentPairsFromIndex(ContainmentIndex(
-      ix0.sets.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
-      ix0.sorted.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)),
+      CacheTracker.track(ix0.sets.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)),
+      CacheTracker.track(ix0.sorted.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))),
       num, den)
   }
 
@@ -1005,10 +1013,10 @@ object Dedup {
     val bands = planes / rowsPerBand
     // both self-join sides consume the banded table and signCode is the
     // planes×dims fold per row — persist (bounded per invocation)
-    val banded = Similarity.bandExplode(
+    val banded = CacheTracker.track(Similarity.bandExplode(
       vecs.withColumn("__code", Similarity.signCode(col(vecCol), dims, planes)),
       "__code", bands, rowsPerBand, Seq(idCol))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val cands = banded.select(col(idCol).as("doc_a"), col("band"), col("bits"))
       .join(banded.select(col(idCol).as("doc_b"), col("band"), col("bits")), Seq("band", "bits"))
       .filter(col("doc_a") < col("doc_b"))

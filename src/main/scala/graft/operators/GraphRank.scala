@@ -45,12 +45,19 @@ object GraphRank {
     // aggregation per reference would dominate the iterations); both
     // frames stay cached for the returned lazy plan, session teardown
     // (or the caller) cleans up
-    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
-      col(wCol).cast("long").as("w"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // localCheckpoint, not persist (r14): every iteration re-analyzes
+    // the edge lineage (for t15 that is the URL-extraction expression
+    // tree — a ~50 KB plan measured before truncation); the checkpoint
+    // hands the loop leaves. Tracked so session release frees the
+    // leaf blocks (plain persist had no release path here at all).
+    val e = CacheTracker.track(
+      edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
+        col(wCol).cast("long").as("w"))
+      .localCheckpoint())
+    val nodes = CacheTracker.track(
+      e.select(col("src").as("node"))
+        .union(e.select(col("dst").as("node"))).distinct()
+        .localCheckpoint())
     val n = nodes.count() // one scalar job; the only driver-side value
     val outw = e.groupBy(col("src")).agg(sum(col("w")).as("outw"))
     val teleport = (dampDen - dampNum) * scale / (dampDen * n)

@@ -41,6 +41,14 @@ object RankStats {
     * `bounds` short-circuits the (lo, hi) domain probe when the caller
     * already holds them; when absent they are collected via a 1-row
     * map-side-combining min/max — a 2-value driver boundary.
+    *
+    * `weightCol` generalizes the histogram from row counts to WEIGHTED
+    * mass: `cnt` becomes sum(weight) at the value and `cum` the
+    * cumulative weight at-or-before it — the peer-inclusive cumulative
+    * a `sum(w) OVER (PARTITION BY g ORDER BY v)` RANGE-frame window
+    * computes, at histogram size instead of fact size (the q108
+    * weighted-median rewrite). Weights must be integral and
+    * non-negative for the rank arithmetic above to stay exact.
     */
   def cumulativeHistogram(
       df: DataFrame,
@@ -48,7 +56,8 @@ object RankStats {
       valueCol: String,
       ascending: Boolean = true,
       nBuckets: Int = 4096,
-      bounds: Option[(Long, Long)] = None): DataFrame = {
+      bounds: Option[(Long, Long)] = None,
+      weightCol: Option[String] = None): DataFrame = {
     val gs = groupCols.map(col)
     val (lo, hi) = bounds.getOrElse {
       val r = df
@@ -71,9 +80,13 @@ object RankStats {
     // stay ordered and bounded (<= nBuckets + 2, the step astride zero
     // only merges).
     val bucketOff = lo / width
+    val mass = weightCol match {
+      case Some(w) => sum(col(w)).as("cnt")
+      case None    => count(lit(1)).as("cnt")
+    }
     val hist = df
       .groupBy((gs :+ col(valueCol)): _*)
-      .agg(count(lit(1)).as("cnt"))
+      .agg(mass)
       .withColumn("__bucket",
         expr(s"(CAST(`$valueCol` AS BIGINT) DIV ${width}L) - ${bucketOff}L"))
     val vOrd = if (ascending) col(valueCol).asc else col(valueCol).desc

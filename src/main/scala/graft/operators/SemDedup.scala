@@ -68,8 +68,8 @@ object SemDedup {
     // is the expensive projection — persist so it computes once.
     // Self-contained bounded-per-invocation persist, same convention as
     // indexedNearDupSurvivors' batch-shingle frame.
-    val m = qn.join(assign, idCol)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val m = CacheTracker.track(qn.join(assign, idCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
     val a = m.select(col(idCol), col("__qv").as("qa"), col("__n2").as("na"),
       col("cluster"), col("dist").as("da"))

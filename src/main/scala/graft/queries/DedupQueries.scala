@@ -461,7 +461,10 @@ object DedupQueries {
         // staging; the verify reads the (cached) shingle sets
         val asSet = Staged.docShingles(s, dir)
           .withColumn("__sh", array_distinct(col("__sh")))
-        val prefix = Staged.cached(s, s"d5prefix:$dir")(
+        // key embeds the threshold: buildJaccardPrefix output is
+        // threshold-DEPENDENT, so a different num/den must never be
+        // served this cache entry (r13 ADVICE)
+        val prefix = Staged.cached(s, s"d5prefix:1/2:$dir")(
           Dedup.buildJaccardPrefix(asSet, "doc_id", "__sh", num = 1, den = 2))
         Dedup.verifyJaccard(
             Dedup.jaccardCandidatesFromPrefix(prefix, num = 1, den = 2),
@@ -1077,8 +1080,16 @@ object DedupQueries {
       (s, dir) => {
         val e = Staged.docNearDupPairs(s, dir)
           .select(col("doc_a").as("a"), col("doc_b").as("b"))
+        // deg feeds THREE consumers (two orientation joins + the wedge
+        // summary) and oriented BOTH sides of the wedge self-join —
+        // persist the two id/edge-sized tables so each subplan runs
+        // once (the r13 multi-consumer sweep's class; this pair was
+        // missed because the re-execution hid inside the staged-pairs
+        // consumer)
         val deg = e.select(col("a").as("v")).unionAll(e.select(col("b").as("v")))
           .groupBy("v").agg(count(lit(1)).as("deg"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        graft.operators.CacheTracker.track(deg)
         val oriented = e
           .join(deg.select(col("v").as("a"), col("deg").as("dega")), "a")
           .join(deg.select(col("v").as("b"), col("deg").as("degb")), "b")
@@ -1086,6 +1097,8 @@ object DedupQueries {
               struct(col("a").as("src"), col("b").as("dst")))
             .otherwise(struct(col("b").as("src"), col("a").as("dst"))).as("o"))
           .select(col("o.src").as("src"), col("o.dst").as("dst"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        graft.operators.CacheTracker.track(oriented)
         val wedges = oriented.as("e1")
           .join(oriented.as("e2"), col("e1.src") === col("e2.src"))
           .filter(col("e1.dst") < col("e2.dst"))

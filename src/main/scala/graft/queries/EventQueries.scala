@@ -36,13 +36,38 @@ object EventQueries {
     // rank rule is the integer cross-multiply.
     "q77_interarrival_quantiles" -> QueryDef(
       (s, dir) => {
-        val w = Window.partitionBy("event_type").orderBy("ts", "event_id")
-        val gaps = Relational.eventsRaw(s, dir)
-          .select(col("event_type"), col("ts"), col("event_id"))
-          .withColumn("prev", lag("ts", 1).over(w))
-          .filter(col("prev").isNotNull)
+        // The lag runs per (event_type, HOUR bucket) — time-bounded
+        // parallelism (types × hours partitions) instead of the ~10-way
+        // ceiling a bare event_type partition pins the raw-event sort
+        // to (the r13 plan-audit flag). The one gap each bucket cannot
+        // see (its first event's) is stitched from the per-bucket spine:
+        // last ts of the nearest preceding non-empty bucket, a window
+        // over types × hours rows, never over raw events.
+        val BktNs = 3600000000000L // 1 hour
+        // ev feeds TWO consumers (the bucketed lag, the per-bucket
+        // spine) — persist the narrow projection so the scan +
+        // timestamp normalization run once (r13's multi-consumer
+        // persist discipline)
+        val ev = graft.operators.CacheTracker.track(
+          Relational.eventsRaw(s, dir)
+            .select(col("event_type"), col("ts"), col("event_id"))
+            .withColumn("bkt", expr(s"ts div ${BktNs}L"))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        val wIn = Window.partitionBy("event_type", "bkt").orderBy("ts", "event_id")
+        val lagged = ev.withColumn("prev", lag("ts", 1).over(wIn))
+        val lastPer = ev.groupBy("event_type", "bkt")
+          .agg(max(struct(col("ts"), col("event_id"))).as("m"))
+          .select(col("event_type"), col("bkt"), col("m.ts").as("last_ts"))
+        val prevLast = lastPer
+          .withColumn("prev_ts", lag("last_ts", 1)
+            .over(Window.partitionBy("event_type").orderBy("bkt")))
+          .select(col("event_type"), col("bkt"), col("prev_ts"))
+        val gaps = lagged
+          .join(broadcast(prevLast), Seq("event_type", "bkt"))
+          .withColumn("base", coalesce(col("prev"), col("prev_ts")))
+          .filter(col("base").isNotNull)
           .select(col("event_type"),
-            expr("(ts - prev) div 1000000000").as("gap_s"))
+            expr("(ts - base) div 1000000000").as("gap_s"))
         val hist = gaps.groupBy("event_type", "gap_s").agg(count(lit(1)).as("c"))
         val cum = hist
           .withColumn("cum", sum("c").over(Window.partitionBy("event_type")
@@ -1140,16 +1165,23 @@ object EventQueries {
     // prev-type, accuracy is integer permille.
     "q103_markov_eval" -> QueryDef(
       (s, dir) => {
-        Relational.eventsRaw(s, dir).createOrReplaceTempView("graft_q103_ev")
-        s.sql("""WITH seq AS (
-                |  SELECT user_id, ts DIV 86400000000000 AS day, event_id,
-                |    event_type,
-                |    lag(event_type) OVER (PARTITION BY user_id
-                |      ORDER BY ts, event_id) AS prev_type
-                |  FROM graft_q103_ev),
-                |pairs AS (
-                |  SELECT day, prev_type, event_type AS next_type
-                |  FROM seq WHERE prev_type IS NOT NULL),
+        // the pairs table (scan + per-user lag window) feeds the cutoff
+        // probe, the training count AND the eval scan — Spark INLINES
+        // SQL CTEs, so the whole window pipeline executed once per
+        // consumer before r14; materialize it once (narrow columns,
+        // tracked for session release) and run the rest of the SQL
+        // over the cached view. Same expressions, same results.
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val pairs = graft.operators.CacheTracker.track(
+          Relational.eventsRaw(s, dir)
+            .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
+              expr("ts DIV 86400000000000").as("day"))
+            .withColumn("prev_type", lag("event_type", 1).over(w))
+            .filter(col("prev_type").isNotNull)
+            .select(col("day"), col("prev_type"), col("event_type").as("next_type"))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        pairs.createOrReplaceTempView("graft_q103_pairs")
+        s.sql("""WITH pairs AS (SELECT * FROM graft_q103_pairs),
                 |cut AS (SELECT (min(day) + max(day)) DIV 2 AS d FROM pairs),
                 |train AS (
                 |  SELECT prev_type, next_type, count(*) AS n FROM pairs

@@ -2436,8 +2436,14 @@ object Relational {
         val st = v.agg(count(lit(1)).as("n"), min("v").as("lo"),
           max("v").as("hi")).head
         val n = st.getLong(0); val lo = st.getLong(1); val hi = st.getLong(2)
-        val hist = graft.operators.RankStats
-          .cumulativeHistogram(v, Seq.empty, "v", bounds = Some((lo, hi)))
+        // histogram feeds TWO consumers (edge lookup, bin counting) —
+        // persist the value-domain-bounded table; bin counts read off
+        // the histogram's per-value cnt (r14; was a THIRD full scan
+        // broadcast-interval-joined against every fact row)
+        val hist = graft.operators.CacheTracker.track(
+          graft.operators.RankStats
+            .cumulativeHistogram(v, Seq.empty, "v", bounds = Some((lo, hi)))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
         val targets = (0 until B).map { i =>
           (i.toLong, if (i == 0) 1L else (i * n + B - 1) / B)
         }.toDF("i", "r")
@@ -2451,9 +2457,9 @@ object Relational {
           .filter(col("hi").isNotNull)
           .select(col("i").cast("long").as("bin"), col("e").as("lo_c"),
             col("hi").as("hi_excl_c"))
-        val counts = v.join(broadcast(ivals),
+        val counts = hist.join(broadcast(ivals),
             col("v") >= col("lo_c") && col("v") < col("hi_excl_c"))
-          .groupBy("bin").agg(count(lit(1)).as("cnt"))
+          .groupBy("bin").agg(sum("cnt").as("cnt"))
         ivals.join(counts, Seq("bin"), "left")
           .select(col("bin"), col("lo_c"), col("hi_excl_c"),
             coalesce(col("cnt"), lit(0L)).as("n_rows"))
@@ -2549,9 +2555,15 @@ object Relational {
       (s, dir) => {
         val v = table(s, dir, "lineitem")
           .select(col("l_returnflag"), cents(col("l_extendedprice")).as("price_c"))
-        val hist = graft.operators.RankStats
-          .cumulativeHistogram(v, Seq("l_returnflag"), "price_c")
-        val stats = v.groupBy("l_returnflag").agg(count(lit(1)).as("n"))
+        // histogram feeds TWO consumers (rank targets, cap lookup) —
+        // persist the value-domain-bounded table so the fact scan +
+        // keyed shuffle behind it run once (r14; was one extra full
+        // count pass: per-flag n is just the histogram's max cum)
+        val hist = graft.operators.CacheTracker.track(
+          graft.operators.RankStats
+            .cumulativeHistogram(v, Seq("l_returnflag"), "price_c")
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        val stats = hist.groupBy("l_returnflag").agg(max("cum").as("n"))
         val targets = stats.select(col("l_returnflag"), col("n"),
             explode(array(
               struct(lit("lo").as("which"),
@@ -2643,12 +2655,15 @@ object Relational {
 
     // ---- weighted median (quantity-weighted price per brand) --------
     // The weighted-quantile operator: smallest price whose cumulative
-    // quantity weight reaches half the brand's total. The peer-
-    // INCLUSIVE default window frame (RANGE UNBOUNDED PRECEDING) makes
-    // the cumulative sum a function of the price VALUE, not the
-    // arbitrary intra-tie row order — that is what keeps the operator
-    // deterministic under any partitioning (a ROWS frame here would
-    // be run-dependent). Exact integer cents/weights end to end.
+    // quantity weight reaches half the brand's total. The cumulative
+    // weight is a function of the price VALUE (the window form's peer-
+    // inclusive RANGE frame), so it lives on the WEIGHTED cumulative
+    // histogram (RankStats with weightCol): one map-side-combining
+    // (brand, price) sum(w), bucket-parallel cumulatives — never a
+    // fact-sized window partitioned by the ~25-value p_brand, which
+    // would pin each brand's sort to ONE task at any scale (the r13
+    // plan-audit flag). Brand totals read off the histogram (max cum),
+    // not a second fact pass. Exact integer cents/weights end to end.
     "q108_weighted_median" -> QueryDef(
       (s, dir) => {
         val li = table(s, dir, "lineitem")
@@ -2657,13 +2672,19 @@ object Relational {
             expr("CAST(round(l_quantity * 100) AS BIGINT)").as("w"))
         val p = table(s, dir, "part").select(col("p_partkey"), col("p_brand"))
         val joined = li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
-        val wCum = Window.partitionBy("p_brand").orderBy("price_c")
-        val wAll = Window.partitionBy("p_brand")
-        joined
-          .withColumn("cw", sum("w").over(wCum))
-          .withColumn("tw", sum("w").over(wAll))
+          .select(col("p_brand"), col("price_c"), col("w"))
+        // histogram feeds TWO consumers (brand totals, median lookup) —
+        // persist the value-domain-bounded table so the scan + keyed
+        // shuffles behind it run once
+        val hist = graft.operators.CacheTracker.track(
+          graft.operators.RankStats.cumulativeHistogram(
+            joined, Seq("p_brand"), "price_c", weightCol = Some("w"))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        // cum at the LAST value of each brand = the brand's total weight
+        val tot = hist.groupBy("p_brand").agg(max("cum").as("tw"))
+        hist.join(broadcast(tot), "p_brand")
           .groupBy("p_brand")
-          .agg(min(when(col("cw") * 2 >= col("tw"), col("price_c")))
+          .agg(min(when(col("cum") * 2 >= col("tw"), col("price_c")))
               .as("wmed_price_c"),
             max("tw").as("total_w"))
           .orderBy("p_brand")

@@ -170,6 +170,10 @@ object Staged {
     staged(s, s"evedges:$dir") {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("user_id").orderBy("ts", "event_id")
+      // localCheckpoint (r14): the recursion replays this ≤|types|²
+      // table per iteration — a persist still re-analyzes the full
+      // scan+window lineage each round; the checkpoint hands the loop
+      // a leaf (released via Dedup.release like every staged entry)
       Relational.eventsRaw(s, dir)
         .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
         .withColumn("prev_type", lag("event_type", 1).over(w))
@@ -177,7 +181,7 @@ object Staged {
           col("prev_type") =!= col("event_type"))
         .groupBy(col("prev_type").as("src"), col("event_type").as("dst"))
         .agg(expr("CAST(1000000000 DIV count(1) AS BIGINT)").as("cost"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint()
     }
 
   /** Per-customer order aggregate (o_custkey, spend_c, n_orders) — the
@@ -209,10 +213,16 @@ object Staged {
     */
   def docNearDupPairs(s: SparkSession, dir: String): DataFrame =
     staged(s, s"ndpairs:$dir") {
+      // localCheckpoint, NOT persist (r14): a persist caches the rows
+      // but every consumer still re-ANALYZES the full minhash/verify
+      // lineage — d19's self-join over this table planned a ~430 KB
+      // tree (measured via ExplainDump), so driver planning dominated
+      // its wall time. The checkpoint truncates consumers to a leaf;
+      // release() frees the leaf's RDD blocks (Dedup.release).
       graft.operators.Dedup.nearDupPairsFromShingles(
           docShingles(s, dir), "doc_id", "__sh",
           hashed = Some(docShingleHashes(s, dir)))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint()
     }
 
   /** Connected components over [[docNearDupPairs]] (id, rep) — the
@@ -289,6 +299,17 @@ object Staged {
   def cached(s: SparkSession, key: String)(build: => DataFrame): DataFrame =
     staged(s, key)(build.persist(StorageLevel.MEMORY_AND_DISK))
 
+  /** [[cached]] with LINEAGE TRUNCATION: for staged intermediates whose
+    * plan is heavy (wide aggregation trees, long pipelines) a plain
+    * persist still makes every consumer re-analyze the full lineage —
+    * localCheckpoint materializes eagerly AND hands consumers a leaf.
+    * Released by [[release]] (Dedup.release frees checkpoint-leaf RDD
+    * blocks). Use for bounded tables only: the checkpoint pins the
+    * rows in executor storage.
+    */
+  def checkpointed(s: SparkSession, key: String)(build: => DataFrame): DataFrame =
+    staged(s, key)(build.localCheckpoint())
+
   /** Memoized disk-artifact path: the builder writes its files once
     * per (session, key) and returns the path; later calls reuse the
     * on-disk artifact (nothing to unpersist — the next session
@@ -316,6 +337,20 @@ object Staged {
     */
   def cachedAny[A](s: SparkSession, key: String)(build: => A): A =
     staged(s, key)(build)
+
+  /** BPE training over the corpus vocab (6 merge rounds) — consumed by
+    * BOTH t28 (the merge table) and t29 (segment-count tokenization):
+    * one staged train instead of two identical 6-round driver loops.
+    * The final segmentation frame arrives persisted from Bpe.train;
+    * force() materializes it at build and [[release]] unpersists it
+    * through the tuple walk.
+    */
+  def bpeTrained(s: SparkSession, dir: String):
+      (Seq[graft.operators.Bpe.Merge], DataFrame) =
+    staged(s, s"bpe6:$dir") {
+      graft.operators.Bpe.train(
+        graft.operators.Bpe.corpusVocab(table(s, dir, "documents"), "text"), 6)
+    }
 
   /** documents overlapping k-word window hash table (__id, __i, __h),
     * persisted — [[graft.operators.Dedup.substringDedupFromGrams]]
@@ -372,9 +407,12 @@ object Staged {
     */
   def docSimhash60(s: SparkSession, dir: String): DataFrame =
     staged(s, s"sim60:$dir") {
+      // localCheckpoint (r14): the 60 per-bit vote aggregations give
+      // this table a plan four consumers would each re-analyze —
+      // truncate to a leaf like docNearDupPairs
       graft.operators.Dedup
         .simhashColsFromHashes(docShingleHashesPortable(s, dir), 60)
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint()
     }
 
   /** lineitem + orders staged ONCE per (session, dir) as 8-bucket
@@ -494,5 +532,8 @@ object Staged {
       if (m != null) m.values.foreach(rel)
     }
     DcaFrame.releaseStaging(s)
+    // operator/query-internal persists registered via CacheTracker —
+    // frames with no other release path (r13 ADVICE)
+    graft.operators.CacheTracker.release(s)
   }
 }

@@ -62,7 +62,16 @@ object TextQueries {
     * desynchronize them). See t36 for the algorithm notes.
     */
   private[queries] def winnowFps(s: org.apache.spark.sql.SparkSession,
-                                 dir: String): org.apache.spark.sql.DataFrame = {
+                                 dir: String): org.apache.spark.sql.DataFrame =
+    // staged WITH lineage truncation (r14): t36 consumes this once and
+    // t38's pair self-join TWICE — unstaged, the ngram explode + the
+    // per-doc winnowing window ran three times per pass. The
+    // fingerprint table is the contracted output (≈ grams/W rows),
+    // exactly what a production winnower would materialize.
+    Staged.checkpointed(s, s"winnowfp:$dir")(winnowFpsBuild(s, dir))
+
+  private def winnowFpsBuild(s: org.apache.spark.sql.SparkSession,
+                             dir: String): org.apache.spark.sql.DataFrame = {
     graft.functions.VectorExpressions.register(s)
     val W = 4 // hashes per winnowing window
     val P = 1048576L // pos encoding radix (2^20)
@@ -768,6 +777,7 @@ object TextQueries {
             .as("b"))
           .select(col("doc_id"), col("b.w1"), col("b.w2"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        graft.operators.CacheTracker.track(bg)
         val cnt = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c"))
         val c1 = bg.groupBy("w1").agg(count(lit(1)).as("c1"))
         bg.join(cnt, Seq("w1", "w2")).join(c1, Seq("w1"))
@@ -793,19 +803,38 @@ object TextQueries {
     // in deterministic pseudo-random order (Knuth-mix of doc_id) until
     // each source's running token count exceeds the quota — the
     // pipeline op that rebalances source proportions before training.
-    // One exchange (partition by source) + per-source sort. At 100 TB
-    // with few, huge sources the sort key is the hot spot: the scale
-    // path is q38's scan-side hash-threshold pre-filter at an
-    // estimated keep-rate, then this exact trim over survivors only.
+    // Scale path (r14, was previously documented-only): the survivor
+    // set is a PREFIX of each source's (h, doc_id) order, so the
+    // weighted cumulative histogram over h (RankStats, bucket-parallel)
+    // yields an exact per-source admission cutoff h* = smallest h whose
+    // cumulative token mass exceeds the budget; the scan-side filter
+    // h <= h* drops everything inadmissible BEFORE the exact running-
+    // sum window, which then sorts only the budget-bounded survivor
+    // superset — never a per-source sort of the full corpus (the few-
+    // huge-sources hot spot at 100 TB).
     "t10_token_budget_mix" -> QueryDef(
       (s, dir) => {
         import org.apache.spark.sql.expressions.Window
+        // base feeds TWO consumers (cutoff histogram, final admission)
+        // — persist the narrow projection so the corpus is scanned and
+        // tokenized once
+        val base = graft.operators.CacheTracker.track(
+          table(s, dir, "documents")
+            .select(col("doc_id"), col("source"),
+              TextOps.tokenCount(col("text")).as("n_tokens"),
+              TextOps.knuthMix(col("doc_id")).as("h"))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        // knuthMix's domain is [0, p) by construction — pinned bounds
+        // skip the histogram's min/max probe pass
+        val hist = graft.operators.RankStats.cumulativeHistogram(
+          base, Seq("source"), "h", weightCol = Some("n_tokens"),
+          bounds = Some((0L, 1000000006L)))
+        val cut = hist.groupBy("source")
+          .agg(min(when(col("cum") > 800L, col("h"))).as("hcut"))
         val w = Window.partitionBy("source").orderBy("h", "doc_id")
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        table(s, dir, "documents")
-          .select(col("doc_id"), col("source"),
-            TextOps.tokenCount(col("text")).as("n_tokens"),
-            TextOps.knuthMix(col("doc_id")).as("h"))
+        base.join(broadcast(cut), Seq("source"))
+          .filter(col("hcut").isNull || col("h") <= col("hcut"))
           .withColumn("running", sum("n_tokens").over(w))
           .filter(col("running") <= 800)
           .select(col("doc_id"), col("source"), col("n_tokens"),
@@ -826,18 +855,36 @@ object TextQueries {
     // doc straddling a boundary belongs to the bin where it starts, so
     // fill can exceed 1000‰ by at most one doc). Reports per-bin doc
     // count and fill ratio — the packing-efficiency numbers a training
-    // job plans around. Same scale shape as t10 (one window exchange);
-    // the bin assignment itself is pure arithmetic on the running sum.
+    // job plans around. Scale shape (r14): unlike t10 every doc keeps
+    // its bin, so nothing can be pruned — instead the per-source
+    // running sum is TWO-LEVEL (RankStats' bucket discipline, applied
+    // per row): cumulatives run inside (source, h-bucket) partitions
+    // and each bucket adds its offset from the bucket-total spine —
+    // sources×4096-way parallelism instead of the |sources|-task
+    // ceiling of a bare per-source window over the corpus.
     "t12_sequence_pack" -> QueryDef(
       (s, dir) => {
         import org.apache.spark.sql.expressions.Window
-        val w = Window.partitionBy("source").orderBy("h", "doc_id")
+        // knuthMix's domain is [0, p) by construction — fixed geometry
+        val width = 1000000007L / 4096 + 1
+        // base feeds TWO consumers (bucket spine, final cumulative) —
+        // persist the narrow projection; tracked for session release
+        val base = graft.operators.CacheTracker.track(
+          table(s, dir, "documents")
+            .select(col("doc_id"), col("source"),
+              TextOps.tokenCount(col("text")).as("n_tokens"),
+              TextOps.knuthMix(col("doc_id")).as("h"))
+            .withColumn("bkt", expr(s"h DIV ${width}L"))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        val off = base.groupBy("source", "bkt").agg(sum("n_tokens").as("__btot"))
+          .withColumn("__off", coalesce(sum("__btot").over(
+            Window.partitionBy("source").orderBy("bkt")
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .select(col("source"), col("bkt"), col("__off"))
+        val wIn = Window.partitionBy("source", "bkt").orderBy("h", "doc_id")
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        table(s, dir, "documents")
-          .select(col("doc_id"), col("source"),
-            TextOps.tokenCount(col("text")).as("n_tokens"),
-            TextOps.knuthMix(col("doc_id")).as("h"))
-          .withColumn("cum", sum("n_tokens").over(w))
+        base.join(broadcast(off), Seq("source", "bkt"))
+          .withColumn("cum", col("__off") + sum("n_tokens").over(wIn))
           .select(col("source"),
             expr("CAST((cum - n_tokens) DIV 512 AS BIGINT)").as("bin"),
             col("n_tokens"))
@@ -1151,10 +1198,10 @@ object TextQueries {
     // merge are all replayed bit-for-bit.
     "t28_bpe_train" -> QueryDef(
       (s, dir) => {
-        val docs = table(s, dir, "documents")
-        val (merges, seg) =
-          graft.operators.Bpe.train(graft.operators.Bpe.corpusVocab(docs, "text"), 6)
-        seg.unpersist()
+        // training is SHARED with t29 (Staged.bpeTrained): one 6-round
+        // driver loop per session, not one per consumer; seg stays
+        // persisted for t29 and is freed by Staged.release
+        val (merges, _) = Staged.bpeTrained(s, dir)
         import s.implicits._
         merges.toDF()
           .select(col("round").cast("long").as("round"), col("lhs"),
@@ -1176,9 +1223,10 @@ object TextQueries {
     "t29_bpe_tokens" -> QueryDef(
       (s, dir) => {
         val docs = table(s, dir, "documents")
-        val (_, seg) =
-          graft.operators.Bpe.train(graft.operators.Bpe.corpusVocab(docs, "text"), 6)
-        seg.unpersist() // deterministic replay: merge literals are baked into the plan
+        // training SHARED with t28 (Staged.bpeTrained); seg arrives
+        // persisted — the token counts read the cached vocab-sized
+        // segmentation instead of replaying the 6-round merge lineage
+        val (_, seg) = Staged.bpeTrained(s, dir)
         val tok = seg.select(col("word"),
           size(graft.operators.Bpe.symbols(col("seg"))).cast("long").as("n_syms"))
         val occ = docs
@@ -2170,9 +2218,11 @@ object TextQueries {
         val gold = docs.select(col("doc_id"),
           when(TextOps.stopwordPermille(col("text")) >= 10, 1L).otherwise(0L)
             .as("pos"))
-        // staged: the scoring pipeline feeds the rank histograms AND
-        // the row count — persist once per (session, dir)
-        val scored = Staged.cached(s, s"t51scored:$dir") {
+        // staged WITH lineage truncation: the scoring pipeline feeds
+        // the two rank histograms, the join-back and the row count —
+        // each would otherwise re-analyze the 4096-bucket scoring
+        // lineage (~50 KB plan, measured r14)
+        val scored = Staged.checkpointed(s, s"t51scored:$dir") {
           score.join(gold, "doc_id")
         }
         val n = scored.count()

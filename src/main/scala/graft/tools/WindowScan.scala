@@ -28,6 +28,23 @@ object WindowScan {
             so.order.map(_.sql).mkString(",")
         }
         if (sorts.nonEmpty) println(s"SORT $name :: ${sorts.mkString(" | ")}")
+        // (c) fact-sized windows partitioned on LOW-cardinality keys:
+        // correct today, a parallelism ceiling at 100× (the r13 q108/q77
+        // plan-audit class) — observed NDV of the partition keys over
+        // the window's (uncontracted) input, flagged under 64
+        import org.apache.spark.sql.catalyst.expressions.Alias
+        import org.apache.spark.sql.catalyst.plans.logical.Project
+        plan.collect {
+          case w: LWindow if w.partitionSpec.nonEmpty &&
+              w.child.collectFirst { case a: Aggregate => a }.isEmpty =>
+            val proj = Project(w.partitionSpec.zipWithIndex.map {
+              case (e, i) => Alias(e, s"__p$i")() }, w.child)
+            val ndv = org.apache.spark.sql.graftbridge.GraftSqlBridge
+              .ofRows(spark, proj).distinct().count()
+            (w.partitionSpec.map(_.sql).mkString(","), ndv)
+        }.filter(_._2 < 64).foreach { case (k, n) =>
+          println(s"LOWCARD $name :: [$k] ndv=$n")
+        }
       } catch {
         case e: Throwable => println(s"ERR $name :: ${e.getClass.getSimpleName}: ${e.getMessage.take(120)}")
       }

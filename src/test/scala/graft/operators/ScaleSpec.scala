@@ -375,9 +375,13 @@ class PlanShapeSpec extends SparkTestBase {
     // window's input is named and its bound stated. Anything new must
     // be audited in (or reformulated via RankStats' two-level prefix
     // sum, whose only cross-bucket window runs over <= nBuckets bucket
-    // totals). Structural backstop for every hit, listed or not: the
-    // window must sit above an Aggregate contraction, never directly
-    // over a scan.
+    // totals). Structural backstop for every UNLISTED hit: the window
+    // must sit above an Aggregate contraction, never directly over a
+    // scan. Allowlisted queries are audited by their stated bound
+    // instead — a persist/localCheckpoint on the contracted input
+    // substitutes InMemoryRelation/LogicalRDD into the optimized plan
+    // and erases the Aggregate the backstop would otherwise see (r14:
+    // q116's persisted histogram).
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
     val allowed = Map(
       "q23b_rank_poorer" -> "distinct s_acctbal (bounded money domain; spec-guarded above)",
@@ -398,13 +402,78 @@ class PlanShapeSpec extends SparkTestBase {
         val unlisted =
           if (wins.nonEmpty && !allowed.contains(name)) Seq(s"$name:unaudited")
           else Nil
-        val overScan = wins.collect {
-          case w if w.child.collectFirst { case a: Aggregate => a }.isEmpty =>
-            s"$name:window-over-uncontracted-input"
-        }
+        val overScan =
+          if (allowed.contains(name)) Nil
+          else wins.collect {
+            case w if w.child.collectFirst { case a: Aggregate => a }.isEmpty =>
+              s"$name:window-over-uncontracted-input"
+          }
         unlisted ++ overScan
     }
     assert(offenders.isEmpty, s"single-task window stages in: $offenders")
+  }
+
+  test("GLOBAL: no fact-sized window partitioned on a bounded low-NDV key") {
+    // the r13 q108/q77 plan-audit class: a Window over uncontracted
+    // (fact-scaled) input whose partition keys have bounded observed
+    // NDV caps that stage at NDV-way parallelism forever — correct
+    // today, 25 single-task sorts of ~4B rows each at 100×. NDV is
+    // probed at the LARGEST local SF (sf0.1, like the q23b domain
+    // guard): scale-GROWING keys (user_id, suppkey — they grow with
+    // the corpus, so per-key volume stays bounded) separate there from
+    // bounded domains (p_brand ≈ 25, event_type ≈ 10, source ≈ 20,
+    // fixed at any scale). Detector: logical Window, non-empty
+    // partitionSpec, no Aggregate contraction beneath, observed
+    // partition-key NDV < 64. Anything new must be reformulated — the
+    // RankStats bucket discipline; q108 (weighted histogram), q77
+    // (bucketed lag + spine stitch) and t12 (two-level running sum)
+    // are the r14 templates — or audited into the allowlist with its
+    // bound stated.
+    import org.apache.spark.sql.catalyst.expressions.Alias
+    import org.apache.spark.sql.catalyst.plans.logical.{
+      Aggregate, LogicalPlan, Project, Window => LWindow}
+    import org.apache.spark.sql.expressions.{Window => WSpec}
+    import org.apache.spark.sql.functions.{broadcast, lag, sum => fsum}
+    val sf01 = "/root/testdata/sf0.1"
+    def lowCardWindows(plan: LogicalPlan): Seq[(String, Long)] = plan.collect {
+      case w: LWindow if w.partitionSpec.nonEmpty &&
+          w.child.collectFirst { case a: Aggregate => a }.isEmpty =>
+        val proj = Project(w.partitionSpec.zipWithIndex.map {
+          case (e, i) => Alias(e, s"__p$i")() }, w.child)
+        val ndv = org.apache.spark.sql.graftbridge.GraftSqlBridge
+          .ofRows(spark, proj).distinct().count()
+        (w.partitionSpec.map(_.sql).mkString(","), ndv)
+    }.filter(_._2 < 64)
+    // RED on the pre-r14 formulations (regression bait): the detector
+    // must fire on the exact window shapes q108/q77 shipped before
+    val li = spark.read.parquet(s"$sf01/lineitem.parquet")
+      .select(col("l_partkey"),
+        expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("price_c"),
+        expr("CAST(round(l_quantity * 100) AS BIGINT)").as("w"))
+    val pt = spark.read.parquet(s"$sf01/part.parquet")
+      .select(col("p_partkey"), col("p_brand"))
+    val oldQ108 = li.join(broadcast(pt), col("l_partkey") === col("p_partkey"))
+      .withColumn("cw", fsum("w").over(
+        WSpec.partitionBy("p_brand").orderBy("price_c")))
+    assert(lowCardWindows(oldQ108.queryExecution.optimizedPlan).nonEmpty,
+      "detector failed to flag the pre-r14 q108 window shape")
+    val ev = spark.read.parquet(s"$sf01/events.parquet")
+    val oldQ77 = ev.withColumn("prev", lag("event_id", 1).over(
+      WSpec.partitionBy("event_type").orderBy("ts", "event_id")))
+    assert(lowCardWindows(oldQ77.queryExecution.optimizedPlan).nonEmpty,
+      "detector failed to flag the pre-r14 q77 window shape")
+    // GREEN on the registry (audited exemptions would go here, with
+    // the bound that justifies them)
+    val allowed = Map.empty[String, String]
+    val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val hits = lowCardWindows(fn(spark, sf01).queryExecution.optimizedPlan)
+        if (hits.nonEmpty && !allowed.contains(name))
+          Some(s"$name:${hits.map { case (k, n) => s"[$k]ndv=$n" }.mkString(",")}")
+        else None
+    }
+    assert(offenders.isEmpty,
+      s"fact-sized windows on bounded low-NDV partition keys in: $offenders")
   }
 
   test("GLOBAL: no fact-sized trailing global sorts (the q35/t9 double-execution tax)") {
