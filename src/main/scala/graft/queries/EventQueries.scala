@@ -1165,23 +1165,20 @@ object EventQueries {
     // prev-type, accuracy is integer permille.
     "q103_markov_eval" -> QueryDef(
       (s, dir) => {
-        // the pairs table (scan + per-user lag window) feeds the cutoff
-        // probe, the training count AND the eval scan — Spark INLINES
-        // SQL CTEs, so the whole window pipeline executed once per
-        // consumer before r14; materialize it once (narrow columns,
-        // tracked for session release) and run the rest of the SQL
-        // over the cached view. Same expressions, same results.
-        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-        val pairs = graft.operators.CacheTracker.track(
-          Relational.eventsRaw(s, dir)
-            .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
-              expr("ts DIV 86400000000000").as("day"))
-            .withColumn("prev_type", lag("event_type", 1).over(w))
-            .filter(col("prev_type").isNotNull)
-            .select(col("day"), col("prev_type"), col("event_type").as("next_type"))
-            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-        pairs.createOrReplaceTempView("graft_q103_pairs")
-        s.sql("""WITH pairs AS (SELECT * FROM graft_q103_pairs),
+        // note (r14): CTE inlining looks like it re-executes `pairs`
+        // per consumer, but the three consumers share one window
+        // exchange (ReusedExchange) — a materialize-once rewrite was
+        // measured SLOWER (persist write > the post-exchange replays)
+        Relational.eventsRaw(s, dir).createOrReplaceTempView("graft_q103_ev")
+        s.sql("""WITH seq AS (
+                |  SELECT user_id, ts DIV 86400000000000 AS day, event_id,
+                |    event_type,
+                |    lag(event_type) OVER (PARTITION BY user_id
+                |      ORDER BY ts, event_id) AS prev_type
+                |  FROM graft_q103_ev),
+                |pairs AS (
+                |  SELECT day, prev_type, event_type AS next_type
+                |  FROM seq WHERE prev_type IS NOT NULL),
                 |cut AS (SELECT (min(day) + max(day)) DIV 2 AS d FROM pairs),
                 |train AS (
                 |  SELECT prev_type, next_type, count(*) AS n FROM pairs

@@ -2436,14 +2436,8 @@ object Relational {
         val st = v.agg(count(lit(1)).as("n"), min("v").as("lo"),
           max("v").as("hi")).head
         val n = st.getLong(0); val lo = st.getLong(1); val hi = st.getLong(2)
-        // histogram feeds TWO consumers (edge lookup, bin counting) —
-        // persist the value-domain-bounded table; bin counts read off
-        // the histogram's per-value cnt (r14; was a THIRD full scan
-        // broadcast-interval-joined against every fact row)
-        val hist = graft.operators.CacheTracker.track(
-          graft.operators.RankStats
-            .cumulativeHistogram(v, Seq.empty, "v", bounds = Some((lo, hi)))
-            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        val hist = graft.operators.RankStats
+          .cumulativeHistogram(v, Seq.empty, "v", bounds = Some((lo, hi)))
         val targets = (0 until B).map { i =>
           (i.toLong, if (i == 0) 1L else (i * n + B - 1) / B)
         }.toDF("i", "r")
@@ -2457,9 +2451,9 @@ object Relational {
           .filter(col("hi").isNotNull)
           .select(col("i").cast("long").as("bin"), col("e").as("lo_c"),
             col("hi").as("hi_excl_c"))
-        val counts = hist.join(broadcast(ivals),
+        val counts = v.join(broadcast(ivals),
             col("v") >= col("lo_c") && col("v") < col("hi_excl_c"))
-          .groupBy("bin").agg(sum("cnt").as("cnt"))
+          .groupBy("bin").agg(count(lit(1)).as("cnt"))
         ivals.join(counts, Seq("bin"), "left")
           .select(col("bin"), col("lo_c"), col("hi_excl_c"),
             coalesce(col("cnt"), lit(0L)).as("n_rows"))
@@ -2555,15 +2549,9 @@ object Relational {
       (s, dir) => {
         val v = table(s, dir, "lineitem")
           .select(col("l_returnflag"), cents(col("l_extendedprice")).as("price_c"))
-        // histogram feeds TWO consumers (rank targets, cap lookup) —
-        // persist the value-domain-bounded table so the fact scan +
-        // keyed shuffle behind it run once (r14; was one extra full
-        // count pass: per-flag n is just the histogram's max cum)
-        val hist = graft.operators.CacheTracker.track(
-          graft.operators.RankStats
-            .cumulativeHistogram(v, Seq("l_returnflag"), "price_c")
-            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-        val stats = hist.groupBy("l_returnflag").agg(max("cum").as("n"))
+        val hist = graft.operators.RankStats
+          .cumulativeHistogram(v, Seq("l_returnflag"), "price_c")
+        val stats = v.groupBy("l_returnflag").agg(count(lit(1)).as("n"))
         val targets = stats.select(col("l_returnflag"), col("n"),
             explode(array(
               struct(lit("lo").as("which"),
@@ -2673,15 +2661,14 @@ object Relational {
         val p = table(s, dir, "part").select(col("p_partkey"), col("p_brand"))
         val joined = li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
           .select(col("p_brand"), col("price_c"), col("w"))
-        // histogram feeds TWO consumers (brand totals, median lookup) —
-        // persist the value-domain-bounded table so the scan + keyed
-        // shuffles behind it run once
-        val hist = graft.operators.CacheTracker.track(
-          graft.operators.RankStats.cumulativeHistogram(
-            joined, Seq("p_brand"), "price_c", weightCol = Some("w"))
-            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-        // cum at the LAST value of each brand = the brand's total weight
-        val tot = hist.groupBy("p_brand").agg(max("cum").as("tw"))
+        val hist = graft.operators.RankStats.cumulativeHistogram(
+          joined, Seq("p_brand"), "price_c", weightCol = Some("w"))
+        // brand totals from a direct map-side-combining agg over the
+        // (re-scanned, shuffle-free) broadcast join — NOT from the
+        // histogram, which would make the whole histogram pipeline a
+        // two-consumer subplan (re-executed or persisted, both dearer
+        // than one extra narrow scan)
+        val tot = joined.groupBy("p_brand").agg(sum("w").as("tw"))
         hist.join(broadcast(tot), "p_brand")
           .groupBy("p_brand")
           .agg(min(when(col("cum") * 2 >= col("tw"), col("price_c")))
