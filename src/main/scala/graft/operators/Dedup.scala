@@ -183,12 +183,12 @@ object Dedup {
   }
 
   def lshCandidatesFromHashes(hashed: DataFrame, bands: Int, rows: Int): DataFrame = {
-    // the band table feeds BOTH self-join sides and each consumption
-    // re-runs the k-column signature aggregation over the hash table —
-    // persist (bounded: id×bands rows of three longs), tracked for
-    // session release (r14: no more accumulation in long sessions)
+    // the band table feeds BOTH self-join sides; localCheckpoint, not
+    // persist (r14): each side would also re-ANALYZE the k-column
+    // signature aggregation lineage — the leaf hands both a bounded
+    // (id×bands × three longs) table. Tracked for session release.
     pairsFromBuckets(CacheTracker.track(bandBuckets(hashed, bands, rows)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)))
+      .localCheckpoint()))
   }
 
   // ---- LSH banding auto-tuner ------------------------------------------
@@ -358,9 +358,10 @@ object Dedup {
     }
     val cB = bandBuckets(shingleHashTable(cSh, idCol, "__sh"), bands, rows)
     // three join-side consumers (corpus probe + in-batch self-join):
-    // persist so the explode + signature aggregation runs once
+    // localCheckpoint so the explode + signature aggregation runs AND
+    // plans once (a persist still re-analyzes the lineage per side)
     val iB = CacheTracker.track(bandBuckets(shingleHashTable(iSh, idCol, "__sh"), bands, rows)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      .localCheckpoint())
     // probe the corpus index: equi-join on (band, bh), corpus id on the
     // doc_a side (always the smaller id under the contract)
     val crossCand = iB.as("i")
@@ -477,10 +478,10 @@ object Dedup {
     val iH = shingleHashTable(iSh, "__id", "__sh")
     // the incoming band table feeds THREE join sides (corpus probe +
     // both sides of the in-batch self-join) and each consumption
-    // re-runs the explode + signature aggregation — persist (bounded
-    // per invocation, id×bands rows of three longs)
+    // re-runs AND re-plans the explode + signature aggregation —
+    // localCheckpoint (bounded per invocation, id×bands × three longs)
     val iB = CacheTracker.track(bandBuckets(iH, bands, rows)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      .localCheckpoint())
     val crossCand = iB.as("i")
       .join(cB.as("c"), col("i.band") === col("c.band") && col("i.bh") === col("c.bh"))
       .select(col("c.__id").as("doc_a"), col("i.__id").as("doc_b"))
@@ -490,7 +491,7 @@ object Dedup {
     // the incoming half re-aggregates per consumption — persist
     val allSets = CacheTracker.track(cH.unionByName(
         iH.groupBy("__id").agg(collect_set("__h").as("__hs")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      .localCheckpoint())
     val dropped = verifyJaccard(crossCand, allSets, "__id", "__hs",
         thresholdNum, thresholdDen)
       .select(col("doc_b").as("__id"))
@@ -565,7 +566,7 @@ object Dedup {
     // cached frame would waste executor memory
     jaccardCandidatesFromPrefix(
       CacheTracker.track(buildJaccardPrefix(shingled, idCol, shinglesCol, num, den)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)),
+        .localCheckpoint()),
       num, den)
 
   /** The rarest-first PREFIX table of [[ngramJaccardCandidates]]
@@ -662,8 +663,8 @@ object Dedup {
     // and sets twice); staged callers (d22) persist their own copies
     val ix0 = buildContainmentIndex(shingled, idCol, shinglesCol)
     containmentPairsFromIndex(ContainmentIndex(
-      CacheTracker.track(ix0.sets.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)),
-      CacheTracker.track(ix0.sorted.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))),
+      CacheTracker.track(ix0.sets.localCheckpoint()),
+      CacheTracker.track(ix0.sorted.localCheckpoint())),
       num, den)
   }
 
@@ -1011,12 +1012,14 @@ object Dedup {
       s"planes ($planes) must be divisible by rowsPerBand ($rowsPerBand): " +
         "trailing code bits would silently never be banded")
     val bands = planes / rowsPerBand
-    // both self-join sides consume the banded table and signCode is the
-    // planes×dims fold per row — persist (bounded per invocation)
+    // both self-join sides consume the banded table and signCode is
+    // the planes×dims fold per row — localCheckpoint: persist alone
+    // left each side re-analyzing the fold's expression tree (d4
+    // planned ~110 KB, measured r14)
     val banded = CacheTracker.track(Similarity.bandExplode(
       vecs.withColumn("__code", Similarity.signCode(col(vecCol), dims, planes)),
       "__code", bands, rowsPerBand, Seq(idCol))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      .localCheckpoint())
     val cands = banded.select(col(idCol).as("doc_a"), col("band"), col("bits"))
       .join(banded.select(col(idCol).as("doc_b"), col("band"), col("bits")), Seq("band", "bits"))
       .filter(col("doc_a") < col("doc_b"))

@@ -69,7 +69,7 @@ object SemDedup {
     // Self-contained bounded-per-invocation persist, same convention as
     // indexedNearDupSurvivors' batch-shingle frame.
     val m = CacheTracker.track(qn.join(assign, idCol)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      .localCheckpoint())
 
     val a = m.select(col(idCol), col("__qv").as("qa"), col("__n2").as("na"),
       col("cluster"), col("dist").as("da"))

@@ -596,7 +596,7 @@ object Similarity {
     // the planes×dims fold per row — persist so it computes once
     // (bounded per invocation: id + planes-bit code)
     val slim = CacheTracker.track(coded.select(col(idCol), col("__code"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      .localCheckpoint())
     val left = bandExplode(slim.select(col(idCol).as("qid"), col("__code")),
       "__code", bands, rowsPerBand, Seq("qid"))
     val right = bandExplode(slim, "__code", bands, rowsPerBand, Seq(idCol))
