@@ -2654,6 +2654,19 @@ object Relational {
     // not a second fact pass. Exact integer cents/weights end to end.
     "q108_weighted_median" -> QueryDef(
       (s, dir) => {
+        // Two-pass bucket refinement — the plan has NO fact-sized
+        // exchange at all (the first weighted-histogram rewrite still
+        // shuffled a near-fact-sized (brand, price) histogram; prices
+        // are almost row-distinct). Pass 0: 1-row price-domain probe
+        // (narrow scan, no join). Pass 1: per-(brand, bucket) weight
+        // totals — map-side-combined to <= 25×4096 rows, checkpointed
+        // (the spine feeds the target pick twice). The target bucket b*
+        // per brand = smallest bucket whose cumulative weight crosses
+        // half the total; the median price provably lies inside it.
+        // Pass 2: re-scan filtered to b* (≈1/4096 of rows after the
+        // broadcast target join), per-value weights, and a window over
+        // that bucket's values only. Windows run over the bounded
+        // spine/bucket tables, never over facts.
         val li = table(s, dir, "lineitem")
           .select(col("l_partkey"),
             expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("price_c"),
@@ -2661,19 +2674,36 @@ object Relational {
         val p = table(s, dir, "part").select(col("p_partkey"), col("p_brand"))
         val joined = li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
           .select(col("p_brand"), col("price_c"), col("w"))
-        val hist = graft.operators.RankStats.cumulativeHistogram(
-          joined, Seq("p_brand"), "price_c", weightCol = Some("w"))
-        // brand totals from a direct map-side-combining agg over the
-        // (re-scanned, shuffle-free) broadcast join — NOT from the
-        // histogram, which would make the whole histogram pipeline a
-        // two-consumer subplan (re-executed or persisted, both dearer
-        // than one extra narrow scan)
-        val tot = joined.groupBy("p_brand").agg(sum("w").as("tw"))
-        hist.join(broadcast(tot), "p_brand")
+        val st = li.agg(min("price_c"), max("price_c")).head
+        val lo = st.getLong(0)
+        val width = (st.getLong(1) - lo) / 4096 + 1
+        val bktCol = expr(s"(price_c - ${lo}L) DIV ${width}L")
+        val btot = graft.operators.CacheTracker.track(
+          joined.groupBy(col("p_brand"), bktCol.as("bkt"))
+            .agg(sum("w").as("bw"))
+            .localCheckpoint())
+        val spine = btot
+          .withColumn("bcum", sum("bw").over(Window.partitionBy("p_brand")
+            .orderBy("bkt").rowsBetween(Window.unboundedPreceding, 0)))
+          .withColumn("tw", sum("bw").over(Window.partitionBy("p_brand")))
+        val target = spine.filter(col("bcum") * 2 >= col("tw"))
+          .select(col("p_brand"),
+            struct(col("bkt"), (col("bcum") - col("bw")).as("off")).as("t"),
+            col("tw"))
           .groupBy("p_brand")
-          .agg(min(when(col("cum") * 2 >= col("tw"), col("price_c")))
-              .as("wmed_price_c"),
-            max("tw").as("total_w"))
+          .agg(min("t").as("t"), max("tw").as("tw"))
+          .select(col("p_brand"), col("t.bkt").as("bstar"),
+            col("t.off").as("off"), col("tw"))
+        joined.join(broadcast(target), Seq("p_brand"))
+          .filter(bktCol === col("bstar"))
+          .groupBy(col("p_brand"), col("price_c"))
+          .agg(sum("w").as("wv"), max("off").as("off"), max("tw").as("tw"))
+          .withColumn("cum", col("off") + sum("wv")
+            .over(Window.partitionBy("p_brand").orderBy("price_c")
+              .rowsBetween(Window.unboundedPreceding, 0)))
+          .filter(col("cum") * 2 >= col("tw"))
+          .groupBy("p_brand")
+          .agg(min("price_c").as("wmed_price_c"), max("tw").as("total_w"))
           .orderBy("p_brand")
       },
       Some("""WITH w AS (

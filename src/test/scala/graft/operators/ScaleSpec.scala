@@ -462,9 +462,14 @@ class PlanShapeSpec extends SparkTestBase {
       WSpec.partitionBy("event_type").orderBy("ts", "event_id")))
     assert(lowCardWindows(oldQ77.queryExecution.optimizedPlan).nonEmpty,
       "detector failed to flag the pre-r14 q77 window shape")
-    // GREEN on the registry (audited exemptions would go here, with
-    // the bound that justifies them)
-    val allowed = Map.empty[String, String]
+    // GREEN on the registry (audited exemptions, with the bound that
+    // justifies them)
+    val allowed = Map(
+      // the detector sees a checkpoint LEAF (no Aggregate) under the
+      // spine windows; the leaf is the per-(brand, bucket) weight
+      // totals — <= 25×4096 rows by construction, never fact-scaled
+      "q108_weighted_median" ->
+        "bucket-spine windows over the checkpointed <=25x4096 totals leaf")
     val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val hits = lowCardWindows(fn(spark, sf01).queryExecution.optimizedPlan)
