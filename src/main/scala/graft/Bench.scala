@@ -16,6 +16,12 @@ object Bench {
     val runs = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt)
     val spark = GraftSession.builder(s"local[$cpus]", cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Deterministic work metrics (r14 VERDICT item 1): wall-clock on this
+    // host drifts ±40% with load, so seconds alone cannot adjudicate a
+    // round. Task counts and shuffle/scan bytes are functions of the
+    // physical plan only — emitted per query into the FULL artifact
+    // (additions-only; the one-line stdout contract is unchanged).
+    val wm = WorkMetricsListener.install(spark)
     // warm the JVM once so the first measured query is not billed for
     // one-time init: codegen, parquet reader, broadcast + shuffle
     // machinery (worth ~3-8 s on whichever query runs first otherwise)
@@ -61,9 +67,18 @@ object Bench {
       }
     }
     graft.queries.Staged.accessLog.clear() // warm-up touches are nobody's
+    // per-query work metrics, one map per pass. Identical code + data ⇒
+    // identical plan-shape fields in every pass (staged artifacts are
+    // released between passes, so each pass re-pays staged builds the
+    // same way; first-touch consumers include their staged key's work,
+    // mirroring how pre-r12 TIMING billed it — the staging_consumers map
+    // says which rows those are). Pass-to-pass disagreement on the
+    // deterministic fields is itself reported (metrics_unstable).
+    val passMetrics = Array.fill(runs)(scala.collection.mutable.Map[String, WorkSnap]())
     for (pass <- 1 to runs) {
       names.foreach { name =>
         val fn = SparkEntry.queries(name)
+        val snap0 = wm.snapshotAfterDrain(spark) // untimed: bus drain sits outside t0
         val st0 = graft.queries.Staged.stagingNanos.get()
         val t0 = System.nanoTime()
         // noop sink: materializes EVERY output column (count() would let
@@ -77,6 +92,7 @@ object Bench {
         // round-11 sim6/t51 adjudication problem, now explicit per row
         val staging = (graft.queries.Staged.stagingNanos.get() - st0) / 1e9
         val elapsed = (System.nanoTime() - t0) / 1e9 - staging
+        passMetrics(pass - 1)(name) = wm.snapshotAfterDrain(spark) - snap0
         drainAccessLog(name, failed)
         if (failed) everFailed += name
         else best(name) = math.min(best.getOrElse(name, Double.MaxValue), elapsed)
@@ -127,7 +143,19 @@ object Bench {
       "\"" + k + "\":[" +
         consumersFailed(k).map("\"" + _ + "\"").mkString(",") + "]"
     }.mkString("{", ",", "}")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"staging":$stg,"staging_total":$stagingTotal,"staging_consumers":$stgConsumers,"staging_consumers_failed":$stgConsumersFailed,"staging_orphaned":$orphaned,"errors":$errs,"runs":$runs,"sf":"$sfDir"}"""
+    // deterministic work metrics from the LAST pass (passes agree on the
+    // plan-shape fields; metrics_unstable lists any query where they did
+    // not — identical code should report [] there, making plan changes
+    // adjudicable under host drift where seconds are not)
+    val lastM = passMetrics(runs - 1)
+    val metricsJson = names.filter(lastM.contains).map { k =>
+      "\"" + k + "\":" + lastM(k).json
+    }.mkString("{", ",", "}")
+    val unstable = names.filter { k =>
+      passMetrics.forall(_.contains(k)) &&
+        passMetrics.exists(m => !m(k).closeTo(passMetrics(0)(k)))
+    }.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"staging":$stg,"staging_total":$stagingTotal,"staging_consumers":$stgConsumers,"staging_consumers_failed":$stgConsumersFailed,"staging_orphaned":$orphaned,"metrics":$metricsJson,"metrics_unstable":$unstable,"errors":$errs,"runs":$runs,"sf":"$sfDir"}"""
     println(line)
     // Self-contained artifact: the stdout line is captured by the driver
     // as a LOG TAIL, which truncated the first ~28 queries out of two

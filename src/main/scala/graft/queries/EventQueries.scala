@@ -381,13 +381,20 @@ object EventQueries {
     "q17_asof_join" -> QueryDef(
       (s, dir) => {
         val ev = eventsShifted(s, dir)
+        // aggregated-right form (r15): the per-(custkey, orderdate) dedup
+        // aggregate rides the join's own key shuffle as a group window —
+        // one Exchange + one Sort for the whole as-of join instead of a
+        // dedicated orders pre-aggregation Exchange (near-zero map-side
+        // reduction: (custkey, orderdate) is almost unique) plus the
+        // union Exchange. Semantics identical (OperatorSpec pins it).
         val r = table(s, dir, "orders")
-          .groupBy(col("o_custkey"), col("o_orderdate"))
-          .agg(max("o_orderkey").as("o_orderkey"), sum(cents(col("o_totalprice"))).as("total_c"))
-        AsOfJoin.backward(ev, r,
+          .select(col("o_custkey"), col("o_orderdate"), col("o_orderkey"), col("o_totalprice"))
+        AsOfJoin.backwardAgg(ev, r,
             leftKey = "user_id", rightKey = "o_custkey",
             leftTime = "ets", rightTime = "o_orderdate",
-            valueCols = Seq("o_orderkey", "total_c"))
+            aggs = Seq(
+              "o_orderkey" -> max(col("o_orderkey")),
+              "total_c" -> sum(cents(col("o_totalprice")))))
           .select(col("event_id"), col("user_id"), col("o_orderkey"), col("total_c"),
             date_format(col("asof_time"), "yyyy-MM-dd").as("asof_date"))
           .orderBy("event_id")
@@ -412,13 +419,16 @@ object EventQueries {
     "q39_asof_forward" -> QueryDef(
       (s, dir) => {
         val ev = eventsShifted(s, dir)
+        // aggregated-right form (r15) — see q17; the forward fill sorts
+        // on negated microseconds so the join still plans one Sort
         val r = table(s, dir, "orders")
-          .groupBy(col("o_custkey"), col("o_orderdate"))
-          .agg(max("o_orderkey").as("o_orderkey"), sum(cents(col("o_totalprice"))).as("total_c"))
-        AsOfJoin.forward(ev, r,
+          .select(col("o_custkey"), col("o_orderdate"), col("o_orderkey"), col("o_totalprice"))
+        AsOfJoin.forwardAgg(ev, r,
             leftKey = "user_id", rightKey = "o_custkey",
             leftTime = "ets", rightTime = "o_orderdate",
-            valueCols = Seq("o_orderkey", "total_c"))
+            aggs = Seq(
+              "o_orderkey" -> max(col("o_orderkey")),
+              "total_c" -> sum(cents(col("o_totalprice")))))
           .select(col("event_id"), col("user_id"), col("o_orderkey"), col("total_c"),
             date_format(col("asof_time"), "yyyy-MM-dd").as("asof_date"))
           .orderBy("event_id")
@@ -444,13 +454,17 @@ object EventQueries {
     "q40_asof_nearest" -> QueryDef(
       (s, dir) => {
         val ev = eventsShifted(s, dir)
+        // aggregated-right form (r15) — see q17; the dedup aggregate
+        // shares the backward fill's sort, only the forward fill pays
+        // the second (in-partition) sort
         val r = table(s, dir, "orders")
-          .groupBy(col("o_custkey"), col("o_orderdate"))
-          .agg(max("o_orderkey").as("o_orderkey"), sum(cents(col("o_totalprice"))).as("total_c"))
-        AsOfJoin.nearest(ev, r,
+          .select(col("o_custkey"), col("o_orderdate"), col("o_orderkey"), col("o_totalprice"))
+        AsOfJoin.nearestAgg(ev, r,
             leftKey = "user_id", rightKey = "o_custkey",
             leftTime = "ets", rightTime = "o_orderdate",
-            valueCols = Seq("o_orderkey", "total_c"))
+            aggs = Seq(
+              "o_orderkey" -> max(col("o_orderkey")),
+              "total_c" -> sum(cents(col("o_totalprice")))))
           .select(col("event_id"), col("user_id"), col("o_orderkey"), col("total_c"),
             date_format(col("asof_time"), "yyyy-MM-dd").as("asof_date"))
           .orderBy("event_id")

@@ -28,7 +28,9 @@ object BenchSome {
     // upper() forces the one-time ICU case-mapping load (~14 s) out of
     // the first measured query — same warm-up as Bench.
     spark.range(1000).selectExpr("sum(id)", "upper('x')").write.format("noop").mode("overwrite").save()
+    val wm = graft.WorkMetricsListener.install(spark)
     names.foreach { name =>
+      val snap0 = wm.snapshotAfterDrain(spark)
       // time fn() AND the sink, like Bench: queries that stage or
       // prune driver-side (e.g. q93's Fagin candidate passes) do real
       // work inside fn — timing the write alone under-measures them.
@@ -40,8 +42,11 @@ object BenchSome {
         .write.format("noop").mode("overwrite").save()
       val staging = (graft.queries.Staged.stagingNanos.get() - st0) / 1e9
       val net = (System.nanoTime() - t0) / 1e9 - staging
+      val w = wm.snapshotAfterDrain(spark) - snap0
       println(f"[bench] $name%-20s ${net}%8.2f s" +
-        (if (staging > 0.0005) f" (+ ${staging}%.2f s staging)" else ""))
+        (if (staging > 0.0005) f" (+ ${staging}%.2f s staging)" else "") +
+        f"  [tasks=${w.tasks} shufR=${w.shuffleRead} shufW=${w.shuffleWrite}" +
+        f" input=${w.inputBytes} spill=${w.memSpill}/${w.diskSpill}]")
     }
     spark.stop()
   }

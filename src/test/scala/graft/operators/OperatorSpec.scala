@@ -1543,6 +1543,62 @@ class AsOfJoinSpec extends SparkTestBase {
     assert(nr == Map("e1" -> 50L, "e2" -> 200L))
   }
 
+  test("agg variants match groupBy-then-join on every direction (r15 rewrite)") {
+    // raw right with DUPLICATE (key, time) groups, a NULL value, an
+    // exact-time tie, a left-only key and a right-only key — the agg
+    // variants must reproduce groupBy(key,time).agg(...) + plain join
+    // byte for byte (this is the q17/q39/q40 equivalence contract)
+    val left = Seq((1L, 10L, "a"), (1L, 25L, "b"), (1L, 5L, "c"),
+      (2L, 20L, "d"), (3L, 7L, "e")).toDF("k", "t", "ev")
+    val rightRaw = Seq(
+      (1L, 5L, Some(100L), Some(7L)), (1L, 5L, Some(150L), Some(3L)),
+      (1L, 25L, Some(200L), None), (1L, 30L, None: Option[Long], Some(9L)),
+      (2L, 50L, Some(400L), Some(1L)), (4L, 1L, Some(500L), Some(2L)))
+      .toDF("rk", "rt", "ok", "total")
+    val aggs = Seq("ok" -> max(col("ok")), "total" -> sum(col("total")))
+    val pre = rightRaw.groupBy(col("rk"), col("rt"))
+      .agg(max(col("ok")).as("ok"), sum(col("total")).as("total"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("ev", "ok", "total", "asof_time")
+        .collect().map(_.toSeq).toSet
+    for (inner <- Seq(true, false); tol <- Seq(None, Some(12000000L))) {
+      assert(rows(AsOfJoin.backwardAgg(left, rightRaw, "k", "rk", "t", "rt",
+          aggs, inner = inner, toleranceUs = tol)) ==
+        rows(AsOfJoin.backward(left, pre, "k", "rk", "t", "rt",
+          Seq("ok", "total"), inner = inner, toleranceUs = tol)),
+        s"backwardAgg mismatch inner=$inner tol=$tol")
+      assert(rows(AsOfJoin.forwardAgg(left, rightRaw, "k", "rk", "t", "rt",
+          aggs, inner = inner, toleranceUs = tol)) ==
+        rows(AsOfJoin.forward(left, pre, "k", "rk", "t", "rt",
+          Seq("ok", "total"), inner = inner, toleranceUs = tol)),
+        s"forwardAgg mismatch inner=$inner tol=$tol")
+      assert(rows(AsOfJoin.nearestAgg(left, rightRaw, "k", "rk", "t", "rt",
+          aggs, inner = inner, toleranceUs = tol)) ==
+        rows(AsOfJoin.nearest(left, pre, "k", "rk", "t", "rt",
+          Seq("ok", "total"), inner = inner, toleranceUs = tol)),
+        s"nearestAgg mismatch inner=$inner tol=$tol")
+    }
+  }
+
+  test("agg variants plan ONE exchange for the whole join (no right pre-agg shuffle)") {
+    val left = Seq((1L, 10L, "a")).toDF("k", "t", "ev")
+    val rightRaw = Seq((1L, 5L, 100L)).toDF("rk", "rt", "v")
+    val aggs = Seq("v" -> max(col("v")))
+    for ((name, out) <- Seq(
+        "backwardAgg" -> AsOfJoin.backwardAgg(left, rightRaw, "k", "rk", "t", "rt", aggs),
+        "forwardAgg" -> AsOfJoin.forwardAgg(left, rightRaw, "k", "rk", "t", "rt", aggs),
+        "nearestAgg" -> AsOfJoin.nearestAgg(left, rightRaw, "k", "rk", "t", "rt", aggs))) {
+      val plan = out.queryExecution.executedPlan.toString
+      val exchanges = plan.linesIterator.count(_.contains("Exchange"))
+      assert(exchanges == 1, s"$name plans $exchanges exchanges (want 1):\n$plan")
+      // the group agg's FULL-unbounded frame is the O(group)
+      // UnboundedWindowFunctionFrame; only a moving-start frame ending
+      // at unboundedfollowing re-aggregates the suffix per row (O(k²))
+      assert(!plan.toLowerCase.contains("currentrow$(), unboundedfollowing$()"),
+        s"suffix-re-aggregating window frame found in $name plan:\n$plan")
+    }
+  }
+
   test("forward/nearest fills use running frames only (no O(k^2) following frame)") {
     // plan-shape guard for the hot-key fix: every window frame in the
     // physical plan must be "unboundedpreceding$() ... currentrow$()" —
