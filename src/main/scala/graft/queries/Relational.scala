@@ -1642,9 +1642,15 @@ object Relational {
             .agg(sort_array(collect_set(col("pk"))).as("parts"))
         }
         val nOrders = baskets.agg(count(lit(1)).as("n_orders"))
-        val supp = baskets
+        // r15: the per-part support aggregate feeds BOTH lift joins —
+        // without a cache the basket explode + groupBy runs twice (the
+        // r14 audit's q67 deferral). Part-NDV-bounded (dimension-sized),
+        // persisted and tracked for the session release sweep; AQE
+        // still picks the join strategy from its actual shuffle size.
+        val supp = graft.operators.CacheTracker.track(baskets
           .select(explode(col("parts")).as("pk"))
           .groupBy("pk").agg(count(lit(1)).as("c"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
         val pairs = baskets
           .select(explode(expr(
             // all ordered pairs (pa < pb) of the sorted basket
@@ -2659,14 +2665,19 @@ object Relational {
         // shuffled a near-fact-sized (brand, price) histogram; prices
         // are almost row-distinct). Pass 0: 1-row price-domain probe
         // (narrow scan, no join). Pass 1: per-(brand, bucket) weight
-        // totals — map-side-combined to <= 25×4096 rows, checkpointed
-        // (the spine feeds the target pick twice). The target bucket b*
-        // per brand = smallest bucket whose cumulative weight crosses
-        // half the total; the median price provably lies inside it.
-        // Pass 2: re-scan filtered to b* (≈1/4096 of rows after the
-        // broadcast target join), per-value weights, and a window over
-        // that bucket's values only. Windows run over the bounded
-        // spine/bucket tables, never over facts.
+        // totals — map-side-combined to <= 25×4096 rows — re-aggregated
+        // per brand into ONE sorted histogram array; the target bucket
+        // b* (smallest bucket whose cumulative weight crosses half the
+        // total — the median price provably lies inside it) and its
+        // cumulative offset fall out of a single codegen'd aggregate()
+        // scan over that <=4096-element array. r15: this replaces the
+        // r14 checkpoint + two-window + filter + re-aggregate target
+        // pick — same integers, but the whole pick fuses into the
+        // broadcast build of pass 2 (one job, ~5 fewer codegen stages
+        // to JIT, no pinned checkpoint blocks). Pass 2: re-scan
+        // filtered to b* (≈1/4096 of rows after the broadcast target
+        // join), per-value weights, and a window over that bucket's
+        // values only — never over facts.
         val li = table(s, dir, "lineitem")
           .select(col("l_partkey"),
             expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("price_c"),
@@ -2678,22 +2689,21 @@ object Relational {
         val lo = st.getLong(0)
         val width = (st.getLong(1) - lo) / 4096 + 1
         val bktCol = expr(s"(price_c - ${lo}L) DIV ${width}L")
-        val btot = graft.operators.CacheTracker.track(
-          joined.groupBy(col("p_brand"), bktCol.as("bkt"))
-            .agg(sum("w").as("bw"))
-            .localCheckpoint())
-        val spine = btot
-          .withColumn("bcum", sum("bw").over(Window.partitionBy("p_brand")
-            .orderBy("bkt").rowsBetween(Window.unboundedPreceding, 0)))
-          .withColumn("tw", sum("bw").over(Window.partitionBy("p_brand")))
-        val target = spine.filter(col("bcum") * 2 >= col("tw"))
-          .select(col("p_brand"),
-            struct(col("bkt"), (col("bcum") - col("bw")).as("off")).as("t"),
-            col("tw"))
+        val target = joined.groupBy(col("p_brand"), bktCol.as("bkt"))
+          .agg(sum("w").as("bw"))
           .groupBy("p_brand")
-          .agg(min("t").as("t"), max("tw").as("tw"))
-          .select(col("p_brand"), col("t.bkt").as("bstar"),
-            col("t.off").as("off"), col("tw"))
+          .agg(sum("bw").as("tw"),
+            sort_array(collect_list(struct(col("bkt"), col("bw")))).as("hist"))
+          .select(col("p_brand"), col("tw"),
+            expr("""aggregate(hist,
+                 |  named_struct('cum', 0L, 'bstar', -1L, 'off', 0L),
+                 |  (acc, h) -> IF(acc.bstar >= 0L, acc,
+                 |    named_struct('cum', acc.cum + h.bw,
+                 |      'bstar', IF((acc.cum + h.bw) * 2 >= tw, h.bkt, -1L),
+                 |      'off',   IF((acc.cum + h.bw) * 2 >= tw, acc.cum, 0L))))
+                 |""".stripMargin.replace("\n", " ")).as("r"))
+          .select(col("p_brand"), col("r.bstar").as("bstar"),
+            col("r.off").as("off"), col("tw"))
         joined.join(broadcast(target), Seq("p_brand"))
           .filter(bktCol === col("bstar"))
           .groupBy(col("p_brand"), col("price_c"))

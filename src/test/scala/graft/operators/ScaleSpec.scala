@@ -402,12 +402,22 @@ class PlanShapeSpec extends SparkTestBase {
         val unlisted =
           if (wins.nonEmpty && !allowed.contains(name)) Seq(s"$name:unaudited")
           else Nil
-        val overScan =
-          if (allowed.contains(name)) Nil
-          else wins.collect {
-            case w if w.child.collectFirst { case a: Aggregate => a }.isEmpty =>
-              s"$name:window-over-uncontracted-input"
-          }
+        // structural backstop for EVERY query (r15, ADVICE): an
+        // allowlist entry exempts only the cached-contraction case its
+        // comment cites — a persist/localCheckpoint substituting an
+        // InMemoryRelation/LogicalRDD leaf for the Aggregate the
+        // detector would otherwise see. An allowlisted query whose
+        // no-partitionBy window sits directly over an uncached,
+        // unaggregated subtree has regressed to a fact-sized
+        // single-task window and must still fail here.
+        val overScan = wins.collect {
+          case w if w.child.collectFirst { case a: Aggregate => a }.isEmpty &&
+              w.child.collectFirst {
+                case m: org.apache.spark.sql.execution.columnar.InMemoryRelation => m
+                case l: org.apache.spark.sql.execution.LogicalRDD => l
+              }.isEmpty =>
+            s"$name:window-over-uncontracted-input"
+        }
         unlisted ++ overScan
     }
     assert(offenders.isEmpty, s"single-task window stages in: $offenders")
@@ -464,12 +474,10 @@ class PlanShapeSpec extends SparkTestBase {
       "detector failed to flag the pre-r14 q77 window shape")
     // GREEN on the registry (audited exemptions, with the bound that
     // justifies them)
-    val allowed = Map(
-      // the detector sees a checkpoint LEAF (no Aggregate) under the
-      // spine windows; the leaf is the per-(brand, bucket) weight
-      // totals — <= 25×4096 rows by construction, never fact-scaled
-      "q108_weighted_median" ->
-        "bucket-spine windows over the checkpointed <=25x4096 totals leaf")
+    // empty again as of r15: q108's target pick no longer windows over
+    // a checkpoint leaf (the histogram-array aggregate() pick), so the
+    // detector guards every query with zero exemptions
+    val allowed = Map.empty[String, String]
     val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val hits = lowCardWindows(fn(spark, sf01).queryExecution.optimizedPlan)
