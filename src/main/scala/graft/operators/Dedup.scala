@@ -159,14 +159,37 @@ object Dedup {
     * probe with an equi-join on the short (band, bh) key — see
     * [[incrementalNearDupSurvivors]].
     */
-  def bandBuckets(hashed: DataFrame, bands: Int, rows: Int): DataFrame = {
-    val sig = signatureColsFromHashes(hashed, bands * rows)
+  def bandBuckets(hashed: DataFrame, bands: Int, rows: Int): DataFrame =
+    bandsFromSignatures(signatureColsFromHashes(hashed, bands * rows), bands, rows)
+
+  /** The band-explode half of [[bandBuckets]], over an already-built
+    * signature-columns table — so a caller that materializes signatures
+    * once (e.g. the fused probe table of [[indexedNearDupSurvivors]])
+    * can re-derive band rows per consumer with a cheap columnar explode
+    * instead of a second signature aggregation.
+    */
+  def bandsFromSignatures(sig: DataFrame, bands: Int, rows: Int): DataFrame = {
     val bandStructs = (0 until bands).map { j =>
       val bandCols = (0 until rows).map(r => col(s"__m${j * rows + r}"))
       struct(lit(j).as("band"), hash(bandCols: _*).as("bh"))
     }
     sig.select(col("__id"), explode(array(bandStructs: _*)).as("b"))
       .select(col("__id"), col("b.band").as("band"), col("b.bh").as("bh"))
+  }
+
+  /** [[signatureColsFromHashes]] PLUS the per-doc verify hash set
+    * (`__hs`, the distinct shingle hashes) in the SAME aggregation —
+    * one exchange and one pass over the exploded hash table where the
+    * signature and set consumers would otherwise each re-aggregate it.
+    * Set order is nondeterministic; every consumer uses order-free set
+    * arithmetic (array_intersect/size in [[verifyJaccard]]).
+    */
+  def signatureAndSetCols(hashed: DataFrame, k: Int): DataFrame = {
+    val folded = pmod(col("__h"), lit(P))
+    val aggs = (0 until k).map { i =>
+      min(pmod(lit(aParam(i)) * folded + lit(bParam(i)), lit(P))).as(s"__m$i")
+    } :+ collect_set(col("__h")).as("__hs")
+    hashed.groupBy("__id").agg(aggs.head, aggs.tail: _*)
   }
 
   /** Candidate pairs from a band-bucket table: self-join on (band, bh)
@@ -475,23 +498,30 @@ object Dedup {
     val iSh = CacheTracker.track(incoming.select(col(idCol).as("__id"),
       TextOps.shingles(col(textCol), shingleN).as("__sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    val iH = shingleHashTable(iSh, "__id", "__sh")
-    // the incoming band table feeds THREE join sides (corpus probe +
-    // both sides of the in-batch self-join) and each consumption
-    // re-runs AND re-plans the explode + signature aggregation —
-    // localCheckpoint (bounded per invocation, id×bands × three longs)
-    val iB = CacheTracker.track(bandBuckets(iH, bands, rows)
-      .localCheckpoint())
+    // ONE aggregation pass over the exploded shingle hashes yields BOTH
+    // the band signatures and the verify hash set per doc (r15 —
+    // before, the band table and the set table each re-exploded and
+    // re-aggregated the cached shingles AND each took its own eager
+    // checkpoint: two signature-class aggregations and two
+    // materialization barriers on the probe path instead of one).
+    // Bounded per invocation: id × (bands·rows longs + hash set) —
+    // the same rows the two previous checkpoints pinned combined.
+    val sigSet = CacheTracker.track(
+      signatureAndSetCols(shingleHashTable(iSh, "__id", "__sh"), bands * rows)
+        .localCheckpoint())
+    // band rows re-derive from the leaf per consumer (three join
+    // sides): a cheap columnar explode, no aggregation behind it
+    val iB = bandsFromSignatures(sigSet, bands, rows)
     val crossCand = iB.as("i")
       .join(cB.as("c"), col("i.band") === col("c.band") && col("i.bh") === col("c.bh"))
       .select(col("c.__id").as("doc_a"), col("i.__id").as("doc_b"))
       .distinct()
     val inBatchCand = pairsFromBuckets(iB)
-    // verify sets feed FOUR join sides (two verifies × two sides) and
-    // the incoming half re-aggregates per consumption — persist
-    val allSets = CacheTracker.track(cH.unionByName(
-        iH.groupBy("__id").agg(collect_set("__h").as("__hs")))
-      .localCheckpoint())
+    // verify sets: corpus half straight off the index parquet (~KBs),
+    // incoming half a projection of the leaf — lazy union per consumer
+    // replaces the third aggregation + second checkpoint of the old
+    // shape
+    val allSets = cH.unionByName(sigSet.select(col("__id"), col("__hs")))
     val dropped = verifyJaccard(crossCand, allSets, "__id", "__hs",
         thresholdNum, thresholdDen)
       .select(col("doc_b").as("__id"))
