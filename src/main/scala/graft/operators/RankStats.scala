@@ -57,7 +57,8 @@ object RankStats {
       ascending: Boolean = true,
       nBuckets: Int = 4096,
       bounds: Option[(Long, Long)] = None,
-      weightCol: Option[String] = None): DataFrame = {
+      weightCol: Option[String] = None,
+      persistHist: Boolean = false): DataFrame = {
     val gs = groupCols.map(col)
     val (lo, hi) = bounds.getOrElse {
       val r = df
@@ -95,7 +96,24 @@ object RankStats {
       .partitionBy((gs :+ col("__bucket")): _*)
       .orderBy(vOrd)
       .rowsBetween(Window.unboundedPreceding, 0)
-    val totals = hist
+    // persistHist (r15): `hist` feeds BOTH the in-bucket window branch
+    // and the bucket-totals branch of the final join, and exchange
+    // reuse does NOT deduplicate the branches — the whole (group,
+    // value) aggregation pipeline executes twice (measured on q115:
+    // two identical 5.2 MB agg map stages, statically and under AQE).
+    // A persist (tracked, session-released) dedupes it, but pays cache
+    // fill + partition-fan-out: it WINS only when the histogram is
+    // large (q115's near-row-distinct prices: shuffle −45%, warm wall
+    // −26%) and LOSES on small histograms (t51 +53% wall, q116 +3.5%
+    // shuffle) — so the caller opts in where the value domain is known
+    // near-fact-sized. At 100 TB the opted-in case is the materialized
+    // histogram table a rank service would keep anyway.
+    val histC = if (persistHist)
+      graft.operators.CacheTracker.track(
+        hist.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    else hist
+    val withIn = histC.withColumn("__cumIn", sum("cnt").over(inWin))
+    val totals = histC
       .groupBy((gs :+ col("__bucket")): _*)
       .agg(sum("cnt").as("__btot"))
     // the ONLY cross-bucket stage: <= nBuckets rows per group. With no
@@ -109,8 +127,7 @@ object RankStats {
     val offsets = totals
       .withColumn("__off", coalesce(sum("__btot").over(offWin), lit(0L)))
       .drop("__btot")
-    hist
-      .withColumn("__cumIn", sum("cnt").over(inWin))
+    withIn
       .join(offsets, groupCols :+ "__bucket")
       .withColumn("cum", (col("__off") + col("__cumIn")).cast("long"))
       .select((gs :+ col(valueCol) :+ col("cnt") :+ col("cum")): _*)

@@ -2556,7 +2556,11 @@ object Relational {
         val v = table(s, dir, "lineitem")
           .select(col("l_returnflag"), cents(col("l_extendedprice")).as("price_c"))
         val hist = graft.operators.RankStats
-          .cumulativeHistogram(v, Seq("l_returnflag"), "price_c")
+          .cumulativeHistogram(v, Seq("l_returnflag"), "price_c",
+            // prices are near-row-distinct: the histogram is the one
+            // RankStats input big enough that deduping its double
+            // execution beats the cache cost (r15, measured)
+            persistHist = true)
         val stats = v.groupBy("l_returnflag").agg(count(lit(1)).as("n"))
         val targets = stats.select(col("l_returnflag"), col("n"),
             explode(array(
