@@ -1,7 +1,5 @@
 package graft.operators
 
-import java.lang.ref.WeakReference
-
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.SparkSession
 
@@ -17,19 +15,24 @@ import org.apache.spark.sql.SparkSession
   * bench pass / repeated invocation starts from a clean cache state.
   *
   * Keyed by session IDENTITY (WeakHashMap) like Staged's memo. Values
-  * hold WeakReference[DataFrame] (r15, ADVICE): a strong value ref
-  * would pin the frame — and, since every Dataset strongly references
-  * its SparkSession, the map KEY too — so neither the WeakHashMap
-  * entry nor ContextCleaner's GC-driven block cleanup could ever fire
-  * for a session that skips Staged.release. With weak refs, a frame
-  * the caller has dropped becomes GC-reclaimable and its cached blocks
-  * fall to ContextCleaner as they did pre-r14; frames still reachable
-  * (the normal case — the consuming query holds them) are released
-  * explicitly by the session sweep.
+  * are STRONG references, and [[release]] (via Staged.release) is the
+  * ONLY cleanup path — deliberately (r15): between a query's action
+  * and the session sweep the tracker is often the only live reference
+  * to a tracked frame, and a WeakReference variant measured exactly
+  * the failure that implies — GC cleared refs before release, the
+  * frames' CacheManager entries survived the sweep, and the NEXT
+  * bench pass silently reused the previous pass's caches (11 queries
+  * went metrics-unstable run-to-run; with strong refs only the one
+  * known range-sampling row is). The cost is that a session which
+  * never calls Staged.release keeps its tracked frames and their
+  * blocks alive for the session's lifetime — bounded by the tracked
+  * set, and every long-running surface here (Bench, Verify,
+  * DeterminismCheck) releases per pass. There is NO GC fallback; do
+  * not rely on ContextCleaner for tracked frames.
   */
 object CacheTracker {
-  private val perSession = new java.util.WeakHashMap[
-    SparkSession, java.util.ArrayList[WeakReference[DataFrame]]]()
+  private val perSession =
+    new java.util.WeakHashMap[SparkSession, java.util.ArrayList[DataFrame]]()
 
   /** Register an (already persisted) frame for release with its
     * session; returns it for inline use at the persist site.
@@ -37,14 +40,10 @@ object CacheTracker {
   def track(df: DataFrame): DataFrame = perSession.synchronized {
     var l = perSession.get(df.sparkSession)
     if (l == null) {
-      l = new java.util.ArrayList[WeakReference[DataFrame]]()
+      l = new java.util.ArrayList[DataFrame]()
       perSession.put(df.sparkSession, l)
     }
-    // drain entries whose frames were GC-reclaimed (ContextCleaner
-    // owns their blocks now) so the list can't grow unboundedly in a
-    // long-lived session that tracks many short-lived frames
-    l.removeIf(r => r.get() == null)
-    l.add(new WeakReference(df))
+    l.add(df)
     df
   }
 
@@ -54,9 +53,6 @@ object CacheTracker {
     */
   def release(s: SparkSession): Unit = perSession.synchronized {
     val l = perSession.remove(s)
-    if (l != null) l.forEach { r =>
-      val d = r.get()
-      if (d != null) { Dedup.release(d); () }
-    }
+    if (l != null) l.forEach { d => Dedup.release(d); () }
   }
 }
